@@ -1,0 +1,58 @@
+"""Driver-contract plumbing shared by __spark_entry__.py and tests.
+
+Builds the ``queries()`` / ``oracle_sql()`` dicts from the engine's query
+registry.  Each Spark callable routes through ``EngineSession.sql`` so the
+3-part catalog names and the rewrite path are exercised on every run.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dblab_ece_trino_spark.queries import REFERENCE_QUERIES
+from dblab_ece_trino_spark.session import EngineSession
+
+# One EngineSession wrapper per (SparkSession, sf_dir): view registration is
+# idempotent but repeated parquet-footer reads on every query call are not
+# free at 10 tables/call.
+_CACHE: dict[tuple[int, str], EngineSession] = {}
+
+
+def engine_for(spark: SparkSession, sf_dir: str) -> EngineSession:
+    key = (id(spark), sf_dir)
+    eng = _CACHE.get(key)
+    if eng is None:
+        eng = EngineSession.wrap(spark)
+        eng.catalogs.register_sf_dir(sf_dir)
+        _CACHE[key] = eng
+    return eng
+
+
+def _sql_query(name: str, text: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return engine_for(spark, sf_dir).sql(text, name=name)
+
+    run.__name__ = f"query_{name}"
+    return run
+
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, q in REFERENCE_QUERIES.items():
+        out[name] = _sql_query(name, q.spark_sql())
+    # Operator-inventory and LLM-pipeline entries are appended by their
+    # modules (imported lazily here to keep a single registration point).
+    from dblab_ece_trino_spark.operators import registry as op_registry
+
+    out.update(op_registry.spark_queries())
+    return out
+
+
+def build_oracles() -> dict[str, str]:
+    out = {name: q.oracle_sql() for name, q in REFERENCE_QUERIES.items()}
+    from dblab_ece_trino_spark.operators import registry as op_registry
+
+    out.update(op_registry.oracle_queries())
+    return out

@@ -1,0 +1,321 @@
+"""Relational operator inventory (SURVEY §2.1-2.8), one focused query each.
+
+Shapes and semantics mirror what the reference's five queries + captured
+plans exercise (cites per entry); tables are the driver testdata analogs.
+All aggregates over double columns are computed in DECIMAL so oracle
+comparisons are exact under any partitioning (reference's workers-1 vs
+workers-5 invariance, SURVEY §5).
+
+Beyond strict parity, the set-op/join/agg surface Spark shares with ANSI
+SQL (semi/anti joins, INTERSECT, UNION ALL, ROLLUP, window functions) is
+registered too — the reference engine (Trino) supports all of these even
+though its five queries don't use them, so a reference user switching over
+gets them here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dblab_ece_trino_spark.operators.registry import register, register_sql
+
+
+def _both(name: str, template: str, oracle: bool = True, doc: str = "") -> None:
+    """Register one SQL template rendered for Spark (3-part) and DuckDB."""
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    register_sql(
+        name,
+        template.format(**_SPARK_TABLES),
+        template.format(**_ORACLE_TABLES) if oracle else None,
+    )
+
+
+# --------------------------------------------------------------- §2.2 scans,
+# projections, filters, CASE (reference q004 explain.txt:50-53, q005:25)
+_both(
+    "op_project_case",
+    """
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      CASE WHEN l_discount > 0.05 THEN 'discounted' ELSE 'full' END AS price_class,
+      CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+    FROM {lineitem}
+    WHERE l_orderkey BETWEEN 100 AND 500
+    """,
+)
+
+_both(
+    "op_filter_conjunction",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag
+    FROM {lineitem}
+    WHERE l_orderkey BETWEEN 0 AND 5000
+      AND l_returnflag = 'R'
+      AND l_shipdate IS NOT NULL
+      AND l_quantity >= 10
+    """,
+)
+
+# ----------------------------------------------------------------- §2.3 joins
+# Broadcast hash inner join (q003 explain.txt:49-62, REPLICATED build side):
+# built via the DataFrame API with an explicit broadcast hint.
+def _op_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    cat = engine_for(spark, sf_dir).catalogs
+    customer = cat.table("psql.tpch.customer")
+    nation = cat.table("psql.tpch.nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+register(
+    "op_join_broadcast",
+    _op_join_broadcast,
+    oracle="""
+    SELECT n_name,
+           count(*) AS customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+
+# Partitioned (shuffle) hash join of two facts (q004 explain.txt:54-65).
+_both(
+    "op_join_shuffle",
+    """
+    SELECT o.o_orderstatus, count(*) AS line_count,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+    FROM {lineitem} l
+    JOIN {orders} o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+
+# Left outer join on a composite 2-column key (queries/q004.sql:15-17).
+_both(
+    "op_join_left_composite",
+    """
+    SELECT
+      CASE WHEN sr.sr_orderkey IS NULL THEN 'unmatched' ELSE 'matched' END AS side,
+      count(*) AS n
+    FROM {lineitem} ss
+    LEFT JOIN (
+      SELECT l_orderkey AS sr_orderkey, l_linenumber AS sr_linenumber
+      FROM {lineitem} WHERE l_returnflag = 'R'
+    ) sr
+      ON sr.sr_orderkey = ss.l_orderkey AND sr.sr_linenumber = ss.l_linenumber
+    GROUP BY 1
+    """,
+)
+
+# Semi / anti joins — Trino-supported surface beyond the five queries
+# (SURVEY §2.3 "not present"); expressed as EXISTS so the same text runs
+# on DuckDB while Catalyst plans LeftSemi/LeftAnti.
+_both(
+    "op_join_semi",
+    """
+    SELECT count(*) AS customers_with_orders
+    FROM {customer} c
+    WHERE EXISTS (SELECT 1 FROM {orders} o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+
+_both(
+    "op_join_anti",
+    """
+    SELECT count(*) AS customers_without_orders
+    FROM {customer} c
+    WHERE NOT EXISTS (SELECT 1 FROM {orders} o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+
+# ---------------------------------------------------------------- §2.4 aggs
+# Global partial→final aggregation, no keys (q002 analyze.txt:10-28).
+_both(
+    "op_agg_global",
+    """
+    SELECT
+      count(*) AS n_rows,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+      CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS min_price,
+      CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS max_price
+    FROM {lineitem}
+    """,
+)
+
+# Hash group-by with multiple aggregates — the TPC-H Q1 "pricing summary"
+# shape, superset of q003's count-per-key (q003 explain.txt:33-48).
+_both(
+    "op_agg_groupby",
+    """
+    SELECT
+      l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+      count(*) AS count_order
+    FROM {lineitem}
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+# DISTINCT → keyed aggregate (q005 explain.txt:57-59).
+_both(
+    "op_distinct",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM {lineitem}
+    """,
+)
+
+# ROLLUP — Trino surface beyond the five queries (SURVEY §2.4 note).
+_both(
+    "op_agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM {lineitem}
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+
+# ------------------------------------------------------------ §2.6 TopN
+# ORDER BY ... LIMIT as a bounded heap with deterministic tiebreak
+# (q003 explain.txt:9 TopN; q004 2-key order).
+def _op_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    cat = engine_for(spark, sf_dir).catalogs
+    orders = cat.table("mongodb.tpch.orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+register(
+    "op_topn",
+    _op_topn,
+    oracle="""
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+
+# --------------------------------------------------------------- §2.7 set ops
+# EXCEPT (distinct) — the q005 core (queries/q005.sql:7,13); Catalyst
+# rewrites to a left-anti join (ReplaceExceptWithAntiJoin).
+_both(
+    "op_except",
+    """
+    SELECT count(*) AS n FROM (
+      (SELECT DISTINCT o_custkey FROM {orders} WHERE o_orderstatus = 'O')
+      EXCEPT
+      (SELECT DISTINCT o_custkey FROM {orders} WHERE o_orderstatus = 'F')
+    ) t
+    """,
+)
+
+_both(
+    "op_intersect",
+    """
+    SELECT count(*) AS n FROM (
+      (SELECT DISTINCT o_custkey FROM {orders} WHERE o_orderstatus = 'O')
+      INTERSECT
+      (SELECT DISTINCT o_custkey FROM {orders} WHERE o_orderstatus = 'F')
+    ) t
+    """,
+)
+
+_both(
+    "op_union",
+    """
+    SELECT o_custkey, count(*) AS n FROM (
+      SELECT o_custkey FROM {orders} WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT o_custkey FROM {orders} WHERE o_orderstatus = 'F'
+    ) t
+    GROUP BY o_custkey
+    """,
+)
+
+# ------------------------------------------------------- §2.8 scalar functions
+# Arithmetic with decimal widening, CAST, comparisons (q004 explain.txt:53).
+_both(
+    "op_scalar_arithmetic",
+    """
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      CAST( (CAST(l_quantity AS DECIMAL(12,2)) - CAST(l_linenumber AS DECIMAL(12,2)))
+            * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(24,4) ) AS adjusted,
+      CAST(l_orderkey AS VARCHAR(20)) AS key_str,
+      l_orderkey % 16 AS key_mod
+    FROM {lineitem}
+    WHERE l_orderkey BETWEEN 0 AND 1000
+    """,
+)
+
+# Window function — Trino surface beyond the five queries (SURVEY §2.5).
+_both(
+    "op_window_rownum",
+    """
+    SELECT o_custkey, o_orderkey, rn FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+      FROM {orders}
+    ) t
+    WHERE rn <= 3
+    """,
+)
+
+# Tumbling time-window aggregation over the events table via date_trunc —
+# batch analog of the streaming rollup (see streaming/ for the
+# Structured-Streaming form).
+_both(
+    "op_events_time_rollup",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value
+    FROM {events}
+    GROUP BY 1, 2
+    """,
+)
+
+# The reference's deterministic hash-bucketing idiom
+# (loader.py:213-218: mod(bitwise_and(from_big_endian_64(xxhash64(to_utf8(
+# cast(k as varchar)))), 2^63-1), N)) — in Spark one call: pmod(xxhash64).
+# Hash values are engine-specific, so no DuckDB oracle; the partitioning
+# property (complete, disjoint, stable) is property-tested in pytest.
+def _op_hash_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.functions.hashing import bucket_expr
+
+    cat = engine_for(spark, sf_dir).catalogs
+    orders = cat.table("mongodb.tpch.orders")
+    return (
+        orders.withColumn("bucket", bucket_expr(F.col("o_orderkey"), 8))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+register("op_hash_bucketing", _op_hash_bucketing, oracle=None)

@@ -1,0 +1,160 @@
+"""EngineSession: SparkSession factory, scale-aware configuration, metrics.
+
+Reference parity: the Trino coordinator's query lifecycle
+(submit -> parse/analyze -> plan -> distributed execute -> paged results,
+see /root/reference data-loader/loader.py:25-68 and the captured
+``results/*/workers-*/{explain,time}.txt``).  Here the lifecycle is
+``engine.sql(text)`` -> Catalyst analyze/optimize -> SparkPlan with
+Exchange nodes (Trino fragments) -> actions.  ``QueryMetrics`` mirrors the
+reference's ``time.txt`` / ``query.json`` capture.
+
+Scale notes (100 TB design target):
+- AQE on: runtime re-plan at shuffle boundaries = Trino's CBO choice of
+  REPLICATED vs PARTITIONED join, but decided with true runtime stats.
+- Adaptive skew-join splitting + coalescing: the q003 analog ("TX-heavy"
+  state skew) is handled by AQE rather than manual salting in the engine
+  core; salting helpers live in operators/aggregates.py for extreme skew.
+- Runtime bloom filters approximate Trino's dynamic filtering
+  (build-side semi-join reduction pushed into probe scans).
+- shuffle.partitions is a knob, not a constant: local tests use the core
+  count; a 1000-executor cluster would set this (or rely on AQE coalesce)
+  to ~2-3x total cores.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
+
+
+def engine_builder(
+    app_name: str = "dblab_ece_trino_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession.Builder:
+    """SparkSession builder with the engine's scale-aware defaults."""
+    cpus = DEFAULT_CPUS
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime re-planning at shuffle boundaries (coalesce tiny
+        # partitions, split skewed ones, demote/promote join strategies).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime semi-join reduction — the Spark analog of Trino's
+        # dynamic filters (reference results/q003/workers-1/explain.txt:53).
+        # (runtimeFilter.semiJoinReduction is deliberately NOT set: toggling
+        # it at builder time hangs session creation on this Spark build.)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Arrow transfer for any pandas-UDF path (LLM operators).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b
+
+
+@dataclass
+class QueryMetrics:
+    """Per-query capture mirroring the reference's time.txt/query.json."""
+
+    name: str
+    elapsed_sec: float
+    rows: int | None = None
+    physical_plan: str = ""
+    extra: dict = field(default_factory=dict)
+
+    def as_dict(self) -> dict:
+        return {
+            "name": self.name,
+            "elapsed_sec": round(self.elapsed_sec, 4),
+            "rows": self.rows,
+            "extra": self.extra,
+        }
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """Capture df.explain(mode) output as a string (plan regression files)."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+class EngineSession:
+    """The engine's top-level handle: session + catalogs + sql entry point.
+
+    Usage::
+
+        eng = EngineSession.get()
+        eng.catalogs.register_reference_layout("/root/testdata/sf0.01")
+        df = eng.sql("SELECT count(*) FROM psql.tpcds.store_sales")
+    """
+
+    _instance: "EngineSession | None" = None
+
+    def __init__(self, spark: SparkSession):
+        # local import to avoid a cycle (catalog imports nothing from here)
+        from dblab_ece_trino_spark.catalog import CatalogRegistry
+
+        self.spark = spark
+        self.catalogs = CatalogRegistry(spark)
+        self.metrics: list[QueryMetrics] = []
+
+    @classmethod
+    def get(cls, **builder_kwargs) -> "EngineSession":
+        if cls._instance is None:
+            spark = engine_builder(**builder_kwargs).getOrCreate()
+            spark.sparkContext.setLogLevel("WARN")
+            cls._instance = cls(spark)
+        return cls._instance
+
+    @classmethod
+    def wrap(cls, spark: SparkSession) -> "EngineSession":
+        """Wrap an externally-created SparkSession (driver harness path)."""
+        return cls(spark)
+
+    def sql(self, text: str, name: str = "adhoc") -> DataFrame:
+        """Run SQL that may use 3-part ``catalog.schema.table`` names.
+
+        Mirrors the reference's REST submit path (loader.py:25-27): names
+        are resolved against the registry, the rewritten text goes to
+        ``spark.sql`` and Catalyst does analyze/optimize/plan.
+        """
+        from dblab_ece_trino_spark.sql import rewrite_three_part_names
+
+        rewritten = rewrite_three_part_names(text, self.catalogs)
+        return self.spark.sql(rewritten)
+
+    def run(self, text: str, name: str = "adhoc") -> tuple[list, QueryMetrics]:
+        """Execute and collect, capturing wall time + plan (bench path)."""
+        t0 = time.monotonic()
+        df = self.sql(text, name=name)
+        rows = df.collect()
+        m = QueryMetrics(
+            name=name,
+            elapsed_sec=time.monotonic() - t0,
+            rows=len(rows),
+            physical_plan=explain_str(df),
+        )
+        self.metrics.append(m)
+        return rows, m
+
+
+def get_spark(**kwargs) -> SparkSession:
+    return EngineSession.get(**kwargs).spark
