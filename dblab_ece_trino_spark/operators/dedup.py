@@ -1,1 +1,505 @@
-"""Placeholder — filled in by the LLM-pipeline operators milestone."""
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all designed shuffle-first for the 100 TB target:
+
+- exact:     hash-groupBy on a canonical fingerprint (md5 of the text).
+             One shuffle on the fingerprint; partial aggregation makes the
+             map side emit one row per (partition, fingerprint).
+- n-gram Jaccard: exact pairwise similarity via the *sparse* path —
+             explode distinct shingles, self-join on shingle, count
+             intersections.  Shuffles on the shingle value; a stop-shingle
+             cap (``max_shingle_df``) bounds the worst-case join fan-out,
+             which is the thing that actually kills this at scale.
+- MinHash + LSH: per-doc signature of K min-hashes (pure JVM expressions:
+             xxhash64 -> (a*x+b) mod p -> array_min), banded into B bands
+             of R rows; candidate pairs meet in a groupBy on
+             (band, band_hash) — O(n) shuffle instead of O(n^2) compare —
+             then are verified with exact Jaccard.
+- SimHash:   64-bit signature from signed per-bit token-hash sums;
+             near-dup candidates share a 16-bit band (4 bands => any pair
+             within Hamming distance 3 collides in >=1 band).
+- embedding cosine: exact threshold self-join for correctness; the
+             LSH-bucketed scale path lives in operators/similarity.py.
+
+The reference stack has no dedup surface — these extend it (BASELINE.json
+north star).  MinHash/SimHash signatures are engine-specific (xxhash64
+seeds), so those entries register rows-only; exact/Jaccard/embedding
+entries carry full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dblab_ece_trino_spark.operators.registry import register
+
+# ---------------------------------------------------------------- constants
+MERSENNE61 = (1 << 61) - 1
+HASH31 = (1 << 31) - 1  # shingle hashes reduced to 31 bits so a*x+b < 2^62
+                        # stays inside int64 under ANSI arithmetic
+
+
+def _perm_constants(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash permutations."""
+    # simple LCG so the constants are reproducible without RNG state
+    state = seed
+    out = []
+    for _ in range(num_hashes):
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        a = 1 + state % (HASH31 - 1)
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        b = state % HASH31
+        out.append((a, b))
+    return out
+
+
+# ------------------------------------------------------------------ shingles
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of ``text`` as an array<string>.
+
+    Pure JVM expression (sequence/transform/substring) — no Python in the
+    hot path; at scale this is one codegen'd projection per row.
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(text, i, n)))
+
+
+def shingle_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """(id, shingle) exploded — the sparse representation all similarity
+    paths share.  Distinct per doc, so join counts are set intersections."""
+    return docs.select(
+        F.col(id_col).alias("sid"),
+        F.explode(char_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+# -------------------------------------------------------------- exact dedup
+def dedup_exact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the lowest id per exact-content group (md5 fingerprint).
+
+    One hash-shuffle on the fingerprint; survives 100 TB because the
+    map-side partial agg reduces each partition to its distinct
+    fingerprints before the exchange.
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+# ------------------------------------------------------- exact n-gram Jaccard
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """All pairs (a < b) with n-gram Jaccard >= threshold, computed exactly.
+
+    Sparse similarity join: |A ∩ B| from a self-join on shingle, sizes from
+    a per-doc count, jaccard = inter / (|A| + |B| - inter).  The self-join
+    shuffles on the shingle value; ``max_shingle_df`` drops shingles shared
+    by more than that many docs (stop-shingles) — they contribute little
+    discrimination but quadratic join blow-up, the classic scale fix.
+    """
+    sh = shingle_table(docs, id_col, text_col, n)
+    if max_shingle_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = (
+            sh.join(df_counts.filter(F.col("df") <= max_shingle_df), "shingle")
+            .drop("df")
+        )
+    sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.sid") < F.col("b.sid")))
+        .groupBy(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("sid", "id_a")
+                   .withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("sid", "id_b")
+              .withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------ MinHash + LSH
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    n: int = 5,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — K min-hash values per document.
+
+    Entirely codegen'd: shingle -> xxhash64 -> 31-bit reduce, then per
+    permutation min((a*x+b) mod p) via array_min(transform(...)).  No
+    shuffle at all — this is a projection, which is why MinHash is the
+    scalable front door to dedup at 100 TB.
+    """
+    hashes = F.transform(
+        char_shingles(F.col(text_col), n),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(HASH31)),
+    )
+
+    consts = _perm_constants(num_hashes)
+
+    def perms_of(x):
+        # all K permuted hashes of one shingle hash, as an array
+        return F.array(
+            *[
+                F.pmod(x * F.lit(a) + F.lit(b), F.lit(MERSENNE61))
+                for a, b in consts
+            ]
+        )
+
+    # Single pass over the shingle array: fold with an elementwise min of
+    # the K permutations.  (The naive form — K array_min(transform(...)) —
+    # re-evaluates the shingle/xxhash64 array K times after Catalyst's
+    # CollapseProject inlining: ~64x the work.  One fold keeps each shingle
+    # hashed exactly once.)
+    sig = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(MERSENNE61), num_hashes),
+        lambda acc, x: F.zip_with(acc, perms_of(x), lambda m, v: F.least(m, v)),
+    )
+    return docs.select(F.col(id_col).alias("sid"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 16, rows: int = 4
+) -> DataFrame:
+    """Candidate pairs from banded LSH over minhash signatures.
+
+    Explode each signature into (band_id, band_hash) keys and meet in a
+    shuffle on that key — O(n·bands) rows instead of O(n²) comparisons.
+    With 16 bands × 4 rows, a pair at Jaccard 0.7 collides with p ≈ 0.99.
+    """
+    banded = sigs.select(
+        "sid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", j * rows + r + 1).cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("sid", "bk.band", "bk.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .select(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .distinct()
+    )
+
+
+def dedup_minhash_lsh(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    n: int = 5,
+) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified with exact n-gram Jaccard.
+
+    The verify join only touches candidate pairs, so the quadratic exact
+    computation is confined to the (tiny) LSH-collision set.
+    """
+    cands = lsh_candidate_pairs(
+        minhash_signatures(docs, id_col, text_col, num_hashes, n), bands, rows
+    )
+    # exact verify via array intersection on the candidate set only
+    arrs = docs.select(
+        F.col(id_col).alias("sid"), char_shingles(F.col(text_col), n).alias("sh")
+    )
+    out = (
+        cands.join(arrs.select(F.col("sid").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(arrs.select(F.col("sid").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ------------------------------------------------------------------- SimHash
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """(id, simhash: bigint) — classic Charikar simhash over word tokens.
+
+    Per-bit signed sums expressed as one aggregate-free projection:
+    for each bit, sum over tokens of ±1 depending on the token hash bit,
+    via array transform + aggregate — all JVM-side, no shuffle.
+    """
+    toks = F.split(F.col(text_col), r"\s+")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_sum(mask: int):
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for bit in range(bits):
+        mask = (1 << bit) if bit < 63 else -(1 << 63)
+        contrib = F.aggregate(th, F.lit(0).cast("long"), bit_sum(mask))
+        bit_cols.append(
+            F.when(contrib > 0, F.lit(mask)).otherwise(0).cast("long")
+        )
+    # OR the bit contributions together by summing (disjoint bits)
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig + c
+    return docs.select(F.col(id_col).alias("sid"), sig.alias("simhash"))
+
+
+def simhash_candidate_pairs(sigs: DataFrame, band_bits: int = 16) -> DataFrame:
+    """Pairs sharing at least one 16-bit band of the simhash (any pair at
+    Hamming distance <= 3 is guaranteed to collide in >= 1 of 4 bands)."""
+    bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        "sid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftrightunsigned("simhash", j * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bh"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("sid", "bk.band", "bk.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .select(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .distinct()
+    )
+
+
+def hamming64(x: Column, y: Column) -> Column:
+    return F.bit_count(x.bitwiseXOR(y))
+
+
+# ------------------------------------------------- embedding cosine near-dup
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns, JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    return dot / (na * nb)
+
+
+def dedup_embedding_cosine(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact cosine-threshold pairs (a < b) — the correctness baseline.
+
+    O(n²) compare: valid as the verification oracle and for modest n; the
+    scale path is the LSH-bucketed variant in operators/similarity.py,
+    which meets candidates in hyperplane-sign buckets first.
+    """
+    v = emb.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+# ------------------------------------------------------------ query entries
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    return engine_for(spark, sf_dir).catalogs.table("lake.llm.documents")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The corpus has no byte-identical dups, so the entry doubles part of it
+    # (UNION ALL with a shifted-id copy) to prove collapse actually happens.
+    docs = _docs(spark, sf_dir)
+    doubled = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    return dedup_exact(doubled).select(
+        "fingerprint", "keep_id", "dup_count"
+    )
+
+
+register(
+    "dedup_exact",
+    _q_dedup_exact,
+    oracle="""
+    WITH doubled AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM doubled GROUP BY md5(text)
+    """,
+)
+
+
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+# DuckDB oracle: same semantics, independently expressed with unnest +
+# substr (engine-neutral definition of char-5-gram Jaccard).
+register(
+    "dedup_ngram_jaccard",
+    _q_dedup_ngram_jaccard,
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS sid, substr(text, i, 5) AS shingle
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, greatest(length(text)-4, 1))) AS i)
+    ),
+    filtered AS (
+      SELECT sid, shingle FROM sh
+      WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000)
+    ),
+    sizes AS (SELECT sid, count(*) AS sz FROM filtered GROUP BY sid),
+    inter AS (
+      SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS inter
+      FROM filtered a JOIN filtered b
+        ON a.shingle = b.shingle AND a.sid < b.sid
+      GROUP BY a.sid, b.sid
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.sid = id_a
+    JOIN sizes sb ON sb.sid = id_b
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+)
+
+
+def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_minhash_lsh(_docs(spark, sf_dir), threshold=0.7)
+
+
+# Signatures are engine-specific (xxhash64) → rows-only gate; recall vs the
+# exact Jaccard pairs is property-tested in tests/test_dedup.py.
+register("dedup_minhash_lsh", _q_dedup_minhash_lsh, oracle=None)
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sigs = simhash_signatures(docs)
+    cands = simhash_candidate_pairs(sigs)
+    s2 = sigs
+    return (
+        cands.join(s2.withColumnRenamed("sid", "id_a").withColumnRenamed("simhash", "h_a"), "id_a")
+        .join(s2.withColumnRenamed("sid", "id_b").withColumnRenamed("simhash", "h_b"), "id_b")
+        .withColumn("hamming", hamming64(F.col("h_a"), F.col("h_b")))
+        .filter(F.col("hamming") <= 8)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+register("dedup_simhash", _q_dedup_simhash, oracle=None)
+
+
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    emb = engine_for(spark, sf_dir).catalogs.table("lake.llm.embeddings")
+    return dedup_embedding_cosine(emb, threshold=0.99)
+
+
+register(
+    "dedup_embedding",
+    _q_dedup_embedding,
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.99
+    """,
+)

@@ -1,0 +1,78 @@
+"""Property tests for the dedup family (the non-oracle entries)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _docs(spark):
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    return engine_for(spark, SF_SMALL).catalogs.table("lake.llm.documents")
+
+
+def test_minhash_recall_vs_exact(spark):
+    """LSH+verify output ⊆ exact pairs at the same threshold, with high
+    recall on this corpus (signature banding tuned for j >= 0.7)."""
+    from dblab_ece_trino_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.7, max_shingle_df=None).collect()
+    }
+    lsh = {(r.id_a, r.id_b) for r in dedup_minhash_lsh(docs, threshold=0.7).collect()}
+    assert lsh <= exact  # verification step guarantees no false positives
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.8, f"LSH recall too low: {recall} ({len(exact)} true pairs)"
+
+
+def test_minhash_signature_deterministic(spark):
+    from dblab_ece_trino_spark.operators.dedup import minhash_signatures
+
+    docs = _docs(spark).limit(20)
+    s1 = {r.sid: r.sig for r in minhash_signatures(docs).collect()}
+    s2 = {r.sid: r.sig for r in minhash_signatures(docs).collect()}
+    assert s1 == s2
+    assert all(len(v) == 64 for v in s1.values())
+
+
+def test_simhash_similar_docs_close(spark):
+    """Near-identical texts must land within small Hamming distance;
+    unrelated texts far."""
+    from dblab_ece_trino_spark.operators.dedup import (
+        hamming64,
+        simhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    rows = [
+        (1, base),
+        (2, base + "extra token"),  # near-dup
+        (3, "completely different content about spark shuffles and joins "
+            "partitions exchanges aggregates windows " * 8),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {r.sid: r.simhash for r in simhash_signatures(df).collect()}
+    d12 = bin((sigs[1] ^ sigs[2]) & ((1 << 64) - 1)).count("1")
+    d13 = bin((sigs[1] ^ sigs[3]) & ((1 << 64) - 1)).count("1")
+    assert d12 <= 8, f"near-dup hamming too high: {d12}"
+    assert d13 > d12, f"unrelated not farther: {d13} vs {d12}"
+
+
+def test_dedup_exact_collapses_injected_dups(spark):
+    from dblab_ece_trino_spark.operators.dedup import dedup_exact
+
+    docs = _docs(spark).select("doc_id", "text")
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 10_000))
+    out = dedup_exact(doubled)
+    assert out.count() == docs.count()  # every text collapses to one group
+    assert out.filter(F.col("dup_count") != 2).count() == 0
+    # keep_id is always the original (lower) id
+    assert out.filter(F.col("keep_id") >= 10_000).count() == 0

@@ -1,0 +1,48 @@
+"""Property tests for ANN search (the non-oracle LSH path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _emb(spark):
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    return engine_for(spark, SF_SMALL).catalogs.table("lake.llm.embeddings")
+
+
+def test_lsh_subset_and_recall(spark):
+    """LSH top-k ⊆ bucket-mates; recall@5 vs brute force is meaningful."""
+    from dblab_ece_trino_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = knn_bruteforce(emb, queries, k=5).collect()
+    lsh = knn_lsh(emb, queries, k=5, nbits=8).collect()
+    bf_pairs = {(r.qid, r.cid) for r in bf}
+    lsh_pairs = {(r.qid, r.cid) for r in lsh}
+    # scores in the LSH output must equal the exact cosine (re-ranked)
+    bf_scores = {(r.qid, r.cid): r.cos for r in bf}
+    for r in lsh:
+        if (r.qid, r.cid) in bf_scores:
+            assert abs(bf_scores[(r.qid, r.cid)] - r.cos) < 1e-9
+    recall = len(bf_pairs & lsh_pairs) / len(bf_pairs)
+    assert recall >= 0.3, f"LSH recall@5 collapsed: {recall}"
+
+
+def test_bruteforce_self_excluded_and_ranked(spark):
+    from dblab_ece_trino_spark.operators.similarity import knn_bruteforce
+
+    emb = _emb(spark)
+    out = knn_bruteforce(emb, emb.filter(F.col("vec_id") < 3), k=5).collect()
+    by_q = {}
+    for r in out:
+        assert r.qid != r.cid
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r.cos for r in rows]
+        assert scores == sorted(scores, reverse=True)

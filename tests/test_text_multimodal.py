@@ -1,0 +1,80 @@
+"""Tests for text analysis + multimodal plumbing beyond the oracle gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from dblab_ece_trino_spark.operators.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "abc def"), (2, "def abc"), (3, "abc def")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.fp for r in df.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("fp")
+    ).collect()}
+    assert out[1] == out[3]  # deterministic
+    assert out[1] != out[2]  # order-sensitive (unlike bag-of-words hashes)
+
+
+def test_language_id_prefers_marker_majority(spark):
+    from dblab_ece_trino_spark.operators.text import language_id
+
+    df = spark.createDataFrame(
+        [(1, "spark hash key stream spark hash"), (2, "the a row fast table the")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.lang for r in df.select(
+        "doc_id", language_id(F.col("text")).alias("lang")
+    ).collect()}
+    assert out[1] == "zh"
+    assert out[2] == "en"
+
+
+def test_multimodal_feature_determinism_and_batching(spark):
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+
+    docs = engine_for(spark, SF_SMALL).catalogs.table("lake.llm.documents")
+    media = media_from_documents(docs)
+    f1 = {r.media_id: tuple(r.feature) for r in extract_features(media).collect()}
+    # different partitioning must not change per-row features
+    f2 = {
+        r.media_id: tuple(r.feature)
+        for r in extract_features(media.repartition(7)).collect()
+    }
+    assert f1 == f2
+    assert all(len(v) == 8 for v in f1.values())
+
+
+def test_multimodal_decoder_stubs_marked():
+    from dblab_ece_trino_spark.operators import multimodal
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"RIFF")
+
+
+def test_frame_sample_expands_by_duration(spark):
+    from dblab_ece_trino_spark.operators.multimodal import frame_sample
+
+    rows = [
+        (1, None, ("video", "h264", 640, 480, 3500)),
+        (2, None, ("video", "h264", 640, 480, 0)),
+    ]
+    schema = "media_id long, payload binary, meta struct<modality:string,codec:string,width:int,height:int,duration_ms:long>"
+    df = spark.createDataFrame(rows, schema)
+    out = frame_sample(df, every_ms=1000).collect()
+    frames = {}
+    for r in out:
+        frames.setdefault(r.media_id, []).append((r.frame_idx, r.ts_ms))
+    assert sorted(frames[1]) == [(0, 0), (1, 1000), (2, 2000), (3, 3000)]
+    assert sorted(frames[2]) == [(0, 0)]
