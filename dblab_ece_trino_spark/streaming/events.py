@@ -1,0 +1,163 @@
+"""Streaming operators over the events table.
+
+``readStream`` → transform → ``writeStream``; late data handled by
+watermark; the batch analog of the windowed rollup is the
+``op_events_time_rollup`` query entry (operators/relational.py), so batch
+and stream share semantics.
+
+Scale notes: windowed aggregation state is keyed by (window, event_type)
+— bounded by watermark retention; sessionization state is keyed by
+user_id and evicted via the state timeout, so state size tracks *active*
+users, not history.  Both run identically on a 1000-executor cluster —
+state lives in the state store, partitioned by key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream of event parquet files (one file per micro-batch
+    in tests via availableNow)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+
+
+def windowed_event_counts(
+    stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window rollup: late events beyond the
+    watermark are dropped; state is evicted once the watermark passes the
+    window end."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_start", T.TimestampType(), True),
+        T.StructField("session_end", T.TimestampType(), True),
+        T.StructField("n_events", T.LongType(), True),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType(), True),
+        T.StructField("end_ms", T.LongType(), True),
+        T.StructField("n", T.LongType(), True),
+    ]
+)
+
+
+def sessionize(
+    stream: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
+    """Custom stateful operator: per-user session windows with a
+    ``gap_minutes`` inactivity gap, via ``applyInPandasWithState``.
+
+    Event-time timeouts: a session closes (and emits) when the watermark
+    passes its last event + gap — deterministic w.r.t. the data, and the
+    query terminates under availableNow (processing-time timeouts would
+    keep scheduling wall-clock batches forever).  Sessions still open when
+    the stream ends stay in state (standard streaming semantics).
+
+    This is the pattern for when the built-in ``session_window``
+    aggregation can't express the payload (custom per-session
+    accumulators); state is keyed by user and evicted on close, so state
+    size tracks *active* users only.
+    """
+    gap_ms = gap_minutes * 60 * 1000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start_ms, end_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(end_ms, unit="ms")],
+                    "n_events": [n],
+                }
+            )
+            return
+        lo, hi, n = None, None, 0
+        for pdf in pdfs:
+            ts_ms = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
+            lo = min(lo, ts_ms.min()) if lo is not None else ts_ms.min()
+            hi = max(hi, ts_ms.max()) if hi is not None else ts_ms.max()
+            n += len(pdf)
+        if state.exists:
+            start_ms, end_ms, prev_n = state.get
+            lo = min(lo, start_ms)
+            hi = max(hi, end_ms)
+            n += prev_n
+        state.update((int(lo), int(hi), int(n)))
+        # close at last-event + gap, but never at/behind the watermark
+        # (Spark rejects non-advancing timeout timestamps)
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(int(hi) + gap_ms, wm + 1))
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    stream_result: DataFrame, name: str, complete: bool = True
+) -> None:
+    """Drain the stream into a memory sink (availableNow) for tests/demos."""
+    q = (
+        stream_result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if complete else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

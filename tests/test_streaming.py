@@ -1,0 +1,87 @@
+"""Structured Streaming tests: windowed rollup matches the batch analog."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    """events.parquet rewritten to µs timestamps in a stream-source dir
+    (the ns-timestamp workaround is a batch-reader concern; streams read
+    the rewritten copy)."""
+    t = pq.read_table(os.path.join(SF_SMALL, "events.parquet"))
+    df = t.to_pandas()
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    # two files → two micro-batches with maxFilesPerTrigger=1
+    half = len(df) // 2
+    pq.write_table(pa.Table.from_pandas(df.iloc[:half]), str(d / "part-0.parquet"))
+    pq.write_table(pa.Table.from_pandas(df.iloc[half:]), str(d / "part-1.parquet"))
+    yield str(d)
+    shutil.rmtree(str(d), ignore_errors=True)
+
+
+def test_windowed_counts_match_batch(spark, events_dir):
+    from dblab_ece_trino_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory,
+        windowed_event_counts,
+    )
+
+    stream = read_event_stream(spark, events_dir)
+    run_to_memory(windowed_event_counts(stream), "win_counts", complete=True)
+    got = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 6))
+        for r in spark.table("win_counts").collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("tv"))
+        .collect()
+    )
+    want = {(r.w.start, r.event_type): (r.n, r.tv) for r in batch}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_sessionize_emits_after_timeout(spark, events_dir):
+    from dblab_ece_trino_spark.streaming.events import (
+        read_event_stream,
+        sessionize,
+    )
+
+    stream = read_event_stream(spark, events_dir)
+    sessions = sessionize(stream, gap_minutes=30, watermark="10 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "availableNow stream did not terminate"
+    out = spark.table("sessions_out").collect()
+    assert spark.table("sessions_out").columns == [
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+    ]
+    # with a 30-min gap over a month of events per user, sessions must
+    # close once the watermark advances past batch 1
+    assert len(out) > 0
+    for r in out:
+        assert r.session_start <= r.session_end
+        assert r.n_events >= 1
