@@ -65,14 +65,37 @@ def char_shingles(text: Column, n: int = 5) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: F.substring(text, i, n)))
 
 
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams — the standard unit for web-scale text dedup
+    (char n-grams over a small vocabulary make *every* pair look similar;
+    word shingles discriminate).  JVM-side: split + sliding concat."""
+    toks = F.split(F.trim(text), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def shingles(text: Column, n: int, mode: str) -> Column:
+    if mode == "char":
+        return char_shingles(text, n)
+    if mode == "word":
+        return word_shingles(text, n)
+    raise ValueError(f"unknown shingle mode: {mode!r}")
+
+
 def shingle_table(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    mode: str = "char",
 ) -> DataFrame:
     """(id, shingle) exploded — the sparse representation all similarity
     paths share.  Distinct per doc, so join counts are set intersections."""
     return docs.select(
         F.col(id_col).alias("sid"),
-        F.explode(char_shingles(F.col(text_col), n)).alias("shingle"),
+        F.explode(shingles(F.col(text_col), n, mode)).alias("shingle"),
     )
 
 
@@ -103,6 +126,7 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.5,
     max_shingle_df: int | None = 1000,
+    mode: str = "char",
 ) -> DataFrame:
     """All pairs (a < b) with n-gram Jaccard >= threshold, computed exactly.
 
@@ -112,7 +136,7 @@ def ngram_jaccard_pairs(
     by more than that many docs (stop-shingles) — they contribute little
     discrimination but quadratic join blow-up, the classic scale fix.
     """
-    sh = shingle_table(docs, id_col, text_col, n)
+    sh = shingle_table(docs, id_col, text_col, n, mode)
     if max_shingle_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         sh = (
@@ -152,17 +176,19 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 64,
-    n: int = 5,
+    n: int = 3,
+    mode: str = "word",
 ) -> DataFrame:
     """(id, sig: array<bigint>) — K min-hash values per document.
 
     Entirely codegen'd: shingle -> xxhash64 -> 31-bit reduce, then per
     permutation min((a*x+b) mod p) via array_min(transform(...)).  No
     shuffle at all — this is a projection, which is why MinHash is the
-    scalable front door to dedup at 100 TB.
+    scalable front door to dedup at 100 TB.  Word shingles by default —
+    the web-pipeline standard; char mode available for CJK-like text.
     """
     hashes = F.transform(
-        char_shingles(F.col(text_col), n),
+        shingles(F.col(text_col), n, mode),
         lambda s: F.pmod(F.xxhash64(s), F.lit(HASH31)),
     )
 
@@ -191,13 +217,23 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 16, rows: int = 4
+    sigs: DataFrame,
+    bands: int = 16,
+    rows: int = 4,
+    max_bucket: int | None = 200,
 ) -> DataFrame:
     """Candidate pairs from banded LSH over minhash signatures.
 
     Explode each signature into (band_id, band_hash) keys and meet in a
     shuffle on that key — O(n·bands) rows instead of O(n²) comparisons.
     With 16 bands × 4 rows, a pair at Jaccard 0.7 collides with p ≈ 0.99.
+
+    ``max_bucket`` drops buckets holding more than that many docs before
+    the pair join: a hot bucket of size m contributes m²/2 pairs, so a
+    single degenerate band-hash (boilerplate-heavy corpora produce them)
+    can dominate the whole job.  Dropping it loses nothing in practice —
+    any truly similar pair collides in several *other* bands — and bounds
+    the worst case, which is what matters at 100 TB.
     """
     banded = sigs.select(
         "sid",
@@ -221,6 +257,16 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("sid", "bk.band", "bk.bh")
+    from dblab_ece_trino_spark.session import materialize
+
+    banded = materialize(banded)  # consumed 2-3x (sizes + both join sides)
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "bh").agg(F.count("*").alias("bn"))
+        banded = (
+            banded.join(
+                sizes.filter(F.col("bn") <= max_bucket), ["band", "bh"]
+            ).drop("bn")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -243,22 +289,65 @@ def dedup_minhash_lsh(
     num_hashes: int = 64,
     bands: int = 16,
     rows: int = 4,
-    n: int = 5,
+    n: int = 3,
+    mode: str = "word",
 ) -> DataFrame:
     """Near-dup pairs: LSH candidates verified with exact n-gram Jaccard.
 
-    The verify join only touches candidate pairs, so the quadratic exact
-    computation is confined to the (tiny) LSH-collision set.
+    The verify stage is two-phase: a cheap signature-agreement estimate
+    (fraction of equal minhashes, an unbiased Jaccard estimator — one
+    zip_with over two 64-long arrays) prunes the candidate set, and only
+    survivors pay the exact array-intersection.  On corpora with a shared
+    register (boilerplate, templates) LSH banding alone passes far too
+    many borderline pairs; the estimate gate removes ~all of them for the
+    cost of 64 comparisons each.
     """
-    cands = lsh_candidate_pairs(
-        minhash_signatures(docs, id_col, text_col, num_hashes, n), bands, rows
+    from dblab_ece_trino_spark.session import ensure_parallelism, materialize
+
+    docs = ensure_parallelism(docs)
+    # materialize between stages: each self-join side re-embeds the full
+    # lineage, so without truncation the 64-permutation projection gets
+    # re-codegen'd (seconds of compile) per consumer.  Signatures are K
+    # longs per doc — tiny relative to the corpus.
+    sigs = materialize(
+        minhash_signatures(docs, id_col, text_col, num_hashes, n, mode)
     )
-    # exact verify via array intersection on the candidate set only
-    arrs = docs.select(
-        F.col(id_col).alias("sid"), char_shingles(F.col(text_col), n).alias("sh")
+    cands = materialize(lsh_candidate_pairs(sigs, bands, rows))
+    est_margin = 0.15  # estimator std at K=64 is ~sqrt(s(1-s)/64) <= 0.063
+    est = (
+        cands.join(
+            sigs.select(F.col("sid").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("sid").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+        .withColumn(
+            "est",
+            F.aggregate(
+                F.zip_with(
+                    "sig_a",
+                    "sig_b",
+                    lambda x, y: F.when(x == y, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(num_hashes),
+        )
+        .filter(F.col("est") >= threshold - est_margin)
+        .select("id_a", "id_b")
     )
-    out = (
-        cands.join(arrs.select(F.col("sid").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+    # exact verify via array intersection on the estimate-surviving set
+    arrs = materialize(
+        docs.select(
+            F.col(id_col).alias("sid"),
+            shingles(F.col(text_col), n, mode).alias("sh"),
+        )
+    )
+    return (
+        est.join(arrs.select(F.col("sid").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(arrs.select(F.col("sid").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
@@ -272,7 +361,6 @@ def dedup_minhash_lsh(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 # ------------------------------------------------------------------- SimHash

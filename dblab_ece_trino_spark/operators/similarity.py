@@ -43,6 +43,9 @@ def knn_bruteforce(
     The query side is broadcast; ties break on neighbor id for
     deterministic output.
     """
+    from dblab_ece_trino_spark.session import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
     c = corpus.select(
         F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
     )
@@ -122,6 +125,9 @@ def knn_lsh(
     (probe_hamming=0, join on bucket equality) becomes a shuffle join on
     the bucket id — zero per-pair work before re-rank.
     """
+    from dblab_ece_trino_spark.session import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
     planes = _hyperplanes(nbits, dim)
     c = corpus.select(
         F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv")

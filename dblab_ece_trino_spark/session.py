@@ -31,7 +31,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
 
 
 def engine_builder(
@@ -158,3 +158,33 @@ class EngineSession:
 
 def get_spark(**kwargs) -> SparkSession:
     return EngineSession.get(**kwargs).spark
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a DataFrame whose scan produced too few partitions.
+
+    Single-file parquet tables arrive as 1 split, which serializes every
+    downstream per-row operator on one core.  Compute-heavy operators
+    (shingling, minhash, cosine) call this first; at cluster scale the
+    same guard prevents a small-file scan from bottlenecking a 1000-core
+    stage.  No-op when the scan already has enough splits.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Eagerly materialize and truncate lineage (localCheckpoint).
+
+    Used between expression-heavy stages: Spark re-runs whole-stage
+    codegen for the full lineage in every stage that embeds it, so a
+    64-permutation minhash projection gets recompiled (seconds of JVM
+    compile time) once per downstream join side.  Checkpointing stores the
+    computed rows and gives later stages a plain scan.  On a real cluster
+    prefer ``spark.sparkContext.setCheckpointDir`` + ``df.checkpoint()``
+    for fault tolerance; localCheckpoint trades that for speed, which is
+    the right call inside a single derivation.
+    """
+    return df.localCheckpoint(eager=True)

@@ -24,7 +24,9 @@ def test_minhash_recall_vs_exact(spark):
     docs = _docs(spark)
     exact = {
         (r.id_a, r.id_b)
-        for r in ngram_jaccard_pairs(docs, threshold=0.7, max_shingle_df=None).collect()
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.7, max_shingle_df=None, n=3, mode="word"
+        ).collect()
     }
     lsh = {(r.id_a, r.id_b) for r in dedup_minhash_lsh(docs, threshold=0.7).collect()}
     assert lsh <= exact  # verification step guarantees no false positives
