@@ -116,6 +116,17 @@ class CatalogRegistry:
     def load(self, spec: TableSpec) -> DataFrame:
         if spec.fmt == "parquet":
             return self._read_parquet(spec.path)
+        if spec.fmt in ("csv", "json"):
+            from dblab_ece_trino_spark.sources import formats
+
+            reader = formats.read_csv if spec.fmt == "csv" else formats.read_json
+            return reader(
+                self.spark,
+                spec.path,
+                schema=spec.options.get("schema"),
+                options={k: v for k, v in spec.options.items() if k != "schema"}
+                or None,
+            )
         if spec.fmt == "jdbc":
             # Real-store stretch path (reference values.yml.j2:35-39).
             # Computation pushdown (filters/aggregates) is built into

@@ -50,6 +50,7 @@ def _ensure_loaded() -> None:
     # Importing the operator modules performs their registrations.
     from dblab_ece_trino_spark.operators import (  # noqa: F401
         relational,
+        joins,
         dedup,
         similarity,
         text,

@@ -319,3 +319,112 @@ def _op_hash_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("op_hash_bucketing", _op_hash_bucketing, oracle=None)
+
+
+# ----------------------------------------------------- extended SQL surface
+# Beyond the reference's five queries, the full Trino-grade relational
+# surface a switching user expects: multi-dim aggregation, window
+# functions, string/date/conditional scalars, approximate distinct.
+
+_both(
+    "op_agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+    FROM {lineitem}
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+
+_both(
+    "op_agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM {lineitem}
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+
+_both(
+    "op_window_rank_lag",
+    """
+    SELECT o_custkey, o_orderkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           lag(o_orderkey) OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order
+    FROM {orders}
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+
+_both(
+    "op_window_running_sum",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+                OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(18,2)) AS running_qty
+    FROM {lineitem}
+    WHERE l_orderkey < 500
+    """,
+)
+
+_both(
+    "op_string_functions",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           lower(c_mktsegment) AS lseg,
+           substr(c_name, 1, 8) AS prefix,
+           concat(c_name, '-', c_mktsegment) AS joined,
+           replace(c_name, '#', '_') AS replaced,
+           length(c_name) AS name_len,
+           trim(c_name) AS trimmed,
+           CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one
+    FROM {customer}
+    WHERE c_custkey < 200
+    """,
+)
+
+_both(
+    "op_date_functions",
+    """
+    SELECT o_orderkey,
+           extract(year FROM o_orderdate) AS yr,
+           extract(month FROM o_orderdate) AS mo,
+           extract(day FROM o_orderdate) AS dy,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+    FROM {orders}
+    WHERE o_orderkey < 500
+    """,
+)
+
+_both(
+    "op_conditional_functions",
+    """
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_label,
+           greatest(o_orderkey, o_custkey) AS g,
+           least(o_orderkey, o_custkey) AS l
+    FROM {orders}
+    WHERE o_orderkey < 500
+    """,
+)
+
+
+# approx_count_distinct: sketch values are engine-specific (HLL++ here) →
+# rows-only gate; accuracy vs exact distinct is asserted in pytest.
+def _op_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    li = engine_for(spark, sf_dir).catalogs.table("psql.tpch.lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+register("op_approx_distinct", _op_approx_distinct, oracle=None)

@@ -1,0 +1,115 @@
+"""Sources: csv/json catalog formats, partitioned + bucketed sinks, salting."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from dblab_ece_trino_spark.catalog import TableSpec
+from dblab_ece_trino_spark.session import explain_str
+
+
+def test_csv_and_json_catalog_formats(spark, tmp_path):
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    eng = engine_for(spark, SF_SMALL)
+    nation = eng.catalogs.table("psql.tpch.nation")
+    csv_path = str(tmp_path / "nation_csv")
+    json_path = str(tmp_path / "nation_json")
+    nation.write.option("header", "true").csv(csv_path)
+    nation.write.json(json_path)
+
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    eng.catalogs.register(
+        TableSpec("files", "csv", "nation", "csv", csv_path, {"schema": schema, "header": "true"})
+    )
+    eng.catalogs.register(
+        TableSpec("files", "js", "nation", "json", json_path, {"schema": schema})
+    )
+    base = {(r.n_nationkey, r.n_name) for r in nation.collect()}
+    got_csv = {
+        (r.n_nationkey, r.n_name)
+        for r in eng.sql("SELECT * FROM files.csv.nation").collect()
+    }
+    got_json = {
+        (r.n_nationkey, r.n_name)
+        for r in eng.sql("SELECT * FROM files.js.nation").collect()
+    }
+    assert got_csv == base
+    assert got_json == base
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.sources.formats import write_partitioned
+
+    eng = engine_for(spark, SF_SMALL)
+    li = eng.catalogs.table("psql.tpch.lineitem")
+    out = str(tmp_path / "li_part")
+    write_partitioned(li, out, ["l_returnflag"])
+    df = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    plan = explain_str(df)
+    # partition pruning: the scan must carry a partition filter, and only
+    # the R directory is read
+    assert "PartitionFilters" in plan
+    assert df.count() == li.filter(F.col("l_returnflag") == "R").count()
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Co-located join: two tables bucketed on the join key join without
+    any Exchange in the physical plan — the write-once shuffle contract."""
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.sources.formats import write_bucketed
+
+    eng = engine_for(spark, SF_SMALL)
+    li = eng.catalogs.table("psql.tpch.lineitem")
+    o = eng.catalogs.table("mongodb.tpch.orders")
+    write_bucketed(
+        li.select("l_orderkey", "l_extendedprice"), "b_lineitem", "l_orderkey", 8,
+        sort_col="l_orderkey",
+    )
+    write_bucketed(
+        o.select("o_orderkey", "o_totalprice"), "b_orders", "o_orderkey", 8,
+        sort_col="o_orderkey",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # disable broadcast so the planner must use the bucketed distribution
+    # (at real fact-fact scale neither side broadcasts anyway)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = explain_str(joined)
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert joined.count() == li.join(o, li.l_orderkey == o.o_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_salted_agg_equals_direct(spark):
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.operators.aggregates import salted_agg
+
+    eng = engine_for(spark, SF_SMALL)
+    li = eng.catalogs.table("psql.tpch.lineitem").withColumn(
+        "qty_dec", F.col("l_quantity").cast("decimal(12,2)")
+    )
+    direct = {
+        r.l_returnflag: (r.s, r.c)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("qty_dec").alias("s"), F.count("*").alias("c"))
+        .collect()
+    }
+    salted = {
+        r.l_returnflag: (r.s, r.c)
+        for r in salted_agg(
+            li, ["l_returnflag"], sums={"qty_dec": "s"}, count_alias="c", n_salts=16
+        ).collect()
+    }
+    assert direct == salted
