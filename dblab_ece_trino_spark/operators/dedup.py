@@ -591,3 +591,46 @@ register(
     WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.99
     """,
 )
+
+
+def _q_dedup_ngram_jaccard_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # word 3-gram Jaccard at the MinHash pipeline's threshold: this entry
+    # is the oracle-checked ground truth that the LSH path's recall is
+    # property-tested against (tests/test_dedup.py)
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.7, n=3, mode="word", max_shingle_df=1000
+    )
+
+
+register(
+    "dedup_ngram_jaccard_word",
+    _q_dedup_ngram_jaccard_word,
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS sid,
+             array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i)
+    ),
+    filtered AS (
+      SELECT sid, shingle FROM sh
+      WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000)
+    ),
+    sizes AS (SELECT sid, count(*) AS sz FROM filtered GROUP BY sid),
+    inter AS (
+      SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS inter
+      FROM filtered a JOIN filtered b
+        ON a.shingle = b.shingle AND a.sid < b.sid
+      GROUP BY a.sid, b.sid
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.sid = id_a
+    JOIN sizes sb ON sb.sid = id_b
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.7
+    """,
+)

@@ -1,0 +1,95 @@
+"""Hypothesis property tests (SURVEY §5: "pytest unit tests per operator +
+hypothesis property tests, e.g. except ≡ set difference, topk ≡
+sort-then-head").
+
+One shared SparkSession; generated inputs stay small (Spark round-trip per
+example is the cost), with deadline disabled accordingly.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, HealthCheck
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+ints = st.lists(st.integers(min_value=-50, max_value=50), max_size=30)
+
+
+@given(a=ints, b=ints)
+@settings(**_SETTINGS)
+def test_except_is_set_difference(spark, a, b):
+    da = spark.createDataFrame([(x,) for x in a] or [(0,)], "v int").limit(len(a))
+    db = spark.createDataFrame([(x,) for x in b] or [(0,)], "v int").limit(len(b))
+    got = sorted(r.v for r in da.subtract(db).collect())
+    want = sorted(set(a) - set(b))
+    assert got == want
+
+
+@given(xs=st.lists(st.tuples(st.integers(0, 20), st.integers(-100, 100)), max_size=30),
+       k=st.integers(1, 10))
+@settings(**_SETTINGS)
+def test_topk_is_sort_then_head(spark, xs, k):
+    df = spark.createDataFrame([(i, v) for i, v in xs] or [(0, 0)], "id int, v int").limit(len(xs))
+    got = [(r.v, r.id) for r in df.orderBy(F.col("v").desc(), F.col("id").asc()).limit(k).collect()]
+    want = sorted(((v, i) for i, v in xs), key=lambda t: (-t[0], t[1]))[:k]
+    assert got == want
+
+
+@given(xs=st.lists(st.tuples(st.integers(0, 5), st.integers(-100, 100)), min_size=1, max_size=40),
+       n_salts=st.integers(2, 8))
+@settings(**_SETTINGS)
+def test_salted_agg_equals_direct_generated(spark, xs, n_salts):
+    from dblab_ece_trino_spark.operators.aggregates import salted_agg
+
+    df = spark.createDataFrame(xs, "k int, v int")
+    direct = {
+        r.k: (r.s, r.c)
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("c")).collect()
+    }
+    salted = {
+        r.k: (r.s, r.c)
+        for r in salted_agg(df, ["k"], sums={"v": "s"}, count_alias="c", n_salts=n_salts).collect()
+    }
+    assert direct == salted
+
+
+@given(texts=st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=8
+))
+@settings(**_SETTINGS)
+def test_exact_dedup_groups_match_python(spark, texts):
+    from dblab_ece_trino_spark.operators.dedup import dedup_exact
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.fingerprint: (r.keep_id, r.dup_count) for r in dedup_exact(df).collect()}
+    import hashlib
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for i, t in rows:
+        groups[hashlib.md5(t.encode()).hexdigest()].append(i)
+    want = {fp: (min(ids), len(ids)) for fp, ids in groups.items()}
+    assert got == want
+
+
+@given(key=st.lists(st.integers(0, 1 << 40), min_size=1, max_size=30),
+       n=st.integers(2, 16))
+@settings(**_SETTINGS)
+def test_bucketing_complete_and_in_range(spark, key, n):
+    from dblab_ece_trino_spark.functions.hashing import bucket_expr
+
+    df = spark.createDataFrame([(k,) for k in key], "k long")
+    out = df.withColumn("b", bucket_expr(F.col("k"), n)).collect()
+    assert len(out) == len(key)
+    assert all(0 <= r.b < n for r in out)
+    # determinism: equal keys get equal buckets
+    seen = {}
+    for r in out:
+        assert seen.setdefault(r.k, r.b) == r.b
