@@ -58,6 +58,11 @@ def engine_builder(
         # (runtimeFilter.semiJoinReduction is deliberately NOT set: toggling
         # it at builder time hangs session creation on this Spark build.)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Prefer shuffled-hash over sort-merge join: Trino's execution model
+        # (reference is always hash-join, q004 explain.txt:54) and ~4x faster
+        # on the composite-key fact-fact join at 10x scale (no sort of the
+        # big sides); AQE skew splitting guards the degenerate partitions.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # Arrow transfer for any pandas-UDF path (LLM operators).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -161,3 +161,20 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_event_stream(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop events whose key was already seen
+    within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state by event
+    time — the streaming analog of the batch md5 hash-groupBy
+    (operators/dedup.dedup_exact): at 100 TB/day the state store holds
+    only the watermark window, not history.
+    """
+    keys = keys or ["event_id"]
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

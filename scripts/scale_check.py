@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Scale smoke: run the headline operators on multiplied data.
+
+Synthesizes an N-fold copy of the sf0.1 tables in /tmp (ids re-keyed per
+replica so join/group cardinalities scale realistically), then times the
+reference query shapes and the dedup/similarity pipelines.  The point is
+trend, not absolutes: a shape whose runtime grows superlinearly here is a
+shape that dies at 100 TB.
+
+Usage: python3 scripts/scale_check.py [multiplier=10]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+MULT = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = f"/tmp/scale_check_x{MULT}"
+
+KEY_COLS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "supplier": [],
+    "nation": [],
+    "region": [],
+    "part": ["p_partkey"],
+}
+OFFSET = 10_000_000  # re-key stride per replica
+
+
+def multiply(eng, table: str, path: str) -> None:
+    df = eng.catalogs._read_parquet(os.path.join(SRC, f"{table}.parquet"))
+    replicas = []
+    for i in range(MULT):
+        r = df
+        for c in KEY_COLS.get(table, []):
+            r = r.withColumn(c, F.col(c) + F.lit(i * OFFSET))
+        # perturb doc text per replica so dedup cardinalities stay honest
+        if table == "documents" and "text" in df.columns:
+            r = r.withColumn(
+                "text",
+                F.when(F.lit(i) == 0, F.col("text")).otherwise(
+                    F.concat(F.col("text"), F.lit(f" replica{i}"))
+                ),
+            )
+        replicas.append(r)
+    out = replicas[0]
+    for r in replicas[1:]:
+        out = out.unionByName(r)
+    out.write.mode("overwrite").parquet(path)
+
+
+def main() -> None:
+    from dblab_ece_trino_spark.session import EngineSession
+    import __spark_entry__ as entrymod
+
+    eng = EngineSession.get(app_name="scale_check")
+    spark = eng.spark
+    os.makedirs(DST, exist_ok=True)
+    t0 = time.monotonic()
+    for t in KEY_COLS:
+        src = os.path.join(SRC, f"{t}.parquet")
+        if os.path.exists(src):
+            multiply(eng, t, os.path.join(DST, f"{t}.parquet"))
+    print(f"# data x{MULT} synthesized in {time.monotonic()-t0:.1f}s -> {DST}")
+
+    qs = entrymod.queries()
+    spark.range(1000).selectExpr("sum(id)").collect()  # warmup
+    names = [
+        "q001", "q002", "q003", "q004", "q005",
+        "op_agg_groupby", "op_join_shuffle",
+        "dedup_minhash_lsh", "dedup_exact", "sim_search_bruteforce",
+        "text_quality_score", "join_asof",
+    ]
+    for name in names:
+        t1 = time.monotonic()
+        n = qs[name](spark, DST).count()
+        print(f"{name}: {time.monotonic()-t1:.2f}s ({n} rows)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

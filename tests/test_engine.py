@@ -93,3 +93,24 @@ def test_hash_bucketing_properties(spark):
         "bucket", bucket_expr_reference_literal(F.col("o_orderkey"), n)
     )
     assert b3.filter((F.col("bucket") < 0) | (F.col("bucket") >= n)).count() == 0
+
+
+def test_char_normalize_pad_insensitive_grouping(spark):
+    """SURVEY §7.2: char(N) blank-padding must not split group/set-op keys."""
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.functions.charn import normalize_char_columns
+
+    df = spark.createDataFrame(
+        [(1, "TX"), (2, "TX  "), (3, "CA"), (4, None), (5, "  ")],
+        "id int, state string",
+    )
+    norm = normalize_char_columns(df, ["state"])
+    groups = {
+        r.state: r.n
+        for r in norm.groupBy("state").agg(F.count("*").alias("n")).collect()
+    }
+    assert groups["TX"] == 2  # 'TX' and 'TX  ' merge
+    assert groups["CA"] == 1
+    assert groups[None] == 1  # NULL preserved, not turned into ''
+    assert groups[""] == 1  # all-blank normalizes to empty string

@@ -85,3 +85,33 @@ def test_sessionize_emits_after_timeout(spark, events_dir):
     for r in out:
         assert r.session_start <= r.session_end
         assert r.n_events >= 1
+
+
+def test_stream_dedup_drops_duplicates(spark, events_dir):
+    """Duplicated source files: the stream dedup must emit each event_id
+    once (the batch dedup_exact analog with watermark-bounded state)."""
+    import shutil
+
+    from dblab_ece_trino_spark.streaming.events import (
+        dedup_event_stream,
+        read_event_stream,
+    )
+
+    # duplicate every file so each event arrives twice
+    for f in list(os.listdir(events_dir)):
+        shutil.copy(os.path.join(events_dir, f), os.path.join(events_dir, f + ".dup.parquet"))
+    stream = read_event_stream(spark, events_dir)
+    q = (
+        dedup_event_stream(stream, keys=["event_id"])
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    out = spark.table("dedup_out").collect()
+    ids = [r.event_id for r in out]
+    assert len(ids) == len(set(ids)), "stream dedup emitted duplicates"
+    n_unique_src = spark.read.parquet(events_dir).select("event_id").distinct().count()
+    assert len(ids) == n_unique_src
