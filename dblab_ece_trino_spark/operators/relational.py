@@ -428,3 +428,52 @@ def _op_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("op_approx_distinct", _op_approx_distinct, oracle=None)
+
+
+# JSON extraction — the ES-analog path stores JSON documents (reference
+# loader.py:237 builds them); both engines expose path extraction
+# (dialects differ, so the oracle is written in DuckDB's).
+register_sql(
+    "op_json_extract",
+    """
+    SELECT event_type,
+           sum(CAST(get_json_object(props, '$.k') AS INT)) AS sum_k,
+           count(*) AS n
+    FROM elastic.default.events
+    GROUP BY event_type
+    """,
+    oracle="""
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+
+
+# PIVOT — DataFrame API pivot vs a manual CASE aggregation oracle.
+def _op_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    li = engine_for(spark, sf_dir).catalogs.table("psql.tpch.lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+        .withColumnRenamed("O", "n_open")
+        .withColumnRenamed("F", "n_finished")
+    )
+
+
+register(
+    "op_pivot",
+    _op_pivot,
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_open,
+           sum(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_finished
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)

@@ -202,3 +202,132 @@ def _q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bucket assignments depend on the seeded hyperplanes → rows-only gate;
 # recall against brute force is asserted in tests/test_similarity.py.
 register("sim_search_lsh", _q_sim_lsh, oracle=None)
+
+
+# --------------------------------------------------------------- IVF ANN
+def _centroid_update(assigned: DataFrame, vec_col: str = "cv") -> DataFrame:
+    """Elementwise mean per cluster: posexplode -> (cluster, pos) avg ->
+    re-assemble ordered arrays.  All shuffle-native — this is k-means'
+    reduce step expressed relationally."""
+    exploded = assigned.select(
+        "cluster", F.posexplode(vec_col).alias("pos", "x")
+    )
+    means = exploded.groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
+    return (
+        means.groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("centroid")
+        )
+    )
+
+
+def _assign(vectors: DataFrame, centroids: DataFrame, n_best: int = 1) -> DataFrame:
+    """Nearest-centroid assignment (top-``n_best`` for multi-probe):
+    broadcast the (tiny) centroid table, score, window-rank."""
+    scored = vectors.join(F.broadcast(centroids)).withColumn(
+        "sim", cosine(F.col("cv"), F.col("centroid"))
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("cluster").asc())
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_best)
+        .drop("__r", "sim", "centroid")
+    )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: k-means centroids via relational Lloyd steps.
+
+    Deterministic init (first ``n_clusters`` vectors by id); each
+    iteration is one broadcast-join assignment plus one shuffle for the
+    centroid means — the canonical distributed k-means shape.  Returns
+    (cluster, centroid).
+    """
+    from dblab_ece_trino_spark.session import ensure_parallelism, materialize
+
+    v = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    v = materialize(v)
+    centroids = materialize(
+        v.orderBy("vid")
+        .limit(n_clusters)
+        .select(
+            (F.row_number().over(Window.orderBy("vid")) - 1).alias("cluster"),
+            F.col("cv").alias("centroid"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _assign(v, centroids)
+        centroids = materialize(_centroid_update(assigned))
+    return centroids
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 3,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: corpus rows live in their nearest-centroid cell;
+    queries probe their ``nprobe`` nearest cells and re-rank exactly.
+
+    The scale shape vs hyperplane LSH: cells adapt to the data
+    distribution (clustered embeddings get balanced cells where fixed
+    hyperplanes don't), at the cost of building the index.  Candidate
+    fraction ≈ nprobe / n_clusters.
+    """
+    from dblab_ece_trino_spark.session import ensure_parallelism, materialize
+
+    centroids = ivf_index(corpus, n_clusters, iters, id_col, vec_col)
+    v = materialize(
+        ensure_parallelism(corpus).select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("cv")
+        )
+    )
+    corpus_cells = _assign(v, centroids).withColumnRenamed("vid", "cid").withColumnRenamed("cv", "ccv")
+    q = queries.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    query_cells = _assign(q, centroids, n_best=nprobe).withColumnRenamed(
+        "vid", "qid"
+    ).withColumnRenamed("cv", "qv")
+    scored = (
+        corpus_cells.join(F.broadcast(query_cells), "cluster")
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(cosine(F.col("qv"), F.col("ccv")), 6).alias("cos"),
+        )
+        .distinct()  # a (q, c) pair can meet in several probed cells
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cos", "rank")
+    )
+
+
+def _q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return knn_ivf(emb, emb.filter(F.col("vec_id") < 10), k=5, n_clusters=16, nprobe=4)
+
+
+# centroid init/iteration details are engine-specific → rows-only gate;
+# recall vs brute force asserted in tests/test_similarity.py.
+register("sim_search_ivf", _q_sim_ivf, oracle=None)

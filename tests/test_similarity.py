@@ -46,3 +46,31 @@ def test_bruteforce_self_excluded_and_ranked(spark):
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
         scores = [r.cos for r in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_ivf_recall_and_exact_scores(spark):
+    """IVF candidates re-rank with exact cosine; recall@5 vs brute force
+    must be substantial with nprobe=4 of 16 cells."""
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = knn_bruteforce(emb, queries, k=5).collect()
+    ivf = knn_ivf(emb, queries, k=5, n_clusters=16, nprobe=4).collect()
+    bf_scores = {(r.qid, r.cid): r.cos for r in bf}
+    for r in ivf:
+        if (r.qid, r.cid) in bf_scores:
+            assert abs(bf_scores[(r.qid, r.cid)] - r.cos) < 1e-9
+    recall = len({(r.qid, r.cid) for r in ivf} & set(bf_scores)) / len(bf_scores)
+    assert recall >= 0.5, f"IVF recall@5 too low: {recall}"
+
+
+def test_ivf_index_deterministic(spark):
+    from dblab_ece_trino_spark.operators.similarity import ivf_index
+
+    emb = _emb(spark)
+    c1 = {r.cluster: tuple(r.centroid) for r in ivf_index(emb, 8, iters=2).collect()}
+    c2 = {r.cluster: tuple(r.centroid) for r in ivf_index(emb, 8, iters=2).collect()}
+    assert c1 == c2
