@@ -76,9 +76,16 @@ def run_benchmark(
                         f"planning: {t_plan:.3f} s\nexecution: {t_exec:.3f} s\n"
                         f"elapsed: {t_plan + t_exec:.3f} s\n"
                     )
+                try:
+                    from dblab_ece_trino_spark.plans.metrics import query_stats
+
+                    runtime = query_stats(df)
+                except Exception:  # py4j internals are version-sensitive
+                    runtime = {}
                 stats = {
                     "query": name,
                     "mode": mode,
+                    "runtime": runtime,
                     "rowCount": len(rows),
                     "outputColumns": df.columns,
                     "planningSec": round(t_plan, 4),

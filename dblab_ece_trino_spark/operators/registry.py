@@ -56,6 +56,7 @@ def _ensure_loaded() -> None:
         text,
         multimodal,
     )
+    from dblab_ece_trino_spark import queries_tpch  # noqa: F401
 
 
 def spark_queries() -> dict[str, SparkQuery]:

@@ -84,3 +84,18 @@ def test_bench_harness_layout_and_invariance(spark, tmp_path):
         assert contents["parallel-1"] == contents["parallel-8"], (
             f"{q}: results differ across parallelism"
         )
+
+
+def test_query_stats_metrics(spark):
+    """query.json parity: rows read / splits / shuffle bytes extracted
+    from the executed plan (reference results/*/query.json vocabulary)."""
+    from dblab_ece_trino_spark.entrypoints import build_queries
+    from dblab_ece_trino_spark.plans.metrics import query_stats
+
+    df = build_queries()["q003"](spark, SF_SMALL)
+    df.collect()
+    stats = query_stats(df)
+    assert stats["rowsRead"] >= 1650  # orders 1500 + customer 150
+    assert stats["splits"] >= 2
+    assert stats["spilledBytes"] == 0  # reference parity: no spill at SF
+    assert any(n["node"] == "BroadcastHashJoin" for n in stats["operators"])
