@@ -634,3 +634,64 @@ register(
     WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.7
     """,
 )
+
+
+# ------------------------------------------------- duplicate clustering
+def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Resolve near-dup pairs into clusters: connected components by
+    iterative min-label propagation.
+
+    Input: (id_a, id_b) edges.  Output: (sid, cluster) where cluster is
+    the minimum doc id reachable — the canonical representative a
+    pipeline keeps.  Each iteration is one groupBy shuffle (label = min of
+    neighbor labels); converges in O(diameter) rounds, with materialize()
+    truncating lineage per round (iterative algorithms otherwise stack
+    exponential plans).  At 100 TB this is the standard large-scale
+    connected-components loop (hash-partitioned label table).
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    edges = materialize(
+        pairs.select("id_a", "id_b")
+        .union(pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+        .distinct()
+    )
+    labels = materialize(
+        edges.select(F.col("id_a").alias("sid"))
+        .distinct()
+        .withColumn("cluster", F.col("sid"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.id_b == labels.sid)
+            .groupBy(F.col("id_a").alias("sid"))
+            .agg(F.min("cluster").alias("nbr_min"))
+        )
+        new_labels = materialize(
+            labels.join(neighbor_min, "sid", "left").select(
+                "sid",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "sid")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(_docs(spark, sf_dir), threshold=0.7)
+    return dedup_clusters(pairs)
+
+
+# iterative fixpoint over engine-specific pairs → rows-only gate;
+# equivalence to union-find groundtruth is tested in pytest.
+register("dedup_clusters", _q_dedup_clusters, oracle=None)

@@ -243,3 +243,60 @@ def _q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("text_rolling_fingerprint", _q_rolling_fingerprint, oracle=None)
+
+
+def _q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end cleaning pipeline: exact dedup -> quality gate -> corpus
+    stats per source.  The composition a training-data pipeline actually
+    runs, with every stage oracle-checkable."""
+    from dblab_ece_trino_spark.operators.dedup import dedup_exact
+
+    docs = _docs(spark, sf_dir)
+    keep_ids = dedup_exact(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = docs.join(keep_ids, "doc_id")
+    scored = kept.withColumn("quality", quality_score(F.col("text")))
+    ws, _re = token_counts(F.col("text"))
+    good = scored.filter(F.col("quality") >= 0.5).withColumn("toks", ws)
+    return (
+        good.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+    )
+
+
+register(
+    "pipeline_clean_corpus",
+    _q_pipeline_clean_corpus,
+    oracle=r"""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    kept AS (
+      SELECT d.* FROM documents d JOIN keep USING (doc_id)
+    ),
+    f AS (
+      SELECT doc_id, source,
+             length(text) AS n_chars,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 t -> list_contains(['the','a','row','fast','table'], t))) AS stop
+      FROM kept
+    ),
+    scored AS (
+      SELECT doc_id, source, n_tokens,
+             round(round(alpha * 1.0 / greatest(n_chars, 1), 6)
+                   + round(stop * 1.0 / greatest(n_tokens, 1), 6)
+                   + CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END,
+                   6) AS quality
+      FROM f
+    )
+    SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+           round(avg(quality), 6) AS avg_quality
+    FROM scored WHERE quality >= 0.5
+    GROUP BY source
+    """,
+)

@@ -78,3 +78,32 @@ def test_dedup_exact_collapses_injected_dups(spark):
     assert out.filter(F.col("dup_count") != 2).count() == 0
     # keep_id is always the original (lower) id
     assert out.filter(F.col("keep_id") >= 10_000).count() == 0
+
+
+def test_dedup_clusters_match_union_find(spark):
+    """Connected components on generated edges must equal a union-find
+    groundtruth computed in Python."""
+    from dblab_ece_trino_spark.operators.dedup import dedup_clusters
+
+    edges = [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 11), (20, 21)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.sid: r.cluster for r in dedup_clusters(df).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want
