@@ -67,3 +67,38 @@ def test_column_pruning_reaches_scan(spark):
     )
     plan = explain_str(df)
     assert "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>" in plan
+
+
+def test_runtime_bloom_filter_dynamic_filtering(spark):
+    """Trino's dynamic filtering analog (reference q003 explain.txt:53):
+    with a selective build side, Spark injects a bloom-filter semi-join
+    reduction (might_contain) into the probe-side scan filter."""
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        eng = engine_for(spark, SF_SMALL)
+        li = eng.catalogs.table("psql.tpch.lineitem")
+        o = eng.catalogs.table("mongodb.tpch.orders").filter(
+            F.col("o_totalprice") > 300000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = explain_str(j, "formatted")
+        assert "might_contain" in plan, "no runtime bloom filter injected"
+        assert j.count() > 0
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
