@@ -113,3 +113,29 @@ def test_salted_agg_equals_direct(spark):
         ).collect()
     }
     assert direct == salted
+
+
+def test_json_schema_inference_es_analog(spark, tmp_path):
+    """SURVEY §1.3: the elastic catalog's schemas are *inferred* from the
+    JSON documents (dynamic mapping); the json format without a declared
+    schema exercises the same path — numeric keys surface as bigint,
+    exactly as TPC-DS surrogate keys do in the reference's ES catalog."""
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    eng = engine_for(spark, SF_SMALL)
+    events = eng.catalogs.table("elastic.default.events").limit(200)
+    path = str(tmp_path / "events_json")
+    events.select("event_id", "user_id", "event_type", "value").write.json(path)
+    eng.catalogs.register(
+        TableSpec("elastic2", "inferred", "events", "json", path, {})
+    )
+    df = eng.sql(
+        "SELECT event_type, count(*) AS n, sum(user_id) AS su "
+        "FROM elastic2.inferred.events GROUP BY event_type"
+    )
+    schema = {f.name: f.dataType.simpleString() for f in
+              eng.catalogs.table("elastic2.inferred.events").schema.fields}
+    assert schema["event_id"] == "bigint"  # inferred, not declared
+    assert schema["value"] == "double"
+    total = sum(r.n for r in df.collect())
+    assert total == 200
