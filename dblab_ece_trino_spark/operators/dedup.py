@@ -193,14 +193,18 @@ def minhash_signatures(
     )
 
     consts = _perm_constants(num_hashes)
+    # The K permutation constants live in two literal arrays and the K
+    # permuted hashes come from ONE zip_with over them — not K separate
+    # pmod expressions.  The expression tree is ~K× smaller, which cuts
+    # whole-stage-codegen compile time from seconds to tenths (the fixed
+    # cost that dominated the LSH bench entry at small SF).
+    perm_a = F.array(*[F.lit(a) for a, _ in consts])
+    perm_b = F.array(*[F.lit(b) for _, b in consts])
 
     def perms_of(x):
         # all K permuted hashes of one shingle hash, as an array
-        return F.array(
-            *[
-                F.pmod(x * F.lit(a) + F.lit(b), F.lit(MERSENNE61))
-                for a, b in consts
-            ]
+        return F.zip_with(
+            perm_a, perm_b, lambda a, b: F.pmod(x * a + b, F.lit(MERSENNE61))
         )
 
     # Single pass over the shingle array: fold with an elementwise min of
@@ -235,28 +239,27 @@ def lsh_candidate_pairs(
     any truly similar pair collides in several *other* bands — and bounds
     the worst case, which is what matters at 100 TB.
     """
-    banded = sigs.select(
-        "sid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", j * rows + r + 1).cast("string")
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("bh"),
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("sid", "bk.band", "bk.bh")
+    # One transform over sequence(0, bands-1) instead of `bands` separate
+    # struct expressions — same ~K× expression-tree shrink as the
+    # signature fold, halving the banding stage's codegen+eval cost.
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.struct(
+            j.alias("band"),
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice("sig", j * rows + 1, rows),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bh"),
+        ),
+    )
+    banded = sigs.select("sid", F.explode(band_keys).alias("bk")).select(
+        "sid", "bk.band", "bk.bh"
+    )
     from dblab_ece_trino_spark.session import materialize
 
     banded = materialize(banded)  # consumed 2-3x (sizes + both join sides)
