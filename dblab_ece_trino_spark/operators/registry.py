@@ -55,6 +55,7 @@ def _ensure_loaded() -> None:
         similarity,
         text,
         multimodal,
+        sqlsurface,
     )
     from dblab_ece_trino_spark import queries_tpch  # noqa: F401
     from dblab_ece_trino_spark import queries_tpch_ext  # noqa: F401

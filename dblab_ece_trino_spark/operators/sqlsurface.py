@@ -1,0 +1,116 @@
+"""Modern SQL-surface operators: recursive CTE, inline VALUES, lateral
+explode, map/struct access, UNPIVOT.
+
+The reference's engine (Trino 477) supports all of these even though its
+five benchmark queries don't exercise them (SURVEY §2.7/§2.8 "not
+present" lists); a reference user switching to this engine keeps them.
+Spark 4 covers each natively — these entries pin the behavior against the
+DuckDB oracle with engine-portable formulations:
+
+- DuckDB map extraction returns a single-element LIST (``m['k']`` →
+  ``[v]``); the oracle indexes ``[1]`` to match Spark's scalar
+  ``element_at``.
+- Spark's ``LATERAL VIEW explode(sequence(...))`` is DuckDB's
+  ``unnest(generate_series(...))`` — both 1-based inclusive.
+- UNPIVOT uses the SQL-standard in-FROM syntax, identical both sides.
+"""
+
+from __future__ import annotations
+
+from dblab_ece_trino_spark.operators.registry import register_sql
+from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+
+def _both(name: str, spark_tpl: str, oracle_tpl: str | None = None) -> None:
+    oracle_tpl = oracle_tpl if oracle_tpl is not None else spark_tpl
+    register_sql(
+        name,
+        spark_tpl.format(**_SPARK_TABLES),
+        oracle_tpl.format(**_ORACLE_TABLES),
+    )
+
+
+# Recursive CTE: linear recursion with aggregation over the produced
+# series (Spark 4 WITH RECURSIVE; identical text runs on DuckDB).
+_both(
+    "op_recursive_cte",
+    """
+    WITH RECURSIVE seq(n) AS (
+      SELECT 1
+      UNION ALL
+      SELECT n + 1 FROM seq WHERE n < 25
+    )
+    SELECT n % 5 AS bucket, count(*) AS cnt, sum(n) AS total
+    FROM seq
+    GROUP BY n % 5
+    ORDER BY bucket
+    """,
+)
+
+# Inline VALUES relation joined against a stored table.
+_both(
+    "op_values_inline",
+    """
+    SELECT v.region_name, count(*) AS nations
+    FROM {nation} n
+    JOIN (VALUES (0, 'AFRICA'), (1, 'AMERICA'), (2, 'ASIA')) AS v(rk, region_name)
+      ON n.n_regionkey = v.rk
+    GROUP BY v.region_name
+    ORDER BY region_name
+    """,
+)
+
+# Lateral explode of a generated sequence — one output row per element,
+# correlated to the outer row.
+_both(
+    "op_lateral_explode",
+    """
+    SELECT r_regionkey, n
+    FROM {region}
+    LATERAL VIEW explode(sequence(1, r_regionkey + 1)) AS n
+    """,
+    """
+    SELECT r_regionkey, unnest(generate_series(1, r_regionkey + 1)) AS n
+    FROM {region}
+    """,
+)
+
+# Map construction + key lookup, struct construction + field access.
+_both(
+    "op_map_struct",
+    """
+    SELECT
+      o_orderkey,
+      element_at(map('status', o_orderstatus, 'priority', o_orderpriority),
+                 'status') AS status,
+      named_struct('k', o_orderkey, 'c', o_custkey).c AS custkey
+    FROM {orders}
+    WHERE o_orderkey < 500
+    """,
+    """
+    SELECT
+      o_orderkey,
+      map(['status', 'priority'], [o_orderstatus, o_orderpriority])['status'][1]
+        AS status,
+      struct_pack(k := o_orderkey, c := o_custkey).c AS custkey
+    FROM {orders}
+    WHERE o_orderkey < 500
+    """,
+)
+
+# UNPIVOT: wide numeric columns to (metric, value) rows — the inverse of
+# op_pivot; SQL-standard syntax accepted verbatim by both engines.
+_both(
+    "op_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, metric,
+           CAST(round(val, 2) AS DECIMAL(18,2)) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DOUBLE) AS qty,
+             CAST(l_extendedprice AS DOUBLE) AS price
+      FROM {lineitem}
+      WHERE l_orderkey < 300
+    ) UNPIVOT (val FOR metric IN (qty, price))
+    """,
+)
