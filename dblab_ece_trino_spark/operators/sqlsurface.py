@@ -114,3 +114,73 @@ _both(
     ) UNPIVOT (val FOR metric IN (qty, price))
     """,
 )
+
+# Multiset set operations (bag semantics — Trino supports ALL variants).
+_both(
+    "op_except_all",
+    """
+    SELECT o_custkey, count(*) AS n FROM (
+      SELECT o_custkey FROM {orders} WHERE o_totalprice > 50000
+      EXCEPT ALL
+      SELECT o_custkey FROM {orders} WHERE o_orderstatus = 'F'
+    ) t
+    GROUP BY o_custkey
+    """,
+)
+
+_both(
+    "op_intersect_all",
+    """
+    SELECT o_custkey, count(*) AS n FROM (
+      SELECT o_custkey FROM {orders} WHERE o_totalprice > 50000
+      INTERSECT ALL
+      SELECT o_custkey FROM {orders} WHERE o_orderstatus = 'O'
+    ) t
+    GROUP BY o_custkey
+    """,
+)
+
+# Regular expressions.  DuckDB's regexp_replace replaces only the first
+# match unless given the 'g' flag; Spark always replaces all — the oracle
+# passes 'g' to align.
+_both(
+    "op_regexp",
+    """
+    SELECT c_custkey,
+           regexp_extract(c_name, '#(\\\\d+)', 1) AS cust_num,
+           regexp_replace(c_name, '\\\\d', 'x') AS masked,
+           c_name RLIKE '0{{3}}' AS has_zeros
+    FROM {customer}
+    WHERE c_custkey < 300
+    """,
+    """
+    SELECT c_custkey,
+           regexp_extract(c_name, '#(\\d+)', 1) AS cust_num,
+           regexp_replace(c_name, '\\d', 'x', 'g') AS masked,
+           regexp_matches(c_name, '0{{3}}') AS has_zeros
+    FROM {customer}
+    WHERE c_custkey < 300
+    """,
+)
+
+# Collection aggregates: array_agg and string_agg.  Both are
+# order-nondeterministic under parallelism, so results are sorted inside
+# the aggregate expression (sort_array / ORDER BY) — the partition-count
+# invariance discipline of SURVEY §5 applied to collection outputs.
+_both(
+    "op_collect_agg",
+    """
+    SELECT n_regionkey,
+           sort_array(collect_list(n_nationkey)) AS nation_keys,
+           concat_ws(',', sort_array(collect_list(n_name))) AS names
+    FROM {nation}
+    GROUP BY n_regionkey
+    """,
+    """
+    SELECT n_regionkey,
+           list_sort(list(n_nationkey)) AS nation_keys,
+           string_agg(n_name, ',' ORDER BY n_name) AS names
+    FROM {nation}
+    GROUP BY n_regionkey
+    """,
+)
