@@ -102,3 +102,40 @@ def test_runtime_bloom_filter_dynamic_filtering(spark):
         for k, v in prev.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_q17_decorrelates_to_aggregate_joins(spark):
+    # correlated scalar subqueries must become per-key aggregates joined
+    # back (Catalyst RewriteCorrelatedScalarSubquery) — never a per-row
+    # nested-loop re-scan of lineitem
+    plan = _plan(spark, "tpch_q17")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # 2 subquery aggs x partial/final
+
+
+def test_q21_exists_as_semi_and_anti_join(spark):
+    plan = _plan(spark, "tpch_q21")
+    assert "ExistenceJoin" in plan or "LeftSemi" in plan
+    assert "LeftAnti" in plan or "ExistenceJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_semi_join_with_pushed_filter(spark):
+    plan = _plan(spark, "tpch_q4")
+    assert "LeftSemi" in plan or "ExistenceJoin" in plan
+    # the EXISTS branch's own predicate reaches its scan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_explode_is_generate_not_join(spark):
+    plan = _plan(spark, "op_explode")
+    assert "Generate" in plan  # lateral view explode → GenerateExec
+    assert "Join" not in plan
+
+
+def test_q1_agg_pushes_filter_and_partial_agg(spark):
+    plan = _plan(spark, "tpch_q1")
+    # shipdate predicate reaches the parquet scan footer
+    assert "LessThanOrEqual(l_shipdate" in plan
+    assert plan.count("HashAggregate") >= 2
