@@ -26,6 +26,8 @@ HEADLINE = [
     "q003",
     "q004",
     "q005",
+    "tpch_q1",
+    "tpch_q18",
     "op_agg_groupby",
     "op_join_shuffle",
     "dedup_minhash_lsh",

@@ -299,6 +299,43 @@ _both(
     """,
 )
 
+# Session windows over the event table — the built-in session_window in
+# batch mode (streaming form: streaming/events.session_window_counts).
+# Oracle: the classic gaps-and-islands rewrite (lag → island id → group),
+# with >= on the gap to mirror session_window's exclusive end boundary.
+def _op_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.streaming.events import session_window_counts
+
+    cat = engine_for(spark, sf_dir).catalogs
+    return session_window_counts(cat.table("elastic.default.events"))
+
+
+_SESSION_ORACLE = """
+WITH m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+g AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM m)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value
+FROM g
+GROUP BY user_id, sess
+"""
+
+register("op_session_window", _op_session_window, _SESSION_ORACLE)
+
+
 # The reference's deterministic hash-bucketing idiom
 # (loader.py:213-218: mod(bitwise_and(from_big_endian_64(xxhash64(to_utf8(
 # cast(k as varchar)))), 2^63-1), N)) — in Spark one call: pmod(xxhash64).

@@ -79,6 +79,7 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()  # warmup
     names = [
         "q001", "q002", "q003", "q004", "q005",
+        "tpch_q1", "tpch_q18", "tpch_q17", "tpch_q21",
         "op_agg_groupby", "op_join_shuffle",
         "dedup_minhash_lsh", "dedup_exact", "sim_search_bruteforce",
         "text_quality_score", "join_asof",

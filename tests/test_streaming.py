@@ -115,3 +115,30 @@ def test_stream_dedup_drops_duplicates(spark, events_dir):
     assert len(ids) == len(set(ids)), "stream dedup emitted duplicates"
     n_unique_src = spark.read.parquet(events_dir).select("event_id").distinct().count()
     assert len(ids) == n_unique_src
+
+
+def test_builtin_session_window_stream_matches_batch(spark, events_dir):
+    """session_window in streaming mode (complete output) produces the
+    same sessions as the batch run over the same files."""
+    from dblab_ece_trino_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory,
+        session_window_counts,
+    )
+
+    stream = read_event_stream(spark, events_dir)
+    run_to_memory(
+        session_window_counts(stream, watermark="2 hours"),
+        "sess_win",
+        complete=True,
+    )
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("sess_win").collect()
+    )
+    want = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in session_window_counts(spark.read.parquet(events_dir)).collect()
+    )
+    assert got == want
+    assert len(got) > 0
