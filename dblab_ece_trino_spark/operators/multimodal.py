@@ -151,6 +151,42 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     ).withColumn("ts_ms", F.col("frame_idx") * every_ms)
 
 
+def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
+    """REAL RESIZE STUB — in production: decode → PIL resize → re-encode.
+    The deterministic fake keeps a content-dependent prefix so downstream
+    stages see size-changed, content-derived bytes."""
+    if payload is None:
+        return None
+    keep = max(1, min(len(payload), width * height))
+    return payload[:keep]
+
+
+def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Arrow-batched resize stage: payload transformed through the codec
+    seam, metadata struct rewritten with the new dimensions.  Same
+    mapInPandas shape as a real thumbnailer; partition-size the input so a
+    batch of payloads fits the Python worker (the 100 TB knob)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["meta"].map(
+                lambda m: None
+                if m is None
+                else {**m, "width": width, "height": height}
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"].map(
+                        lambda p: _resize_payload(p, width, height)
+                    ),
+                    "meta": meta,
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 # ------------------------------------------------------------ query entries
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dblab_ece_trino_spark.entrypoints import engine_for
@@ -161,6 +197,38 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # project the oracle-checkable scalar columns; the feature vector is
     # covered by the determinism test in tests/test_multimodal.py
     return feats.select("media_id", "n_bytes", "modality")
+
+
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over synthetic durations (1 ms per char) — the
+    sequence-explode expansion is the real operator; durations would come
+    from container metadata in production."""
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    docs = engine_for(spark, sf_dir).catalogs.table("lake.llm.documents")
+    media = media_from_documents(docs).withColumn(
+        "meta",
+        F.col("meta").withField("duration_ms", F.col("media_id") % 5000 + 1000),
+    )
+    return frame_sample(media, every_ms=1000)
+
+
+register(
+    "multimodal_frame_sample",
+    _q_multimodal_frames,
+    # one frame row per started second of the synthetic duration
+    # (doc_id % 5000 + 1000 ms); floor() because Spark's double->int cast
+    # truncates while DuckDB's rounds.
+    oracle="""
+    SELECT doc_id AS media_id, frame_idx, frame_idx * 1000 AS ts_ms
+    FROM (
+      SELECT doc_id,
+             unnest(generate_series(
+               0, CAST(floor((doc_id % 5000 + 1000) / 1000.0) AS INT))) AS frame_idx
+      FROM documents
+    )
+    """,
+)
 
 
 register(

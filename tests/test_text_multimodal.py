@@ -78,3 +78,19 @@ def test_frame_sample_expands_by_duration(spark):
         frames.setdefault(r.media_id, []).append((r.frame_idx, r.ts_ms))
     assert sorted(frames[1]) == [(0, 0), (1, 1000), (2, 2000), (3, 3000)]
     assert sorted(frames[2]) == [(0, 0)]
+
+
+def test_resize_rewrites_meta_and_payload(spark):
+    from dblab_ece_trino_spark.operators.multimodal import (
+        media_from_documents,
+        resize_media,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(50)
+    media = media_from_documents(docs)
+    out = resize_media(media, width=8, height=8).collect()
+    assert len(out) == 50
+    for r in out:
+        assert r.meta.width == 8 and r.meta.height == 8
+        assert r.meta.modality == "text"  # untouched fields preserved
+        assert r.payload is not None and len(r.payload) <= 64
