@@ -396,6 +396,25 @@ _both(
     """,
 )
 
+# Distribution/navigation window functions (ntile, percent_rank,
+# cume_dist, first/last_value) — deterministic because the ORDER BY key
+# (o_orderkey) is unique within each partition.
+_both(
+    "op_window_distribution",
+    """
+    SELECT o_custkey, o_orderkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+    FROM {orders}
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+
 _both(
     "op_window_running_sum",
     """
