@@ -300,3 +300,98 @@ register(
     GROUP BY source
     """,
 )
+
+
+# ------------------------------------------------- sequence packing (LLM)
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 4096,
+    by: str = "lang",
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """Pack documents into fixed-capacity training sequences.
+
+    Contiguous packing: within each ``by`` shard, documents are laid out
+    in a deterministic order (length DESC, doc_id tiebreak) and a running
+    offset assigns each to sequence ``floor(offset / capacity)`` — the
+    whole operator is ONE window cumsum, i.e. one shuffle on the shard
+    key, no driver-side loop.  That's the scalable approximation of
+    greedy bin packing: true first-fit is inherently sequential; the
+    cumulative-offset form parallelizes per shard and wastes at most one
+    document's tail per boundary.
+
+    At 100 TB the shard key must bound per-partition size — ``by`` a
+    composite (lang, pmod(doc_id, k)) if one language dominates; the
+    window is per-shard so skew splits cleanly.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(length_col).desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = F.sum(length_col).over(w) - F.col(length_col)
+    return (
+        docs.select(
+            F.col(by),
+            F.col("doc_id"),
+            F.col(length_col),
+            F.floor(offset / capacity).alias("seq_id"),
+        )
+        .groupBy(by, "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(length_col).alias("total_chars"),
+        )
+    )
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(_docs(spark, sf_dir), capacity=4096, by="lang")
+
+
+register(
+    "pipeline_pack_sequences",
+    _q_pack_sequences,
+    oracle=r"""
+    SELECT lang, seq_id, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             CAST(floor((sum(n_chars) OVER (
+                    PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_chars) / 4096.0) AS BIGINT)
+               AS seq_id
+      FROM documents
+    )
+    GROUP BY lang, seq_id
+    """,
+)
+
+
+def _q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (200-char buckets) — the corpus-report
+    shape a pipeline runs before/after each cleaning stage."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(F.floor(F.col("n_chars") / 200).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+register(
+    "text_length_histogram",
+    _q_length_histogram,
+    oracle="""
+    SELECT CAST(floor(n_chars / 200.0) AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)

@@ -94,3 +94,25 @@ def test_resize_rewrites_meta_and_payload(spark):
         assert r.meta.width == 8 and r.meta.height == 8
         assert r.meta.modality == "text"  # untouched fields preserved
         assert r.payload is not None and len(r.payload) <= 64
+
+
+def test_pack_sequences_conservation_and_bounds(spark):
+    """Packing must conserve total length, and a sequence never exceeds
+    capacity + one straddling document (contiguous-packing bound)."""
+    from dblab_ece_trino_spark.operators.text import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    cap = 4096
+    packed = pack_sequences(docs, capacity=cap, by="lang").collect()
+    by_lang_total = {}
+    for r in packed:
+        by_lang_total[r.lang] = by_lang_total.get(r.lang, 0) + r.total_chars
+    import pyspark.sql.functions as F
+
+    want = {
+        r.lang: r.s
+        for r in docs.groupBy("lang").agg(F.sum("n_chars").alias("s")).collect()
+    }
+    assert by_lang_total == want  # nothing lost or duplicated
+    max_doc = docs.agg(F.max("n_chars")).first()[0]
+    assert all(r.total_chars <= cap + max_doc for r in packed)
