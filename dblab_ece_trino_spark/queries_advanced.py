@@ -90,7 +90,37 @@ GROUP BY c.c_mktsegment
 ORDER BY segment
 """
 
-for _name, _tpl in (("tpch_q17", _Q17), ("tpch_q21", _Q21), ("tpch_q22", _Q22)):
+# Q7 shape: volume between nation pairs — the same dimension joined twice
+# under two aliases (supplier's nation × customer's nation), a 6-way join
+# with a disjunctive pair filter and a year-grouped decimal aggregate.
+_Q7 = f"""
+SELECT
+  n1.n_name AS supp_nation,
+  n2.n_name AS cust_nation,
+  year(l.l_shipdate) AS l_year,
+  CAST(round(sum({_PRICE} * (CAST(1 AS DECIMAL(12,4))
+                             - CAST(l_discount AS DECIMAL(12,4)))), 2)
+       AS DECIMAL(18,2)) AS revenue
+FROM {{supplier}} s
+JOIN {{lineitem}} l ON s.s_suppkey = l.l_suppkey
+JOIN {{orders}} o ON o.o_orderkey = l.l_orderkey
+JOIN {{customer}} c ON c.c_custkey = o.o_custkey
+JOIN {{nation}} n1 ON s.s_nationkey = n1.n_nationkey
+JOIN {{nation}} n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+    OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+for _name, _tpl in (
+    ("tpch_q17", _Q17),
+    ("tpch_q21", _Q21),
+    ("tpch_q22", _Q22),
+    ("tpch_q7", _Q7),
+):
     register_sql(_name, _tpl.format(**_SPARK_TABLES), _tpl.format(**_ORACLE_TABLES))
 
 # ---------------------------------------------------------------- array ops
