@@ -342,11 +342,20 @@ def dedup_minhash_lsh(
         .filter(F.col("est") >= threshold - est_margin)
         .select("id_a", "id_b")
     )
-    # exact verify via array intersection on the estimate-surviving set
+    # exact verify via array intersection on the estimate-surviving set.
+    # Shingles are hashed to bigints first: the arrays shipped through the
+    # two pair-joins shrink ~3× (8-byte longs vs shingle strings) and
+    # array_intersect compares longs instead of strings — at x30 scale the
+    # verify join is the dominant stage, and it is shuffle- and
+    # intersect-bound.  Jaccard over hashed distinct shingles equals
+    # Jaccard over the shingles themselves up to xxhash64 collisions
+    # (~1e-19 per pair — below any practical threshold granularity).
     arrs = materialize(
         docs.select(
             F.col(id_col).alias("sid"),
-            shingles(F.col(text_col), n, mode).alias("sh"),
+            F.transform(
+                shingles(F.col(text_col), n, mode), lambda s: F.xxhash64(s)
+            ).alias("sh"),
         )
     )
     return (

@@ -88,17 +88,35 @@ def _hyperplanes(nbits: int, dim: int, seed: int = 7) -> list[list[float]]:
 def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     """Bucket id = sign-bit signature of the vector against each plane.
 
-    Pure JVM: per plane a zip_with dot product, aggregated into a bigint.
+    Pure JVM, one expression: the planes live in a nested literal array
+    (Catalyst constant-folds it to a single array literal), the per-plane
+    dot products come from ONE ``transform`` lambda, and the sign bits
+    fold into the bucket id with one ``aggregate`` — the lambda bodies
+    are generated once instead of per plane (the same expression-tree
+    discipline as the MinHash fold; K separate aggregates compile and
+    execute K copies of the dot-product code).
     """
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(p) for p in plane]), lambda x, y: x * y),
+    planes_arr = F.array(
+        *[F.array(*[F.lit(p) for p in row]) for row in planes]
+    )
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(len(planes))])
+    dots = F.transform(
+        planes_arr,
+        lambda row: F.aggregate(
+            F.zip_with(vec, row, lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            dots,
+            weights,
+            lambda d, w: F.when(d > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
 
 
 def knn_lsh(
