@@ -79,6 +79,20 @@ def engine_builder(
     return b
 
 
+# Execution-strategy confs that are legal to set on a live session
+# (SQLConf): applied by EngineSession.wrap so externally-created sessions
+# run the engine's strategy.  Timezone is deliberately not forced — an
+# external session's results must stay comparable to its own setup.
+_RUNTIME_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
 @dataclass
 class QueryMetrics:
     """Per-query capture mirroring the reference's time.txt/query.json."""
@@ -136,7 +150,19 @@ class EngineSession:
 
     @classmethod
     def wrap(cls, spark: SparkSession) -> "EngineSession":
-        """Wrap an externally-created SparkSession (driver harness path)."""
+        """Wrap an externally-created SparkSession (driver harness path).
+
+        The engine's execution-strategy confs are SQLConf (runtime-
+        settable), so a plain session gets the same plans — shuffled-hash
+        joins, AQE skew splitting, runtime bloom filters — as one built
+        by ``engine_builder``.  JVM-level settings (memory, master) are
+        left as the harness configured them.
+        """
+        for k, v in _RUNTIME_CONF.items():
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # a harness may pin a conf as static; keep theirs
         return cls(spark)
 
     def sql(self, text: str, name: str = "adhoc") -> DataFrame:
