@@ -139,3 +139,34 @@ def q005_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst rewrites it to left-anti joins (ReplaceExceptWithAntiJoin)
     cool = store.subtract(catalog).subtract(web)
     return cool.agg(F.count("*").alias("cool_cust_count"))
+
+
+def tpch_q17_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual decorrelation of tpch_q17's correlated scalar subqueries.
+
+    The DataFrame API has no correlated-subquery construct — the
+    idiomatic form IS the decorrelated plan Catalyst produces for the SQL
+    path (queries_advanced.py): aggregate lineitem once per partkey, join
+    the thresholds back, filter.  Equality with the SQL path (asserted in
+    tests/test_df_variants.py) pins that RewriteCorrelatedScalarSubquery
+    and the hand-built plan agree row-for-row.
+    """
+    li = _t(spark, sf_dir, "psql.tpch.lineitem")
+    p = _t(spark, sf_dir, "psql.tpch.part")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(qty).alias("sum_qty"),
+    )
+    joined = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(p.p_brand == "Brand#1")
+        .join(per_part, li.l_partkey == per_part.pk)
+        .filter(qty * 5 * F.col("n_lines") < F.col("sum_qty"))
+    )
+    return joined.agg(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+        .cast("decimal(18,2)")
+        .alias("total_price"),
+        F.count("*").alias("n_lines"),
+    )

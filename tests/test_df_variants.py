@@ -7,7 +7,7 @@ import pytest
 from tests.conftest import SF_SMALL, normalized_rows
 
 
-@pytest.mark.parametrize("name", ["q001", "q002", "q003", "q004", "q005"])
+@pytest.mark.parametrize("name", ["q001", "q002", "q003", "q004", "q005", "tpch_q17"])
 def test_sql_and_dataframe_paths_agree(name, spark):
     from dblab_ece_trino_spark import queries_df
     from dblab_ece_trino_spark.entrypoints import build_queries
