@@ -587,20 +587,34 @@ register("dedup_simhash", _q_dedup_simhash, oracle=None)
 
 
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SCALE-SAFE REGISTERED FORM: the exact all-pairs compare runs over a
+    # bounded id-slice (vec_id < 2000 → ≤ ~2M candidate pairs at ANY
+    # corpus scale), so the entry's plan cost is a constant, not O(n²) in
+    # the table.  The unbounded exact form stays available as the pytest
+    # ground truth for the LSH path's recall (tests/test_dedup.py); at
+    # scale the production route is similarity.knn_lsh bucketing + exact
+    # re-rank.  Threshold 0.4 because the synthetic corpus has no true
+    # near-dups (max pairwise cosine ≈ 0.51) — the gate needs rows to bite.
     from dblab_ece_trino_spark.entrypoints import engine_for
 
     emb = engine_for(spark, sf_dir).catalogs.table("lake.llm.embeddings")
-    return dedup_embedding_cosine(emb, threshold=0.99)
+    return dedup_embedding_cosine(emb.filter(F.col("vec_id") < 2000), threshold=0.4)
 
 
 register(
     "dedup_embedding",
     _q_dedup_embedding,
+    # filter on the ROUNDED cosine on both sides so a last-bit float
+    # difference between the two engines' fold orders cannot flip a row
+    # across the threshold.
     oracle="""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.99
+    SELECT id_a, id_b, cos FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 2000 AND b.vec_id < 2000
+    ) WHERE cos >= 0.4
     """,
 )
 

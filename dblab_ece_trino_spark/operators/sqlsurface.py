@@ -40,7 +40,7 @@ _both(
       UNION ALL
       SELECT n + 1 FROM seq WHERE n < 25
     )
-    SELECT n % 5 AS bucket, count(*) AS cnt, sum(n) AS total
+    SELECT n % 5 AS bucket, count(*) AS cnt, CAST(sum(n) AS BIGINT) AS total
     FROM seq
     GROUP BY n % 5
     ORDER BY bucket
@@ -104,7 +104,7 @@ _both(
     "op_unpivot",
     """
     SELECT l_orderkey, l_linenumber, metric,
-           CAST(round(val, 2) AS DECIMAL(18,2)) AS val
+           CAST(round(val, 2) AS DOUBLE) AS val
     FROM (
       SELECT l_orderkey, l_linenumber,
              CAST(l_quantity AS DOUBLE) AS qty,
@@ -167,18 +167,22 @@ _both(
 # order-nondeterministic under parallelism, so results are sorted inside
 # the aggregate expression (sort_array / ORDER BY) — the partition-count
 # invariance discipline of SURVEY §5 applied to collection outputs.
+# The numeric-array output is serialized to a string (numeric sort, then
+# join) because the driver renders list columns differently per engine
+# (numpy array vs Python list); strings are render-stable.
 _both(
     "op_collect_agg",
     """
     SELECT n_regionkey,
-           sort_array(collect_list(n_nationkey)) AS nation_keys,
+           array_join(transform(sort_array(collect_list(n_nationkey)),
+                                x -> CAST(x AS STRING)), ',') AS nation_keys,
            concat_ws(',', sort_array(collect_list(n_name))) AS names
     FROM {nation}
     GROUP BY n_regionkey
     """,
     """
     SELECT n_regionkey,
-           list_sort(list(n_nationkey)) AS nation_keys,
+           array_to_string(list_sort(list(n_nationkey)), ',') AS nation_keys,
            string_agg(n_name, ',' ORDER BY n_name) AS names
     FROM {nation}
     GROUP BY n_regionkey

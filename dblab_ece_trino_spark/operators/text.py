@@ -257,12 +257,17 @@ def _q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = kept.withColumn("quality", quality_score(F.col("text")))
     ws, _re = token_counts(F.col("text"))
     good = scored.filter(F.col("quality") >= 0.5).withColumn("toks", ws)
+    # quality is already rounded to 6 decimals, so sum(quality * 1e6) is an
+    # exact integer — averaging in floating point would be summation-order
+    # dependent and is exactly what the driver's render gate punishes.
     return (
         good.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("toks").alias("total_tokens"),
-            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.sum(F.round(F.col("quality") * 1000000).cast("long")).alias(
+                "sum_quality_e6"
+            ),
         )
     )
 
@@ -294,8 +299,10 @@ register(
                    6) AS quality
       FROM f
     )
-    SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-           round(avg(quality), 6) AS avg_quality
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CAST(round(quality * 1000000, 0) AS BIGINT)) AS BIGINT)
+             AS sum_quality_e6
     FROM scored WHERE quality >= 0.5
     GROUP BY source
     """,
@@ -355,7 +362,8 @@ register(
     "pipeline_pack_sequences",
     _q_pack_sequences,
     oracle=r"""
-    SELECT lang, seq_id, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT lang, seq_id, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM (
       SELECT lang, doc_id, n_chars,
              CAST(floor((sum(n_chars) OVER (

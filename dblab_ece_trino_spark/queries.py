@@ -23,7 +23,12 @@ facts, customer/nation/supplier ≈ dims, events ≈ the third channel):
 Every numeric aggregate is computed in DECIMAL, never double, so the
 DuckDB oracle comparison is exact regardless of partitioning / summation
 order (the reference's workers-1 vs workers-5 result-stability property,
-SURVEY §5).
+SURVEY §5).  The FINAL projection of every decimal output casts to
+DOUBLE: the driver renders the DuckDB oracle through pandas, which
+coerces DECIMAL to float64 — a trailing-zero Decimal on the Spark side
+would hash differently even though the values are equal (the round-1 W1
+lesson).  The cast is exact: values carry ≤4 decimal digits and both
+engines convert exact decimals to the nearest double identically.
 
 Each query is a template over table tokens; ``spark_sql`` renders it with
 3-part catalog names (through the engine's rewrite path) and ``oracle_sql``
@@ -67,7 +72,7 @@ class QueryTemplate:
 Q001 = QueryTemplate(
     "q001",
     """
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sales
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
     FROM {lineitem}
     WHERE l_orderkey BETWEEN 1000 AND 9000
     """,
@@ -77,7 +82,7 @@ Q001 = QueryTemplate(
 Q002 = QueryTemplate(
     "q002",
     """
-    SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sales
+    SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
     FROM {orders}
     WHERE o_orderkey BETWEEN 1000 AND 9000
     """,
@@ -106,7 +111,7 @@ Q003 = QueryTemplate(
 Q004 = QueryTemplate(
     "q004",
     """
-    SELECT ss_customer_sk, CAST(sum(act_sales) AS DECIMAL(18,2)) AS sumsales
+    SELECT ss_customer_sk, CAST(CAST(sum(act_sales) AS DECIMAL(18,2)) AS DOUBLE) AS sumsales
     FROM (
       SELECT
         ss.l_suppkey AS ss_customer_sk,

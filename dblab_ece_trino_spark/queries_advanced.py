@@ -41,7 +41,7 @@ _BAL = "CAST(c_acctbal AS DECIMAL(18,2))"
 # qty * 5 * count_part < sum_part.
 _Q17 = f"""
 SELECT
-  CAST(round(sum({_PRICE}), 2) AS DECIMAL(18,2)) AS total_price,
+  CAST(round(sum({_PRICE}), 2) AS DOUBLE) AS total_price,
   count(*) AS n_lines
 FROM {{lineitem}} l
 JOIN {{part}} p ON p.p_partkey = l.l_partkey
@@ -79,7 +79,7 @@ _Q22 = f"""
 SELECT
   c.c_mktsegment AS segment,
   count(*) AS numcust,
-  CAST(round(sum({_BAL}), 2) AS DECIMAL(18,2)) AS totacctbal
+  CAST(round(sum({_BAL}), 2) AS DOUBLE) AS totacctbal
 FROM {{customer}} c
 WHERE {_BAL} * (SELECT count(*) FROM {{customer}} c2 WHERE c2.c_acctbal > 0.0)
       > (SELECT sum(CAST(c3.c_acctbal AS DECIMAL(18,2))) FROM {{customer}} c3
@@ -137,7 +137,7 @@ SELECT
   year(l.l_shipdate) AS l_year,
   CAST(round(sum({_PRICE} * (CAST(1 AS DECIMAL(12,4))
                              - CAST(l_discount AS DECIMAL(12,4)))), 2)
-       AS DECIMAL(18,2)) AS revenue
+       AS DOUBLE) AS revenue
 FROM {{supplier}} s
 JOIN {{lineitem}} l ON s.s_suppkey = l.l_suppkey
 JOIN {{orders}} o ON o.o_orderkey = l.l_orderkey

@@ -27,7 +27,7 @@ def q001_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_orderkey").between(1000, 9000))
         .agg(
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sales")
         )
     )
@@ -39,7 +39,7 @@ def q002_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter(F.col("o_orderkey").between(1000, 9000))
         .agg(
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("sales")
         )
     )
@@ -108,7 +108,7 @@ def q004_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("ss_customer_sk")
-        .agg(F.sum("act_sales").cast("decimal(18,2)").alias("sumsales"))
+        .agg(F.sum("act_sales").cast("decimal(18,2)").cast("double").alias("sumsales"))
         .orderBy(F.col("sumsales").asc(), F.col("ss_customer_sk").asc())
         .limit(100)
     )
@@ -166,7 +166,7 @@ def tpch_q17_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.agg(
         F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("total_price"),
         F.count("*").alias("n_lines"),
     )

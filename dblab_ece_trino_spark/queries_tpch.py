@@ -29,7 +29,7 @@ _REVENUE = (
 _Q3 = f"""
 SELECT
   l.l_orderkey,
-  CAST(round(sum({_REVENUE}), 2) AS DECIMAL(18,2)) AS revenue,
+  CAST(round(sum({_REVENUE}), 2) AS DOUBLE) AS revenue,
   CAST(o.o_orderdate AS DATE) AS orderdate
 FROM {{customer}} c, {{orders}} o, {{lineitem}} l
 WHERE c.c_mktsegment = 'BUILDING'
@@ -45,7 +45,7 @@ LIMIT 10
 _Q5 = f"""
 SELECT
   n.n_name,
-  CAST(round(sum({_REVENUE}), 2) AS DECIMAL(18,2)) AS revenue
+  CAST(round(sum({_REVENUE}), 2) AS DOUBLE) AS revenue
 FROM {{customer}} c, {{orders}} o, {{lineitem}} l,
      {{supplier}} s, {{nation}} n, {{region}} r
 WHERE c.c_custkey = o.o_custkey
@@ -66,7 +66,7 @@ _Q10 = f"""
 SELECT
   c.c_custkey,
   c.c_name,
-  CAST(round(sum({_REVENUE}), 2) AS DECIMAL(18,2)) AS revenue,
+  CAST(round(sum({_REVENUE}), 2) AS DOUBLE) AS revenue,
   n.n_name
 FROM {{customer}} c, {{orders}} o, {{lineitem}} l, {{nation}} n
 WHERE c.c_custkey = o.o_custkey

@@ -41,11 +41,11 @@ _Q1 = f"""
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(round(sum({_QTY}), 2) AS DECIMAL(18,2)) AS sum_qty,
-  CAST(round(sum({_PRICE}), 2) AS DECIMAL(18,2)) AS sum_base_price,
-  CAST(round(sum({_PRICE} * ({_ONE} - {_DISC})), 2) AS DECIMAL(18,2)) AS sum_disc_price,
+  CAST(round(sum({_QTY}), 2) AS DOUBLE) AS sum_qty,
+  CAST(round(sum({_PRICE}), 2) AS DOUBLE) AS sum_base_price,
+  CAST(round(sum({_PRICE} * ({_ONE} - {_DISC})), 2) AS DOUBLE) AS sum_disc_price,
   CAST(round(sum({_PRICE} * ({_ONE} - {_DISC}) * ({_ONE} + {_TAX})), 2)
-       AS DECIMAL(18,2)) AS sum_charge,
+       AS DOUBLE) AS sum_charge,
   count(*) AS count_order
 FROM {{lineitem}}
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -66,7 +66,7 @@ ORDER BY o_orderpriority
 """
 
 _Q6 = f"""
-SELECT CAST(round(sum({_PRICE} * {_DISC}), 2) AS DECIMAL(18,2)) AS revenue
+SELECT CAST(round(sum({_PRICE} * {_DISC}), 2) AS DOUBLE) AS revenue
 FROM {{lineitem}}
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -95,8 +95,8 @@ _Q14 = f"""
 SELECT
   CAST(round(sum(CASE WHEN p.p_type = 'PROMO' THEN {_REV}
                       ELSE CAST(0 AS DECIMAL(18,2)) END), 2)
-       AS DECIMAL(18,2)) AS promo_revenue,
-  CAST(round(sum({_REV}), 2) AS DECIMAL(18,2)) AS total_revenue
+       AS DOUBLE) AS promo_revenue,
+  CAST(round(sum({_REV}), 2) AS DOUBLE) AS total_revenue
 FROM {{lineitem}} l
 JOIN {{part}} p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -108,7 +108,7 @@ SELECT
   c.c_name,
   o.o_orderkey,
   CAST(o.o_orderdate AS DATE) AS orderdate,
-  CAST(round(sum({_QTY}), 2) AS DECIMAL(18,2)) AS total_qty
+  CAST(round(sum({_QTY}), 2) AS DOUBLE) AS total_qty
 FROM {{customer}} c, {{orders}} o, {{lineitem}} l
 WHERE o.o_orderkey IN (
     SELECT l_orderkey FROM {{lineitem}}
@@ -122,7 +122,7 @@ LIMIT 100
 """
 
 _Q19 = f"""
-SELECT CAST(round(sum({_REV}), 2) AS DECIMAL(18,2)) AS revenue
+SELECT CAST(round(sum({_REV}), 2) AS DOUBLE) AS revenue
 FROM {{lineitem}} l
 JOIN {{part}} p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15

