@@ -115,33 +115,53 @@ class CatalogRegistry:
 
     def load(self, spec: TableSpec) -> DataFrame:
         if spec.fmt == "parquet":
-            return self._read_parquet(spec.path)
-        if spec.fmt in ("csv", "json"):
+            df = self._read_parquet(spec.path)
+        elif spec.fmt in ("csv", "json"):
             from dblab_ece_trino_spark.sources import formats
 
             reader = formats.read_csv if spec.fmt == "csv" else formats.read_json
-            return reader(
+            df = reader(
                 self.spark,
                 spec.path,
                 schema=spec.options.get("schema"),
-                options={k: v for k, v in spec.options.items() if k != "schema"}
+                options={
+                    k: v
+                    for k, v in spec.options.items()
+                    if k not in ("schema", "char_columns")
+                }
                 or None,
             )
-        if spec.fmt == "jdbc":
+        elif spec.fmt == "jdbc":
             # Real-store stretch path (reference values.yml.j2:35-39).
             # Computation pushdown (filters/aggregates) is built into
             # Spark's JDBC DSv2 — enabled via pushDownAggregate/pushDownLimit.
             reader = self.spark.read.format("jdbc")
             for k, v in spec.options.items():
+                if k == "char_columns":
+                    continue
                 reader = reader.option(k, v)
             reader = reader.option("pushDownAggregate", "true").option(
                 "pushDownLimit", "true"
             )
-            return reader.load()
-        raise NotImplementedError(
-            f"format {spec.fmt!r}: mongo/es connectors are not bundled in this "
-            "environment; register the table as parquet for testing"
-        )
+            df = reader.load()
+        else:
+            raise NotImplementedError(
+                f"format {spec.fmt!r}: mongo/es connectors are not bundled in "
+                "this environment; register the table as parquet for testing"
+            )
+        # Opt-in char(N) discipline (SURVEY §7.2): columns listed in the
+        # 'char_columns' option (comma-separated) are rtrim-normalized at
+        # scan time, so grouping / joins / set ops over blank-padded char
+        # keys behave pad-insensitively like Trino's char comparison
+        # (reference char cols: q003 explain.txt:6, q005 explain.txt:32).
+        chars = spec.options.get("char_columns")
+        if chars:
+            from dblab_ece_trino_spark.functions.charn import normalize_char_columns
+
+            df = normalize_char_columns(
+                df, [c.strip() for c in chars.split(",") if c.strip()]
+            )
+        return df
 
     def table(self, full_name: str) -> DataFrame:
         parts = full_name.split(".")

@@ -7,6 +7,7 @@ registry.  Each Spark callable routes through ``EngineSession.sql`` so the
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -16,17 +17,25 @@ from dblab_ece_trino_spark.session import EngineSession
 
 # One EngineSession wrapper per (SparkSession, sf_dir): view registration is
 # idempotent but repeated parquet-footer reads on every query call are not
-# free at 10 tables/call.
-_CACHE: dict[tuple[int, str], EngineSession] = {}
+# free at 10 tables/call.  Keyed on a weakref to the session — an id()
+# key can alias a NEW session after the old one is stopped and collected
+# (CPython reuses addresses), which would hand back a wrapper whose temp
+# views belong to the dead session.
+_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, EngineSession]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def engine_for(spark: SparkSession, sf_dir: str) -> EngineSession:
-    key = (id(spark), sf_dir)
-    eng = _CACHE.get(key)
+    per_session = _CACHE.get(spark)
+    if per_session is None:
+        per_session = {}
+        _CACHE[spark] = per_session
+    eng = per_session.get(sf_dir)
     if eng is None:
         eng = EngineSession.wrap(spark)
         eng.catalogs.register_sf_dir(sf_dir)
-        _CACHE[key] = eng
+        per_session[sf_dir] = eng
     return eng
 
 

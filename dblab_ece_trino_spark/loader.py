@@ -74,9 +74,12 @@ def ctas_load(
         # drop-if-exists analog (loader.py:163 DROP TABLE IF EXISTS)
         shutil.rmtree(dst, ignore_errors=True)
         df = eng.catalogs._read_parquet(src)
+        # count the SOURCE (parquet footer metadata — no data scan) instead
+        # of re-reading the written table; the write itself is the only
+        # full pass over the data.
+        n = df.count()
         df.write.mode("overwrite").parquet(dst)
         eng.catalogs.register_parquet(cat, schema, table, dst)
-        n = eng.catalogs._read_parquet(dst).count()
         return LoadReport(table=table, target=f"{cat}.{schema}.{table}", rows=n)
 
     jobs = [
@@ -112,32 +115,47 @@ def export_bucketed_ndjson(
     cols = [c for c in df.columns]
 
     def write_partition(rows) -> None:
-        # runs on executors; import-local state only
+        # Runs on executors; import-local state only.  A Spark partition
+        # holds rows of SEVERAL bucket ids (repartition hashes the bucket
+        # value — murmur3(bucket) % numPartitions — it does not map bucket
+        # b to partition b), so each row is routed to a buffer keyed by
+        # its OWN bucket value and every buffer flushes independently.
+        # File names carry the Spark partition id so two partitions that
+        # share a bucket id can never collide.
         import json as _json
         import os as _os
 
-        batch: list[str] = []
-        pid = None
-        seq = 0
+        from pyspark import TaskContext
 
-        def flush() -> None:
-            nonlocal seq
+        task_pid = TaskContext.get().partitionId()
+        batches: dict[int, list[str]] = {}
+        seqs: dict[int, int] = {}
+
+        def flush(bucket: int) -> None:
+            batch = batches.get(bucket)
             if not batch:
                 return
-            path = _os.path.join(out_dir, f"bucket={pid}", f"batch-{seq:05d}.ndjson")
+            seq = seqs.get(bucket, 0)
+            path = _os.path.join(
+                out_dir,
+                f"bucket={bucket}",
+                f"batch-{task_pid:04d}-{seq:05d}.ndjson",
+            )
             _os.makedirs(_os.path.dirname(path), exist_ok=True)
             with open(path, "w", encoding="utf-8") as f:
                 f.write("\n".join(batch) + "\n")
             batch.clear()
-            seq += 1
+            seqs[bucket] = seq + 1
 
         for row in rows:
             d = row.asDict(recursive=True)
-            pid = d.pop("__bucket")
+            bucket = d.pop("__bucket")
+            batch = batches.setdefault(bucket, [])
             batch.append(_json.dumps({k: d[k] for k in cols}, default=str))
             if len(batch) >= batch_rows:
-                flush()
-        flush()
+                flush(bucket)
+        for bucket in list(batches):
+            flush(bucket)
 
     bucketed.repartition(num_buckets, "__bucket").foreachPartition(write_partition)
     return sum(len(files) for _, _, files in os.walk(out_dir))

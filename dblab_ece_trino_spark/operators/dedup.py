@@ -710,6 +710,15 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter with labels still moving means a component's
+        # diameter exceeds the round budget — silently returning the
+        # partial labels would hand the caller WRONG clusters.
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} iterations "
+            f"({changed} labels still changing); raise max_iter (diameter "
+            "bound) for this edge set"
+        )
     return labels
 
 

@@ -21,9 +21,21 @@ from typing import TYPE_CHECKING
 if TYPE_CHECKING:  # pragma: no cover
     from dblab_ece_trino_spark.catalog import CatalogRegistry
 
-# Split on single-quoted SQL string literals (with '' escapes) so table
-# names inside literals are never rewritten.
-_LITERAL = re.compile(r"('(?:[^']|'')*')")
+# Split on spans the rewriter must never touch: single-quoted string
+# literals (with '' escapes), double-quoted and backquoted identifiers,
+# line comments (-- ... end of line) and block comments (/* ... */).  A
+# registered 3-part name appearing inside any of these is opaque text,
+# not a table reference.
+_LITERAL = re.compile(
+    r"("
+    r"'(?:[^']|'')*'"  # 'string literal'
+    r"|\"(?:[^\"]|\"\")*\""  # "quoted identifier"
+    r"|`(?:[^`]|``)*`"  # `quoted identifier`
+    r"|--[^\n]*"  # -- line comment
+    r"|/\*.*?\*/"  # /* block comment */
+    r")",
+    re.DOTALL,
+)
 
 
 def rewrite_three_part_names(text: str, catalogs: "CatalogRegistry") -> str:

@@ -33,6 +33,24 @@ def test_rewrite_case_insensitive_and_unregistered(spark):
     assert "other.cat.table" in out  # unregistered name falls through
 
 
+def test_rewrite_masks_comments_and_quoted_identifiers(spark):
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.sql import rewrite_three_part_names
+
+    eng = engine_for(spark, SF_SMALL)
+    out = rewrite_three_part_names(
+        "SELECT * FROM psql.tpch.lineitem -- psql.tpch.lineitem here\n"
+        "/* block psql.tpch.lineitem\n comment */ "
+        'WHERE "psql.tpch.lineitem" = `psql.tpch.lineitem`',
+        eng.catalogs,
+    )
+    assert "FROM __cat_psql_tpch_lineitem" in out
+    assert "-- psql.tpch.lineitem here" in out
+    assert "/* block psql.tpch.lineitem\n comment */" in out
+    assert '"psql.tpch.lineitem"' in out
+    assert "`psql.tpch.lineitem`" in out
+
+
 def test_catalog_cross_catalog_join(spark):
     """Federated join across two 'catalogs' in one Catalyst plan."""
     from dblab_ece_trino_spark.entrypoints import engine_for
@@ -114,3 +132,68 @@ def test_char_normalize_pad_insensitive_grouping(spark):
     assert groups["CA"] == 1
     assert groups[None] == 1  # NULL preserved, not turned into ''
     assert groups[""] == 1  # all-blank normalizes to empty string
+
+
+def test_char_columns_option_in_scan_path(spark, tmp_path, duck):
+    """The catalog's opt-in char_columns option applies the rtrim
+    discipline at scan time: grouping and EXCEPT over blank-padded
+    char(2) keys (the reference's ca_state trap, SURVEY §7.2) match the
+    DuckDB oracle's pad-insensitive semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from tests.conftest import assert_matches_oracle
+
+    path = str(tmp_path / "addr.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": list(range(6)),
+                "ca_state": ["TX", "TX  ", "CA", "CA", "NY  ", None],
+            }
+        ),
+        path,
+    )
+    eng = engine_for(spark, str(tmp_path))
+    from dblab_ece_trino_spark.catalog import TableSpec
+
+    eng.catalogs.register(
+        TableSpec(
+            "psql", "tpcds", "addr", "parquet", path,
+            options={"char_columns": "ca_state"},
+        )
+    )
+    grouped = eng.sql(
+        "SELECT ca_state, count(*) AS n FROM psql.tpcds.addr GROUP BY ca_state"
+    )
+    cur = duck.cursor()
+    cur.execute(f"CREATE OR REPLACE VIEW addr AS SELECT * FROM read_parquet('{path}')")
+    assert_matches_oracle(
+        grouped, cur,
+        "SELECT rtrim(ca_state) AS ca_state, count(*) AS n FROM addr GROUP BY 1",
+    )
+    # EXCEPT over padded keys: 'NY  ' must cancel against 'NY'
+    ex = eng.sql(
+        "SELECT ca_state FROM psql.tpcds.addr WHERE id >= 3 "
+        "EXCEPT SELECT 'NY' AS ca_state"
+    )
+    rows = {r.ca_state for r in ex.collect()}
+    assert rows == {"CA", None}
+
+
+def test_dedup_clusters_raises_on_non_convergence(spark):
+    from dblab_ece_trino_spark.operators.dedup import dedup_clusters
+
+    # a path graph of diameter 6 cannot converge in 2 rounds of min-label
+    # propagation — the loop must refuse to return partial labels
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a int, id_b int"
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs, max_iter=2)
+    # with budget it converges to a single cluster rooted at 0
+    labels = dedup_clusters(pairs, max_iter=10)
+    assert {r.cluster for r in labels.collect()} == {0}

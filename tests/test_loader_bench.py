@@ -42,7 +42,19 @@ def test_export_bucketed_ndjson(spark, tmp_path):
         orders, "o_orderkey", out, num_buckets=4, batch_rows=100
     )
     assert n_files > 0
-    # completeness: every row lands in exactly one bucket file
+    # the documented contract: the bucket= directory a row lands in IS its
+    # deterministic hash bucket (a reader of slice b must see exactly the
+    # rows with bucket_expr(key) == b)
+    from dblab_ece_trino_spark.functions.hashing import bucket_expr
+
+    expected = {
+        r["o_orderkey"]: r["b"]
+        for r in orders.select(
+            "o_orderkey", bucket_expr(F.col("o_orderkey"), 4).alias("b")
+        ).collect()
+    }
+    # completeness: every row lands in exactly one bucket file, in the
+    # directory of its own bucket
     seen = set()
     for root, _, files in os.walk(out):
         for fn in files:
@@ -51,6 +63,10 @@ def test_export_bucketed_ndjson(spark, tmp_path):
                     d = json.loads(line)
                     assert set(d) == set(orders.columns)
                     seen.add(d["o_orderkey"])
+                    dir_bucket = int(os.path.basename(root).split("=")[1])
+                    assert expected[d["o_orderkey"]] == dir_bucket, (
+                        f"row {d['o_orderkey']} misfiled into bucket={dir_bucket}"
+                    )
     assert len(seen) == orders.count()
     # batch size respected
     for root, _, files in os.walk(out):
