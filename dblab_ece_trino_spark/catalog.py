@@ -144,10 +144,51 @@ class CatalogRegistry:
                 "pushDownLimit", "true"
             )
             df = reader.load()
+        elif spec.fmt == "generator":
+            # TPC-DS-style generator connector analog (reference
+            # loader.py:166 reads tpcds.sfN.* from Trino's generator
+            # catalog): rows computed at scan time from spark.range — no
+            # storage, deterministic, parallel.  See sources/generator.py.
+            from dblab_ece_trino_spark.sources.generator import gen_table
+
+            df = gen_table(
+                self.spark,
+                spec.options.get("table", spec.table),
+                sf=float(spec.options.get("sf", "1")),
+            )
+        elif spec.fmt in ("mongo", "es"):
+            # Real-connector seam (reference values.yml.j2:40-61 runs the
+            # Mongo + Elasticsearch Trino connectors).  The Spark-side
+            # connector formats are public packages not bundled in this
+            # container; the seam plumbs the TableSpec options straight
+            # into the DataSource so a deployment that adds the package
+            # gets the real scan (with its own filter pushdown) without
+            # code changes.  Absent the package, Spark raises
+            # DATA_SOURCE_NOT_FOUND, re-raised with deployment guidance;
+            # the sanctioned parquet stand-in covers this container.
+            fmt_name = "mongodb" if spec.fmt == "mongo" else "org.elasticsearch.spark.sql"
+            pkg = (
+                "org.mongodb.spark:mongo-spark-connector_2.13"
+                if spec.fmt == "mongo"
+                else "org.elasticsearch:elasticsearch-spark-30_2.13"
+            )
+            reader = self.spark.read.format(fmt_name)
+            for k, v in spec.options.items():
+                if k == "char_columns":
+                    continue
+                reader = reader.option(k, v)
+            try:
+                df = reader.load()
+            except Exception as exc:  # connector jar not on the classpath
+                raise NotImplementedError(
+                    f"format {spec.fmt!r} needs the Spark connector package "
+                    f"'{pkg}' on the classpath (spark-submit --packages); "
+                    "in this container register the table as parquet "
+                    "(the sanctioned stand-in)"
+                ) from exc
         else:
             raise NotImplementedError(
-                f"format {spec.fmt!r}: mongo/es connectors are not bundled in "
-                "this environment; register the table as parquet for testing"
+                f"unknown table format {spec.fmt!r}"
             )
         # Opt-in char(N) discipline (SURVEY §7.2): columns listed in the
         # 'char_columns' option (comma-separated) are rtrim-normalized at
@@ -162,6 +203,57 @@ class CatalogRegistry:
                 df, [c.strip() for c in chars.split(",") if c.strip()]
             )
         return df
+
+    def register_generator_schema(self, sf: float = 1.0, catalog: str = "tpcds") -> None:
+        """Register the full generator schema as ``tpcds.sfN.<table>`` —
+        the reference's source catalog naming (loader.py:166)."""
+        from dblab_ece_trino_spark.sources.generator import generator_tables
+
+        # schema must stay a single identifier: sf1, sf10, sf0_1
+        schema = f"sf{int(sf) if float(sf).is_integer() else str(sf).replace('.', '_')}"
+        for t in generator_tables():
+            self.register(
+                TableSpec(
+                    catalog, schema, t, "generator",
+                    options={"table": t, "sf": str(sf)},
+                )
+            )
+
+    def register_jdbc_dsv2_catalog(
+        self,
+        name: str,
+        url: str,
+        driver: str | None = None,
+        options: dict[str, str] | None = None,
+    ) -> None:
+        """Register a REAL Spark DSv2 JDBC catalog (JDBCTableCatalog).
+
+        This is the computation-pushdown path: unlike the V1
+        ``format("jdbc")`` relation (filter/column pruning only), the DSv2
+        catalog compiles aggregates and limits into the remote dialect —
+        the engine-side analog of Trino's JDBC connector pushing a whole
+        sum+filter into PostgreSQL (reference
+        results/q001/workers-1/explain.txt:9).  Verified end-to-end on
+        embedded Derby: the optimized plan's RelationV2 returns the
+        aggregated columns and the formatted plan shows PushedAggregates
+        (tests/test_jdbc.py).
+
+        Tables resolve as native Spark 3-part names ``name.SCHEMA.TABLE``
+        (no temp-view rewrite needed — the rewriter leaves unregistered
+        names to Spark's own resolution, which finds this catalog).
+        """
+        conf = self.spark.conf
+        conf.set(
+            f"spark.sql.catalog.{name}",
+            "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog",
+        )
+        conf.set(f"spark.sql.catalog.{name}.url", url)
+        if driver:
+            conf.set(f"spark.sql.catalog.{name}.driver", driver)
+        conf.set(f"spark.sql.catalog.{name}.pushDownAggregate", "true")
+        conf.set(f"spark.sql.catalog.{name}.pushDownLimit", "true")
+        for k, v in (options or {}).items():
+            conf.set(f"spark.sql.catalog.{name}.{k}", v)
 
     def table(self, full_name: str) -> DataFrame:
         parts = full_name.split(".")

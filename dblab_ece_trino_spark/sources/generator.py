@@ -1,0 +1,186 @@
+"""Deterministic TPC-DS-style generator source (SURVEY §2.1).
+
+The reference's load pipeline reads every table from Trino's built-in
+``tpcds`` generator catalog (``SELECT * FROM tpcds.sfN.<t>`` —
+data-loader/loader.py:166, table list loader.py:312-322) — a *connector
+that computes rows at scan time* instead of reading storage.  This is the
+Spark-first analog: each table is a projection over ``spark.range`` —
+parallel (range splits across the cluster), storage-free, and
+deterministic (every column is a pure JVM expression of the row id, no
+RNG state), so two scans — or two *clusters* — produce identical rows.
+
+Scale notes: ``spark.range(n, numPartitions=p)`` generates in p parallel
+tasks with zero shuffle; column expressions are whole-stage-codegen'd.
+Generating 100 TB is therefore embarrassingly parallel, exactly like the
+reference's generator connector, and the CTAS load path
+(loader.ctas_load) consumes these DataFrames like any other source.
+
+Schema subset: the columns the reference's five queries actually touch
+(q001-q005: ss_/cs_/ws_ fact keys + quantities/prices, date_dim's
+d_date_sk/d_date/d_month_seq/d_year, customer names, ca_state char(2),
+sr returns, reason) plus enough surrounding columns to make the tables
+real.  ``ca_state`` is emitted blank-padded like a true char(2) column so
+the char-discipline option (catalog 'char_columns') has something to
+bite on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: base cardinalities at sf=1 (facts scale linearly with sf, dims with
+#: the TPC-DS-style sublinear factor captured by ``dim=True``)
+_TABLES: dict[str, dict] = {
+    "date_dim": {"rows": 1096, "dim": True},  # 3 years of days
+    "customer": {"rows": 1000, "dim": False},
+    "customer_address": {"rows": 500, "dim": False},
+    "item": {"rows": 200, "dim": True},
+    "store": {"rows": 12, "dim": True},
+    "reason": {"rows": 35, "dim": True},
+    "store_sales": {"rows": 10000, "dim": False},
+    "store_returns": {"rows": 1000, "dim": False},
+    "catalog_sales": {"rows": 10000, "dim": False},
+    "web_sales": {"rows": 10000, "dim": False},
+}
+
+_STATES = ["TX", "CA", "NY", "WA", "IL", "GA", "OH", "MI"]
+_EPOCH = "1996-01-01"
+
+
+def _h(seed: str, *cols: Column) -> Column:
+    """Deterministic non-negative hash stream, one per (table, column)."""
+    return F.abs(F.xxhash64(F.lit(seed), *cols))
+
+
+def _price(seed: str, id_col: Column, lo: int, hi: int) -> Column:
+    """Deterministic DECIMAL(7,2) price in [lo, hi)."""
+    cents = _h(seed, id_col) % ((hi - lo) * 100)
+    return (F.lit(lo) + cents / F.lit(100.0)).cast("decimal(7,2)")
+
+
+def table_rows(table: str, sf: float) -> int:
+    spec = _TABLES[table]
+    if spec["dim"]:
+        return spec["rows"]
+    return max(1, int(spec["rows"] * sf))
+
+
+def gen_table(
+    spark: SparkSession, table: str, sf: float = 1.0, num_partitions: int | None = None
+) -> DataFrame:
+    if table not in _TABLES:
+        raise KeyError(
+            f"unknown generator table {table!r}; have {sorted(_TABLES)}"
+        )
+    n = table_rows(table, sf)
+    base = spark.range(0, n, numPartitions=num_partitions or min(32, max(1, n // 1000)))
+    i = F.col("id")
+    n_dates = table_rows("date_dim", sf)
+    n_cust = table_rows("customer", sf)
+    n_addr = table_rows("customer_address", sf)
+    n_item = table_rows("item", sf)
+    n_store = table_rows("store", sf)
+    n_reason = table_rows("reason", sf)
+
+    if table == "date_dim":
+        d = F.date_add(F.lit(_EPOCH).cast("date"), i.cast("int"))
+        return base.select(
+            i.alias("d_date_sk"),
+            d.alias("d_date"),
+            (F.year(d) * 12 + F.month(d) - 1).alias("d_month_seq"),
+            F.year(d).alias("d_year"),
+            F.month(d).alias("d_moy"),
+            F.dayofmonth(d).alias("d_dom"),
+        )
+    if table == "customer":
+        return base.select(
+            i.alias("c_customer_sk"),
+            F.concat(F.lit("AAAAAAAA"), i.cast("string")).alias("c_customer_id"),
+            # blank-padded like the reference's char(20)/char(30) name
+            # columns (q005 explain.txt:32) — the char-discipline trap
+            F.rpad(
+                F.concat(F.lit("First"), (_h("cf", i) % 500).cast("string")), 20, " "
+            ).alias("c_first_name"),
+            F.rpad(
+                F.concat(F.lit("Last"), (_h("cl", i) % 500).cast("string")), 30, " "
+            ).alias("c_last_name"),
+            (_h("ca", i) % n_addr).alias("c_current_addr_sk"),
+            (_h("cd", i) % n_dates).alias("c_first_sales_date_sk"),
+        )
+    if table == "customer_address":
+        state = F.element_at(
+            F.array(*[F.lit(s) for s in _STATES]),
+            (_h("st", i) % len(_STATES) + 1).cast("int"),
+        )
+        return base.select(
+            i.alias("ca_address_sk"),
+            F.concat(F.lit("addr_"), i.cast("string")).alias("ca_address_id"),
+            state.alias("ca_state"),  # char(2), exact width
+            (_h("zip", i) % 99999).cast("int").alias("ca_zip"),
+        )
+    if table == "item":
+        return base.select(
+            i.alias("i_item_sk"),
+            F.concat(F.lit("item_"), i.cast("string")).alias("i_item_id"),
+            F.element_at(
+                F.array(F.lit("PROMO"), F.lit("REGULAR"), F.lit("CLEARANCE")),
+                (_h("it", i) % 3 + 1).cast("int"),
+            ).alias("i_category"),
+            _price("ip", i, 1, 100).alias("i_current_price"),
+        )
+    if table == "store":
+        return base.select(
+            i.alias("s_store_sk"),
+            F.concat(F.lit("store_"), i.cast("string")).alias("s_store_id"),
+            F.element_at(
+                F.array(*[F.lit(s) for s in _STATES]),
+                (_h("ss", i) % len(_STATES) + 1).cast("int"),
+            ).alias("s_state"),
+        )
+    if table == "reason":
+        return base.select(
+            i.alias("r_reason_sk"),
+            F.concat(F.lit("reason_"), i.cast("string")).alias("r_reason_id"),
+            F.concat(F.lit("Reason description "), i.cast("string")).alias(
+                "r_reason_desc"
+            ),
+        )
+    if table == "store_sales":
+        return base.select(
+            (_h("sd", i) % n_dates).alias("ss_sold_date_sk"),
+            i.alias("ss_item_sk"),  # with ticket number forms the row key
+            (i % max(1, n // 4)).alias("ss_ticket_number"),
+            (_h("sc", i) % n_cust).alias("ss_customer_sk"),
+            (_h("so", i) % n_store).alias("ss_store_sk"),
+            (_h("sq", i) % 100 + 1).cast("int").alias("ss_quantity"),
+            _price("sp", i, 1, 200).alias("ss_sales_price"),
+            _price("sn", i, 1, 20000).alias("ss_net_paid"),
+        )
+    if table == "store_returns":
+        return base.select(
+            (_h("rd", i) % n_dates).alias("sr_returned_date_sk"),
+            (_h("ri", i) % (table_rows("store_sales", sf))).alias("sr_item_sk"),
+            (_h("rt", i) % max(1, table_rows("store_sales", sf) // 4)).alias(
+                "sr_ticket_number"
+            ),
+            F.when(_h("rr7", i) % 7 == 0, F.lit(None).cast("long"))
+            .otherwise(_h("rr", i) % n_reason)
+            .alias("sr_reason_sk"),
+            (_h("rq", i) % 50 + 1).cast("int").alias("sr_return_quantity"),
+        )
+    if table in ("catalog_sales", "web_sales"):
+        p = "cs" if table == "catalog_sales" else "ws"
+        return base.select(
+            (_h(p + "d", i) % n_dates).alias(f"{p}_sold_date_sk"),
+            (_h(p + "c", i) % n_cust).alias(f"{p}_bill_customer_sk"),
+            (_h(p + "i", i) % n_item).alias(f"{p}_item_sk"),
+            (i % max(1, n // 3)).alias(f"{p}_order_number"),
+            (_h(p + "q", i) % 100 + 1).cast("int").alias(f"{p}_quantity"),
+            _price(p + "p", i, 1, 300).alias(f"{p}_sales_price"),
+        )
+    raise AssertionError(table)
+
+
+def generator_tables() -> list[str]:
+    return sorted(_TABLES)

@@ -182,6 +182,25 @@ def test_char_columns_option_in_scan_path(spark, tmp_path, duck):
     assert rows == {"CA", None}
 
 
+def test_mongo_es_connector_seam(spark):
+    """The mongo/es TableSpec seam plumbs options into the real Spark
+    connector format and fails with deployment guidance when the package
+    is absent (this container), rather than a bare gate."""
+    import pytest
+
+    from dblab_ece_trino_spark.catalog import CatalogRegistry, TableSpec
+
+    reg = CatalogRegistry(spark)
+    for fmt, pkg_frag in (("mongo", "mongo-spark-connector"),
+                          ("es", "elasticsearch-spark")):
+        spec = TableSpec(
+            "x", "y", "z", fmt,
+            options={"uri": "mongodb://example/db.z", "collection": "z"},
+        )
+        with pytest.raises(NotImplementedError, match=pkg_frag):
+            reg.load(spec)
+
+
 def test_dedup_clusters_raises_on_non_convergence(spark):
     from dblab_ece_trino_spark.operators.dedup import dedup_clusters
 

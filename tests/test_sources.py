@@ -139,3 +139,54 @@ def test_json_schema_inference_es_analog(spark, tmp_path):
     assert schema["value"] == "double"
     total = sum(r.n for r in df.collect())
     assert total == 200
+
+
+def test_generator_catalog_deterministic_and_scaled(spark):
+    """TPC-DS generator source parity (reference loader.py:166
+    tpcds.sfN.*): deterministic across scans, fact rows scale with sf,
+    dims don't, and the q001-shape query runs over tpcds.sf1 tables."""
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.catalog import CatalogRegistry
+    from dblab_ece_trino_spark.sources.generator import gen_table, table_rows
+
+    # determinism: two independent scans produce identical rows
+    a = gen_table(spark, "store_sales", sf=0.1)
+    b = gen_table(spark, "store_sales", sf=0.1)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # scaling: facts linear in sf, dims constant
+    assert table_rows("store_sales", 2.0) == 2 * table_rows("store_sales", 1.0)
+    assert table_rows("date_dim", 2.0) == table_rows("date_dim", 1.0)
+    # registered catalog: the reference's q001 shape runs over it
+    reg = CatalogRegistry(spark)
+    reg.register_generator_schema(sf=0.1)
+    df = spark.sql(
+        "SELECT CAST(sum(CAST(ss_sales_price AS DECIMAL(18,2))) AS DOUBLE) AS sales "
+        f"FROM {reg.lookup('tpcds', 'sf0_1', 'store_sales').view_name} "
+        "WHERE ss_sold_date_sk BETWEEN 100 AND 900"
+    )
+    assert df.collect()[0].sales > 0
+    # FK domains: every sold_date_sk resolves against date_dim
+    ss = reg.table("tpcds.sf0_1.store_sales")
+    dd = reg.table("tpcds.sf0_1.date_dim")
+    unmatched = ss.join(
+        dd, ss.ss_sold_date_sk == dd.d_date_sk, "left_anti"
+    ).count()
+    assert unmatched == 0
+    # customer names are blank-padded char(20)/char(30) — the reference's
+    # char-discipline trap (q005 explain.txt:32) is reproduced, and the
+    # catalog's char_columns option undoes it at scan time
+    cust = reg.table("tpcds.sf0_1.customer")
+    pad = cust.filter(F.col("c_first_name").endswith(" ")).count()
+    assert pad > 0
+    from dblab_ece_trino_spark.catalog import TableSpec
+
+    reg.register(
+        TableSpec(
+            "tpcds", "clean", "customer", "generator",
+            options={"table": "customer", "sf": "0.1",
+                     "char_columns": "c_first_name,c_last_name"},
+        )
+    )
+    clean = reg.table("tpcds.clean.customer")
+    assert clean.filter(F.col("c_first_name").endswith(" ")).count() == 0
