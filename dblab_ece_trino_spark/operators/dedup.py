@@ -342,16 +342,43 @@ def dedup_minhash_lsh(
         .filter(F.col("est") >= threshold - est_margin)
         .select("id_a", "id_b")
     )
+    est = materialize(est)  # consumed 2-3× below (adaptive gate + joins)
     # exact verify via array intersection on the estimate-surviving set.
-    # Shingles are hashed to bigints first: the arrays shipped through the
-    # two pair-joins shrink ~3× (8-byte longs vs shingle strings) and
+    # Shingles are hashed to bigints: the arrays shipped through the two
+    # pair-joins shrink ~3× (8-byte longs vs shingle strings) and
     # array_intersect compares longs instead of strings — at x30 scale the
     # verify join is the dominant stage, and it is shuffle- and
     # intersect-bound.  Jaccard over hashed distinct shingles equals
     # Jaccard over the shingles themselves up to xxhash64 collisions
     # (~1e-19 per pair — below any practical threshold granularity).
+    #
+    # ADAPTIVE VERIFY PRUNE: when the surviving candidates touch a
+    # minority of the corpus (the real-corpus case — dup rates are
+    # single-digit percent at web scale), a semi-join on the candidate id
+    # set makes the re-shingle O(candidate docs) instead of O(corpus);
+    # at 100 TB that second full-corpus shingle pass would rival the
+    # signature stage itself.  When candidates span most of the corpus
+    # (dup-storm workloads — the x10/x30 replica stress sets), the
+    # semi-join prunes nothing and only adds a shuffle, so the gate
+    # (cheap counts over two localCheckpointed frames) keeps the direct
+    # full-corpus shingle path.
+    # gate counts are near-free: sigs and cands are localCheckpointed.
+    # cands (pre-estimate) over-counts the surviving pairs, which only
+    # errs toward the safe side (skipping the prune).
+    n_docs = sigs.count()
+    n_pairs = cands.count()
+    verify_src = docs
+    if 2 * n_pairs < n_docs // 2:
+        cand_ids = (
+            est.select(F.col("id_a").alias("cid"))
+            .union(est.select(F.col("id_b").alias("cid")))
+            .distinct()
+        )
+        verify_src = docs.join(
+            cand_ids, docs[id_col] == cand_ids.cid, "left_semi"
+        )
     arrs = materialize(
-        docs.select(
+        verify_src.select(
             F.col(id_col).alias("sid"),
             F.transform(
                 shingles(F.col(text_col), n, mode), lambda s: F.xxhash64(s)
