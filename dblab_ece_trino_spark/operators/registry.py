@@ -60,6 +60,7 @@ def _ensure_loaded() -> None:
     from dblab_ece_trino_spark import queries_tpch  # noqa: F401
     from dblab_ece_trino_spark import queries_tpch_ext  # noqa: F401
     from dblab_ece_trino_spark import queries_advanced  # noqa: F401
+    from dblab_ece_trino_spark import queries_tpch_more  # noqa: F401
 
 
 def spark_queries() -> dict[str, SparkQuery]:
