@@ -56,6 +56,7 @@ def _ensure_loaded() -> None:
         text,
         multimodal,
         sqlsurface,
+        sampling,
     )
     from dblab_ece_trino_spark import queries_tpch  # noqa: F401
     from dblab_ece_trino_spark import queries_tpch_ext  # noqa: F401

@@ -1,0 +1,216 @@
+"""Deterministic sampling, train/val splitting, and benchmark
+decontamination — the selection layer of a training-data pipeline.
+
+Design rules shared by all three operators:
+
+- **Deterministic, content-addressed randomness.**  Every sampling
+  decision derives from ``md5(seed || id)`` — no RNG state, so re-runs,
+  retries, and different cluster layouts select the SAME rows (the
+  property that makes 100 TB pipelines reproducible).  md5 is computed
+  identically by Spark and DuckDB, so every decision is oracle-checkable
+  — unlike xxhash64, whose values are engine-specific.
+- **Projection-shaped.**  Split assignment and stratified sampling are
+  pure per-row projections (no shuffle); decontamination is one
+  broadcast join against the (small) benchmark shingle set plus one
+  aggregation — the shapes that survive 1000 executors unchanged.
+
+The hex-bucket trick: the first two hex chars of the md5 give a uniform
+bucket in [0, 256) via ``(instr(HEX, c1)-1)*16 + (instr(HEX, c2)-1)`` —
+portable SQL on both engines (DuckDB parses no '0x' strings; instr
+avoids hex parsing entirely).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dblab_ece_trino_spark.operators.registry import register
+from dblab_ece_trino_spark.operators.dedup import word_shingles
+
+_HEX = "0123456789abcdef"
+
+
+def md5_bucket(id_col: Column, seed: str = "split-v1") -> Column:
+    """Deterministic uniform bucket in [0, 256) from md5(seed || id)."""
+    h = F.md5(F.concat(F.lit(seed), id_col.cast("string")))
+    c1 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+    c2 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    return c1 * 16 + c2
+
+
+def _md5_bucket_sql(id_expr: str, seed: str = "split-v1") -> str:
+    """The same bucket as ANSI SQL DuckDB accepts (oracle side)."""
+    h = f"md5(concat('{seed}', CAST({id_expr} AS VARCHAR)))"
+    return (
+        f"(instr('{_HEX}', substr({h}, 1, 1)) - 1) * 16"
+        f" + (instr('{_HEX}', substr({h}, 2, 1)) - 1)"
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+    seed: str = "split-v1",
+) -> DataFrame:
+    """Assign train/val/test splits by content hash (percent granularity
+    ≈ 256ths).  A document's split never changes across runs, machines,
+    or partitionings — the reproducibility contract of dataset curation."""
+    b = md5_bucket(F.col(id_col), seed)
+    train_hi = 256 * train_pct // 100
+    val_hi = train_hi + 256 * val_pct // 100
+    return df.withColumn(
+        "split",
+        F.when(b < train_hi, "train").when(b < val_hi, "val").otherwise("test"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    keep_buckets: int = 64,
+    id_col: str = "doc_id",
+    seed: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep rows whose hash bucket
+    falls under ``keep_buckets``/256, independently within each stratum
+    (the per-language / per-source downsampling step of corpus mixing).
+    Pure projection + filter — no shuffle, no skew sensitivity."""
+    b = md5_bucket(F.concat(F.col(strata_col), F.col(id_col).cast("string")), seed)
+    return df.filter(b < keep_buckets)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Benchmark-contamination detection by word n-gram overlap.
+
+    Flags training documents sharing ≥ ``min_overlap`` distinct word
+    n-grams with any benchmark document — the standard eval-set
+    decontamination pass.  The benchmark shingle set is DISTINCT'd and
+    broadcast (eval sets are tiny next to the corpus); the corpus side
+    explodes shingles and meets it in a broadcast hash join, then one
+    aggregation counts overlaps per document.  O(corpus shingles) work,
+    no shuffle of the corpus itself.
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+        )
+        .distinct()
+    )
+    doc_sh = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    overlaps = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        docs.select(id_col)
+        .join(overlaps, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------------------ query entries
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    return engine_for(spark, sf_dir).catalogs.table("lake.llm.documents")
+
+
+def _q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = split_assign(_docs(spark, sf_dir))
+    return out.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+register(
+    "sample_split",
+    _q_sample_split,
+    oracle=f"""
+    SELECT CASE WHEN b < 230 THEN 'train'
+                WHEN b < 242 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM (SELECT doc_id, {_md5_bucket_sql('doc_id')} AS b FROM documents) t
+    GROUP BY 1
+    """,
+)
+
+
+def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample(_docs(spark, sf_dir), "lang").select(
+        "doc_id", "lang"
+    )
+
+
+register(
+    "sample_stratified",
+    _q_sample_stratified,
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             {_md5_bucket_sql("concat(lang, CAST(doc_id AS VARCHAR))", "sample-v1")} AS b
+      FROM documents
+    ) t WHERE b < 64
+    """,
+)
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    # deterministic stand-in eval set: every 97th document
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, benchmark)
+
+
+register(
+    "decontaminate",
+    _q_decontaminate,
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i)
+    ),
+    bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+    ),
+    ov AS (
+      SELECT s.doc_id, count(*) AS n_overlap
+      FROM sh s JOIN bench USING (shingle)
+      WHERE s.doc_id % 97 <> 0
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(o.n_overlap, 0) AS n_overlap,
+           coalesce(o.n_overlap, 0) >= 2 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN ov o USING (doc_id)
+    """,
+)

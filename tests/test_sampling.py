@@ -1,0 +1,70 @@
+"""Sampling/split/decontamination properties (operators/sampling.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _docs(spark):
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    return engine_for(spark, SF_SMALL).catalogs.table("lake.llm.documents")
+
+
+def test_split_deterministic_across_partitionings(spark):
+    """A document's split must not depend on physical layout — the
+    reproducibility contract (same assignment at 1 or 1000 partitions)."""
+    from dblab_ece_trino_spark.operators.sampling import split_assign
+
+    docs = _docs(spark)
+    a = split_assign(docs).select("doc_id", "split")
+    b = split_assign(docs.repartition(17)).select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # ratios roughly honored (256-bucket granularity)
+    frac = {
+        r.split: r.n for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(frac.values())
+    assert 0.8 < frac["train"] / total < 0.95
+    assert frac.get("val", 0) > 0 and frac.get("test", 0) > 0
+
+
+def test_stratified_sample_is_subset_and_seeded(spark):
+    from dblab_ece_trino_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark)
+    s1 = stratified_sample(docs, "lang", keep_buckets=64)
+    s2 = stratified_sample(docs, "lang", keep_buckets=64)
+    assert s1.count() == s2.count()  # same seed -> same sample
+    assert s1.join(docs, "doc_id", "left_anti").count() == 0  # subset
+    s3 = stratified_sample(docs, "lang", keep_buckets=64, seed="other")
+    assert s3.select("doc_id").exceptAll(s1.select("doc_id")).count() > 0
+    # every stratum retains ~64/256 of its rows
+    kept = {r.lang: r.n for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in full.items():
+        if n >= 40:
+            assert 0.05 < kept.get(lang, 0) / n < 0.6
+
+
+def test_decontaminate_flags_planted_contamination(spark):
+    """A training doc sharing a long verbatim span with a benchmark doc
+    must be flagged; unrelated docs must not."""
+    from dblab_ece_trino_spark.operators.sampling import decontaminate
+
+    bench = spark.createDataFrame(
+        [(1, "the secret benchmark question about spark joins here")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "prefix text the secret benchmark question about spark stuff"),
+            (11, "completely unrelated words with no shared trigrams at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.contaminated for r in decontaminate(train, bench).collect()}
+    assert out[10] is True
+    assert out[11] is False
