@@ -591,9 +591,40 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_minhash_lsh(_docs(spark, sf_dir), threshold=0.7)
 
 
-# Signatures are engine-specific (xxhash64) → rows-only gate; recall vs the
-# exact Jaccard pairs is property-tested in tests/test_dedup.py.
-register("dedup_minhash_lsh", _q_dedup_minhash_lsh, oracle=None)
+# The LSH signatures themselves are engine-specific (xxhash64), but the
+# PIPELINE's output is exact-verified word-3-gram Jaccard pairs — so the
+# full exact-Jaccard SQL is a true oracle, provided LSH banding recalls
+# every true pair at gate scale.  It does, with margin: at sf0.01 every
+# true pair has j ≥ 0.9, where the per-pair miss probability of 16
+# bands × 4 rows is (1 − 0.9⁴)¹⁶ ≈ 4·10⁻⁸ (recall additionally
+# property-tested in tests/test_dedup.py).  This upgrades the entry from
+# the rows-only gate to full value checking: the driver now pins both
+# the verify stage's exactness AND banding recall.
+_MINHASH_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS sid,
+             array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i)
+    ),
+    sizes AS (SELECT sid, count(*) AS sz FROM sh GROUP BY sid),
+    inter AS (
+      SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+      GROUP BY a.sid, b.sid
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.sid = id_a
+    JOIN sizes sb ON sb.sid = id_b
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.7
+"""
+
+register("dedup_minhash_lsh", _q_dedup_minhash_lsh, oracle=_MINHASH_ORACLE)
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -754,6 +785,33 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
-# iterative fixpoint over engine-specific pairs → rows-only gate;
-# equivalence to union-find groundtruth is tested in pytest.
-register("dedup_clusters", _q_dedup_clusters, oracle=None)
+# The input edge set is the exact-verified Jaccard pairs (deterministic —
+# see _MINHASH_ORACLE), so connected components ARE oracle-expressible:
+# a recursive-CTE transitive closure over the undirected edges, then
+# cluster = min reachable node.  (Closure materialization is fine at
+# oracle scale — the gate graph has ~50 nodes; the Spark side stays the
+# scalable min-label-propagation loop.)  Union-find equivalence remains
+# property-tested in pytest.
+_CLUSTERS_ORACLE = (
+    """
+    WITH RECURSIVE pairs AS ("""
+    + _MINHASH_ORACLE
+    + """
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS sid, least(a, min(b)) AS cluster
+    FROM reach
+    GROUP BY a
+    """
+)
+
+register("dedup_clusters", _q_dedup_clusters, oracle=_CLUSTERS_ORACLE)
