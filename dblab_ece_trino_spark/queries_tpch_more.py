@@ -196,20 +196,26 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 # suppliers above 4× the part's average supplier share, division-free:
 # q · n_supp > 4 · total (selective at every SF: ~24% of suppliers at
 # sf0.01, ~3% at sf0.1).
+# Spark inlines each CTE reference, so the per_ps → per_p two-CTE form
+# scans and aggregates the fact TWICE; the window form computes the
+# per-part totals over the already-aggregated (part, supplier) rows in
+# the SAME hash partitioning (one fact pass + one window shuffle on the
+# part key).  Measured at x10: 5.4s → ~2s.
 _Q20 = f"""
 WITH per_ps AS (
   SELECT l_partkey, l_suppkey, sum({_QTY}) AS q
   FROM {{lineitem}} GROUP BY l_partkey, l_suppkey
 ),
-per_p AS (
-  SELECT l_partkey, sum(q) AS tq, count(*) AS n_supp
-  FROM per_ps GROUP BY l_partkey
+w AS (
+  SELECT l_suppkey, q,
+         sum(q) OVER (PARTITION BY l_partkey) AS tq,
+         count(*) OVER (PARTITION BY l_partkey) AS n_supp
+  FROM per_ps
 )
 SELECT DISTINCT s.s_name
 FROM {{supplier}} s
-JOIN per_ps ON s.s_suppkey = per_ps.l_suppkey
-JOIN per_p ON per_ps.l_partkey = per_p.l_partkey
-WHERE per_ps.q * per_p.n_supp > 4 * per_p.tq
+JOIN w ON s.s_suppkey = w.l_suppkey
+WHERE w.q * w.n_supp > 4 * w.tq
 ORDER BY s_name
 """
 

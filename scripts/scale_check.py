@@ -41,6 +41,13 @@ OFFSET = 10_000_000  # re-key stride per replica
 
 def multiply(eng, table: str, path: str) -> None:
     df = eng.catalogs._read_parquet(os.path.join(SRC, f"{table}.parquet"))
+    if not KEY_COLS.get(table):
+        # key-less dimension: replicating would create MULT duplicate rows
+        # per key and inflate every dim join MULT-fold (compounding per
+        # dim in multi-dim queries) — keep one copy; dims grow
+        # sublinearly with SF anyway.
+        df.write.mode("overwrite").parquet(path)
+        return
     replicas = []
     for i in range(MULT):
         r = df
@@ -80,9 +87,11 @@ def main() -> None:
     names = [
         "q001", "q002", "q003", "q004", "q005",
         "tpch_q1", "tpch_q18", "tpch_q17", "tpch_q21",
+        "tpch_q2", "tpch_q8", "tpch_q13", "tpch_q20",
         "op_agg_groupby", "op_join_shuffle",
         "dedup_minhash_lsh", "dedup_exact", "sim_search_bruteforce",
         "text_quality_score", "join_asof",
+        "sample_split", "decontaminate", "pipeline_clean_corpus",
     ]
     for name in names:
         t1 = time.monotonic()
