@@ -216,3 +216,53 @@ def session_window_counts(
             "total_value",
         )
     )
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: enrich each event with dimension attributes.
+
+    A static DataFrame joined to a stream is re-planned per micro-batch
+    with the batch join strategies — here the dim side is explicitly
+    broadcast (dims are small next to the stream), so each micro-batch
+    pays zero shuffle: the canonical lookup-enrichment shape at 100
+    TB/day ingest.  No state is kept — stream-static inner joins are
+    stateless by construction.
+    """
+    return stream.join(F.broadcast(dim), on, "inner")
+
+
+def write_bucketed_sink(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    num_buckets: int = 8,
+    key_col: str = "event_id",
+):
+    """foreachBatch sink with deterministic layout + exactly-once replay.
+
+    Each micro-batch lands as parquet partitioned by the deterministic
+    hash bucket of its key (the reference's ES export layout,
+    loader.py:213-218) under ``epoch=<id>`` — so a replayed epoch (after
+    failure, foreachBatch is at-least-once) OVERWRITES its own directory
+    instead of duplicating rows: idempotent per epoch, which combined
+    with the checkpoint's offset tracking gives end-to-end exactly-once
+    into the file sink.
+    """
+    from dblab_ece_trino_spark.functions.hashing import bucket_expr
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn(
+                "bucket", bucket_expr(F.col(key_col), num_buckets)
+            )
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{out_dir}/epoch={epoch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
