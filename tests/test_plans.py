@@ -102,6 +102,11 @@ def test_runtime_bloom_filter_dynamic_filtering(spark):
         for k, v in prev.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                # conf.get(k, None) returns None for unset keys; leaving
+                # the override in place would disable broadcast joins for
+                # every later test in the session
+                spark.conf.unset(k)
 
 
 def test_q17_decorrelates_to_aggregate_joins(spark):
@@ -139,3 +144,51 @@ def test_q1_agg_pushes_filter_and_partial_agg(spark):
     # shipdate predicate reaches the parquet scan footer
     assert "LessThanOrEqual(l_shipdate" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q2_correlated_min_no_cartesian(spark):
+    """The Q2 correlated scalar MIN must decorrelate to an aggregate
+    joined back on partkey — never a per-row re-scan."""
+    plan = _plan(spark, "tpch_q2")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # the decorrelated MIN agg
+
+
+def test_q8_dims_broadcast(spark):
+    """Every dimension side of the 8-way join should broadcast; the only
+    shuffles are fact-fact and the final year aggregation."""
+    plan = _plan(spark, "tpch_q8")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_single_fact_pass(spark):
+    """The window form must aggregate the fact once — the 2-CTE form
+    (Spark inlines CTE references) scanned lineitem twice."""
+    plan = _plan(spark, "tpch_q20")
+    # formatted explain prints each node twice (tree + details):
+    # 2 logical scans (lineitem, supplier) → ≤4 occurrences
+    assert plan.count("Scan parquet") <= 4
+    assert "Window" in plan
+
+
+def test_q13_left_join_preserved(spark):
+    plan = _plan(spark, "tpch_q13")
+    # the filtered LEFT JOIN must stay outer (zero-order customers count)
+    assert "LeftOuter" in plan or "RightOuter" in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    plan = _plan(spark, "decontaminate")
+    # the eval-set shingles must be the broadcast side; the corpus must
+    # never shuffle on the shingle key
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sample_split_is_projection(spark):
+    """Split assignment must be a pure scan+project — a shuffle here
+    would mean the sampling layer scales with cluster topology."""
+    plan = _plan(spark, "sample_split")
+    head = plan.split("HashAggregate")[0]
+    assert "Exchange" not in head  # no shuffle before the count-by-split agg
