@@ -231,6 +231,35 @@ register(
 )
 
 
+def _q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage through the Arrow mapInPandas codec seam; the
+    oracle-checkable projection is the rewritten metadata plus the
+    deterministic fake-resize byte length (min(len, w·h))."""
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    docs = engine_for(spark, sf_dir).catalogs.table("lake.llm.documents")
+    media = media_from_documents(docs)
+    resized = resize_media(media, width=64, height=64)
+    return resized.select(
+        "media_id",
+        F.octet_length("payload").alias("n_bytes_resized"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+register(
+    "multimodal_resize",
+    _q_multimodal_resize,
+    oracle="""
+    SELECT doc_id AS media_id,
+           least(greatest(octet_length(encode(text)), 1), 64*64) AS n_bytes_resized,
+           64 AS width, 64 AS height
+    FROM documents
+    """,
+)
+
+
 register(
     "multimodal_features",
     _q_multimodal_features,

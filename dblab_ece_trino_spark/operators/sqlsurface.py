@@ -140,6 +140,52 @@ _both(
     """,
 )
 
+# Null-safe equality join (IS NOT DISTINCT FROM — Trino surface; Spark
+# also spells it <=>).  NULL keys match each other instead of vanishing,
+# the semantics set-ops rely on internally.
+_both(
+    "op_null_safe_join",
+    """
+    SELECT
+      CASE WHEN a.k IS NULL THEN 'null-key' ELSE 'value-key' END AS side,
+      count(*) AS n
+    FROM (
+      SELECT CASE WHEN l_partkey % 7 = 0 THEN NULL ELSE l_suppkey END AS k
+      FROM {lineitem} WHERE l_orderkey < 300
+    ) a
+    JOIN (
+      SELECT CASE WHEN l_partkey % 7 = 0 THEN NULL ELSE l_suppkey END AS k
+      FROM {lineitem} WHERE l_orderkey < 300
+    ) b
+      ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY 1
+    """,
+)
+
+# Date/interval arithmetic — INTERVAL literals are portable; date_diff's
+# unit is an unquoted keyword in Spark and a string in DuckDB.
+_both(
+    "op_interval_arith",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(o_orderdate - INTERVAL 1 MONTH AS DATE) AS prior_month,
+           CAST(date_diff(DAY, TIMESTAMP '1996-01-01 00:00:00', o_orderdate)
+                AS BIGINT) AS days_since_epoch_96
+    FROM {orders}
+    WHERE o_orderkey < 400
+    """,
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(o_orderdate - INTERVAL 1 MONTH AS DATE) AS prior_month,
+           CAST(date_diff('day', TIMESTAMP '1996-01-01 00:00:00', o_orderdate)
+                AS BIGINT) AS days_since_epoch_96
+    FROM {orders}
+    WHERE o_orderkey < 400
+    """,
+)
+
 # Regular expressions.  DuckDB's regexp_replace replaces only the first
 # match unless given the 'g' flag; Spark always replaces all — the oracle
 # passes 'g' to align.
