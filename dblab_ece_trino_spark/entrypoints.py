@@ -25,6 +25,17 @@ _CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, EngineSession]]" = (
     weakref.WeakKeyDictionary()
 )
 
+# Temp views are GLOBAL per SparkSession while engines are cached per
+# (session, sf_dir): registering a second sf_dir on the same session
+# re-points the shared views, so a previously-cached engine would silently
+# read the other scale factor's data.  Track which sf_dir most recently
+# asserted the views and re-register when handing back an engine whose
+# sf_dir is no longer the active one (parquet-footer reads only — cheap,
+# and only on an actual switch).
+_ACTIVE: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def engine_for(spark: SparkSession, sf_dir: str) -> EngineSession:
     per_session = _CACHE.get(spark)
@@ -36,6 +47,9 @@ def engine_for(spark: SparkSession, sf_dir: str) -> EngineSession:
         eng = EngineSession.wrap(spark)
         eng.catalogs.register_sf_dir(sf_dir)
         per_session[sf_dir] = eng
+    elif _ACTIVE.get(spark) != sf_dir:
+        eng.catalogs.register_sf_dir(sf_dir)
+    _ACTIVE[spark] = sf_dir
     return eng
 
 

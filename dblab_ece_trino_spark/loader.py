@@ -74,11 +74,11 @@ def ctas_load(
         # drop-if-exists analog (loader.py:163 DROP TABLE IF EXISTS)
         shutil.rmtree(dst, ignore_errors=True)
         df = eng.catalogs._read_parquet(src)
-        # count the SOURCE (parquet footer metadata — no data scan) instead
-        # of re-reading the written table; the write itself is the only
-        # full pass over the data.
-        n = df.count()
         df.write.mode("overwrite").parquet(dst)
+        # count the DESTINATION so LoadReport.rows verifies the written
+        # table, not the source; parquet footer metadata only — no data
+        # scan, the write itself stays the only full pass.
+        n = eng.spark.read.parquet(dst).count()
         eng.catalogs.register_parquet(cat, schema, table, dst)
         return LoadReport(table=table, target=f"{cat}.{schema}.{table}", rows=n)
 

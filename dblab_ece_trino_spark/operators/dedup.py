@@ -294,6 +294,7 @@ def dedup_minhash_lsh(
     rows: int = 4,
     n: int = 3,
     mode: str = "word",
+    max_bucket: int | None = 200,
 ) -> DataFrame:
     """Near-dup pairs: LSH candidates verified with exact n-gram Jaccard.
 
@@ -315,7 +316,7 @@ def dedup_minhash_lsh(
     sigs = materialize(
         minhash_signatures(docs, id_col, text_col, num_hashes, n, mode)
     )
-    cands = materialize(lsh_candidate_pairs(sigs, bands, rows))
+    cands = materialize(lsh_candidate_pairs(sigs, bands, rows, max_bucket))
     est_margin = 0.15  # estimator std at K=64 is ~sqrt(s(1-s)/64) <= 0.063
     est = (
         cands.join(
@@ -582,13 +583,18 @@ register(
     FROM inter
     JOIN sizes sa ON sa.sid = id_a
     JOIN sizes sb ON sb.sid = id_b
-    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+    WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.5
     """,
 )
 
 
 def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup_minhash_lsh(_docs(spark, sf_dir), threshold=0.7)
+    # max_bucket=None: the registered entry claims EXACT equality with the
+    # all-pairs Jaccard oracle, so the hot-bucket drop (a recall-trading
+    # scale device for boilerplate-heavy corpora) is disabled here — a
+    # degenerate band bucket may then cost candidate volume but can never
+    # cost a true pair.  Production callers keep the default cap.
+    return dedup_minhash_lsh(_docs(spark, sf_dir), threshold=0.7, max_bucket=None)
 
 
 # The LSH signatures themselves are engine-specific (xxhash64), but the
@@ -596,10 +602,14 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # full exact-Jaccard SQL is a true oracle, provided LSH banding recalls
 # every true pair at gate scale.  It does, with margin: at sf0.01 every
 # true pair has j ≥ 0.9, where the per-pair miss probability of 16
-# bands × 4 rows is (1 − 0.9⁴)¹⁶ ≈ 4·10⁻⁸ (recall additionally
-# property-tested in tests/test_dedup.py).  This upgrades the entry from
-# the rows-only gate to full value checking: the driver now pins both
-# the verify stage's exactness AND banding recall.
+# bands × 4 rows is (1 − 0.9⁴)¹⁶ ≈ 4·10⁻⁸.  That precondition is now
+# CHECKED, not assumed: tests/test_dedup.py::test_minhash_oracle_no_marginal_pairs
+# asserts at gate SFs that no true pair falls in the marginal band
+# [threshold, 0.85) where banding recall dips below ~1−10⁻³, and the
+# registered entry disables hot-bucket dropping (max_bucket=None) so the
+# only probabilistic step left is banding itself.  This upgrades the
+# entry from the rows-only gate to full value checking: the driver pins
+# both the verify stage's exactness AND banding recall.
 _MINHASH_ORACLE = r"""
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
@@ -621,7 +631,7 @@ _MINHASH_ORACLE = r"""
     FROM inter
     JOIN sizes sa ON sa.sid = id_a
     JOIN sizes sb ON sb.sid = id_b
-    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.7
+    WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.7
 """
 
 register("dedup_minhash_lsh", _q_dedup_minhash_lsh, oracle=_MINHASH_ORACLE)
@@ -715,7 +725,7 @@ register(
     FROM inter
     JOIN sizes sa ON sa.sid = id_a
     JOIN sizes sb ON sb.sid = id_b
-    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.7
+    WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.7
     """,
 )
 
@@ -781,7 +791,9 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
 
 
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_minhash_lsh(_docs(spark, sf_dir), threshold=0.7)
+    # same exactness discipline as the dedup_minhash_lsh entry: no
+    # hot-bucket dropping where the oracle claims exact pair equality.
+    pairs = dedup_minhash_lsh(_docs(spark, sf_dir), threshold=0.7, max_bucket=None)
     return dedup_clusters(pairs)
 
 

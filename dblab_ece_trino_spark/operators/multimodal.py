@@ -158,7 +158,9 @@ def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
     if payload is None:
         return None
     keep = max(1, min(len(payload), width * height))
-    return payload[:keep]
+    # pad empty payloads to the 1-byte floor (b''[:1] is still 0 bytes,
+    # which would diverge from the least(greatest(len,1),w*h) contract)
+    return (payload or b"\x00")[:keep]
 
 
 def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:

@@ -77,8 +77,14 @@ def stratified_sample(
     """Deterministic per-stratum sample: keep rows whose hash bucket
     falls under ``keep_buckets``/256, independently within each stratum
     (the per-language / per-source downsampling step of corpus mixing).
-    Pure projection + filter — no shuffle, no skew sensitivity."""
-    b = md5_bucket(F.concat(F.col(strata_col), F.col(id_col).cast("string")), seed)
+    Pure projection + filter — no shuffle, no skew sensitivity.
+
+    The strata column is coalesced to '' before hashing: Spark's concat
+    returns NULL when any argument is NULL (the row would silently drop),
+    while DuckDB's concat skips NULL arguments — the sentinel makes both
+    engines hash NULL strata identically."""
+    strata = F.coalesce(F.col(strata_col).cast("string"), F.lit(""))
+    b = md5_bucket(F.concat(strata, F.col(id_col).cast("string")), seed)
     return df.filter(b < keep_buckets)
 
 
@@ -170,7 +176,7 @@ register(
     oracle=f"""
     SELECT doc_id, lang FROM (
       SELECT doc_id, lang,
-             {_md5_bucket_sql("concat(lang, CAST(doc_id AS VARCHAR))", "sample-v1")} AS b
+             {_md5_bucket_sql("concat(coalesce(lang, ''), CAST(doc_id AS VARCHAR))", "sample-v1")} AS b
       FROM documents
     ) t WHERE b < 64
     """,

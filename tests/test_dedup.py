@@ -35,6 +35,35 @@ def test_minhash_recall_vs_exact(spark):
         assert recall >= 0.8, f"LSH recall too low: {recall} ({len(exact)} true pairs)"
 
 
+def test_minhash_oracle_no_marginal_pairs(spark):
+    """Checked precondition of the dedup_minhash_lsh exact oracle: no TRUE
+    pair at either gate SF falls in the marginal band [0.70, 0.85), where
+    16-band × 4-row LSH recall drops below ~1−10⁻³ (at j=0.85 the miss
+    probability is (1−0.85⁴)¹⁶ ≈ 3·10⁻⁵; at j=0.70 it is ~1.2·10⁻²).
+    Outside that band the exact-Jaccard SQL is a true oracle for the
+    probabilistic pipeline; if a regenerated corpus ever grows a marginal
+    pair, this test — not a driver hash mismatch — is what fails."""
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.operators.dedup import ngram_jaccard_pairs
+    from tests.conftest import SF_MED
+
+    for sf_dir in (SF_SMALL, SF_MED):
+        docs = engine_for(spark, sf_dir).catalogs.table("lake.llm.documents")
+        marginal = (
+            ngram_jaccard_pairs(
+                docs, threshold=0.7, max_shingle_df=None, n=3, mode="word"
+            )
+            .filter(F.col("jaccard") < 0.85)
+            .count()
+        )
+        assert marginal == 0, (
+            f"{sf_dir}: {marginal} true pair(s) in the marginal band "
+            "[0.70, 0.85) — the dedup_minhash_lsh exact-oracle claim no "
+            "longer holds; re-derive banding (more bands) or relax the "
+            "oracle to an invariant form"
+        )
+
+
 def test_minhash_signature_deterministic(spark):
     from dblab_ece_trino_spark.operators.dedup import minhash_signatures
 

@@ -216,3 +216,19 @@ def test_dedup_clusters_raises_on_non_convergence(spark):
     # with budget it converges to a single cluster rooted at 0
     labels = dedup_clusters(pairs, max_iter=10)
     assert {r.cluster for r in labels.collect()} == {0}
+
+
+def test_engine_for_sf_switch_reasserts_views(spark):
+    """Temp views are global per session; switching sf_dir and back must
+    re-point them — a cached engine must never read another scale factor's
+    data (the engine_for _ACTIVE tracker)."""
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from tests.conftest import SF_MED, SF_SMALL
+
+    n_small = engine_for(spark, SF_SMALL).catalogs.table("mongodb.tpch.orders").count()
+    n_med = engine_for(spark, SF_MED).catalogs.table("mongodb.tpch.orders").count()
+    assert n_med > n_small
+    again = engine_for(spark, SF_SMALL).catalogs.table("mongodb.tpch.orders").count()
+    assert again == n_small
+    # leave the shared session pointed back at SF_SMALL for other tests
+    engine_for(spark, SF_SMALL)
