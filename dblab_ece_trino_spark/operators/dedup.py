@@ -638,20 +638,44 @@ register("dedup_minhash_lsh", _q_dedup_minhash_lsh, oracle=_MINHASH_ORACLE)
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PLANTED-PAIR INVARIANT ENTRY: simhash values are engine-specific
+    # (xxhash64 token hashes), but end-to-end recovery of planted
+    # duplicates is a deterministic, oracle-checkable fact.  Every 10th
+    # document is copied under a shifted id; an identical text has an
+    # identical simhash, lands in identical band buckets, and must
+    # therefore surface as a candidate pair at Hamming distance 0 —
+    # banding, the signature, and the Hamming verify are all on the hook.
+    # Near-dup (perturbed-text) behavior stays covered by pytest
+    # (test_simhash_similar_docs_close).
     docs = _docs(spark, sf_dir)
-    sigs = simhash_signatures(docs)
+    doubled = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    sigs = simhash_signatures(doubled)
     cands = simhash_candidate_pairs(sigs)
     s2 = sigs
-    return (
+    pairs = (
         cands.join(s2.withColumnRenamed("sid", "id_a").withColumnRenamed("simhash", "h_a"), "id_a")
         .join(s2.withColumnRenamed("sid", "id_b").withColumnRenamed("simhash", "h_b"), "id_b")
         .withColumn("hamming", hamming64(F.col("h_a"), F.col("h_b")))
         .filter(F.col("hamming") <= 8)
         .select("id_a", "id_b", "hamming")
     )
+    return pairs.filter(
+        (F.col("id_b") - F.col("id_a") == 1000000) & (F.col("id_a") % 10 == 0)
+    )
 
 
-register("dedup_simhash", _q_dedup_simhash, oracle=None)
+register(
+    "dedup_simhash",
+    _q_dedup_simhash,
+    oracle="""
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, CAST(0 AS INT) AS hamming
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
 
 
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -234,15 +234,28 @@ register(
 
 
 def _q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # order-sensitive polynomial hash — engine-specific constants, so
-    # rows-only gate; determinism + order sensitivity tested in pytest.
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id", rolling_fingerprint(F.col("text")).alias("rolling_fp")
     )
 
 
-register("text_rolling_fingerprint", _q_rolling_fingerprint, oracle=None)
+# The polynomial fold is plain int64 arithmetic over character codes, so
+# DuckDB can compute the IDENTICAL value with list_reduce — a full value
+# oracle, not an invariant (acc*31+c < 2^62 keeps both engines exact).
+register(
+    "text_rolling_fingerprint",
+    _q_rolling_fingerprint,
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               [ascii(c)::BIGINT for c in regexp_split_to_array(text, '')]),
+             (acc, c) -> (acc * 31 + c) % 144115188075855859
+           ) AS rolling_fp
+    FROM documents
+    """,
+)
 
 
 def _q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
