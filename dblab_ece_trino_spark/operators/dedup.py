@@ -34,26 +34,6 @@ from pyspark.sql import functions as F
 
 from dblab_ece_trino_spark.operators.registry import register
 
-# ---------------------------------------------------------------- constants
-MERSENNE61 = (1 << 61) - 1
-HASH31 = (1 << 31) - 1  # shingle hashes reduced to 31 bits so a*x+b < 2^62
-                        # stays inside int64 under ANSI arithmetic
-
-
-def _perm_constants(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs for the universal-hash permutations."""
-    # simple LCG so the constants are reproducible without RNG state
-    state = seed
-    out = []
-    for _ in range(num_hashes):
-        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
-        a = 1 + state % (HASH31 - 1)
-        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
-        b = state % HASH31
-        out.append((a, b))
-    return out
-
-
 # ------------------------------------------------------------------ shingles
 def char_shingles(text: Column, n: int = 5) -> Column:
     """Distinct character n-grams of ``text`` as an array<string>.
@@ -181,40 +161,47 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>) — K min-hash values per document.
 
-    Entirely codegen'd: shingle -> xxhash64 -> 31-bit reduce, then per
-    permutation min((a*x+b) mod p) via array_min(transform(...)).  No
-    shuffle at all — this is a projection, which is why MinHash is the
-    scalable front door to dedup at 100 TB.  Word shingles by default —
-    the web-pipeline standard; char mode available for CJK-like text.
+    Entirely codegen'd projection, no shuffle — which is why MinHash is
+    the scalable front door to dedup at 100 TB.  Word shingles by
+    default — the web-pipeline standard; char mode for CJK-like text.
+
+    The K "permutations" are full-width salted hashes:
+    ``xxhash64(shingle_hash, k)`` for k in [0, K).  An affine family
+    ``(a*x+b) mod p`` with a, b, x < 2^31 — the classic construction
+    sized down to dodge ANSI int64 overflow — is NOT usable here: a*x+b
+    wraps the modulus at most once, so the map is piecewise-monotone in
+    x with two pieces, every permutation's argmin collapses onto the
+    extreme x values, and the K signature slots are strongly correlated
+    instead of independent.  Observed live before the fix: a true
+    j=0.93 pair whose signature agreement measured 0.16 (expected
+    ≈0.93) — dropped by both banding and the estimate gate.  xxhash64
+    re-mixes all 64 bits per salt, restoring per-permutation
+    independence, with no overflow constraint and one codegen'd call
+    per (shingle, k).
     """
     hashes = F.transform(
-        shingles(F.col(text_col), n, mode),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(HASH31)),
+        shingles(F.col(text_col), n, mode), lambda s: F.xxhash64(s)
     )
 
-    consts = _perm_constants(num_hashes)
-    # The K permutation constants live in two literal arrays and the K
-    # permuted hashes come from ONE zip_with over them — not K separate
-    # pmod expressions.  The expression tree is ~K× smaller, which cuts
-    # whole-stage-codegen compile time from seconds to tenths (the fixed
-    # cost that dominated the LSH bench entry at small SF).
-    perm_a = F.array(*[F.lit(a) for a, _ in consts])
-    perm_b = F.array(*[F.lit(b) for _, b in consts])
+    # The K salts live in one literal array and the K salted hashes come
+    # from ONE transform over it — not K separate expressions.  The
+    # expression tree is ~K× smaller, which cuts whole-stage-codegen
+    # compile time from seconds to tenths (the fixed cost that dominated
+    # the LSH bench entry at small SF).
+    salts = F.array(*[F.lit(k) for k in range(num_hashes)])
 
     def perms_of(x):
-        # all K permuted hashes of one shingle hash, as an array
-        return F.zip_with(
-            perm_a, perm_b, lambda a, b: F.pmod(x * a + b, F.lit(MERSENNE61))
-        )
+        # all K salted hashes of one shingle hash, as an array
+        return F.transform(salts, lambda k: F.xxhash64(x, k))
 
     # Single pass over the shingle array: fold with an elementwise min of
-    # the K permutations.  (The naive form — K array_min(transform(...)) —
-    # re-evaluates the shingle/xxhash64 array K times after Catalyst's
-    # CollapseProject inlining: ~64x the work.  One fold keeps each shingle
-    # hashed exactly once.)
+    # the K salted hashes.  (The naive form — K array_min(transform(...))
+    # — re-evaluates the shingle/xxhash64 array K times after Catalyst's
+    # CollapseProject inlining: ~64x the work.  One fold keeps each
+    # shingle hashed exactly once.)
     sig = F.aggregate(
         hashes,
-        F.array_repeat(F.lit(MERSENNE61), num_hashes),
+        F.array_repeat(F.lit((1 << 63) - 1), num_hashes),
         lambda acc, x: F.zip_with(acc, perms_of(x), lambda m, v: F.least(m, v)),
     )
     return docs.select(F.col(id_col).alias("sid"), sig.alias("sig"))

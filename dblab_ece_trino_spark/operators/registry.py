@@ -57,6 +57,7 @@ def _ensure_loaded() -> None:
         multimodal,
         sqlsurface,
         sampling,
+        llmprep,
     )
     from dblab_ece_trino_spark import queries_tpch  # noqa: F401
     from dblab_ece_trino_spark import queries_tpch_ext  # noqa: F401

@@ -1,0 +1,111 @@
+"""Tests for the llmprep operators (chunking, PII, repetition,
+TF-cosine, resolution, train order) — oracle parity + structural
+properties the oracle can't see."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL, duck_for, assert_matches_oracle
+
+
+def _entry(name):
+    from dblab_ece_trino_spark.operators.registry import spark_queries, oracle_queries
+
+    return spark_queries()[name], oracle_queries()[name]
+
+
+def test_llmprep_entries_match_oracle(spark, duck):
+    cur = duck_for(duck, SF_SMALL)
+    for name in [
+        "llm_chunk_documents",
+        "llm_pii_redact",
+        "llm_repetition_profile",
+        "llm_tf_cosine_dup",
+        "llm_dedup_resolution",
+        "llm_train_order",
+    ]:
+        fn, oracle = _entry(name)
+        assert_matches_oracle(fn(spark, SF_SMALL), cur, oracle)
+
+
+def test_chunking_covers_every_token(spark):
+    """Stride chunks must cover the whole document: the union of
+    [start, start+chunk) windows reaches the last token."""
+    from dblab_ece_trino_spark.operators.llmprep import chunk_documents
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    docs = engine_for(spark, SF_SMALL).catalogs.table("lake.llm.documents")
+    chunks = chunk_documents(docs, chunk_tokens=16, stride=12)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.max(F.col("chunk_idx") * 12 + F.col("n_chunk_tokens")).alias("covered")
+    )
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+    )
+    bad = per_doc.join(toks, "doc_id").filter(F.col("covered") < F.col("n")).count()
+    assert bad == 0
+
+
+def test_pii_redact_counts_and_clean_text(spark):
+    from dblab_ece_trino_spark.operators.llmprep import redact_pii
+
+    rows = [
+        (1, "reach me at jane.doe+x@corp.example.org today"),
+        (2, "ssn 123-45-6789 phone 555-0199 end"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].n_email == 1 and "<EMAIL>" in out[1].redacted_text
+    assert out[2].n_ssn == 1 and out[2].n_phone == 1
+    assert "<SSN>" in out[2].redacted_text and "<PHONE>" in out[2].redacted_text
+    assert "123-45" not in out[2].redacted_text
+    assert out[3].redacted_text == rows[2][1]
+
+
+def test_repetition_flags_degenerate_doc(spark):
+    from dblab_ece_trino_spark.operators.llmprep import repetition_profile
+
+    rows = [
+        (1, "spam " * 50),                          # one token repeated
+        (2, " ".join(f"tok{i}" for i in range(50))),  # all distinct
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_profile(df).collect()}
+    assert out[1].repetitive and out[1].top_token_ratio == 1.0
+    assert not out[2].repetitive and out[2].distinct_token_ratio == 1.0
+
+
+def test_train_order_is_permutation_and_deterministic(spark):
+    from dblab_ece_trino_spark.operators.llmprep import train_order
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    docs = engine_for(spark, SF_SMALL).catalogs.table("lake.llm.documents")
+    a = train_order(docs).collect()
+    n = len(a)
+    assert sorted(r.pos for r in a) == list(range(1, n + 1))
+    # repartitioning must not change the permutation (content-addressed)
+    b = train_order(docs.repartition(7)).collect()
+    assert {(r.doc_id, r.pos) for r in a} == {(r.doc_id, r.pos) for r in b}
+    # a different seed gives a different order
+    c = train_order(docs, seed="shuffle-v2").collect()
+    assert {(r.doc_id, r.pos) for r in a} != {(r.doc_id, r.pos) for r in c}
+
+
+def test_minhash_estimator_tracks_true_jaccard(spark):
+    """Regression for the affine-family collapse: subset pairs at known
+    Jaccard must have signature agreement near j (the 89/114 bug showed
+    agreement 0.16 for j=0.93 before the xxhash64-salt fix)."""
+    from dblab_ece_trino_spark.operators.dedup import minhash_signatures
+
+    base = [f"w{i}" for i in range(28)]
+    rows = [
+        (1, " ".join(base)),            # 26 3-gram shingles
+        (2, " ".join(base + ["extra", "tail"])),  # superset: j = 26/28
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r.sid: r.sig for r in minhash_signatures(df).collect()}
+    agree = sum(1 for x, y in zip(sigs[1], sigs[2]) if x == y) / 64
+    true_j = 26 / 28
+    assert abs(agree - true_j) < 0.25, f"estimator off: {agree} vs {true_j}"
