@@ -33,6 +33,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_search_bruteforce",
     "text_quality_score",
+    # round-3 additions (appended so prior rounds stay comparable)
+    "tpch_q8",
+    "tpch_q20",
+    "sample_stratified",
+    "llm_repetition_profile",
 ]
 
 

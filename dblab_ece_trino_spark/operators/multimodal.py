@@ -109,13 +109,19 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+def extract_features(media: DataFrame, dim: int = 8, decoder=None) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
     mapInPandas: each batch arrives as a pandas DataFrame; the decode loop
     is per-row *within* a columnar batch (the unavoidable shape for codec
     calls), with no Spark-side per-row overhead.
+
+    ``decoder`` injects the real codec: any ``bytes -> list[float]``
+    callable (e.g. a PIL/torchvision feature extractor) is shipped to the
+    workers via the closure — the stub is pluggable, not hard-coded.
+    Defaults to the deterministic ``fake_decode``.
     """
+    decode = decoder or (lambda p: fake_decode(p, dim))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -128,7 +134,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                     "modality": pdf["meta"].map(
                         lambda m: m["modality"] if m is not None else None
                     ),
-                    "feature": pdf["payload"].map(lambda p: fake_decode(p, dim)),
+                    "feature": pdf["payload"].map(decode),
                 }
             )
 
@@ -163,11 +169,18 @@ def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
     return (payload or b"\x00")[:keep]
 
 
-def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+def resize_media(
+    media: DataFrame, width: int = 64, height: int = 64, resizer=None
+) -> DataFrame:
     """Arrow-batched resize stage: payload transformed through the codec
     seam, metadata struct rewritten with the new dimensions.  Same
     mapInPandas shape as a real thumbnailer; partition-size the input so a
-    batch of payloads fits the Python worker (the 100 TB knob)."""
+    batch of payloads fits the Python worker (the 100 TB knob).
+
+    ``resizer`` injects the real codec: any
+    ``(bytes, width, height) -> bytes`` callable (decode → resize →
+    re-encode) replaces the deterministic stub."""
+    resize = resizer or _resize_payload
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -180,7 +193,7 @@ def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFra
                 {
                     "media_id": pdf["media_id"],
                     "payload": pdf["payload"].map(
-                        lambda p: _resize_payload(p, width, height)
+                        lambda p: resize(p, width, height)
                     ),
                     "meta": meta,
                 }

@@ -92,6 +92,8 @@ def main() -> None:
         "dedup_minhash_lsh", "dedup_exact", "sim_search_bruteforce",
         "text_quality_score", "join_asof",
         "sample_split", "decontaminate", "pipeline_clean_corpus",
+        "sample_stratified", "llm_chunk_documents", "llm_repetition_profile",
+        "llm_train_order", "llm_tf_cosine_dup",
     ]
     for name in names:
         t1 = time.monotonic()

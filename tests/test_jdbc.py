@@ -104,3 +104,52 @@ def test_jdbc_dsv2_aggregate_pushdown(spark, derby_url):
         .collect()
     }
     assert got == want
+
+
+def test_jdbc_join_pushdown_via_query_scan(spark, derby_url):
+    """Join pushdown (SURVEY §4 stretch; reference pushes a whole join
+    into PostgreSQL, results/q004/workers-1/explain.txt:70): a JDBC
+    TableSpec whose options carry a ``query`` executes the join INSIDE
+    the remote store — the engine sees one relation, so the plan contains
+    a single JDBC scan and no engine-side join."""
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.session import explain_str
+
+    eng = engine_for(spark, SF_SMALL)
+    region = eng.catalogs.table("psql.tpch.region")
+    for tbl, src in (("REGION", region), ("NATION", eng.catalogs.table("psql.tpch.nation"))):
+        (
+            src.write.format("jdbc")
+            .option("url", derby_url)
+            .option("dbtable", tbl)
+            .mode("overwrite")
+            .save()
+        )
+    # Spark's JDBC writer created the Derby tables with quoted lowercase
+    # column names and CLOB strings, so the pushed query quotes names and
+    # casts to VARCHAR before grouping (Derby cannot GROUP BY a CLOB).
+    pushed = (
+        'SELECT "r_name", count(*) AS "n" FROM ('
+        'SELECT CAST("r_name" AS VARCHAR(64)) AS "r_name" '
+        'FROM NATION, REGION WHERE "n_regionkey" = "r_regionkey"'
+        ') t GROUP BY "r_name"'
+    )
+    eng.catalogs.register(
+        TableSpec(
+            "derby", "main", "nation_by_region", "jdbc",
+            options={"url": derby_url, "query": pushed},
+        )
+    )
+    df = eng.sql("SELECT * FROM derby.main.nation_by_region ORDER BY r_name")
+    rows = {(r.r_name.strip(), r.n) for r in df.collect()}
+    nation = eng.catalogs.table("psql.tpch.nation")
+    want = {
+        (r.r_name.strip(), r.n)
+        for r in nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name").agg(F.count("*").alias("n")).collect()
+    }
+    assert rows == want
+    plan = explain_str(df)
+    # one remote relation, no engine-side join operator
+    assert "JDBCRelation" in plan or "JDBCScan" in plan.replace(" ", ""), plan
+    assert "Join" not in plan.split("PushedFilters")[0].split("Scan")[0], plan

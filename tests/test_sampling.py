@@ -68,3 +68,40 @@ def test_decontaminate_flags_planted_contamination(spark):
     out = {r.doc_id: r.contaminated for r in decontaminate(train, bench).collect()}
     assert out[10] is True
     assert out[11] is False
+
+
+def test_stratified_invariant_across_partitionings_and_null_strata(spark, duck):
+    """Stratified keep-set is layout-independent, and NULL strata hash
+    to the sentinel bucket on BOTH engines instead of silently dropping
+    (Spark concat is NULL-propagating, DuckDB's is NULL-skipping)."""
+    from dblab_ece_trino_spark.operators.sampling import stratified_sample
+    from tests.conftest import SF_SMALL, duck_for
+
+    docs = _docs(spark)
+    a = stratified_sample(docs, "lang").select("doc_id")
+    b = stratified_sample(docs.repartition(100), "lang").select("doc_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    withnull = docs.withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, None).otherwise(F.col("lang"))
+    )
+    kept = stratified_sample(withnull, "lang").select("doc_id", "lang")
+    got_null_rows = kept.filter(F.col("lang").isNull()).count()
+    assert got_null_rows > 0, "NULL-strata rows must still be sampled"
+    # oracle agreement on the NULL-strata corpus
+    cur = duck_for(duck, SF_SMALL)
+    from tests.conftest import assert_matches_oracle
+    from dblab_ece_trino_spark.operators.sampling import _md5_bucket_sql
+
+    assert_matches_oracle(
+        kept,
+        cur,
+        f"""
+        SELECT doc_id, lang FROM (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS lang,
+                 {_md5_bucket_sql("concat(coalesce(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END, ''), CAST(doc_id AS VARCHAR))", "sample-v1")} AS b
+          FROM documents
+        ) t WHERE b < 64
+        """,
+    )

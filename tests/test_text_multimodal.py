@@ -116,3 +116,32 @@ def test_pack_sequences_conservation_and_bounds(spark):
     assert by_lang_total == want  # nothing lost or duplicated
     max_doc = docs.agg(F.max("n_chars")).first()[0]
     assert all(r.total_chars <= cap + max_doc for r in packed)
+
+
+def test_multimodal_decoder_injection(spark):
+    """The codec seam accepts user decoders: a custom callable shipped
+    through the mapInPandas closure replaces the stub (how a deployment
+    with PIL/ffmpeg plugs in real decode without touching the engine)."""
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+        resize_media,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = engine_for(spark, SF_SMALL).catalogs.table("lake.llm.documents").limit(20)
+    media = media_from_documents(docs)
+
+    def my_decoder(payload):
+        return [float(len(payload or b"")), 42.0]
+
+    feats = {r.media_id: r.feature for r in extract_features(media, decoder=my_decoder).collect()}
+    lens = {r.media_id: r.n_bytes for r in extract_features(media).select("media_id", "n_bytes").collect()}
+    assert all(f == [float(lens[m]), 42.0] for m, f in feats.items())
+
+    def my_resizer(payload, w, h):
+        return b"RES" + (payload or b"")[:5]
+
+    out = resize_media(media, 8, 8, resizer=my_resizer).select("payload").first()
+    assert bytes(out.payload).startswith(b"RES")
