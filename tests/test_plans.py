@@ -192,3 +192,42 @@ def test_sample_split_is_projection(spark):
     plan = _plan(spark, "sample_split")
     head = plan.split("HashAggregate")[0]
     assert "Exchange" not in head  # no shuffle before the count-by-split agg
+
+
+def test_llm_chunking_is_projection(spark):
+    """Chunking must be scan → project → generate — any Exchange means
+    the chunker shuffles the corpus for a per-row operation."""
+    plan = _plan(spark, "llm_chunk_documents")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # posexplode of chunk starts
+
+
+def test_llm_pii_redact_is_projection(spark):
+    plan = _plan(spark, "llm_pii_redact")
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_llm_train_order_no_global_sort(spark):
+    """The two-phase rank must not fall back to a single-partition global
+    Sort over the corpus: per-bucket windows shuffle on the bucket key,
+    offsets arrive via broadcast."""
+    plan = _plan(spark, "llm_train_order")
+    assert "BroadcastHashJoin" in plan
+    # rangepartitioning over the full corpus = the global-sort shape we
+    # designed away (hashpartitioning on the bucket key is expected)
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_llm_tf_cosine_bounded_and_shuffled_on_token(spark):
+    plan = _plan(spark, "llm_tf_cosine_dup")
+    # the id-slice filter must reach the scan
+    assert "PushedFilters: [" in plan and "LessThan(doc_id" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_invariant_entries_broadcast_queries(spark):
+    for name in ("sim_search_lsh", "sim_search_ivf"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
