@@ -592,11 +592,13 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bands × 4 rows is (1 − 0.9⁴)¹⁶ ≈ 4·10⁻⁸.  That precondition is now
 # CHECKED, not assumed: tests/test_dedup.py::test_minhash_oracle_no_marginal_pairs
 # asserts at gate SFs that no true pair falls in the marginal band
-# [threshold, 0.85) where banding recall dips below ~1−10⁻³, and the
-# registered entry disables hot-bucket dropping (max_bucket=None) so the
-# only probabilistic step left is banding itself.  This upgrades the
+# [threshold, 0.85), outside which BOTH remaining probabilistic steps are
+# safe — banding recall (miss ≤ 3·10⁻⁵ at j=0.85) and the estimate gate
+# (P(est < θ−0.15) ≈ Φ(−(j−0.55)/0.045) ≈ 10⁻¹¹ at j=0.85) — and the
+# registered entry disables hot-bucket dropping (max_bucket=None), which
+# removes the only deterministic divergence source.  This upgrades the
 # entry from the rows-only gate to full value checking: the driver pins
-# both the verify stage's exactness AND banding recall.
+# the verify stage's exactness, banding recall, and the estimate gate.
 _MINHASH_ORACLE = r"""
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
