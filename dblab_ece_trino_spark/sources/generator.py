@@ -184,3 +184,45 @@ def gen_table(
 
 def generator_tables() -> list[str]:
     return sorted(_TABLES)
+
+
+# ------------------------------------------------------------ query entry
+def _q_generator_invariants(spark: SparkSession, sf_dir: str):
+    """Driver-gradable proof of the generator source: the VALUES are
+    engine-specific (xxhash64 streams), but the generator's contract is
+    not — row cardinality at sf=1 and every column's domain bound are
+    deterministic constants an oracle can pin.  A generator bug (wrong
+    modulus, broken fk range, price out of band) flips a boolean."""
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    eng = engine_for(spark, sf_dir)
+    eng.catalogs.register_generator_schema(sf=1.0)
+    ss = eng.catalogs.table("tpcds.sf1.store_sales")
+    return ss.agg(
+        F.count("*").alias("n_rows"),
+        (
+            (F.min("ss_sold_date_sk") >= 0) & (F.max("ss_sold_date_sk") < 1096)
+            & (F.min("ss_customer_sk") >= 0) & (F.max("ss_customer_sk") < 1000)
+            & (F.min("ss_store_sk") >= 0) & (F.max("ss_store_sk") < 12)
+        ).alias("fk_ok"),
+        ((F.min("ss_quantity") >= 1) & (F.max("ss_quantity") <= 100)).alias("qty_ok"),
+        (
+            (F.min("ss_sales_price") >= 1) & (F.max("ss_sales_price") < 200)
+        ).alias("price_ok"),
+    )
+
+
+def _register_entry() -> None:
+    from dblab_ece_trino_spark.operators.registry import register
+
+    register(
+        "gen_store_sales_invariants",
+        _q_generator_invariants,
+        oracle="""
+        SELECT CAST(10000 AS BIGINT) AS n_rows,
+               true AS fk_ok, true AS qty_ok, true AS price_ok
+        """,
+    )
+
+
+_register_entry()
