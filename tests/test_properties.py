@@ -93,3 +93,63 @@ def test_bucketing_complete_and_in_range(spark, key, n):
     seen = {}
     for r in out:
         assert seen.setdefault(r.k, r.b) == r.b
+
+
+_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=1, max_size=40,
+)
+
+
+@given(toks=_words, chunk=st.integers(4, 12), stride=st.integers(2, 8))
+@settings(**_SETTINGS)
+def test_chunking_reconstructs_document(spark, toks, chunk, stride):
+    """Stride-concatenation of chunks ≡ the original token stream: the
+    first chunk plus the tail (tokens past the overlap) of each later
+    chunk reproduces the document exactly, in order."""
+    from dblab_ece_trino_spark.operators.llmprep import chunk_documents
+
+    stride = min(stride, chunk)
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    chunks = chunk_documents(df, chunk_tokens=chunk, stride=stride)
+    # rebuild from raw slices (recompute chunk text the same way)
+    rows = sorted(
+        (r.chunk_idx, r.n_chunk_tokens) for r in chunks.collect()
+    )
+    rebuilt = 0
+    for idx, n in rows:
+        start = idx * stride  # 0-based
+        assert start < len(toks)
+        assert n == min(chunk, len(toks) - start)
+        rebuilt = max(rebuilt, start + n)
+    assert rebuilt == len(toks)  # full coverage, no token dropped
+
+
+@given(toks=_words)
+@settings(**_SETTINGS)
+def test_tf_cosine_self_similarity_is_one(spark, toks):
+    """A document duplicated under two ids must score cos² = 1."""
+    from dblab_ece_trino_spark.operators.llmprep import tf_cosine_pairs
+
+    text = " ".join(toks)
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    rows = tf_cosine_pairs(df, threshold_sq=0.999999).collect()
+    assert len(rows) == 1 and rows[0].cos2 == 1.0
+
+
+@given(toks=_words)
+@settings(**_SETTINGS)
+def test_rolling_fingerprint_is_order_sensitive(spark, toks):
+    from dblab_ece_trino_spark.operators.text import rolling_fingerprint
+
+    text = " ".join(toks)
+    rev = " ".join(reversed(toks))
+    df = spark.createDataFrame([(1, text), (2, rev)], "doc_id long, text string")
+    fps = {r.doc_id: r.fp for r in df.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("fp")).collect()}
+    if text != rev:
+        assert fps[1] != fps[2]
+    else:
+        assert fps[1] == fps[2]
