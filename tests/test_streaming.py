@@ -210,3 +210,41 @@ def test_foreachbatch_bucketed_sink_idempotent(spark, events_dir, tmp_path):
     }
     for r in replay.select("event_id", "bucket").limit(200).collect():
         assert expected[r.event_id] == r.bucket
+
+
+def test_document_ingest_matches_batch(spark, tmp_path):
+    """Streaming document ingest (redact → quality gate → watermarked
+    dedup) pins to the batch analog over the same files: identical
+    fingerprint sets and identical per-fingerprint cleaned text."""
+    from dblab_ece_trino_spark.streaming.ingest import (
+        clean_document_stream,
+        read_document_stream,
+    )
+    from dblab_ece_trino_spark.streaming.events import run_to_memory
+
+    src = pq.read_table(os.path.join(SF_SMALL, "documents.parquet")).to_pandas()
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    half = len(src) // 2
+    pq.write_table(pa.Table.from_pandas(src.iloc[:half]), str(d / "f0.parquet"))
+    pq.write_table(pa.Table.from_pandas(src.iloc[half:]), str(d / "f1.parquet"))
+    # a third file duplicating file 0's texts under shifted ids — the
+    # stream must collapse them against state from an EARLIER micro-batch
+    dup = src.iloc[:half].copy()
+    dup["doc_id"] = dup["doc_id"] + 1_000_000
+    pq.write_table(pa.Table.from_pandas(dup), str(d / "f2.parquet"))
+
+    stream = clean_document_stream(read_document_stream(spark, str(d)))
+    run_to_memory(stream, "doc_ingest", complete=False)
+    got = spark.table("doc_ingest").select("fingerprint", "clean_text", "quality")
+
+    batch = clean_document_stream(spark.read.parquet(str(d))).select(
+        "fingerprint", "clean_text", "quality"
+    )
+
+    g = {(r.fingerprint, r.clean_text, float(r.quality)) for r in got.collect()}
+    w = {(r.fingerprint, r.clean_text, float(r.quality)) for r in batch.collect()}
+    assert g == w
+    # every retained fingerprint is unique in the stream output
+    n = spark.table("doc_ingest").count()
+    assert n == spark.table("doc_ingest").select("fingerprint").distinct().count()
