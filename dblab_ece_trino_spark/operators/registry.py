@@ -102,6 +102,8 @@ GRADED_PRIORITY: list[str] = [
     # oracles added/upgraded this round (rows-only → value-checked)
     "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
     "sim_search_lsh", "sim_search_ivf",
+    # registered this round, never graded
+    "gen_store_sales_invariants",
     # new llmprep operators (registered this round)
     "llm_chunk_documents", "llm_pii_redact", "llm_repetition_profile",
     "llm_tf_cosine_dup", "llm_dedup_resolution", "llm_train_order",
@@ -110,7 +112,9 @@ GRADED_PRIORITY: list[str] = [
     # backfill: round-1/2 greens rotated back in for regression watch
     "tpch_q1", "tpch_q3", "tpch_q18", "tpch_q21_agg",
     "op_filter_conjunction", "op_join_shuffle", "op_join_left_composite",
-    "op_join_semi", "op_join_anti", "op_distinct", "op_topn",
+    # (op_distinct rotated out: its semantics stay watched via q005's
+    # distinct+EXCEPT path; it holds a green r1 row.)
+    "op_join_semi", "op_join_anti", "op_topn",
     "join_asof", "join_range", "dedup_embedding",
 ]
 
