@@ -452,3 +452,349 @@ register(
     FROM documents
     """,
 )
+
+
+# ---------------------------------------------------- quality rule gates
+GOPHER_STOPWORDS = ["the", "a", "row", "fast", "table"]
+
+
+def quality_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style boolean quality gates (public rules from Rae et al.
+    2021, "Scaling Language Models", appendix A1.1, re-expressed on the
+    whitespace-token stats this corpus supports):
+
+    - ``r_len``: token count within [10, 5000];
+    - ``r_word_len``: mean word length within [2, 12];
+    - ``r_stop``: at least one stopword hit (markers the synthetic
+      corpus actually contains);
+    - ``r_rep``: distinct-token ratio >= 0.2 (repetition gate);
+    - ``passes``: conjunction of all four.
+
+    Shape: a single codegen'd projection — no shuffle, no UDF; the
+    cheapest possible 100 TB pre-filter, same cost class as
+    text.quality_features.
+    """
+    t = F.col(text_col)
+    toks = _toks(t)
+    n_tokens = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    char_len = F.length(F.regexp_replace(t, " ", "")).cast("long")
+    stop_hits = F.size(
+        F.filter(toks, lambda x: x.isin(*GOPHER_STOPWORDS))
+    ).cast("long")
+    mean_word_len = F.round(char_len * F.lit(1.0) / F.greatest(n_tokens, F.lit(1)), 6)
+    distinct_ratio = F.round(
+        n_distinct * F.lit(1.0) / F.greatest(n_tokens, F.lit(1)), 6
+    )
+    r_len = (n_tokens >= 10) & (n_tokens <= 5000)
+    r_word_len = (mean_word_len >= 2.0) & (mean_word_len <= 12.0)
+    r_stop = stop_hits >= 1
+    r_rep = distinct_ratio >= 0.2
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        distinct_ratio.alias("distinct_ratio"),
+        stop_hits.alias("stop_hits"),
+        r_len.alias("r_len"),
+        r_word_len.alias("r_word_len"),
+        r_stop.alias("r_stop"),
+        r_rep.alias("r_rep"),
+        (r_len & r_word_len & r_stop & r_rep).alias("passes"),
+    )
+
+
+# ------------------------------------------------- domain mixture resampling
+def domain_mix(
+    docs: DataFrame,
+    weights: dict[str, int],
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic resampling to an exact target domain mixture.
+
+    Given integer target weights per domain, keeps the LARGEST corpus
+    with exactly the target proportions: ``keep_n(l) = min over m of
+    (w_l * count_m) DIV w_m`` — pure int64 arithmetic, so any two runs
+    (and any two engines) pick identical documents.  Within a domain,
+    survivors are the ``keep_n`` docs with the smallest
+    ``md5(seed || id)`` — content-addressed, partition-order-independent.
+
+    Shape at 100 TB: one keyed count (map-side combinable), a
+    |domains|² constant-key broadcast join to compute keep_n, one
+    rank-per-domain window (a narrow per-domain sort of (id, hash) —
+    range-partitionable), and a broadcast join back.  No full-data
+    global sort; document payloads never shuffle (join survivors back
+    by id if the full rows are needed).
+    """
+    counts = (
+        docs.select(F.col(domain_col).alias("dom"))
+        .groupBy("dom")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("w", _weight_expr(weights, "dom"))
+        .filter(F.col("w").isNotNull())
+    )
+    # keep_n(l) = min over m of (w_l * cnt_m) DIV w_m.  floor is monotone,
+    # so this equals floor(w_l * min_m(cnt_m / w_m)) — but stays in int64.
+    pairs = counts.select("dom", F.col("w").alias("w_l")).withColumn(
+        "__k", F.lit(1)
+    ).join(
+        F.broadcast(
+            counts.select(
+                F.col("cnt").alias("cnt_m"), F.col("w").alias("w_m")
+            ).withColumn("__k", F.lit(1))
+        ),
+        "__k",
+    )
+    keep = pairs.groupBy("dom").agg(
+        F.min(F.expr("(w_l * cnt_m) DIV w_m")).alias("keep_n")
+    )
+    ranked = docs.filter(_weight_expr(weights, domain_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(domain_col).alias("dom"),
+        F.row_number()
+        .over(
+            Window.partitionBy(domain_col).orderBy(
+                F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
+                F.col(id_col),
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        ranked.join(F.broadcast(keep), "dom")
+        .filter(F.col("rk") <= F.col("keep_n"))
+        .select(id_col, F.col("dom").alias(domain_col), "rk", "keep_n")
+    )
+
+
+def _weight_expr(weights: dict[str, int], domain_col: str) -> Column:
+    """CASE chain mapping the domain column to its integer weight."""
+    expr = F.lit(None).cast("long")
+    for lang, w in weights.items():
+        expr = F.when(F.col(domain_col) == lang, F.lit(int(w))).otherwise(expr)
+    return expr
+
+
+# ------------------------------------------------ token-budget selection
+def budget_select(
+    docs: DataFrame,
+    budget_frac_pct: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-greedy corpus selection under a token budget.
+
+    Ranks documents by the exact ``text.quality_score`` (desc, id-tiebreak)
+    and keeps the prefix whose cumulative whitespace-token count stays
+    within ``budget = total_tokens * budget_frac_pct DIV 100`` — the
+    standard "best data that fits the compute budget" curation step.
+
+    All arithmetic is integer or round-6 double, so selection is
+    bit-reproducible.  Shape at 100 TB: stats projection, one global agg
+    (broadcast back on a constant key), and a global window over the
+    NARROW stats frame (id, tokens, quality) — a range-partitioned sort
+    of ~16 bytes/doc, not of document payloads.
+    """
+    from dblab_ece_trino_spark.operators.text import quality_score
+
+    stats = docs.select(
+        F.col(id_col),
+        F.size(_toks(F.col(text_col))).cast("long").alias("n_tokens"),
+        quality_score(F.col(text_col)).alias("quality"),
+    )
+    total = stats.agg(
+        F.sum("n_tokens").alias("total_tokens")
+    ).withColumn("__k", F.lit(1))
+    w = Window.orderBy(F.col("quality").desc(), F.col(id_col))
+    return (
+        stats.withColumn("__k", F.lit(1))
+        .join(F.broadcast(total), "__k")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(
+            F.col("cum_tokens")
+            <= F.expr(f"(total_tokens * {int(budget_frac_pct)}) DIV 100")
+        )
+        .select(id_col, "n_tokens", "quality", "cum_tokens")
+    )
+
+
+# --------------------------------------------------- corpus vocabulary
+def vocab_topk(
+    docs: DataFrame, k: int = 20, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-k corpus vocabulary with term and document frequencies.
+
+    One explode into a (token, doc) stream, a map-side-combinable keyed
+    agg, then a row_number over the tiny per-token aggregate (vocab is
+    orders of magnitude smaller than the corpus).  The standard first
+    look at any new 100 TB text dump.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("sid"), F.explode(_toks(F.col(text_col))).alias("tok")
+    )
+    per_tok = toks.groupBy("tok").agg(
+        F.count("*").alias("tf"),
+        F.count_distinct("sid").alias("df"),
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("tok"))
+    return (
+        per_tok.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("rk", F.col("tok").alias("token"), "tf", "df")
+    )
+
+
+# ----------------------------------------------- query entries (round 3+)
+MIX_WEIGHTS = {"en": 40, "es": 15, "de": 15, "fr": 15, "zh": 15}
+
+
+def _q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_rules(_docs(spark, sf_dir))
+
+
+register(
+    "llm_quality_rules",
+    _q_quality_rules,
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS t,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS char_len
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+             char_len,
+             CAST(len(list_filter(t,
+               x -> list_contains(['the','a','row','fast','table'], x))) AS BIGINT)
+               AS stop_hits
+      FROM f
+    ),
+    r AS (
+      SELECT doc_id, n_tokens,
+             round(char_len * 1.0 / greatest(n_tokens, 1), 6) AS mean_word_len,
+             round(n_distinct * 1.0 / greatest(n_tokens, 1), 6) AS distinct_ratio,
+             stop_hits
+      FROM s
+    )
+    SELECT doc_id, n_tokens, mean_word_len, distinct_ratio, stop_hits,
+           (n_tokens BETWEEN 10 AND 5000) AS r_len,
+           (mean_word_len BETWEEN 2.0 AND 12.0) AS r_word_len,
+           (stop_hits >= 1) AS r_stop,
+           (distinct_ratio >= 0.2) AS r_rep,
+           ((n_tokens BETWEEN 10 AND 5000)
+            AND (mean_word_len BETWEEN 2.0 AND 12.0)
+            AND (stop_hits >= 1)
+            AND (distinct_ratio >= 0.2)) AS passes
+    FROM r
+    """,
+)
+
+
+def _q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return domain_mix(_docs(spark, sf_dir), MIX_WEIGHTS)
+
+
+register(
+    "llm_domain_mix",
+    _q_domain_mix,
+    oracle=r"""
+    WITH wts(dom, w) AS (
+      VALUES ('en', 40), ('es', 15), ('de', 15), ('fr', 15), ('zh', 15)
+    ),
+    counts AS (
+      SELECT d.lang AS dom, CAST(count(*) AS BIGINT) AS cnt, CAST(w.w AS BIGINT) AS w
+      FROM documents d JOIN wts w ON d.lang = w.dom
+      GROUP BY d.lang, w.w
+    ),
+    keep AS (
+      SELECT l.dom, min((l.w * m.cnt) // m.w) AS keep_n
+      FROM counts l CROSS JOIN counts m
+      GROUP BY l.dom
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.lang,
+             CAST(row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY md5('mix-v1' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS BIGINT) AS rk
+      FROM documents d JOIN wts w ON d.lang = w.dom
+    )
+    SELECT r.doc_id, r.lang, r.rk, k.keep_n
+    FROM ranked r JOIN keep k ON r.lang = k.dom
+    WHERE r.rk <= k.keep_n
+    """,
+)
+
+
+def _q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return budget_select(_docs(spark, sf_dir))
+
+
+register(
+    "llm_budget_select",
+    _q_budget_select,
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 t -> list_contains(['the','a','row','fast','table'], t))) AS stop
+      FROM documents
+    ),
+    q AS (
+      -- replicates text.quality_score exactly (same round-6 discipline
+      -- as the green text_quality_score oracle)
+      SELECT doc_id, n_tokens,
+             round(round(alpha * 1.0 / greatest(n_chars, 1), 6)
+                   + round(stop * 1.0 / greatest(n_tokens, 1), 6)
+                   + CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END,
+                   6) AS quality
+      FROM f
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, quality,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens,
+             CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens
+      FROM q
+    )
+    SELECT doc_id, n_tokens, quality, cum_tokens
+    FROM c
+    WHERE cum_tokens <= (total_tokens * 50) // 100
+    """,
+)
+
+
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_topk(_docs(spark, sf_dir))
+
+
+register(
+    "llm_vocab_topk",
+    _q_vocab_topk,
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS sid, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    per_tok AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS tf,
+             CAST(count(DISTINCT sid) AS BIGINT) AS df
+      FROM toks GROUP BY tok
+    )
+    SELECT * FROM (
+      SELECT CAST(row_number() OVER (ORDER BY tf DESC, tok) AS BIGINT) AS rk,
+             tok AS token, tf, df
+      FROM per_tok
+    ) WHERE rk <= 20
+    """,
+)

@@ -109,3 +109,105 @@ def test_minhash_estimator_tracks_true_jaccard(spark):
     agree = sum(1 for x, y in zip(sigs[1], sigs[2]) if x == y) / 64
     true_j = 26 / 28
     assert abs(agree - true_j) < 0.25, f"estimator off: {agree} vs {true_j}"
+
+
+def test_round3_entries_match_oracle(spark, duck):
+    cur = duck_for(duck, SF_SMALL)
+    for name in [
+        "llm_quality_rules",
+        "llm_domain_mix",
+        "llm_budget_select",
+        "llm_vocab_topk",
+    ]:
+        fn, oracle = _entry(name)
+        assert_matches_oracle(fn(spark, SF_SMALL), cur, oracle)
+
+
+def test_quality_rules_conjunction(spark):
+    """passes must equal the AND of the four rule columns, and the
+    ratios must be well-formed."""
+    from dblab_ece_trino_spark.operators.llmprep import quality_rules
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    docs = engine_for(spark, SF_SMALL).catalogs.table("lake.llm.documents")
+    out = quality_rules(docs)
+    bad = out.filter(
+        (F.col("passes") != (F.col("r_len") & F.col("r_word_len") & F.col("r_stop") & F.col("r_rep")))
+        | (F.col("distinct_ratio") > 1.0)
+        | (F.col("distinct_ratio") < 0.0)
+        | (F.col("mean_word_len") < 0.0)
+    ).count()
+    assert bad == 0
+
+
+def test_domain_mix_exact_proportions_and_determinism(spark):
+    """Kept counts per domain must be exactly keep_n = min_m((w_l*cnt_m)
+    DIV w_m) — i.e. the output mixture matches the target weights as
+    closely as integer counts allow — and the survivor set must be
+    invariant under repartitioning (content-addressed selection)."""
+    from dblab_ece_trino_spark.operators.llmprep import domain_mix, MIX_WEIGHTS
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    docs = engine_for(spark, SF_SMALL).catalogs.table("lake.llm.documents")
+    out = domain_mix(docs, MIX_WEIGHTS)
+    kept = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    cnts = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    expect = {
+        l: min((MIX_WEIGHTS[l] * cm) // MIX_WEIGHTS[m] for m, cm in cnts.items())
+        for l in cnts
+    }
+    assert kept == expect
+    # exact proportionality: kept counts are w_l * s for one integer-ish
+    # scale s — equivalently kept_l / w_l differs by < 1 across domains
+    ratios = sorted(kept[l] / MIX_WEIGHTS[l] for l in kept)
+    assert ratios[-1] - ratios[0] < 1.0
+    ids_a = sorted(r.doc_id for r in out.select("doc_id").collect())
+    ids_b = sorted(
+        r.doc_id
+        for r in domain_mix(docs.repartition(13), MIX_WEIGHTS).select("doc_id").collect()
+    )
+    assert ids_a == ids_b
+
+
+def test_budget_select_maximal_prefix(spark):
+    """Selected tokens fit the budget, and the next-ranked document
+    would overflow it (greedy maximality)."""
+    from dblab_ece_trino_spark.operators.llmprep import budget_select
+    from dblab_ece_trino_spark.operators.text import quality_score
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    docs = engine_for(spark, SF_SMALL).catalogs.table("lake.llm.documents")
+    out = budget_select(docs).collect()
+    total = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("t")
+    ).collect()[0].t
+    budget = total * 50 // 100
+    got = sum(r.n_tokens for r in out)
+    assert got <= budget
+    # maximality: every unselected doc has n_tokens > budget - got OR
+    # ranks below the last selected one; check the cheapest sufficient
+    # condition — the selected set is a prefix of the quality ordering
+    # and adding the first unselected doc overflows.
+    stats = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        quality_score(F.col("text")).alias("q"),
+    ).collect()
+    order = sorted(stats, key=lambda r: (-r.q, r.doc_id))
+    sel = {r.doc_id for r in out}
+    k = len(sel)
+    assert {r.doc_id for r in order[:k]} == sel
+    if k < len(order):
+        assert got + order[k].n_tokens > budget
+
+
+def test_vocab_topk_ordering(spark):
+    from dblab_ece_trino_spark.operators.llmprep import vocab_topk
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    docs = engine_for(spark, SF_SMALL).catalogs.table("lake.llm.documents")
+    rows = vocab_topk(docs, k=20).orderBy("rk").collect()
+    assert 0 < len(rows) <= 20
+    tfs = [r.tf for r in rows]
+    assert tfs == sorted(tfs, reverse=True)
+    assert all(r.df <= r.tf and r.df >= 1 for r in rows)
