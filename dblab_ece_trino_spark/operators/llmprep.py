@@ -607,7 +607,9 @@ def budget_select(
     total = stats.agg(
         F.sum("n_tokens").alias("total_tokens")
     ).withColumn("__k", F.lit(1))
-    w = Window.orderBy(F.col("quality").desc(), F.col(id_col))
+    w = Window.orderBy(F.col("quality").desc(), F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     return (
         stats.withColumn("__k", F.lit(1))
         .join(F.broadcast(total), "__k")

@@ -8,6 +8,8 @@ broadcast, lost TopN) fails the suite.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from tests.conftest import SF_SMALL
@@ -231,3 +233,45 @@ def test_ann_invariant_entries_broadcast_queries(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_llm_quality_rules_is_projection(spark):
+    """The Gopher gate must stay a single codegen'd projection — any
+    Exchange means the cheapest pre-filter in the pipeline shuffles."""
+    plan = _plan(spark, "llm_quality_rules")
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_llm_domain_mix_broadcasts_keep_counts(spark):
+    """keep_n (|domains| rows) must arrive at the ranked corpus via
+    broadcast, and nothing may degenerate into a cartesian product."""
+    plan = _plan(spark, "llm_domain_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_llm_budget_select_sorts_stats_not_payload(spark):
+    """The global quality sort must run over the narrow stats frame:
+    the text column may appear only below the projection that computes
+    token counts, never in the window's sort input."""
+    plan = _plan(spark, "llm_budget_select")
+    assert "CartesianProduct" not in plan
+    # total_tokens (1 row) arrives via broadcast on the constant key
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the global sort's input must be the narrow stats frame, never the
+    # document payload
+    m = re.search(r"\(\d+\) Sort\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "text#" not in m.group(1)
+
+
+def test_llm_vocab_topk_partial_aggregates(spark):
+    """Token counting must partial-aggregate map-side before the
+    shuffle (HashAggregate appears both below and above the Exchange)."""
+    plan = _plan(spark, "llm_vocab_topk")
+    assert plan.count("HashAggregate") >= 2
+    assert "hashpartitioning(tok" in plan
+    # Catalyst pushes the rk<=k filter through the window into a top-k
+    # heap — the vocab never fully sorts
+    assert "TakeOrderedAndProject" in plan
