@@ -174,3 +174,64 @@ def drop_table(eng: EngineSession, name: str) -> None:
 def export_manifest(reports: list[LoadReport], path: str) -> None:
     with open(path, "w", encoding="utf-8") as f:
         json.dump([r.__dict__ for r in reports], f, indent=2)
+
+
+def ctas_load_jdbc(
+    eng: EngineSession,
+    source_sf_dir: str,
+    url: str,
+    tables: list[str],
+    catalog: str = "psql",
+    schema: str = "public",
+    options: dict[str, str] | None = None,
+    parallelism: int = 4,
+) -> list[LoadReport]:
+    """Parallel CTAS into a JDBC store — the reference loader's actual
+    PostgreSQL load step (loader.py:312-374 CTAS into the PG catalog),
+    not the parquet stand-in: each table is written through
+    ``df.write.format("jdbc")`` (executor-side batched INSERTs, one
+    connection per partition — Spark's distributed analog of the
+    reference's per-worker load), then re-registered as a ``jdbc``
+    TableSpec so 3-part names resolve against the *store*, with
+    filter/aggregate pushdown from then on.
+
+    ``rows`` counts the DESTINATION via a JDBC count — the same
+    write-verification discipline as ``ctas_load``.
+    """
+    from dblab_ece_trino_spark.catalog import TableSpec
+
+    opts = dict(options or {})
+
+    def load_one(table: str) -> LoadReport:
+        src = os.path.join(source_sf_dir, f"{table}.parquet")
+        dst = table.upper()
+        df = eng.catalogs._read_parquet(src)
+        (
+            df.write.format("jdbc")
+            .options(**opts)
+            .option("url", url)
+            .option("dbtable", dst)
+            .mode("overwrite")
+            .save()
+        )
+        eng.catalogs.register(
+            TableSpec(
+                catalog,
+                schema,
+                table,
+                "jdbc",
+                options={**opts, "url": url, "dbtable": dst},
+            )
+        )
+        n = (
+            eng.spark.read.format("jdbc")
+            .options(**opts)
+            .option("url", url)
+            .option("dbtable", dst)
+            .load()
+            .count()
+        )
+        return LoadReport(table=table, target=f"{catalog}.{schema}.{table}", rows=n)
+
+    with ThreadPoolExecutor(max_workers=parallelism) as pool:
+        return list(pool.map(load_one, tables))

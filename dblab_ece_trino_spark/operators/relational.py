@@ -350,6 +350,35 @@ GROUP BY user_id, sess
 register("op_session_window", _op_session_window, _SESSION_ORACLE)
 
 
+# Stream-stream interval join, batch analog (streaming form:
+# streaming/events.attribute_clicks — same code path; batch/stream
+# equality is pinned in tests/test_streaming.py).
+def _op_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.streaming.events import attribute_clicks
+
+    cat = engine_for(spark, sf_dir).catalogs
+    return attribute_clicks(cat.table("elastic.default.events"))
+
+
+register(
+    "op_click_attribution",
+    _op_click_attribution,
+    """
+    SELECT v.event_id AS view_id,
+           c.event_id AS click_id,
+           v.user_id,
+           v.ts AS view_ts,
+           c.ts AS click_ts,
+           c.value
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
+    """,
+)
+
+
 # The reference's deterministic hash-bucketing idiom
 # (loader.py:213-218: mod(bitwise_and(from_big_endian_64(xxhash64(to_utf8(
 # cast(k as varchar)))), 2^63-1), N)) — in Spark one call: pmod(xxhash64).

@@ -266,3 +266,43 @@ def write_bucketed_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def attribute_clicks(
+    events: DataFrame,
+    attribution_window: str = "4 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each click to the views it
+    followed within ``attribution_window`` for the same user.
+
+    The canonical two-stream correlation (ad-tech view→click, telemetry
+    request→error).  On streaming inputs both sides carry watermarks and
+    the join condition bounds event-time distance, so Spark evicts join
+    state once the watermark passes ``view_ts + window`` — state is
+    O(events in the window horizon) per user, not history.  On batch
+    inputs the same code is a plain interval join, which pins
+    batch/stream semantic equality (tested both ways).
+    """
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        "user_id",
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("user_id").alias("click_user"),
+        "value",
+    )
+    if events.isStreaming:
+        views = views.withWatermark("view_ts", watermark)
+        clicks = clicks.withWatermark("click_ts", watermark)
+    cond = (
+        (views["user_id"] == clicks["click_user"])
+        & (clicks["click_ts"] >= views["view_ts"])
+        & (clicks["click_ts"] <= views["view_ts"] + F.expr(f"INTERVAL {attribution_window}"))
+    )
+    return views.join(clicks, cond).select(
+        "view_id", "click_id", "user_id", "view_ts", "click_ts", "value"
+    )

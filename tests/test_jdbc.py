@@ -153,3 +153,34 @@ def test_jdbc_join_pushdown_via_query_scan(spark, derby_url):
     # one remote relation, no engine-side join operator
     assert "JDBCRelation" in plan or "JDBCScan" in plan.replace(" ", ""), plan
     assert "Join" not in plan.split("PushedFilters")[0].split("Scan")[0], plan
+
+
+def test_ctas_load_jdbc_end_to_end(spark, derby_url):
+    """Reference data-loader parity: parallel CTAS into the JDBC store,
+    destination-verified row counts, and 3-part-name querying against
+    the loaded copies with pushdown."""
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.loader import ctas_load_jdbc
+
+    eng = engine_for(spark, SF_SMALL)
+    reports = ctas_load_jdbc(
+        eng,
+        SF_SMALL,
+        derby_url,
+        ["region", "nation"],
+        catalog="derbyload",
+        schema="tpch",
+    )
+    by_table = {r.table: r for r in reports}
+    assert by_table["region"].rows == 5
+    assert by_table["nation"].rows == 25
+    df = eng.sql(
+        "SELECT r.r_name, count(*) AS n "
+        "FROM derbyload.tpch.nation n, derbyload.tpch.region r "
+        "WHERE n.n_regionkey = r.r_regionkey "
+        "GROUP BY r.r_name ORDER BY r.r_name"
+    )
+    rows = df.collect()
+    assert [r.n for r in rows] == [5, 5, 5, 5, 5]
+    plan = explain_str(df)
+    assert "JDBCRelation" in plan or "jdbc" in plan.lower()

@@ -248,3 +248,28 @@ def test_document_ingest_matches_batch(spark, tmp_path):
     # every retained fingerprint is unique in the stream output
     n = spark.table("doc_ingest").count()
     assert n == spark.table("doc_ingest").select("fingerprint").distinct().count()
+
+
+def test_click_attribution_stream_matches_batch(spark, events_dir):
+    """Stream-stream interval join == the same join run in batch: the
+    time-ordered micro-batches plus the 1h watermark mean no legitimate
+    match is ever dropped (view state is evicted only once the watermark
+    is past view_ts + window, by which point every matching click has
+    been seen)."""
+    from dblab_ece_trino_spark.streaming.events import (
+        attribute_clicks,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    stream = read_event_stream(spark, events_dir)
+    run_to_memory(attribute_clicks(stream), "click_attr", complete=False)
+    got = {
+        (r.view_id, r.click_id) for r in spark.table("click_attr").collect()
+    }
+    want = {
+        (r.view_id, r.click_id)
+        for r in attribute_clicks(spark.read.parquet(events_dir)).collect()
+    }
+    assert got == want
+    assert len(got) > 0
