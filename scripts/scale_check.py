@@ -94,6 +94,8 @@ def main() -> None:
         "sample_split", "decontaminate", "pipeline_clean_corpus",
         "sample_stratified", "llm_chunk_documents", "llm_repetition_profile",
         "llm_train_order", "llm_tf_cosine_dup",
+        "llm_quality_rules", "llm_domain_mix", "llm_budget_select",
+        "llm_vocab_topk", "op_click_attribution",
     ]
     for name in names:
         t1 = time.monotonic()
