@@ -1,0 +1,222 @@
+"""Warehouse-maintenance operators: keyed upsert resolution, SCD2
+history construction, and snapshot diffing.
+
+The reference's loader rebuilds tables wholesale (data-loader/loader.py
+CTAS, drop-then-create); a production lake needs the incremental forms.
+All three are classic one-shuffle shapes:
+
+- ``latest_by_key`` (SCD type-1 upsert resolution): one hash shuffle on
+  the key, a per-key window, no global sort — the merge-on-read half of
+  every upsert pipeline; at 100 TB the shuffle is the cost and it is
+  exactly one.
+- ``scd2_intervals`` (SCD type-2): per-key ``lead()`` over change
+  events → [valid_from, valid_to) ranges; same single shuffle.
+- ``snapshot_diff``: full outer join of two snapshots on the key with a
+  content hash per side — added/removed/changed classification in one
+  join, no collect; the content hash means wide rows compare as one
+  column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dblab_ece_trino_spark.operators.registry import register
+
+
+def latest_by_key(
+    df: DataFrame, key_cols: list[str], order_col: str, tiebreak: list[str] | None = None
+) -> DataFrame:
+    """SCD-1 upsert resolution: keep each key's latest row by
+    ``order_col`` (deterministic tiebreak columns resolve equal
+    versions).  One shuffle on the key; map-side nothing to combine, but
+    the window never leaves its hash partition."""
+    order = [F.col(order_col).desc()] + [F.col(c).desc() for c in (tiebreak or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """SCD-2 history: one validity interval [valid_from, valid_to) per
+    state change, ``valid_to`` NULL for the current row.  Change events
+    that repeat the previous attribute values are collapsed first (the
+    standard de-noising), then ``lead()`` closes each interval.
+    ``tiebreak`` columns make equal-timestamp orderings deterministic."""
+    order = [ts_col, *(tiebreak or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev = [
+        F.lag(c).over(w).alias(f"__prev_{c}") for c in attr_cols
+    ]
+    changed = F.lit(False)
+    d = df.select(*key_cols, ts_col, *attr_cols, *(tiebreak or []), *prev)
+    for c in attr_cols:
+        changed = changed | ~(F.col(c).eqNullSafe(F.col(f"__prev_{c}")))
+    d = d.filter(changed).drop(*[f"__prev_{c}" for c in attr_cols])
+    return d.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col)
+        .over(Window.partitionBy(*key_cols).orderBy(*order))
+        .alias("valid_to"),
+    )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Classify rows across two snapshots: 'added' / 'removed' /
+    'changed' (unchanged rows are omitted).  One full outer join on the
+    key; row content is compared via a single md5 over the non-key
+    columns rendered with a NULL sentinel, so arbitrary-width rows cost
+    one string hash per side."""
+    non_key = [c for c in old.columns if c not in key_cols]
+
+    def hashed(df: DataFrame, side: str) -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in non_key],
+            )
+        )
+        return df.select(*key_cols, h.alias(f"__h_{side}"))
+
+    o, n = hashed(old, "old"), hashed(new, "new")
+    joined = o.join(n, key_cols, "full_outer")
+    status = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(*key_cols, "status")
+    )
+
+
+# ------------------------------------------------------------ query entries
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    return engine_for(spark, sf_dir).catalogs.table("elastic.default.events")
+
+
+def _q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events as an upsert stream keyed by user: resolve to each user's
+    # latest state (event_id tiebreak makes equal timestamps
+    # deterministic).
+    out = latest_by_key(
+        _events(spark, sf_dir), ["user_id"], "ts", tiebreak=["event_id"]
+    )
+    return out.select("user_id", "event_id", "ts", "event_type")
+
+
+register(
+    "op_upsert_latest",
+    _q_upsert_latest,
+    """
+    SELECT user_id, event_id, ts, event_type
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+
+
+def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scd2_intervals(
+        _events(spark, sf_dir), ["user_id"], "ts", ["event_type"],
+        tiebreak=["event_id"],
+    )
+
+
+register(
+    "op_scd2_intervals",
+    _q_scd2,
+    """
+    WITH d AS (
+      SELECT user_id, ts, event_type, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+      FROM events
+    ),
+    ch AS (
+      SELECT user_id, ts, event_type, event_id FROM d
+      WHERE prev_t IS NULL OR event_type IS DISTINCT FROM prev_t
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+    FROM ch
+    """,
+)
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synthetic second snapshot, derived deterministically (same recipe
+    # in the oracle): drop keys ≡ 0 (mod 7), bump value on keys ≡ 1
+    # (mod 5) — exercises removed/changed/unchanged in one pass; rows
+    # "added" come from the old side's dropped complement being viewed
+    # in reverse (none here, asymmetry is intentional and tested).
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    new = (
+        ev.filter(F.col("event_id") % 7 != 0)
+        .withColumn(
+            "value",
+            F.when(
+                F.col("event_id") % 5 == 1, F.round(F.col("value") + 1.5, 2)
+            ).otherwise(F.col("value")),
+        )
+    )
+    return snapshot_diff(ev, new, ["event_id"])
+
+
+register(
+    "op_snapshot_diff",
+    _q_snapshot_diff,
+    """
+    WITH old AS (
+      SELECT event_id,
+             md5(concat_ws(chr(31),
+                 coalesce(CAST(user_id AS VARCHAR), chr(0)),
+                 coalesce(event_type, chr(0)),
+                 coalesce(CAST(value AS VARCHAR), chr(0)))) AS h
+      FROM events
+    ),
+    new AS (
+      SELECT event_id,
+             md5(concat_ws(chr(31),
+                 coalesce(CAST(user_id AS VARCHAR), chr(0)),
+                 coalesce(event_type, chr(0)),
+                 coalesce(CAST(CASE WHEN event_id % 5 = 1
+                                    THEN round(value + 1.5, 2)
+                                    ELSE value END AS VARCHAR), chr(0)))) AS h
+      FROM events WHERE event_id % 7 != 0
+    )
+    SELECT coalesce(o.event_id, n.event_id) AS event_id,
+           CASE WHEN o.h IS NULL THEN 'added'
+                WHEN n.h IS NULL THEN 'removed'
+                WHEN o.h != n.h THEN 'changed' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+    WHERE CASE WHEN o.h IS NULL THEN 'added'
+               WHEN n.h IS NULL THEN 'removed'
+               WHEN o.h != n.h THEN 'changed' END IS NOT NULL
+    """,
+)
