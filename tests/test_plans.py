@@ -275,3 +275,40 @@ def test_llm_vocab_topk_partial_aggregates(spark):
     # Catalyst pushes the rk<=k filter through the window into a top-k
     # heap — the vocab never fully sorts
     assert "TakeOrderedAndProject" in plan
+
+
+def test_upsert_latest_prunes_before_shuffle(spark):
+    """rank<=1 must push into a WindowGroupLimit on BOTH sides of the
+    exchange — each map task ships at most one row per key, so the
+    shuffle carries O(keys), not O(rows).  The difference between an
+    upsert resolution that works at 100 TB and one that doesn't."""
+    plan = _plan(spark, "op_upsert_latest")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("WindowGroupLimit") == 2
+    assert tree.count("Exchange") == 1
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_scd2_single_exchange_for_both_windows(spark):
+    """lag-change-detect and lead-close share the same (key, order), so
+    Catalyst must plan ONE sort+exchange serving both Window operators."""
+    plan = _plan(spark, "op_scd2_intervals")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window") == 2
+    assert tree.count("Exchange") == 1
+
+
+def test_snapshot_diff_joins_hashed_narrow(spark):
+    """The full-outer diff must join on the key with the per-side
+    content hash already computed below the join — the join input is
+    (key, hash), never the wide row."""
+    plan = _plan(spark, "op_snapshot_diff")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    # each side's pre-join Project emits exactly 2 columns: the key and
+    # the inlined content hash — the wide row never reaches the shuffle
+    sides = re.findall(
+        r"\(\d+\) Project\nOutput \[2\]: \[event_id#\d+L, md5\(.*AS __h_(?:old|new)#\d+\]",
+        plan,
+    )
+    assert len(sides) == 2
