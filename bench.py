@@ -38,6 +38,8 @@ HEADLINE = [
     "tpch_q20",
     "sample_stratified",
     "llm_repetition_profile",
+    "op_click_attribution",
+    "op_upsert_latest",
 ]
 
 
