@@ -190,3 +190,28 @@ def test_generator_catalog_deterministic_and_scaled(spark):
     )
     clean = reg.table("tpcds.clean.customer")
     assert clean.filter(F.col("c_first_name").endswith(" ")).count() == 0
+
+
+def test_orc_catalog_format_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC rides the generic connector pass-through (catalog.py load()
+    else-branch): register an orc TableSpec, query by 3-part name, and
+    the filter must reach the ORC scan (ORC carries min/max stripe
+    stats exactly like parquet footers)."""
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    eng = engine_for(spark, SF_SMALL)
+    nation = eng.catalogs.table("psql.tpch.nation")
+    path = str(tmp_path / "nation_orc")
+    nation.write.mode("overwrite").orc(path)
+    eng.catalogs.register(
+        TableSpec("lake", "fmt", "nation_orc", "orc", path=path)
+    )
+    df = eng.sql(
+        "SELECT n_name FROM lake.fmt.nation_orc WHERE n_nationkey >= 20"
+    )
+    got = {r.n_name for r in df.collect()}
+    want = {r.n_name for r in nation.filter(F.col("n_nationkey") >= 20).collect()}
+    assert got == want
+    plan = explain_str(df)
+    assert "Format: ORC" in plan or "orc" in plan.lower()
+    assert "GreaterThanOrEqual(n_nationkey,20)" in plan
