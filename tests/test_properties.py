@@ -153,3 +153,90 @@ def test_rolling_fingerprint_is_order_sensitive(spark, toks):
         assert fps[1] != fps[2]
     else:
         assert fps[1] == fps[2]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),          # key
+            st.integers(0, 10),         # version ts (duplicates allowed)
+            st.integers(0, 3),          # attr
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_latest_by_key_matches_python(spark, rows):
+    from dblab_ece_trino_spark.operators.warehouse import latest_by_key
+
+    # uid disambiguates duplicate (key, ts) rows as the tiebreak column
+    data = [(k, t, a, i) for i, (k, t, a) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k int, ts int, attr int, uid int")
+    got = {(r.k, r.ts, r.attr, r.uid) for r in
+           latest_by_key(df, ["k"], "ts", tiebreak=["uid"]).collect()}
+    want = {}
+    for k, t, a, i in data:
+        if k not in want or (t, i) > (want[k][1], want[k][3]):
+            want[k] = (k, t, a, i)
+    assert got == set(want.values())
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 3)),  # (key, attr)
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_scd2_matches_run_compression(spark, rows):
+    from dblab_ece_trino_spark.operators.warehouse import scd2_intervals
+
+    # strictly increasing ts per key → deterministic without tiebreak
+    seen: dict[int, int] = {}
+    data = []
+    for k, a in rows:
+        seen[k] = seen.get(k, 0) + 1
+        data.append((k, seen[k], a))
+    df = spark.createDataFrame(data, "k int, ts int, attr int")
+    got = sorted(
+        (r.k, r.attr, r.valid_from, r.valid_to)
+        for r in scd2_intervals(df, ["k"], "ts", ["attr"]).collect()
+    )
+    # python reference: compress runs per key, close with next change ts
+    want = []
+    by_key: dict[int, list] = {}
+    for k, t, a in sorted(data, key=lambda x: (x[0], x[1])):
+        by_key.setdefault(k, []).append((t, a))
+    for k, seq in by_key.items():
+        changes = [
+            (t, a) for i, (t, a) in enumerate(seq) if i == 0 or a != seq[i - 1][1]
+        ]
+        for i, (t, a) in enumerate(changes):
+            nxt = changes[i + 1][0] if i + 1 < len(changes) else None
+            want.append((k, a, t, nxt))
+    assert got == sorted(want)
+
+
+@given(
+    old=st.dictionaries(st.integers(0, 15), st.integers(0, 5), max_size=15),
+    new=st.dictionaries(st.integers(0, 15), st.integers(0, 5), max_size=15),
+)
+@settings(**_SETTINGS)
+def test_snapshot_diff_matches_dict_compare(spark, old, new):
+    from dblab_ece_trino_spark.operators.warehouse import snapshot_diff
+
+    do = spark.createDataFrame(list(old.items()) or [(-1, 0)], "k int, v int")
+    dn = spark.createDataFrame(list(new.items()) or [(-1, 0)], "k int, v int")
+    if not old:
+        do = do.filter("k >= 0")
+    if not new:
+        dn = dn.filter("k >= 0")
+    got = {(r.k, r.status) for r in snapshot_diff(do, dn, ["k"]).collect()}
+    want = (
+        {(k, "added") for k in new.keys() - old.keys()}
+        | {(k, "removed") for k in old.keys() - new.keys()}
+        | {(k, "changed") for k in old.keys() & new.keys() if old[k] != new[k]}
+    )
+    assert got == want
