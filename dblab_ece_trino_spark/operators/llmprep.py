@@ -800,3 +800,91 @@ register(
     ) WHERE rk <= 20
     """,
 )
+
+
+# ---------------------------------------------------- chunk-level dedup
+def chunk_dedup(
+    docs: DataFrame,
+    chunk_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fine-grained (chunk-level) exact dedup — the RefinedWeb-style
+    pass that removes repeated passages document-level dedup can't see.
+
+    Non-overlapping ``chunk_tokens`` windows are content-addressed by
+    md5; the FIRST occurrence (ordered by doc id, then position) of each
+    chunk survives.  Output is the per-document retention profile —
+    what a curation pipeline feeds its keep/rewrite decisions.
+
+    Shape at 100 TB: the chunker is a shuffle-free explode; dedup is ONE
+    hash shuffle on chunk_md5 (row_number, not distinct, so the winner
+    is deterministic); the profile is one keyed agg back on the doc id.
+    """
+    chunks = chunk_documents(
+        docs, chunk_tokens=chunk_tokens, stride=chunk_tokens,
+        id_col=id_col, text_col=text_col,
+    )
+    w = Window.partitionBy("chunk_md5").orderBy(id_col, "chunk_idx")
+    kept = chunks.withColumn("__rn", F.row_number().over(w))
+    first = (F.col("__rn") == 1).cast("long")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(first).alias("n_kept_chunks"),
+            F.sum("n_chunk_tokens").alias("n_tokens"),
+            F.sum(F.col("n_chunk_tokens") * first).alias("n_kept_tokens"),
+        )
+        .withColumn(
+            "keep_ratio",
+            F.round(
+                F.col("n_kept_tokens") * F.lit(1.0)
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ),
+        )
+    )
+
+
+def _q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_dedup(_docs(spark, sf_dir))
+
+
+register(
+    "llm_chunk_dedup",
+    _q_chunk_dedup,
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    s AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t), 1), 16)) AS start
+      FROM toks
+    ),
+    c AS (
+      SELECT doc_id,
+             (start - 1) // 16 AS chunk_idx,
+             CAST(len(list_slice(t, start, start + 15)) AS BIGINT) AS n_chunk_tokens,
+             md5(array_to_string(list_slice(t, start, start + 15), ' ')) AS h
+      FROM s
+    ),
+    r AS (
+      SELECT doc_id, chunk_idx, n_chunk_tokens,
+             CASE WHEN row_number() OVER (
+               PARTITION BY h ORDER BY doc_id, chunk_idx) = 1
+             THEN 1 ELSE 0 END AS first
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(first) AS BIGINT) AS n_kept_chunks,
+           CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chunk_tokens * first) AS BIGINT) AS n_kept_tokens,
+           round(sum(n_chunk_tokens * first) * 1.0
+                 / greatest(sum(n_chunk_tokens), 1), 6) AS keep_ratio
+    FROM r
+    GROUP BY doc_id
+    """,
+)

@@ -312,3 +312,14 @@ def test_snapshot_diff_joins_hashed_narrow(spark):
         plan,
     )
     assert len(sides) == 2
+
+
+def test_llm_chunk_dedup_one_shuffle_per_stage(spark):
+    """Chunker stays a shuffle-free explode; dedup adds exactly one
+    hash shuffle on chunk_md5 plus the per-doc agg shuffle — no global
+    sort anywhere."""
+    plan = _plan(spark, "llm_chunk_dedup")
+    tree = plan.split("\n\n")[0]
+    assert "Generate" in tree
+    assert "rangepartitioning" not in plan.lower()
+    assert tree.count("Exchange") <= 2  # chunk_md5 window + doc agg
