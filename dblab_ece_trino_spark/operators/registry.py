@@ -105,18 +105,23 @@ GRADED_PRIORITY: list[str] = [
     "sim_search_lsh", "sim_search_ivf",
     # registered this round, never graded
     "gen_store_sales_invariants",
+    "llm_quality_rules", "llm_domain_mix", "llm_budget_select",
+    "llm_vocab_topk", "llm_chunk_dedup",
+    "op_click_attribution", "op_upsert_latest", "op_scd2_intervals",
+    "op_snapshot_diff",
     # new llmprep operators (registered this round)
     "llm_chunk_documents", "llm_pii_redact", "llm_repetition_profile",
     "llm_tf_cosine_dup", "llm_dedup_resolution", "llm_train_order",
     # oracle rounding changed this round — re-grade
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_word",
-    # backfill: round-1/2 greens rotated back in for regression watch
-    "tpch_q1", "tpch_q3", "tpch_q18", "tpch_q21_agg",
-    "op_filter_conjunction", "op_join_shuffle", "op_join_left_composite",
-    # (op_distinct rotated out: its semantics stay watched via q005's
-    # distinct+EXCEPT path; it holds a green r1 row.)
-    "op_join_semi", "op_join_anti", "op_topn",
-    "join_asof", "join_range", "dedup_embedding",
+    # backfill: round-1/2 greens rotated back in for regression watch —
+    # four diverse shapes (big join+agg, rewrite-equivalence pin, custom
+    # as-of join, bounded embedding dedup).  The nine other r1 greens
+    # previously here (tpch_q1/q3, op_filter_conjunction, op_join_shuffle,
+    # op_join_left_composite, op_join_semi/anti, op_topn, join_range,
+    # op_distinct) rotated out to make room for this round's nine new
+    # operators; each keeps its green r1 row and its local pytest gate.
+    "tpch_q18", "tpch_q21_agg", "join_asof", "dedup_embedding",
 ]
 
 
