@@ -59,6 +59,7 @@ def _ensure_loaded() -> None:
         sampling,
         llmprep,
         warehouse,
+        timeseries,
     )
     from dblab_ece_trino_spark.sources import generator  # noqa: F401
     from dblab_ece_trino_spark import queries_tpch  # noqa: F401

@@ -20,3 +20,39 @@ def test_sql_and_dataframe_paths_agree(name, spark):
     a = normalized_rows(sql_df.columns, [tuple(r) for r in sql_df.collect()])
     b = normalized_rows(df_df.columns, [tuple(r) for r in df_df.collect()])
     assert a == b, f"{name}: SQL and DataFrame paths disagree"
+
+
+def test_resample_fill_grid_invariants(spark):
+    """Grid is dense (one row per hour between each key's bounds),
+    n_events reconciles to the raw event count, and fill rows carry a
+    non-null value whenever any prior observation exists."""
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.operators.timeseries import resample_fill
+
+    ev = (
+        engine_for(spark, SF_SMALL)
+        .catalogs.table("elastic.default.events")
+        .filter(F.col("user_id") < 10)
+    )
+    out = resample_fill(ev)
+    per_user = out.groupBy("user_id").agg(
+        F.count("*").alias("rows"),
+        F.min("bucket").alias("lo"),
+        F.max("bucket").alias("hi"),
+        F.sum("n_events").alias("n"),
+    )
+    bad_density = per_user.filter(
+        F.col("rows")
+        != (F.unix_timestamp("hi") - F.unix_timestamp("lo")) / 3600 + 1
+    ).count()
+    assert bad_density == 0
+    total = {r.user_id: r.n for r in per_user.collect()}
+    raw = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert total == raw
+    # after the first observation every row must be filled
+    assert out.filter(F.col("filled_value").isNull()).count() == 0
