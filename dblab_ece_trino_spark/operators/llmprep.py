@@ -888,3 +888,109 @@ register(
     GROUP BY doc_id
     """,
 )
+
+
+# ------------------------------------------- end-to-end curation pipeline
+def curate_corpus(docs: DataFrame) -> DataFrame:
+    """The full curation decision pipeline, composed from the graded
+    stages: Gopher-style rule gates → exact-proportion domain mixing of
+    the survivors → token-budget greedy selection of the mixed corpus.
+
+    Every stage is a tested operator; the composition stays one lazy
+    plan, so Catalyst fuses the gate projection into the scans of the
+    later stages — the corpus is read once per shuffle boundary, not
+    once per conceptual stage.
+    """
+    gated = quality_rules(docs).filter(F.col("passes")).select("doc_id")
+    survivors = docs.join(gated, "doc_id")
+    mixed = domain_mix(survivors, MIX_WEIGHTS).select("doc_id", "lang")
+    return (
+        budget_select(docs.join(mixed.select("doc_id"), "doc_id"))
+        .join(mixed, "doc_id")
+        .select("doc_id", "lang", "n_tokens", "quality", "cum_tokens")
+    )
+
+
+def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curate_corpus(_docs(spark, sf_dir))
+
+
+register(
+    "pipeline_curate_corpus",
+    _q_curate,
+    oracle=r"""
+    WITH f AS (
+      SELECT doc_id, lang, text,
+             regexp_split_to_array(trim(text), '\s+') AS t,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS char_len
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang, text,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+             char_len,
+             CAST(len(list_filter(t,
+               x -> list_contains(['the','a','row','fast','table'], x))) AS BIGINT)
+               AS stop_hits
+      FROM f
+    ),
+    gated AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text, n_tokens, stop_hits,
+               round(char_len * 1.0 / greatest(n_tokens, 1), 6) AS mwl,
+               round(n_distinct * 1.0 / greatest(n_tokens, 1), 6) AS dr
+        FROM s
+      ) WHERE (n_tokens BETWEEN 10 AND 5000)
+          AND (mwl BETWEEN 2.0 AND 12.0) AND (stop_hits >= 1) AND (dr >= 0.2)
+    ),
+    wts(dom, w) AS (
+      VALUES ('en', 40), ('es', 15), ('de', 15), ('fr', 15), ('zh', 15)
+    ),
+    counts AS (
+      SELECT g.lang AS dom, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(w.w AS BIGINT) AS w
+      FROM gated g JOIN wts w ON g.lang = w.dom
+      GROUP BY g.lang, w.w
+    ),
+    keep AS (
+      SELECT l.dom, min((l.w * m.cnt) // m.w) AS keep_n
+      FROM counts l CROSS JOIN counts m GROUP BY l.dom
+    ),
+    mixed AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT g.doc_id, g.lang, g.text,
+               row_number() OVER (
+                 PARTITION BY g.lang
+                 ORDER BY md5('mix-v1' || CAST(g.doc_id AS VARCHAR)), g.doc_id
+               ) AS rk, k.keep_n
+        FROM gated g JOIN keep k ON g.lang = k.dom
+      ) WHERE rk <= keep_n
+    ),
+    q AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             round(round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                         / greatest(length(text), 1), 6)
+                   + round(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       t -> list_contains(['the','a','row','fast','table'], t))) * 1.0
+                         / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6)
+                   + CASE WHEN len(regexp_split_to_array(trim(text), '\s+'))
+                            BETWEEN 20 AND 1000 THEN 0.5 ELSE 0.0 END,
+                   6) AS quality
+      FROM mixed
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens, quality,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens,
+             CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens
+      FROM q
+    )
+    SELECT doc_id, lang, n_tokens, quality, cum_tokens
+    FROM c WHERE cum_tokens <= (total_tokens * 50) // 100
+    """,
+)
