@@ -212,6 +212,31 @@ def _q_generator_invariants(spark: SparkSession, sf_dir: str):
     )
 
 
+def _q_generator_join_invariants(spark: SparkSession, sf_dir: str):
+    """Referential integrity across generated tables, driver-gradable:
+    inner-joining the fact to BOTH its dims must preserve the exact row
+    count (every fk lands — the modulus contract), the joined year
+    domain is pinned by date_dim's 1096-day calendar (1996-1998), and
+    store states stay inside the 8-value domain.  Also the natural demo
+    of generated dims riding broadcast joins (plan-asserted)."""
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    eng = engine_for(spark, sf_dir)
+    eng.catalogs.register_generator_schema(sf=1.0)
+    ss = eng.catalogs.table("tpcds.sf1.store_sales")
+    dd = eng.catalogs.table("tpcds.sf1.date_dim")
+    st = eng.catalogs.table("tpcds.sf1.store")
+    j = ss.join(
+        F.broadcast(dd), ss.ss_sold_date_sk == dd.d_date_sk
+    ).join(F.broadcast(st), ss.ss_store_sk == st.s_store_sk)
+    return j.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("d_year").alias("n_years"),
+        ((F.min("d_year") == 1996) & (F.max("d_year") == 1998)).alias("years_ok"),
+        (F.count_distinct("s_state") <= 8).alias("states_ok"),
+    )
+
+
 def _register_entry() -> None:
     from dblab_ece_trino_spark.operators.registry import register
 
@@ -221,6 +246,15 @@ def _register_entry() -> None:
         oracle="""
         SELECT CAST(10000 AS BIGINT) AS n_rows,
                true AS fk_ok, true AS qty_ok, true AS price_ok
+        """,
+    )
+    register(
+        "gen_fact_dim_join_invariants",
+        _q_generator_join_invariants,
+        oracle="""
+        SELECT CAST(10000 AS BIGINT) AS n_rows,
+               CAST(3 AS BIGINT) AS n_years,
+               true AS years_ok, true AS states_ok
         """,
     )
 

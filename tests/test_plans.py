@@ -323,3 +323,21 @@ def test_llm_chunk_dedup_one_shuffle_per_stage(spark):
     assert "Generate" in tree
     assert "rangepartitioning" not in plan.lower()
     assert tree.count("Exchange") <= 2  # chunk_md5 window + doc agg
+
+
+def test_curation_pipeline_fuses_no_cartesian(spark):
+    """The composed pipeline must stay broadcast/hash-join shaped —
+    the |domains|² keep_n computation and the total_tokens scalar ride
+    broadcasts, never a cartesian product."""
+    plan = _plan(spark, "pipeline_curate_corpus")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "rangepartitioning" not in plan.lower().replace(
+        "rangepartitioning(quality", ""
+    )  # only the final narrow budget sort may range-partition
+
+
+def test_generator_dims_broadcast(spark):
+    plan = _plan(spark, "gen_fact_dim_join_invariants")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Exchange hashpartitioning" not in plan.split("HashAggregate")[0]
