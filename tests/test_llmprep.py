@@ -211,3 +211,44 @@ def test_vocab_topk_ordering(spark):
     tfs = [r.tf for r in rows]
     assert tfs == sorted(tfs, reverse=True)
     assert all(r.df <= r.tf and r.df >= 1 for r in rows)
+
+
+def test_domain_mix_edge_cases(spark):
+    """Domains absent from the weight map are excluded; a weight map
+    with one domain keeps that domain wholesale (scale = its own
+    count); empty frames yield empty output, not errors."""
+    from dblab_ece_trino_spark.operators.llmprep import domain_mix
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "zh"), (4, "xx")], "doc_id long, lang string"
+    )
+    out = domain_mix(df, {"en": 1}).collect()
+    assert {r.doc_id for r in out} == {1, 2}
+    assert all(r.keep_n == 2 for r in out)
+    empty = domain_mix(df.filter("doc_id < 0"), {"en": 1}).count()
+    assert empty == 0
+
+
+def test_budget_select_zero_and_full_budget(spark):
+    from dblab_ece_trino_spark.operators.llmprep import budget_select
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "f")], "doc_id long, text string"
+    )
+    # 100% budget keeps everything; 0% keeps nothing
+    assert budget_select(df, budget_frac_pct=100).count() == 3
+    assert budget_select(df, budget_frac_pct=0).count() == 0
+
+
+def test_chunk_dedup_identical_docs_keep_first(spark):
+    """Two byte-identical documents: the lower doc_id keeps 100% of its
+    chunks, the other keeps 0%."""
+    from dblab_ece_trino_spark.operators.llmprep import chunk_dedup
+
+    text = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in chunk_dedup(df).collect()}
+    assert out[1].keep_ratio == 1.0 and out[1].n_kept_chunks == out[1].n_chunks
+    assert out[2].keep_ratio == 0.0 and out[2].n_kept_chunks == 0
