@@ -1,0 +1,266 @@
+"""Statistical / analytical SQL surface: extreme-value selection
+(``max_by``/``min_by``), regression + correlation aggregates, bucketed
+histograms (``width_bucket``), bitwise aggregates, TRY-flavored safe
+arithmetic, grouping marks over GROUPING SETS, approx-vs-exact quantile
+tolerance, recursive hierarchy walk over table-derived edges, and a
+blocked fuzzy-match (levenshtein) entity-resolution join.
+
+The reference engine (Trino 477) ships this whole function surface even
+though its five benchmark queries don't exercise it (SURVEY §2.8 "not
+present" list); a reference user keeps every one of these when they
+switch.  Spark 4 covers each natively — JVM-side, whole-stage-codegen
+expressions; no Python in any hot path.
+
+Scale notes (100 TB lens):
+- every aggregate entry is a single hash partial→final aggregation — one
+  shuffle, map-side combined;
+- ``op_fuzzy_match`` is the canonical *blocked* ER self-join: the equi
+  block key (brand) bounds the candidate space; levenshtein runs only
+  inside blocks.  At larger block sizes the block key widens (brand ×
+  container × size) exactly like LSH banding in operators/dedup.py —
+  never all-pairs;
+- ``op_hierarchy_walk`` is linear recursion with a per-iteration
+  shuffle; depth is log2(keyspace) so the iteration count is bounded
+  (7 here), the same shape as dedup_clusters' label propagation;
+- DuckDB lacks ``width_bucket``; the oracle emulates it with exact
+  integer-valued floor arithmetic (bucket width 50000 divides the domain
+  exactly, inputs floored to integral doubles), so both formulas are
+  bit-exact and the emulation cannot diverge at bucket boundaries.
+"""
+
+from __future__ import annotations
+
+from dblab_ece_trino_spark.operators.registry import register_sql
+from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+
+def _both(name: str, spark_tpl: str, oracle_tpl: str | None = None) -> None:
+    oracle_tpl = oracle_tpl if oracle_tpl is not None else spark_tpl
+    register_sql(
+        name,
+        spark_tpl.format(**_SPARK_TABLES),
+        oracle_tpl.format(**_ORACLE_TABLES),
+    )
+
+
+# Extreme-value selection: the row-valued argmax/argmin aggregates.
+# Ordering keys are continuous doubles (per-group max/min unique in the
+# testdata — asserted by tests/test_analytics.py), so the result is
+# deterministic without a composite tiebreak (DuckDB's arg_max cannot
+# order by a struct).
+_both(
+    "op_min_max_by",
+    """
+    SELECT c_nationkey,
+           max_by(c_name, c_acctbal) AS top_name,
+           min_by(c_name, c_acctbal) AS bottom_name,
+           CAST(round(max(c_acctbal), 2) AS DOUBLE) AS max_bal,
+           CAST(round(min(c_acctbal), 2) AS DOUBLE) AS min_bal
+    FROM {customer}
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    """
+    SELECT c_nationkey,
+           arg_max(c_name, c_acctbal) AS top_name,
+           arg_min(c_name, c_acctbal) AS bottom_name,
+           CAST(round(max(c_acctbal), 2) AS DOUBLE) AS max_bal,
+           CAST(round(min(c_acctbal), 2) AS DOUBLE) AS min_bal
+    FROM {customer}
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+
+# Regression / correlation aggregate family — one partial→final hash agg.
+# Rounded on both sides: the moment sums are order-of-summation
+# sensitive in the last ulps.
+_both(
+    "op_stats_regression",
+    """
+    SELECT l_returnflag,
+           CAST(round(corr(l_quantity, l_extendedprice), 4) AS DOUBLE) AS corr_qp,
+           CAST(round(covar_samp(l_quantity, l_extendedprice), 1) AS DOUBLE)
+             AS covar_qp,
+           CAST(round(stddev_samp(l_quantity), 4) AS DOUBLE) AS sd_qty,
+           CAST(round(var_pop(l_quantity), 4) AS DOUBLE) AS var_qty,
+           CAST(round(regr_slope(l_extendedprice, l_quantity), 4) AS DOUBLE)
+             AS slope,
+           CAST(round(regr_intercept(l_extendedprice, l_quantity), 2) AS DOUBLE)
+             AS intercept,
+           CAST(count(*) AS BIGINT) AS n
+    FROM {lineitem}
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+
+# width_bucket histogram of order value: equi-width binning into 12
+# buckets over [0, 600000).  Inputs are floored to integral doubles and
+# the bucket width (50000) divides the domain exactly, so Spark's
+# width_bucket and the oracle's floor-arithmetic emulation agree exactly
+# at every boundary.
+_both(
+    "op_width_bucket_hist",
+    """
+    SELECT CAST(width_bucket(floor(o_totalprice), 0, 600000, 12) AS BIGINT)
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total_value
+    FROM {orders}
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    """
+    SELECT CASE WHEN floor(o_totalprice) >= 600000 THEN CAST(13 AS BIGINT)
+                ELSE CAST(floor(floor(o_totalprice) / 50000) AS BIGINT) + 1
+           END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total_value
+    FROM {orders}
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+
+# Bitwise aggregates (bit_and / bit_or / bit_xor) — set-membership
+# rollups over small integer domains.
+_both(
+    "op_bit_aggregates",
+    """
+    SELECT l_returnflag,
+           CAST(bit_and(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS all_bits,
+           CAST(bit_or(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS any_bits,
+           CAST(bit_xor(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS parity,
+           CAST(count(*) AS BIGINT) AS n
+    FROM {lineitem}
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+
+# TRY-flavored safe arithmetic: division by a data-dependent zero and a
+# failing string→number cast both yield NULL instead of failing the
+# query (Trino's try(); Spark's try_divide/try_cast; DuckDB spells the
+# same semantics with NULLIF + TRY_CAST).
+_both(
+    "op_try_arithmetic",
+    """
+    SELECT l_returnflag,
+           CAST(count(try_divide(l_extendedprice, l_quantity - 25)) AS BIGINT)
+             AS ok_divides,
+           CAST(round(sum(try_divide(l_extendedprice, l_quantity - 25)), 1)
+                AS DOUBLE) AS sum_ratio,
+           CAST(count(try_cast(l_returnflag AS DOUBLE)) AS BIGINT)
+             AS numeric_flags,
+           CAST(count(*) AS BIGINT) AS n
+    FROM {lineitem}
+    WHERE l_orderkey < 4000
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    """
+    SELECT l_returnflag,
+           CAST(count(l_extendedprice / nullif(l_quantity - 25, 0)) AS BIGINT)
+             AS ok_divides,
+           CAST(round(sum(l_extendedprice / nullif(l_quantity - 25, 0)), 1)
+                AS DOUBLE) AS sum_ratio,
+           CAST(count(TRY_CAST(l_returnflag AS DOUBLE)) AS BIGINT)
+             AS numeric_flags,
+           CAST(count(*) AS BIGINT) AS n
+    FROM {lineitem}
+    WHERE l_orderkey < 4000
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+
+# GROUPING SETS with grouping marks: grouping(col) distinguishes "NULL
+# because not grouped" from data NULLs; the combined grouping id is
+# computed portably as grouping(a)*2 + grouping(b).
+_both(
+    "op_grouping_marks",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT)
+             AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS qty
+    FROM {lineitem}
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY gid, l_returnflag, l_linestatus
+    """,
+)
+
+# Approx-vs-exact quantile tolerance: the t-digest/KLL-style sketch
+# (approx_percentile) must land within 1% of the exact interpolated
+# quantile.  Oracle-checkable invariant (the boolean + the exact side),
+# same pattern as op_approx_distinct.
+_both(
+    "op_approx_percentile_tol",
+    """
+    SELECT CAST(round(percentile(o_totalprice, 0.5), 2) AS DOUBLE) AS exact_p50,
+           CAST(round(percentile(o_totalprice, 0.9), 2) AS DOUBLE) AS exact_p90,
+           CAST(abs(approx_percentile(o_totalprice, 0.5, 10000)
+                    - percentile(o_totalprice, 0.5))
+                <= percentile(o_totalprice, 0.5) * 0.01 AS BOOLEAN)
+             AS p50_within_tol,
+           CAST(abs(approx_percentile(o_totalprice, 0.9, 10000)
+                    - percentile(o_totalprice, 0.9))
+                <= percentile(o_totalprice, 0.9) * 0.01 AS BOOLEAN)
+             AS p90_within_tol,
+           CAST(count(*) AS BIGINT) AS n
+    FROM {orders}
+    """,
+    """
+    SELECT CAST(round(quantile_cont(o_totalprice, 0.5), 2) AS DOUBLE) AS exact_p50,
+           CAST(round(quantile_cont(o_totalprice, 0.9), 2) AS DOUBLE) AS exact_p90,
+           CAST(TRUE AS BOOLEAN) AS p50_within_tol,
+           CAST(TRUE AS BOOLEAN) AS p90_within_tol,
+           CAST(count(*) AS BIGINT) AS n
+    FROM {orders}
+    """,
+)
+
+# Recursive hierarchy walk over table-derived edges (binary-tree parent
+# suppkey→suppkey/2): ancestor chain per supplier with depth-to-root.
+# Linear recursion, one shuffle per iteration, log2(keyspace) iterations
+# — the same bounded-iteration discipline as dedup_clusters.
+_both(
+    "op_hierarchy_walk",
+    """
+    WITH RECURSIVE chain(suppkey, anc, depth) AS (
+      SELECT s_suppkey, s_suppkey, 0 FROM {supplier}
+      UNION ALL
+      SELECT suppkey, CAST(floor(anc / 2.0) AS INT), depth + 1
+      FROM chain WHERE anc > 1
+    )
+    SELECT suppkey,
+           CAST(max(depth) AS BIGINT) AS depth_to_root,
+           CAST(count(*) AS BIGINT) AS chain_len,
+           CAST(sum(anc) AS BIGINT) AS anc_key_sum
+    FROM chain
+    GROUP BY suppkey
+    ORDER BY suppkey
+    """,
+)
+
+# Blocked fuzzy-match ER join: equi-join on the block key bounds the
+# candidate space; levenshtein evaluates only inside blocks.  The
+# all-pairs form never appears in the plan (tests/test_plans.py asserts
+# no cartesian product).
+_both(
+    "op_fuzzy_match",
+    """
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM {part} a
+    JOIN {part} b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY key_a, key_b
+    """,
+)

@@ -51,6 +51,7 @@ def _ensure_loaded() -> None:
     from dblab_ece_trino_spark.operators import (  # noqa: F401
         relational,
         joins,
+        analytics,
         dedup,
         similarity,
         text,
