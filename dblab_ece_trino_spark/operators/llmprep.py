@@ -994,3 +994,130 @@ register(
     FROM c WHERE cum_tokens <= (total_tokens * 50) // 100
     """,
 )
+
+
+# --------------------------------------------------------------- round 3b
+def bigram_lm_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    cheap perplexity proxy for quality filtering (CCNet-style: docs
+    whose word transitions are atypical for the corpus score low).
+
+    Per doc: n_bigrams and the mean log MLE transition probability
+    avg(ln(c(w1 w2) / c(w1 ·))) over its bigrams, where counts are
+    corpus-wide.  Self-trained, so every doc bigram has nonzero count —
+    no smoothing term needed.
+
+    Shape at 100 TB: bigrams are generated by a pure array projection
+    (``transform(sequence(...))`` over the token array — no positional
+    self-join, no extra shuffle); corpus counts are two hash
+    aggregations; the score join shuffles on the bigram string, which
+    hash-partitions evenly (natural-language bigram frequencies are
+    Zipfian but the JOIN key space is wide; AQE skew-split covers the
+    head).  Python never touches the data.
+    """
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda t: t != F.lit(""),
+    )
+    d = docs.select(F.col(id_col), arr.alias("arr")).filter(F.size("arr") >= 2)
+    bi = d.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(arr) - 1), "
+                "i -> concat(element_at(arr, i), ' ', element_at(arr, i + 1)))"
+            )
+        ).alias("bigram"),
+    ).withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+    c_big = bi.groupBy("bigram").agg(F.count("*").alias("c_big"))
+    c_uni = bi.groupBy("w1").agg(F.count("*").alias("c_uni"))
+    return (
+        bi.join(c_big, "bigram")
+        .join(c_uni, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(F.ln(F.col("c_big").cast("double") / F.col("c_uni"))), 4
+            )
+            .cast("double")
+            .alias("avg_logp"),
+        )
+    )
+
+
+def _q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_lm_score(_docs(spark, sf_dir))
+
+
+register(
+    "llm_bigram_lm_score",
+    _q_bigram_lm,
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         t -> t != '') AS arr
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(arr) - 1),
+                                   i -> arr[i] || ' ' || arr[i + 1])) AS bigram
+      FROM d WHERE len(arr) >= 2
+    ),
+    bw AS (SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS w1 FROM bi),
+    cb AS (SELECT bigram, count(*) AS c_big FROM bw GROUP BY bigram),
+    cu AS (SELECT w1, count(*) AS c_uni FROM bw GROUP BY w1)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(round(avg(ln(CAST(cb.c_big AS DOUBLE) / cu.c_uni)), 4)
+                AS DOUBLE) AS avg_logp
+    FROM bw b
+    JOIN cb ON b.bigram = cb.bigram
+    JOIN cu ON b.w1 = cu.w1
+    GROUP BY b.doc_id
+    """,
+)
+
+
+def dataset_profile(docs: DataFrame) -> DataFrame:
+    """Per-(source, lang) dataset card: volume, length distribution,
+    exact-duplicate density — the summary table a data curator reads
+    before deciding mixture weights.  One partial→final hash agg (the
+    distinct-hash count rewrites to a two-level agg under AQE)."""
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("tot_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+        F.countDistinct(F.md5(F.col("text").cast("binary")))
+        .cast("long")
+        .alias("uniq_texts"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+def _q_dataset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dataset_profile(_docs(spark, sf_dir))
+
+
+register(
+    "llm_dataset_profile",
+    _q_dataset_profile,
+    oracle="""
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS tot_chars,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+           quantile_cont(n_chars, 0.5) AS p50_chars,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS uniq_texts,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
