@@ -341,3 +341,44 @@ def test_generator_dims_broadcast(spark):
     plan = _plan(spark, "gen_fact_dim_join_invariants")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "Exchange hashpartitioning" not in plan.split("HashAggregate")[0]
+
+
+def test_bigram_lm_no_positional_self_join(spark):
+    """Bigrams must come from the array projection (Generate/explode),
+    never a positional self-join; the only joins are the two corpus
+    count joins, all equi."""
+    plan = _plan(spark, "llm_bigram_lm_score")
+    assert "Generate" in plan  # explode of the transform() array
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ewma_convolution_is_equi_join(spark):
+    """The lag explode turns the windowed convolution into pure
+    hash-partitionable equi-joins — no theta-join fallback."""
+    plan = _plan(spark, "ts_ewma")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zscore_single_window_operator(spark):
+    """All three moment sums share one window spec — one Window node,
+    one Exchange on the key."""
+    plan = _plan(spark, "ts_zscore_anomaly")
+    assert plan.count(") Window") == 1  # the physical node header "(n) Window"
+
+
+def test_fuzzy_match_blocked_equi_join(spark):
+    """ER join hash-partitions on the block key; levenshtein is a
+    residual inside blocks."""
+    plan = _plan(spark, "op_fuzzy_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+
+
+def test_ohlc_single_aggregation(spark):
+    """OHLC bars are one partial+final hash agg — no window, no join."""
+    plan = _plan(spark, "ts_ohlc_bars")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
