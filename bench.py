@@ -40,6 +40,9 @@ HEADLINE = [
     "llm_repetition_profile",
     "op_click_attribution",
     "op_upsert_latest",
+    # round-3 late additions (appended so prior rounds stay comparable)
+    "llm_bigram_lm_score",
+    "ts_zscore_anomaly",
 ]
 
 
