@@ -116,14 +116,21 @@ GRADED_PRIORITY: list[str] = [
     "llm_tf_cosine_dup", "llm_dedup_resolution", "llm_train_order",
     # oracle rounding changed this round — re-grade
     "dedup_ngram_jaccard", "dedup_ngram_jaccard_word",
-    # backfill: round-1/2 greens rotated back in for regression watch —
-    # four diverse shapes (big join+agg, rewrite-equivalence pin, custom
-    # as-of join, bounded embedding dedup).  The nine other r1 greens
-    # previously here (tpch_q1/q3, op_filter_conjunction, op_join_shuffle,
-    # op_join_left_composite, op_join_semi/anti, op_topn, join_range,
-    # op_distinct) rotated out to make room for this round's nine new
-    # operators; each keeps its green r1 row and its local pytest gate.
-    "tpch_q18", "tpch_q21_agg", "join_asof", "dedup_embedding",
+    # late round-3 additions promoted into the window: the blocked ER
+    # join, the fused-window anomaly op, the corpus LM scorer, the
+    # recursive hierarchy walk.
+    # They take the slots previously used for r1/r2-green regression
+    # watches (tpch_q18, tpch_q21_agg, join_asof, dedup_embedding, plus
+    # the registration-order overflow op_project_case etc.) — every
+    # watch keeps its green driver row from r1/r2 and its local pytest
+    # gate, and q001-q005 remain the per-round regression watch in the
+    # base window.  The nine other late additions (op_min_max_by,
+    # op_width_bucket_hist, op_bit_aggregates, op_try_arithmetic,
+    # op_grouping_marks, op_approx_percentile_tol, ts_ewma,
+    # ts_ohlc_bars, llm_dataset_profile, op_stats_regression) rotate in
+    # next round.
+    "op_fuzzy_match", "ts_zscore_anomaly", "llm_bigram_lm_score",
+    "op_hierarchy_walk",
 ]
 
 
