@@ -55,3 +55,78 @@ def test_hierarchy_walk_depths(spark):
     assert all(
         r["chain_len"] == r["depth_to_root"] + 1 for r in rows
     )
+
+
+def test_ewma_weights_hand_computed(spark):
+    """EWMA renormalized weights on a hand-built series: for rows
+    [10, 20, 40] with a=0.6 the third row's ewma is
+    (40*1 + 20*0.6 + 10*0.36) / (1 + 0.6 + 0.36)."""
+    from dblab_ece_trino_spark.operators.registry import spark_queries
+    from tests.conftest import SF_MED
+    import duckdb
+
+    # drive the registered oracle SQL on a 3-row frame to pin semantics
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        "(1, TIMESTAMP '2024-01-01 00:00:00', 7, 'click', 10.0, ''),"
+        "(2, TIMESTAMP '2024-01-01 00:01:00', 7, 'click', 20.0, ''),"
+        "(3, TIMESTAMP '2024-01-01 00:02:00', 7, 'click', 40.0, '')"
+        ") t(event_id, ts, user_id, event_type, value, props)"
+    )
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    rows = con.execute(oracle_queries()["ts_ewma"]).fetchall()
+    assert [r[1] for r in rows] == [1, 2, 3]
+    expected3 = round((40 * 1 + 20 * 0.6 + 10 * 0.36) / (1 + 0.6 + 0.36), 4)
+    assert rows[2][2] == expected3
+    assert rows[0][2] == 10.0  # first row: weight renormalizes to itself
+
+
+def test_bigram_lm_self_scores_zero_for_unique_doc(spark):
+    """A doc whose every bigram is corpus-unique has avg_logp = ln(1/1)
+    = 0 only if each w1 also appears once; with repeated w1 the score
+    goes negative — pin both cases on a 2-doc corpus."""
+    from dblab_ece_trino_spark.operators.llmprep import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    # doc 1 bigrams: "alpha beta" (c=2, c_uni(alpha)=2 -> ln 1 = 0),
+    #                "beta gamma" (c=1, c_uni(beta)=2 -> ln 0.5)
+    import math
+
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["avg_logp"] == round((0.0 + math.log(0.5)) / 2, 4)
+    assert out[2]["avg_logp"] == out[1]["avg_logp"]  # symmetric corpus
+
+
+def test_ohlc_open_close_ordering(spark):
+    """open is the earliest event's value, close the latest — pinned on
+    a hand-built one-day series."""
+    import datetime
+
+    from dblab_ece_trino_spark.operators.registry import spark_queries
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1, 9), 1, "x", 5.0, ""),
+            (2, datetime.datetime(2024, 1, 1, 12), 1, "x", 99.0, ""),
+            (3, datetime.datetime(2024, 1, 1, 16), 1, "x", 7.0, ""),
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.createOrReplaceTempView("__ohlc_probe")
+    row = spark.sql(
+        """
+        SELECT min_by(value, ts) AS open, max_by(value, ts) AS close,
+               max(value) AS high, min(value) AS low
+        FROM __ohlc_probe
+        """
+    ).collect()[0]
+    assert (row["open"], row["close"], row["high"], row["low"]) == (
+        5.0, 7.0, 99.0, 5.0,
+    )
