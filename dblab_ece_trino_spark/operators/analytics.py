@@ -264,3 +264,27 @@ _both(
     ORDER BY key_a, key_b
     """,
 )
+
+
+# Equi-depth histogram via ntile: 8 equal-count buckets with their value
+# bounds — the complement of op_width_bucket_hist's equi-width form.
+# The global ORDER BY window is a single-partition sort: correct here,
+# and the documented scale path for equi-depth at 100 TB is
+# approx_percentile cut points (op_approx_percentile_tol) + width_bucket
+# against them, which needs no global sort.  Tiebreak on the key makes
+# bucket assignment total-order deterministic.
+_both(
+    "op_equidepth_hist",
+    """
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM {orders}
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi
+    FROM t
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)

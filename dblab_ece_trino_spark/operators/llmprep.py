@@ -1121,3 +1121,56 @@ register(
     GROUP BY source, lang
     """,
 )
+
+
+def quality_floor(
+    docs: DataFrame,
+    group_col: str = "source",
+    metric_col: str = "n_chars",
+    floor_quantile: float = 0.25,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group quantile floor: keep documents at or above their own
+    group's ``floor_quantile`` on the metric — the "drop each source's
+    shortest quartile" curation gate (per-domain floors beat one global
+    threshold because length/quality distributions differ per source).
+
+    percent_rank is (rank-1)/(n-1) from exact integers — deterministic
+    across engines without rounding.  One hash shuffle on the group;
+    per-group sort inside the window.  At 100 TB group counts are large
+    but the window is per-group (not global), so this scales like any
+    keyed window; for extreme single-group sizes switch to
+    approx_percentile cut points (no sort).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(metric_col), F.col(id_col)
+    )
+    return (
+        docs.select(
+            id_col,
+            group_col,
+            F.col(metric_col).cast("long").alias(metric_col),
+            F.percent_rank().over(w).alias("pr"),
+        )
+        .filter(F.col("pr") >= F.lit(floor_quantile))
+    )
+
+
+def _q_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_floor(_docs(spark, sf_dir))
+
+
+register(
+    "llm_quality_floor",
+    _q_quality_floor,
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+             percent_rank() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id) AS pr
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, pr
+    FROM r WHERE pr >= 0.25
+    """,
+)

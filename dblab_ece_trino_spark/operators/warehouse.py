@@ -220,3 +220,85 @@ register(
                WHEN o.h != n.h THEN 'changed' END IS NOT NULL
     """,
 )
+
+
+# --------------------------------------------------------------- round 3b
+def _register_audit_entries() -> None:
+    """Warehouse data-quality audits: referential-integrity orphan
+    counts and join-key skew diagnostics.
+
+    ``audit_orphans`` — per-relationship NOT EXISTS counts across the
+    fact→dim chain.  Catalyst plans each branch as a left-anti hash
+    join (dim side broadcast when small); branches are independent so
+    the whole audit is one scan per table at 100 TB, no cross-branch
+    shuffle reuse needed.
+
+    ``audit_skew`` — the pre-flight a 100 TB join wants: per-key
+    cardinality profile of a join key (top heavy hitters + max/mean
+    skew ratio).  One hash agg on the key, then a 10-row TopN; the
+    global stats frame is one row, cross-joined back (broadcast).  The
+    skew ratio is exactly the number that decides salting / AQE
+    skew-split thresholds (SCALE.md).
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    def both(name: str, tpl: str) -> None:
+        register_sql(
+            name, tpl.format(**_SPARK_TABLES), tpl.format(**_ORACLE_TABLES)
+        )
+
+    both(
+        "audit_orphans",
+        """
+        SELECT 'lineitem->orders' AS rel, CAST(count(*) AS BIGINT) AS orphans
+        FROM {lineitem} l
+        WHERE NOT EXISTS (SELECT 1 FROM {orders} o
+                          WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'orders->customer', CAST(count(*) AS BIGINT)
+        FROM {orders} o
+        WHERE NOT EXISTS (SELECT 1 FROM {customer} c
+                          WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'customer->nation', CAST(count(*) AS BIGINT)
+        FROM {customer} c
+        WHERE NOT EXISTS (SELECT 1 FROM {nation} n
+                          WHERE n.n_nationkey = c.c_nationkey)
+        UNION ALL
+        SELECT 'supplier->nation', CAST(count(*) AS BIGINT)
+        FROM {supplier} s
+        WHERE NOT EXISTS (SELECT 1 FROM {nation} n
+                          WHERE n.n_nationkey = s.s_nationkey)
+        """,
+    )
+
+    # Doubles below are derived from exact integer counts with identical
+    # expression text on both engines — deterministic without rounding.
+    both(
+        "audit_skew",
+        """
+        WITH k AS (
+          SELECT o_custkey AS key, count(*) AS cnt
+          FROM {orders} GROUP BY o_custkey
+        ),
+        s AS (
+          SELECT CAST(max(cnt) AS BIGINT) AS max_cnt,
+                 CAST(sum(cnt) AS DOUBLE) / count(*) AS mean_cnt,
+                 CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(cnt) AS BIGINT) AS n_rows
+          FROM k
+        )
+        SELECT k.key, CAST(k.cnt AS BIGINT) AS cnt,
+               CAST(k.cnt AS DOUBLE) / s.n_rows AS share,
+               s.max_cnt, s.mean_cnt,
+               s.max_cnt / s.mean_cnt AS skew_ratio,
+               s.n_keys
+        FROM k, s
+        ORDER BY k.cnt DESC, k.key
+        LIMIT 10
+        """,
+    )
+
+
+_register_audit_entries()
