@@ -234,3 +234,56 @@ _both(
     GROUP BY n_regionkey
     """,
 )
+
+
+# Typed JSON schema-on-read: from_json projects the JSON string to a
+# typed struct at scan time (vs op_json_extract's per-path string
+# extraction) — the ES-analog document surface.  count_if gives the
+# conditional aggregate on the typed field.
+_both(
+    "op_json_schema_read",
+    """
+    SELECT event_type,
+           CAST(sum(from_json(props, 'k INT').k) AS BIGINT) AS sum_k,
+           CAST(count_if(from_json(props, 'k INT').k > 50) AS BIGINT)
+             AS n_big
+    FROM {events}
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k,
+           CAST(count_if(CAST(json_extract_string(props, '$.k') AS INT) > 50)
+                AS BIGINT) AS n_big
+    FROM {events}
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+
+# Window navigation functions: first/last/nth value over the full
+# partition frame, lead with an explicit default — raw doubles pass
+# through untouched, so no rounding is needed for parity.
+_both(
+    "op_window_navigation",
+    """
+    SELECT user_id, event_id,
+           first_value(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS first_v,
+           last_value(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_v,
+           nth_value(value, 3) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS third_v,
+           lead(value, 2, -1.0) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS lead2
+    FROM {events}
+    WHERE user_id < 15
+    ORDER BY user_id, event_id
+    """,
+)
