@@ -158,56 +158,45 @@ def _register_sql_entries() -> None:
         """,
     )
 
-    # EWMA as a windowed convolution in pure equi-join form: each row
-    # explodes a bounded lag sequence (0..9) and equi-joins back on
-    # (key, rn - lag) — a 10x row expansion that hash-partitions
-    # perfectly, instead of a per-key quadratic theta-join.  Weights
-    # a^lag are renormalized over the rows actually present, so warm-up
-    # rows are exact.
+    # EWMA over a bounded 10-row kernel, unrolled as lag() terms inside
+    # ONE window operator: one shuffle on the key, one scan, zero joins
+    # (plan-asserted).  Weights a^lag renormalize over the rows actually
+    # present, so warm-up rows are exact.  (The first formulation — a
+    # lag-explode + equi-join convolution — was measured and discarded:
+    # Catalyst inlines the CTE into two window passes + a join, i.e. a
+    # second full scan at 100 TB.  The join form only wins for kernels
+    # too wide to unroll; this module keeps the lag form.)  The addition
+    # chain and pow() constants are identical expression text on both
+    # engines, so the doubles match before the final round.
+    _lag_num = " + ".join(
+        ["value"]
+        + [
+            f"coalesce(lag(value, {k}) OVER (PARTITION BY user_id "
+            f"ORDER BY ts, event_id), 0) * pow(0.6, {k})"
+            for k in range(1, 10)
+        ]
+    )
+    _lag_den = " + ".join(
+        ["1.0"]
+        + [
+            f"CASE WHEN lag(value, {k}) OVER (PARTITION BY user_id "
+            f"ORDER BY ts, event_id) IS NOT NULL THEN pow(0.6, {k}) "
+            f"ELSE 0 END"
+            for k in range(1, 10)
+        ]
+    )
     both(
         "ts_ewma",
-        """
-        WITH r AS (
-          SELECT user_id, value,
-                 row_number() OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
-          FROM {events}
-          WHERE user_id < 30
-        ),
-        x AS (
-          SELECT user_id, rn, off
-          FROM r LATERAL VIEW explode(sequence(0, 9)) AS off
-        )
-        SELECT x.user_id, CAST(x.rn AS BIGINT) AS rn,
-               CAST(round(
-                 sum(b.value * pow(0.6, x.off)) / sum(pow(0.6, x.off)),
-                 4) AS DOUBLE) AS ewma10
-        FROM x
-        JOIN r b ON b.user_id = x.user_id AND b.rn = x.rn - x.off
-        GROUP BY x.user_id, x.rn
-        ORDER BY x.user_id, rn
-        """,
-        """
-        WITH r AS (
-          SELECT user_id, value,
-                 row_number() OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
-          FROM {events}
-          WHERE user_id < 30
-        ),
-        x AS (
-          SELECT user_id, rn,
-                 unnest(generate_series(0, 9)) AS off
-          FROM r
-        )
-        SELECT x.user_id, CAST(x.rn AS BIGINT) AS rn,
-               CAST(round(
-                 sum(b.value * pow(0.6, x.off)) / sum(pow(0.6, x.off)),
-                 4) AS DOUBLE) AS ewma10
-        FROM x
-        JOIN r b ON b.user_id = x.user_id AND b.rn = x.rn - x.off
-        GROUP BY x.user_id, x.rn
-        ORDER BY x.user_id, rn
+        f"""
+        SELECT user_id,
+               CAST(row_number() OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                 AS rn,
+               CAST(round(({_lag_num}) / ({_lag_den}), 4) AS DOUBLE)
+                 AS ewma10
+        FROM {{events}}
+        WHERE user_id < 30
+        ORDER BY user_id, rn
         """,
     )
 

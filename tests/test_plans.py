@@ -353,12 +353,14 @@ def test_bigram_lm_no_positional_self_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_ewma_convolution_is_equi_join(spark):
-    """The lag explode turns the windowed convolution into pure
-    hash-partitionable equi-joins — no theta-join fallback."""
+def test_ewma_single_window_no_join(spark):
+    """The unrolled-lag EWMA is one window operator over one scan —
+    no join, no second pass (the CTE-join formulation Catalyst inlines
+    into two window passes was measured and discarded)."""
     plan = _plan(spark, "ts_ewma")
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan
+    assert plan.count(") Window") == 1
+    assert plan.count(") Scan parquet") == 1
 
 
 def test_zscore_single_window_operator(spark):
