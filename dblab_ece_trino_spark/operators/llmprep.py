@@ -896,14 +896,25 @@ def curate_corpus(docs: DataFrame) -> DataFrame:
     stages: Gopher-style rule gates → exact-proportion domain mixing of
     the survivors → token-budget greedy selection of the mixed corpus.
 
-    Every stage is a tested operator; the composition stays one lazy
-    plan, so Catalyst fuses the gate projection into the scans of the
-    later stages — the corpus is read once per shuffle boundary, not
-    once per conceptual stage.
+    Every stage is a tested operator.  The narrow stage outputs (the
+    gate-survivor id set and the mixed (doc_id, lang) frame) are
+    materialized between stages: left lazy, Catalyst inlines each
+    reference and re-derives the full upstream lineage — a plan census
+    showed 20 scans of the corpus for this composition (the gate
+    lineage re-derived 3x, the mix lineage 2x).  Checkpointing the
+    ~8-byte/doc id frames cuts that to one pass per stage, which is the
+    only shape that survives 100 TB (and is the same materialize()
+    discipline operators/dedup.py uses between minhash stages).
     """
-    gated = quality_rules(docs).filter(F.col("passes")).select("doc_id")
+    from dblab_ece_trino_spark.session import materialize
+
+    gated = materialize(
+        quality_rules(docs).filter(F.col("passes")).select("doc_id")
+    )
     survivors = docs.join(gated, "doc_id")
-    mixed = domain_mix(survivors, MIX_WEIGHTS).select("doc_id", "lang")
+    mixed = materialize(
+        domain_mix(survivors, MIX_WEIGHTS).select("doc_id", "lang")
+    )
     return (
         budget_select(docs.join(mixed.select("doc_id"), "doc_id"))
         .join(mixed, "doc_id")
