@@ -105,7 +105,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 5,
     threshold: float = 0.5,
-    max_shingle_df: int | None = 1000,
+    max_shingle_df: int | str | None = 1000,
     mode: str = "char",
 ) -> DataFrame:
     """All pairs (a < b) with n-gram Jaccard >= threshold, computed exactly.
@@ -115,14 +115,37 @@ def ngram_jaccard_pairs(
     shuffles on the shingle value; ``max_shingle_df`` drops shingles shared
     by more than that many docs (stop-shingles) — they contribute little
     discrimination but quadratic join blow-up, the classic scale fix.
+
+    An ABSOLUTE cap has a corpus-size blind spot (measured in SCALE.md:
+    shingles with df just under the cap dominate quadratically at the
+    corpus size where their df peaks below it — 91s at sf0.1 for cap
+    1000 vs 13s for cap 200).  Pass ``max_shingle_df="auto"`` for a
+    corpus-relative cap, max(50, 1% of docs) — the per-shingle join
+    fan-in then stays a constant fraction of the corpus at every scale.
+    The cap is a documented precision knob, not just a speed knob:
+    dropping common shingles shrinks unions, so the Jaccard of the
+    remaining rare-shingle sets rises and more pairs clear the
+    threshold.
     """
     sh = shingle_table(docs, id_col, text_col, n, mode)
+    if max_shingle_df == "auto":
+        max_shingle_df = max(50, docs.count() // 100)
     if max_shingle_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         sh = (
             sh.join(df_counts.filter(F.col("df") <= max_shingle_df), "shingle")
             .drop("df")
         )
+    # Deliberately NOT materialized (measured, not assumed): the plan
+    # census counts 8 scans here because sizes + both self-join sides
+    # re-derive the shingle lineage, but the scans are cheap column-
+    # pruned parquet reads and Catalyst shares the expensive shingle
+    # shuffle between the two self-join sides via ReusedExchange.
+    # Checkpointing the exploded shingle table was tried and REGRESSED
+    # ~6x at sf0.1: ExistingRDD loses the hash-partitioning contract, so
+    # both join sides re-shuffle the 10M-row shingle frame that the lazy
+    # plan shuffles once — the opposite economics of the curate
+    # pipeline, whose re-derived lineage crossed shuffle boundaries.
     sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
