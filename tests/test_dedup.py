@@ -136,3 +136,24 @@ def test_dedup_clusters_match_union_find(spark):
         union(a, b)
     want = {x: find(x) for x in parent}
     assert got == want
+
+
+def test_ngram_auto_cap_scales_with_corpus(spark):
+    """max_shingle_df='auto' resolves to exactly max(50, 1% of docs) —
+    pinned by comparing against the explicitly-computed cap."""
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.operators.dedup import ngram_jaccard_pairs
+    from tests.conftest import SF_SMALL
+
+    docs = engine_for(spark, SF_SMALL).catalogs.table("lake.llm.documents")
+    resolved = max(50, docs.count() // 100)
+    auto_pairs = ngram_jaccard_pairs(
+        docs, n=5, threshold=0.9, max_shingle_df="auto", mode="char"
+    )
+    explicit_pairs = ngram_jaccard_pairs(
+        docs, n=5, threshold=0.9, max_shingle_df=resolved, mode="char"
+    )
+    auto_ids = {(r["id_a"], r["id_b"]) for r in auto_pairs.collect()}
+    explicit_ids = {(r["id_a"], r["id_b"]) for r in explicit_pairs.collect()}
+    # "auto" is exactly the corpus-relative cap, nothing more
+    assert auto_ids == explicit_ids and len(auto_ids) > 0
