@@ -1185,3 +1185,69 @@ register(
     FROM r WHERE pr >= 0.25
     """,
 )
+
+
+def ngram_novelty(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's word
+    n-grams that occur in NO other document — high novelty flags
+    original content, near-zero novelty flags boilerplate/templates
+    (the complement of llm_repetition_profile's intra-doc signal and
+    decontaminate's vs-eval-set signal).
+
+    One shingle explode (shared formulation with the dedup family), one
+    df aggregation on the shingle, one join back, one per-doc agg — the
+    same sparse-shingle economics as ngram Jaccard minus the self-join,
+    so no df cap is needed: cost is linear in total shingles.
+    """
+    from dblab_ece_trino_spark.operators.dedup import shingle_table
+
+    sh = shingle_table(docs, id_col, text_col, n, "word")
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy("sid")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.count_if(F.col("df") == 1).cast("long").alias("n_novel"),
+        )
+        .select(
+            F.col("sid").alias(id_col),
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles")).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_novelty(_docs(spark, sf_dir))
+
+
+register(
+    "llm_ngram_novelty",
+    _q_ngram_novelty,
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS sid,
+             array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 1)))
+                    AS i)
+    ),
+    dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+    SELECT s.sid AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count_if(dfc.df = 1) AS BIGINT) AS n_novel,
+           CAST(count_if(dfc.df = 1) AS DOUBLE) / count(*) AS novelty
+    FROM sh s JOIN dfc ON s.shingle = dfc.shingle
+    GROUP BY s.sid
+    """,
+)
