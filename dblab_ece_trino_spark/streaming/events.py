@@ -306,3 +306,82 @@ def attribute_clicks(
     return views.join(clicks, cond).select(
         "view_id", "click_id", "user_id", "view_ts", "click_ts", "value"
     )
+
+
+# ---------------------------------------------------------------- anomaly
+ANOMALY_SCHEMA = (
+    "user_id bigint, event_id bigint, value double, n_prior bigint, "
+    "zscore double, is_anomaly boolean"
+)
+_ANOMALY_STATE = "n bigint, s double, q double"
+
+
+def anomaly_stream(
+    stream: DataFrame, min_n: int = 5, z_threshold: float = 2.5
+) -> DataFrame:
+    """Custom stateful operator: per-key streaming anomaly flags against
+    the key's own expanding history (each event scored against the
+    moments of all PRIOR events, then folded into state).
+
+    The batch analog is an expanding window (UNBOUNDED PRECEDING TO 1
+    PRECEDING) — pinned by tests/test_streaming.py.  The trailing-window
+    batch form is operators/timeseries.ts_zscore_anomaly; this is the
+    streaming dual for when scoring must happen at arrival time.
+
+    State is three numbers per key (count, sum, sum of squares) —
+    O(active keys), no event retention.  The per-batch math is fully
+    vectorized (cumsum carry-in), so the Python seam costs one Arrow
+    round-trip per key-batch, the same budget as the sessionizer.
+    Batches are sorted by (ts, event_id) inside the group, so results
+    are deterministic for a deterministic source order.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n0, s0, q0 = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            v = pdf["value"].to_numpy(dtype="float64")
+            cs = np.cumsum(v)
+            cq = np.cumsum(v * v)
+            n_prior = n0 + np.arange(len(v))
+            s_prior = s0 + np.concatenate(([0.0], cs[:-1]))
+            q_prior = q0 + np.concatenate(([0.0], cq[:-1]))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mean_p = np.where(n_prior > 0, s_prior / n_prior, np.nan)
+                var_p = np.where(
+                    n_prior > 1,
+                    (q_prior - s_prior * mean_p) / (n_prior - 1),
+                    np.nan,
+                )
+            sd_p = np.sqrt(np.maximum(var_p, 0.0))
+            ok = (n_prior >= min_n) & (sd_p > 0)
+            zs = np.where(ok, (v - mean_p) / np.where(ok, sd_p, 1.0), np.nan)
+            n0 = int(n0 + len(v))
+            s0 = float(s0 + cs[-1])
+            q0 = float(q0 + cq[-1])
+            yield pd.DataFrame(
+                {
+                    "user_id": np.full(len(v), key[0], dtype="int64"),
+                    "event_id": pdf["event_id"].to_numpy(dtype="int64"),
+                    "value": v,
+                    "n_prior": n_prior.astype("int64"),
+                    "zscore": zs,
+                    "is_anomaly": np.abs(np.nan_to_num(zs, nan=0.0))
+                    > z_threshold,
+                }
+            )
+        state.update((n0, s0, q0))
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=ANOMALY_SCHEMA,
+        stateStructType=_ANOMALY_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -9,6 +9,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL
@@ -273,3 +274,48 @@ def test_click_attribution_stream_matches_batch(spark, events_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_anomaly_stream_matches_expanding_batch(spark, events_dir):
+    """Streaming expanding-history z-scores equal the batch expanding
+    window (UNBOUNDED PRECEDING TO 1 PRECEDING) within float tolerance."""
+    from dblab_ece_trino_spark.streaming.events import (
+        anomaly_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    stream = read_event_stream(spark, events_dir).filter(F.col("user_id") < 10)
+    run_to_memory(anomaly_stream(stream), "anom_out", complete=False)
+    got = {
+        r.event_id: (r.n_prior, r.zscore, r.is_anomaly)
+        for r in spark.table("anom_out").collect()
+    }
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    batch = (
+        spark.read.parquet(events_dir)
+        .filter(F.col("user_id") < 10)
+        .select(
+            "event_id",
+            "value",
+            F.count("*").over(w).alias("n_prior"),
+            F.avg("value").over(w).alias("mu"),
+            F.stddev_samp("value").over(w).alias("sd"),
+        )
+        .collect()
+    )
+    assert len(got) == len(batch) > 0
+    for r in batch:
+        n_prior, zs, flag = got[r.event_id]
+        assert n_prior == r.n_prior
+        if r.n_prior >= 5 and r.sd and r.sd > 0:
+            want = (r.value - r.mu) / r.sd
+            assert abs(zs - want) < 1e-6
+            assert flag == (abs(want) > 2.5)
+        else:
+            assert zs is None or zs != zs  # NaN / null marker
