@@ -1251,3 +1251,117 @@ register(
     GROUP BY s.sid
     """,
 )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    n: int = 3,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup an incoming batch AGAINST an existing corpus (continual
+    ingestion): for each batch doc whose word n-gram Jaccard with some
+    corpus doc clears the threshold, emit its best corpus match
+    (highest jaccard, lowest corpus id on ties).
+
+    This is the incremental dual of ngram_jaccard_pairs' self-join: the
+    shingle join is batch × corpus, so the cost is driven by the BATCH
+    size — the shape that lets a 100 TB corpus absorb daily increments
+    without re-deduping itself.  At scale the corpus shingle side is the
+    standing index (bucketed by shingle on disk via
+    sources/formats.write_bucketed, so the daily join needs no
+    corpus-side shuffle).
+    """
+    from dblab_ece_trino_spark.operators.dedup import shingle_table
+
+    shb = shingle_table(batch, id_col, text_col, n, "word")
+    shc = shingle_table(corpus, id_col, text_col, n, "word")
+    sb = shb.groupBy("sid").agg(F.count("*").alias("sz_b"))
+    sc = shc.groupBy("sid").agg(F.count("*").alias("sz_c"))
+    inter = (
+        shb.alias("b")
+        .join(shc.alias("c"), F.col("b.shingle") == F.col("c.shingle"))
+        .groupBy(
+            F.col("b.sid").alias("batch_id"), F.col("c.sid").alias("corpus_id")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    scored = (
+        inter.join(sb.withColumnRenamed("sid", "batch_id"), "batch_id")
+        .join(sc.withColumnRenamed("sid", "corpus_id"), "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_b") + F.col("sz_c") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("batch_id").orderBy(
+        F.col("jaccard").desc(), F.col("corpus_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("batch_id").cast("long"),
+            F.col("corpus_id").cast("long").alias("best_corpus_id"),
+            F.col("jaccard").alias("best_jaccard"),
+        )
+    )
+
+
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_dedup(batch, corpus)
+
+
+register(
+    "llm_incremental_dedup",
+    _q_incremental_dedup,
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS sid,
+             array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 1)))
+                    AS i)
+    ),
+    shb AS (SELECT * FROM sh WHERE sid % 2 = 1),
+    shc AS (SELECT * FROM sh WHERE sid % 2 = 0),
+    sb AS (SELECT sid, count(*) AS sz_b FROM shb GROUP BY sid),
+    sc AS (SELECT sid, count(*) AS sz_c FROM shc GROUP BY sid),
+    inter AS (
+      SELECT b.sid AS batch_id, c.sid AS corpus_id, count(*) AS inter
+      FROM shb b JOIN shc c ON b.shingle = c.shingle
+      GROUP BY b.sid, c.sid
+    ),
+    scored AS (
+      SELECT i.batch_id, i.corpus_id,
+             round(i.inter * 1.0 / (sb.sz_b + sc.sz_c - i.inter), 6)
+               AS jaccard
+      FROM inter i
+      JOIN sb ON i.batch_id = sb.sid
+      JOIN sc ON i.corpus_id = sc.sid
+      WHERE round(i.inter * 1.0 / (sb.sz_b + sc.sz_c - i.inter), 6) >= 0.7
+    )
+    SELECT batch_id, corpus_id AS best_corpus_id, jaccard AS best_jaccard
+    FROM (
+      SELECT batch_id, corpus_id, jaccard,
+             row_number() OVER (
+               PARTITION BY batch_id
+               ORDER BY jaccard DESC, corpus_id) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
