@@ -130,3 +130,51 @@ def test_ohlc_open_close_ordering(spark):
     assert (row["open"], row["close"], row["high"], row["low"]) == (
         5.0, 7.0, 99.0, 5.0,
     )
+
+
+def test_width_bucket_hist_partitions_all_orders(spark, duck):
+    """Histogram buckets partition the table: counts sum to row count."""
+    from dblab_ece_trino_spark.operators.registry import spark_queries
+    from tests.conftest import SF_MED
+
+    rows = spark_queries()["op_width_bucket_hist"](spark, SF_MED).collect()
+    total = sum(r["n_orders"] for r in rows)
+    n = spark.read.parquet(SF_MED + "/orders.parquet").count()
+    assert total == n
+
+
+def test_grouping_marks_totals_consistent(spark):
+    """GROUPING SETS hierarchy: the grand-total row equals the sum of
+    the per-flag rows, which equals the sum of the leaf rows."""
+    from dblab_ece_trino_spark.operators.registry import spark_queries
+    from tests.conftest import SF_MED
+
+    rows = spark_queries()["op_grouping_marks"](spark, SF_MED).collect()
+    leaf = sum(r["n"] for r in rows if r["gid"] == 0)
+    per_flag = sum(r["n"] for r in rows if r["gid"] == 1)
+    grand = [r["n"] for r in rows if r["gid"] == 3]
+    assert leaf == per_flag == grand[0]
+
+
+def test_incremental_dedup_corpus_cap_is_filter(spark):
+    """max_corpus_df caps by corpus shingle df on BOTH sides — pinned
+    against an explicit pre-filtered recomputation."""
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.operators.llmprep import incremental_dedup
+    from tests.conftest import SF_SMALL
+    import pyspark.sql.functions as F
+
+    docs = engine_for(spark, SF_SMALL).catalogs.table("lake.llm.documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    capped = incremental_dedup(batch, corpus, max_corpus_df=5)
+    got = {r["batch_id"]: r["best_jaccard"] for r in capped.collect()}
+    exact = incremental_dedup(batch, corpus)
+    base = {r["batch_id"]: r["best_jaccard"] for r in exact.collect()}
+    assert len(base) > 0
+    # exact text twins across the split have jaccard 1.0 under ANY cap
+    # (identical capped shingle sets) — they must survive capping
+    twins = {b for b, j in base.items() if j == 1.0}
+    assert twins <= set(got)
+    for b in twins:
+        assert got[b] == 1.0
