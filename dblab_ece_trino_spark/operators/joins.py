@@ -34,18 +34,24 @@ def asof_join(
     by: str,
     right_cols: list[str] | None = None,
     suffix: str = "_matched",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward (inclusive) as-of join: latest right row with
-    ``right.on <= left.on`` sharing the ``by`` key.
+    """As-of join: for each left row the nearest right row sharing the
+    ``by`` key — ``direction="backward"`` (default) takes the latest
+    right row with ``right.on <= left.on``; ``direction="forward"`` the
+    earliest right row with ``right.on >= left.on`` (both inclusive,
+    matching DuckDB/pandas ``merge_asof`` semantics).
 
     Union-sort-fill: right rows are tagged 0, left rows 1; within each
-    ``by`` partition ordered by (on, tag), a running last_value over the
-    tagged right payload forward-fills onto each left row.  Ties on the
-    timestamp resolve to the right row (inclusive), matching DuckDB/pandas
-    ``merge_asof`` defaults.  Among right rows sharing one timestamp the
-    fill picks the last in (deterministic) column order after the sort —
+    ``by`` partition ordered by ``on``, a running last_value (backward)
+    or first_value over the following frame (forward) fills the tagged
+    right payload onto each left row.  Either direction is ONE exchange
+    and one window — no point-in-range explosion.  Among right rows
+    sharing one timestamp the fill picks the sort-adjacent one —
     callers needing a specific winner should pre-dedupe the right side.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     right_cols = right_cols or [c for c in right.columns if c not in (on, by)]
     l_tagged = left.withColumn("__tag", F.lit(1))
     for c in right_cols:
@@ -68,21 +74,37 @@ def asof_join(
     ]
     unioned = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
 
-    w = (
-        Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("__tag").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right (tag 0) sorts before left at timestamp ties -> inclusive
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.col(on).asc(), F.col("__tag").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+        def pick(col):
+            return F.last(col, ignorenulls=True).over(w)
+
+    else:
+        # left sorts before right at ties so the same-timestamp right row
+        # lands inside the [current, +inf) frame -> inclusive forward
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.col(on).asc(), F.col("__tag").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+
+        def pick(col):
+            return F.first(col, ignorenulls=True).over(w)
+
     filled = unioned.select(
         *[c for c in cols if not c.startswith("__r_") ],
         *[
-            F.last(F.when(F.col("__tag") == 0, F.col(f"__r_{c}")), ignorenulls=True)
-            .over(w)
+            pick(F.when(F.col("__tag") == 0, F.col(f"__r_{c}")))
             .alias(f"{c}{suffix}")
             for c in right_cols
         ],
-        F.last(F.when(F.col("__tag") == 0, F.col("__r_on")), ignorenulls=True)
-        .over(w)
+        pick(F.when(F.col("__tag") == 0, F.col("__r_on")))
         .alias(f"{on}{suffix}"),
     )
     return filled.filter(F.col("__tag") == 1).drop("__tag")
@@ -214,5 +236,47 @@ register(
       ON l_extendedprice >= lo AND l_extendedprice <= hi
     GROUP BY band_id
     ORDER BY band_id
+    """,
+)
+
+
+def _q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    events = engine_for(spark, sf_dir).catalogs.table("elastic.default.events")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("event_id").alias("purchase_id"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("purchase_id").alias("purchase_id"))
+    )
+    out = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        purchases,
+        on="ts",
+        by="user_id",
+        right_cols=["purchase_id"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("purchase_id_matched").alias("next_purchase_id"),
+    )
+
+
+register(
+    "join_asof_forward",
+    _q_asof_forward,
+    # DuckDB ASOF with the inequality flipped = nearest-following match.
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, max(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, p.purchase_id AS next_purchase_id
+    FROM events e
+    ASOF LEFT JOIN purchases p
+      ON e.user_id = p.user_id AND e.ts <= p.ts
     """,
 )
