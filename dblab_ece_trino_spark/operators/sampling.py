@@ -220,3 +220,58 @@ register(
     LEFT JOIN ov o USING (doc_id)
     """,
 )
+
+
+def importance_sample(
+    docs: DataFrame,
+    weight: Column,
+    id_col: str = "doc_id",
+    seed: str = "importance-v1",
+) -> DataFrame:
+    """Deterministic weighted (importance) sampling: keep each row with
+    probability ``weight`` (a column in [0, 1]) using the md5 bucket as
+    the uniform draw — upweight high-quality domains, downweight
+    boilerplate, reproducibly (same seed + id → same decision on every
+    engine, cluster, and rerun; no RNG state to coordinate at 100 TB).
+
+    Decision: md5_bucket(id) < weight * 256, i.e. the integer bucket in
+    [0, 256) is compared against an integer threshold — the comparison
+    is exact, so engines can never disagree at the boundary.  Weight
+    resolution is 1/256 ≈ 0.4%; for finer control widen to four hex
+    chars (65536 buckets).
+    """
+    b = md5_bucket(F.col(id_col), seed)
+    thresh = F.floor(weight * 256).cast("int")
+    return docs.filter(b < thresh)
+
+
+def _q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    docs = engine_for(spark, sf_dir).catalogs.table("lake.llm.documents")
+    # per-language weights: keep all 'en', half of 'de'/'fr', a quarter
+    # of everything else — the canonical mixture-reweighting use
+    w = (
+        F.when(F.col("lang") == "en", F.lit(1.0))
+        .when(F.col("lang").isin("de", "fr"), F.lit(0.5))
+        .otherwise(F.lit(0.25))
+    )
+    out = importance_sample(docs, w)
+    return out.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_kept"),
+    )
+
+
+register(
+    "sample_importance",
+    _q_importance_sample,
+    oracle=f"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+    FROM documents
+    WHERE {_md5_bucket_sql('doc_id', 'importance-v1')}
+          < CAST(floor(CASE WHEN lang = 'en' THEN 1.0
+                            WHEN lang IN ('de', 'fr') THEN 0.5
+                            ELSE 0.25 END * 256) AS INT)
+    GROUP BY lang
+    """,
+)

@@ -278,3 +278,96 @@ register(
     LEFT JOIN counts c ON g.user_id = c.user_id AND g.bucket = c.bucket
     """,
 )
+
+
+def _register_interp_entry() -> None:
+    """Linear-interpolation resampling: the interpolating sibling of
+    ts_gap_fill's forward fill.  Same grid construction; empty buckets
+    get last-before and first-after observations from two windows over
+    the SAME (key, bucket) ordering (one exchange, two frame scans),
+    then lerp on the bucket index distance.  Doubles are derived from
+    exact bucket-index integers and raw observation values with
+    identical expression text — deterministic, no rounding.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    tpl = """
+    WITH e AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket, ts, event_id, value
+      FROM {events} WHERE user_id < 20
+    ),
+    last_in_bucket AS (
+      SELECT user_id, bucket, value FROM (
+        SELECT user_id, bucket, value,
+               row_number() OVER (
+                 PARTITION BY user_id, bucket
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e
+      ) WHERE rn = 1
+    ),
+    b AS (
+      SELECT user_id, min(bucket) AS h0, max(bucket) AS h1 FROM e
+      GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             {explode} AS bucket
+      FROM b
+    ),
+    g AS (
+      SELECT g.user_id, g.bucket, l.value AS obs,
+             row_number() OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket) AS idx
+      FROM grid g
+      LEFT JOIN last_in_bucket l
+        ON g.user_id = l.user_id AND g.bucket = l.bucket
+    ),
+    f AS (
+      SELECT user_id, bucket, obs, idx,
+             {lastnn}(obs{innn}) {outnn} OVER (
+               PARTITION BY user_id ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+             {lastnn}(CASE WHEN obs IS NOT NULL THEN idx END{innn}) {outnn}
+               OVER (
+               PARTITION BY user_id ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_i,
+             {firstnn}(obs{innn}) {outnn} OVER (
+               PARTITION BY user_id ORDER BY idx
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             {firstnn}(CASE WHEN obs IS NOT NULL THEN idx END{innn}) {outnn}
+               OVER (
+               PARTITION BY user_id ORDER BY idx
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_i
+      FROM g
+    )
+    SELECT user_id, bucket,
+           CAST(obs IS NOT NULL AS BOOLEAN) AS observed,
+           CASE
+             WHEN obs IS NOT NULL THEN obs
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+               prev_v + (next_v - prev_v) * (idx - prev_i)
+                 / (next_i - prev_i)
+             ELSE coalesce(prev_v, next_v)
+           END AS interp_value
+    FROM f
+    ORDER BY user_id, bucket
+    """
+    # IGNORE NULLS placement differs: Spark takes it after the call,
+    # DuckDB inside the argument list.
+    spark_sql = tpl.format(
+        events=_SPARK_TABLES["events"],
+        explode="explode(sequence(h0, h1, INTERVAL 1 HOUR))",
+        lastnn="last_value", firstnn="first_value",
+        innn="", outnn="IGNORE NULLS",
+    )
+    oracle_sql = tpl.format(
+        events=_ORACLE_TABLES["events"],
+        explode="unnest(generate_series(h0, h1, INTERVAL 1 HOUR))",
+        lastnn="last_value", firstnn="first_value",
+        innn=" IGNORE NULLS", outnn="",
+    )
+    register_sql("ts_interp_fill", spark_sql, oracle_sql)
+
+
+_register_interp_entry()
