@@ -288,3 +288,50 @@ _both(
     ORDER BY bucket
     """,
 )
+
+
+# Ordered string aggregation (SQL-standard LISTAGG ... WITHIN GROUP in
+# Spark 4; DuckDB spells it string_agg with an ORDER BY argument).
+# Explicit ordering makes the concatenation deterministic.
+_both(
+    "op_string_agg",
+    """
+    SELECT c_nationkey,
+           listagg(c_name, '|') WITHIN GROUP (ORDER BY c_name) AS names,
+           CAST(count(*) AS BIGINT) AS n
+    FROM {customer}
+    WHERE c_custkey < 200
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    """
+    SELECT c_nationkey,
+           string_agg(c_name, '|' ORDER BY c_name) AS names,
+           CAST(count(*) AS BIGINT) AS n
+    FROM {customer}
+    WHERE c_custkey < 200
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+
+# median + mode.  median runs over integer cents: interpolation of two
+# integers is exactly representable in double under either engine's
+# formula ((a+b)/2 vs a+(b-a)*0.5 agree exactly for ints < 2^52), so no
+# rounding is needed.  mode is deterministic here structurally:
+# l_linenumber frequencies are strictly decreasing in the line number,
+# so the modal value (1) is uniquely most frequent in every group.
+_both(
+    "op_median_mode",
+    """
+    SELECT l_returnflag,
+           CAST(median(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                AS DOUBLE) AS median_price_cents,
+           CAST(mode(CAST(l_linenumber AS BIGINT)) AS BIGINT)
+             AS modal_linenumber,
+           CAST(count(*) AS BIGINT) AS n
+    FROM {lineitem}
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)

@@ -105,3 +105,41 @@ def test_stratified_invariant_across_partitionings_and_null_strata(spark, duck):
         ) t WHERE b < 64
         """,
     )
+
+
+def test_importance_sample_nested_thresholds(spark):
+    """Threshold monotonicity: the keep-set at weight w1 <= w2 is a
+    subset — the md5 draw is shared, only the integer threshold moves."""
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.operators.sampling import importance_sample
+    from tests.conftest import SF_SMALL
+    import pyspark.sql.functions as F
+
+    docs = engine_for(spark, SF_SMALL).catalogs.table("lake.llm.documents")
+    half = {r["doc_id"] for r in importance_sample(docs, F.lit(0.5)).collect()}
+    full = {r["doc_id"] for r in importance_sample(docs, F.lit(1.0)).collect()}
+    quarter = {
+        r["doc_id"] for r in importance_sample(docs, F.lit(0.25)).collect()
+    }
+    assert quarter <= half <= full
+    assert len(full) == docs.count()  # weight 1.0 keeps everything
+    # rough proportion sanity (md5 uniformity): half keeps ~50% +- 15pp
+    frac = len(half) / len(full)
+    assert 0.35 < frac < 0.65
+
+
+def test_importance_sample_partition_invariant(spark):
+    """The decision depends only on (seed, id) — repartitioning cannot
+    change the kept set."""
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.operators.sampling import importance_sample
+    from tests.conftest import SF_SMALL
+    import pyspark.sql.functions as F
+
+    docs = engine_for(spark, SF_SMALL).catalogs.table("lake.llm.documents")
+    a = {r["doc_id"] for r in importance_sample(docs, F.lit(0.5)).collect()}
+    b = {
+        r["doc_id"]
+        for r in importance_sample(docs.repartition(13), F.lit(0.5)).collect()
+    }
+    assert a == b
