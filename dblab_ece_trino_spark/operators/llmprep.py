@@ -1147,15 +1147,16 @@ def quality_floor(
     threshold because length/quality distributions differ per source).
 
     percent_rank is (rank-1)/(n-1) from exact integers — deterministic
-    across engines without rounding.  One hash shuffle on the group;
-    per-group sort inside the window.  At 100 TB group counts are large
-    but the window is per-group (not global), so this scales like any
-    keyed window; for extreme single-group sizes switch to
+    across engines without rounding.  The window orders by the metric
+    ALONE (no id tiebreak), so documents sharing the boundary value
+    share a rank and land on the same side of the gate — a value
+    threshold, not an arbitrary split of ties.  One hash shuffle on the
+    group; per-group sort inside the window.  At 100 TB group counts are
+    large but the window is per-group (not global), so this scales like
+    any keyed window; for extreme single-group sizes switch to
     approx_percentile cut points (no sort).
     """
-    w = Window.partitionBy(group_col).orderBy(
-        F.col(metric_col), F.col(id_col)
-    )
+    w = Window.partitionBy(group_col).orderBy(F.col(metric_col))
     return (
         docs.select(
             id_col,
@@ -1178,7 +1179,7 @@ register(
     WITH r AS (
       SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
              percent_rank() OVER (
-               PARTITION BY source ORDER BY n_chars, doc_id) AS pr
+               PARTITION BY source ORDER BY n_chars) AS pr
       FROM documents
     )
     SELECT doc_id, source, n_chars, pr

@@ -117,6 +117,10 @@ def _register_sql_entries() -> None:
     # expression on both engines — float-native windowed avg/stddev
     # differ in the last ulps between Spark's retraction updates and
     # DuckDB's segment tree, which flips rounded digits at boundaries.
+    # The variance argument is clamped with greatest(.., 0): double
+    # rounding of the exact sums can drive a zero-variance window's
+    # argument slightly negative, where Spark yields NaN (masked by the
+    # sigma > 0 guard) but DuckDB raises on sqrt of a negative.
     both(
         "ts_zscore_anomaly",
         """
@@ -138,9 +142,9 @@ def _register_sql_entries() -> None:
         m AS (
           SELECT user_id, ts, event_id, value, sx,
                  CAST(sx AS DOUBLE) / 20 AS mu,
-                 sqrt((CAST(sxx AS DOUBLE)
+                 sqrt(greatest((CAST(sxx AS DOUBLE)
                        - 20 * (CAST(sx AS DOUBLE) / 20)
-                           * (CAST(sx AS DOUBLE) / 20)) / 19) AS sigma
+                           * (CAST(sx AS DOUBLE) / 20)) / 19, 0)) AS sigma
           FROM w
           WHERE n = 20
         )

@@ -332,8 +332,14 @@ def anomaly_stream(
     O(active keys), no event retention.  The per-batch math is fully
     vectorized (cumsum carry-in), so the Python seam costs one Arrow
     round-trip per key-batch, the same budget as the sessionizer.
-    Batches are sorted by (ts, event_id) inside the group, so results
-    are deterministic for a deterministic source order.
+    The whole group is buffered and sorted by (ts, event_id) per
+    micro-batch before scoring — applyInPandasWithState may deliver one
+    group as several Arrow chunks (spark.sql.execution.arrow.
+    maxRecordsPerBatch) in unspecified chunk order, so per-chunk sorting
+    alone would fold later events into state before scoring earlier
+    ones.  The buffer is bounded by one key's rows in one micro-batch
+    (not the key's full history), which is the same memory envelope the
+    sessionizer already assumes.
     """
 
     def update(
@@ -342,9 +348,13 @@ def anomaly_stream(
         import numpy as np
 
         n0, s0, q0 = state.get if state.exists else (0, 0.0, 0.0)
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            )
             pdf = pdf.sort_values(["ts", "event_id"])
             v = pdf["value"].to_numpy(dtype="float64")
             cs = np.cumsum(v)

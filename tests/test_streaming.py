@@ -319,3 +319,44 @@ def test_anomaly_stream_matches_expanding_batch(spark, events_dir):
             assert flag == (abs(want) > 2.5)
         else:
             assert zs is None or zs != zs  # NaN / null marker
+
+
+def test_anomaly_stream_multi_chunk_groups(spark, events_dir):
+    """A group delivered as several Arrow chunks (tiny
+    maxRecordsPerBatch) must score identically to single-chunk delivery:
+    the operator buffers and sorts the WHOLE group per micro-batch, so
+    chunk boundaries / chunk order cannot leak into the expanding-window
+    math (ADVICE r3 medium)."""
+    from dblab_ece_trino_spark.streaming.events import (
+        anomaly_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")
+        stream = read_event_stream(spark, events_dir).filter(
+            F.col("user_id") < 6
+        )
+        run_to_memory(anomaly_stream(stream), "anom_chunked", complete=False)
+    finally:
+        spark.conf.set(key, old)
+    def norm(table):
+        return {
+            r.event_id: (
+                r.n_prior,
+                None
+                if r.zscore is None or r.zscore != r.zscore
+                else round(r.zscore, 9),
+            )
+            for r in spark.table(table).collect()
+        }
+
+    got = norm("anom_chunked")
+    stream2 = read_event_stream(spark, events_dir).filter(F.col("user_id") < 6)
+    run_to_memory(anomaly_stream(stream2), "anom_unchunked", complete=False)
+    want = norm("anom_unchunked")
+    assert len(got) == len(want) > 0
+    assert got == want
