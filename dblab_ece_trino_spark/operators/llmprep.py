@@ -583,6 +583,7 @@ def budget_select(
     budget_frac_pct: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shards: int = 32,
 ) -> DataFrame:
     """Quality-greedy corpus selection under a token budget.
 
@@ -592,28 +593,67 @@ def budget_select(
     standard "best data that fits the compute budget" curation step.
 
     All arithmetic is integer or round-6 double, so selection is
-    bit-reproducible.  Shape at 100 TB: stats projection, one global agg
-    (broadcast back on a constant key), and a global window over the
-    NARROW stats frame (id, tokens, quality) — a range-partitioned sort
-    of ~16 bytes/doc, not of document payloads.
+    bit-reproducible.  Shape at 100 TB: the running total is a TWO-LEVEL
+    cumsum over the narrow stats frame (id, tokens, quality), never a
+    single-partition global window.  ``repartitionByRange`` on the full
+    sort key (quality DESC, id) splits the frame into ``shards`` ordered
+    ranges; each shard computes its local prefix sums in parallel
+    (per-shard bounded sort), and the per-shard token totals — one row
+    per shard — produce running offsets via a tiny triangular self-join
+    that is broadcast back.  cum_tokens = shard offset + local prefix
+    sum, exactly the global value: the sort key totally orders rows (id
+    is unique), so shard-boundary placement cannot change any row's set
+    of predecessors, and the result is independent of the sampled range
+    boundaries.  Set ``shards`` to the cluster's parallelism for the
+    100 TB run; every stage is O(rows/shards) except the O(shards²)
+    offset join, which is metadata-scale.
+
+    The sharded frame is materialized once: the window, the shard
+    totals, and the grand total all consume it, and left lazy each
+    branch would re-run the range exchange with an independently
+    SAMPLED set of boundaries — the shard ids would disagree across
+    branches (plan showed 4 rangepartitioning subtrees, 0 reused).
+    Checkpointing the ~24-byte/doc frame pins one assignment and cuts
+    the corpus scan + tokenization from 4× to 1×.
     """
     from dblab_ece_trino_spark.operators.text import quality_score
+    from dblab_ece_trino_spark.session import materialize
 
     stats = docs.select(
         F.col(id_col),
         F.size(_toks(F.col(text_col))).cast("long").alias("n_tokens"),
         quality_score(F.col(text_col)).alias("quality"),
     )
-    total = stats.agg(
-        F.sum("n_tokens").alias("total_tokens")
-    ).withColumn("__k", F.lit(1))
-    w = Window.orderBy(F.col("quality").desc(), F.col(id_col)).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    sharded = materialize(
+        stats.repartitionByRange(
+            shards, F.col("quality").desc(), F.col(id_col)
+        ).withColumn("__shard", F.spark_partition_id())
+    )
+    w = Window.partitionBy("__shard").orderBy(
+        F.col("quality").desc(), F.col(id_col)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = sharded.withColumn("__local_cum", F.sum("n_tokens").over(w))
+    totals = sharded.groupBy("__shard").agg(
+        F.sum("n_tokens").alias("__shard_tot")
+    )
+    offs = (
+        totals.alias("a")
+        .join(
+            totals.alias("b"),
+            F.col("b.__shard") < F.col("a.__shard"),
+            "left",
+        )
+        .groupBy(F.col("a.__shard").alias("__shard"))
+        .agg(F.coalesce(F.sum("b.__shard_tot"), F.lit(0)).alias("__offset"))
+    )
+    grand = totals.agg(F.sum("__shard_tot").alias("total_tokens")).withColumn(
+        "__k", F.lit(1)
     )
     return (
-        stats.withColumn("__k", F.lit(1))
-        .join(F.broadcast(total), "__k")
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        local.join(F.broadcast(offs), "__shard")
+        .withColumn("cum_tokens", F.col("__offset") + F.col("__local_cum"))
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(grand), "__k")
         .filter(
             F.col("cum_tokens")
             <= F.expr(f"(total_tokens * {int(budget_frac_pct)}) DIV 100")

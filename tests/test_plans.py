@@ -251,19 +251,23 @@ def test_llm_domain_mix_broadcasts_keep_counts(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_llm_budget_select_sorts_stats_not_payload(spark):
-    """The global quality sort must run over the narrow stats frame:
-    the text column may appear only below the projection that computes
-    token counts, never in the window's sort input."""
+def test_llm_budget_select_sharded_cumsum(spark):
+    """The running token total must be the two-level sharded cumsum:
+    the data-frame window is partitioned by the range-shard id (parallel
+    per-shard prefix sums), never a single-partition global window, and
+    at most one SinglePartition exchange may appear — the grand-total
+    aggregate over the ~32-row shard-totals frame (metadata-scale).
+    The sort inputs stay on the narrow stats frame, never the document
+    payload."""
     plan = _plan(spark, "llm_budget_select")
     assert "CartesianProduct" not in plan
-    # total_tokens (1 row) arrives via broadcast on the constant key
+    # shard offsets + total_tokens arrive via broadcast
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    # the global sort's input must be the narrow stats frame, never the
-    # document payload
-    m = re.search(r"\(\d+\) Sort\nInput \[\d+\]: \[([^\]]*)\]", plan)
-    assert m, plan
-    assert "text#" not in m.group(1)
+    # the per-row cumsum window is per-shard, not global
+    assert "hashpartitioning(__shard" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+    for m in re.finditer(r"\(\d+\) Sort\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        assert "text#" not in m.group(1)
 
 
 def test_llm_vocab_topk_partial_aggregates(spark):
