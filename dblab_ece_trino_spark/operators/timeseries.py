@@ -162,6 +162,61 @@ def _register_sql_entries() -> None:
         """,
     )
 
+    # Expanding per-key z-score — the driver-gradable BATCH ANALOG of
+    # the streaming anomaly detector (streaming/events.anomaly_stream):
+    # each event is scored against the moments of all PRIOR events of
+    # its key (UNBOUNDED PRECEDING TO 1 PRECEDING), the exact semantics
+    # the stateful operator computes at arrival time.  Same exact-
+    # DECIMAL moment discipline and greatest(.., 0) clamp as the
+    # trailing-window entry above; tests/test_streaming.py pins the
+    # streaming output to this entry's math.  One keyed window (hash
+    # shuffle on user_id); the frame is expanding but the running sums
+    # are O(1) per row — scales like any keyed cumsum.
+    both(
+        "ts_expanding_anomaly",
+        """
+        WITH w AS (
+          SELECT user_id, ts, event_id, value,
+                 count(*) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS n_prior,
+                 sum(CAST(value AS DECIMAL(18,6))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS sx,
+                 sum(CAST(value AS DECIMAL(18,6))
+                     * CAST(value AS DECIMAL(18,6))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS sxx
+          FROM {events}
+          WHERE user_id < 40
+        ),
+        m AS (
+          SELECT user_id, ts, event_id, value,
+                 CAST(n_prior AS BIGINT) AS n_prior,
+                 CASE WHEN n_prior > 0
+                      THEN CAST(sx AS DOUBLE) / n_prior END AS mu,
+                 CASE WHEN n_prior > 1 THEN
+                   sqrt(greatest((CAST(sxx AS DOUBLE)
+                         - n_prior * (CAST(sx AS DOUBLE) / n_prior)
+                             * (CAST(sx AS DOUBLE) / n_prior))
+                        / (n_prior - 1), 0)) END AS sigma
+          FROM w
+        )
+        SELECT user_id, ts, event_id, n_prior,
+               CAST(round(CASE WHEN n_prior >= 5 AND sigma > 0
+                               THEN (value - mu) / sigma END, 3)
+                    AS DOUBLE) AS zscore,
+               CAST(coalesce(n_prior >= 5 AND sigma > 0
+                             AND abs(value - mu) > 2.5 * sigma,
+                             FALSE) AS BOOLEAN) AS is_anomaly
+        FROM m
+        ORDER BY user_id, ts, event_id
+        """,
+    )
+
     # EWMA over a bounded 10-row kernel, unrolled as lag() terms inside
     # ONE window operator: one shuffle on the key, one scan, zero joins
     # (plan-asserted).  Weights a^lag renormalize over the rows actually

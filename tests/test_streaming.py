@@ -360,3 +360,35 @@ def test_anomaly_stream_multi_chunk_groups(spark, events_dir):
     want = norm("anom_unchunked")
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_anomaly_stream_matches_registered_batch_entry(spark, events_dir):
+    """The driver-graded batch analog (ts_expanding_anomaly) computes
+    the same scores as the streaming operator: same n_prior, same
+    anomaly flags, z-scores equal up to the entry's round-3 rendering."""
+    from dblab_ece_trino_spark.entrypoints import build_queries
+    from dblab_ece_trino_spark.streaming.events import (
+        anomaly_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    entry = build_queries()["ts_expanding_anomaly"](spark, SF_SMALL)
+    batch = {
+        r.event_id: (r.n_prior, r.zscore, r.is_anomaly)
+        for r in entry.collect()
+    }
+
+    stream = read_event_stream(spark, events_dir).filter(F.col("user_id") < 40)
+    run_to_memory(anomaly_stream(stream), "anom_vs_entry", complete=False)
+    srows = spark.table("anom_vs_entry").collect()
+    assert len(srows) == len(batch) > 0
+    for r in srows:
+        n_prior, z_batch, flag_batch = batch[r.event_id]
+        assert n_prior == r.n_prior
+        assert flag_batch == bool(r.is_anomaly)
+        z_stream = r.zscore
+        if z_batch is None:
+            assert z_stream is None or z_stream != z_stream  # NaN marker
+        else:
+            assert abs(z_stream - z_batch) <= 5.01e-4  # round-3 rendering
