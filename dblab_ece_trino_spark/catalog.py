@@ -269,6 +269,14 @@ class CatalogRegistry:
             conf.set(f"spark.sql.catalog.{name}.driver", driver)
         conf.set(f"spark.sql.catalog.{name}.pushDownAggregate", "true")
         conf.set(f"spark.sql.catalog.{name}.pushDownLimit", "true")
+        # Whole-join pushdown between relations of this catalog (needs the
+        # session conf spark.sql.optimizer.datasourceV2JoinPushdown, set by
+        # the engine builder/wrap).  Spark gates it per dialect — fires on
+        # PostgreSQL (the reference's store) and MySQL/Oracle/MsSql/H2;
+        # Derby (this container's embedded store) has no join SQL
+        # generation, so the engine-side join runs there instead, with
+        # filters still pushed per scan.
+        conf.set(f"spark.sql.catalog.{name}.pushDownJoin", "true")
         for k, v in (options or {}).items():
             conf.set(f"spark.sql.catalog.{name}.{k}", v)
 

@@ -58,6 +58,16 @@ def engine_builder(
         # (runtimeFilter.semiJoinReduction is deliberately NOT set: toggling
         # it at builder time hangs session creation on this Spark build.)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # DSv2 JOIN pushdown into JDBC stores — the engine-side analog of
+        # Trino pushing whole joins into PostgreSQL (reference
+        # results/q004/workers-1/explain.txt:70).  Dialect-gated by Spark:
+        # fires for PostgreSQL/MySQL/Oracle/MsSql/H2 relations from the
+        # same DSv2 catalog (the reference's store is PostgreSQL); the
+        # container's Derby store has no join SQL generation, where the
+        # engine-side join with per-scan filter pushdown runs instead —
+        # tests/test_jdbc.py covers both this fallback and the
+        # query-option scan that demonstrates remote-join parity e2e.
+        .config("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
         # Prefer shuffled-hash over sort-merge join: Trino's execution model
         # (reference is always hash-join, q004 explain.txt:54) and ~4x faster
         # on the composite-key fact-fact join at 10x scale (no sort of the
@@ -90,6 +100,7 @@ _RUNTIME_CONF = {
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.optimizer.datasourceV2JoinPushdown": "true",
 }
 
 
