@@ -388,3 +388,31 @@ def test_ohlc_single_aggregation(spark):
     plan = _plan(spark, "ts_ohlc_bars")
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_plan_census_budgets(spark):
+    """Every registered entry's physical plan stays within its recorded
+    node budget (scans, exchanges, windows, sorts) — the automated form
+    of the manual explain-sweep that caught the round-3 EWMA double
+    window pass and the 20-scan curation-pipeline lineage blow-up.  A
+    new entry must add a row to tests/plan_budgets.py (regenerate with
+    scripts/plan_census.py); an entry exceeding its ceiling is a plan
+    regression."""
+    from scripts.plan_census import census_counts
+    from tests.plan_budgets import PLAN_BUDGETS
+    from dblab_ece_trino_spark.entrypoints import build_queries
+
+    qs = build_queries()
+    missing = sorted(set(qs) - set(PLAN_BUDGETS))
+    assert not missing, (
+        f"entries without a plan budget (run scripts/plan_census.py and "
+        f"add rows to tests/plan_budgets.py): {missing}"
+    )
+    over: list[str] = []
+    for name, fn in qs.items():
+        c = census_counts(explain_str(fn(spark, SF_SMALL)))
+        got = (c["scans"], c["exchanges"], c["windows"], c["sorts"])
+        budget = PLAN_BUDGETS[name]
+        if any(g > b for g, b in zip(got, budget)):
+            over.append(f"{name}: {got} > budget {budget}")
+    assert not over, "plan census regressions:\n" + "\n".join(over)
