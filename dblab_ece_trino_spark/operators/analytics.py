@@ -30,7 +30,7 @@ Scale notes (100 TB lens):
 
 from __future__ import annotations
 
-from dblab_ece_trino_spark.operators.registry import register_sql
+from dblab_ece_trino_spark.operators.registry import register, register_sql
 from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
 
 
@@ -266,20 +266,95 @@ _both(
 )
 
 
-# Equi-depth histogram via ntile: 8 equal-count buckets with their value
-# bounds — the complement of op_width_bucket_hist's equi-width form.
-# The global ORDER BY window is a single-partition sort: correct here,
-# and the documented scale path for equi-depth at 100 TB is
-# approx_percentile cut points (op_approx_percentile_tol) + width_bucket
-# against them, which needs no global sort.  Tiebreak on the key makes
-# bucket assignment total-order deterministic.
-_both(
-    "op_equidepth_hist",
+# Equi-depth histogram: 8 equal-count buckets with their value bounds —
+# the complement of op_width_bucket_hist's equi-width form.  The Spark
+# side computes the global rank with the TWO-LEVEL sharded form (range
+# shards → parallel per-shard row_number → broadcast offsets from a
+# triangular self-join over the one-row-per-shard counts — the same
+# shape as llmprep.budget_select's cumsum), then derives the ntile
+# bucket from (rank, n) with exact integer arithmetic: no
+# single-partition sort anywhere, so the exact histogram itself scales
+# (previously this entry was the labeled exact baseline at ~3x per 3x
+# data; the approx_percentile cut-point path remains the cheaper
+# alternative when exactness isn't required).  Tiebreak on the key makes
+# bucket assignment total-order deterministic, so the sampled shard
+# boundaries cannot change any row's rank.  Oracle: plain ntile.
+def equidepth_histogram(
+    df,
+    value_col: str,
+    key_col: str,
+    k: int = 8,
+    shards: int = 32,
+):
+    """Exact equi-depth histogram over (value, key) total order.
+
+    bucket(r) replicates SQL ntile(k) over n rows: the first n % k
+    buckets take ceil(n/k) rows, the rest floor(n/k) — all integer
+    arithmetic on the two-level global rank r.
     """
+    from pyspark.sql import Window, functions as F
+
+    from dblab_ece_trino_spark.session import materialize
+
+    sharded = materialize(
+        df.select(value_col, key_col)
+        .repartitionByRange(shards, F.col(value_col), F.col(key_col))
+        .withColumn("__shard", F.spark_partition_id())
+    )
+    w = Window.partitionBy("__shard").orderBy(value_col, key_col)
+    local = sharded.withColumn("__lr", F.row_number().over(w))
+    counts = sharded.groupBy("__shard").agg(F.count("*").alias("__c"))
+    offs = (
+        counts.alias("a")
+        .join(
+            counts.alias("b"), F.col("b.__shard") < F.col("a.__shard"), "left"
+        )
+        .groupBy(F.col("a.__shard").alias("__shard"))
+        .agg(F.coalesce(F.sum("b.__c"), F.lit(0)).alias("__off"))
+    )
+    total = counts.agg(F.sum("__c").alias("__n")).withColumn("__k", F.lit(1))
+    ranked = (
+        local.join(F.broadcast(offs), "__shard")
+        .withColumn("__r", F.col("__off") + F.col("__lr"))
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(total), "__k")
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"CAST(CASE WHEN __r <= (__n % {k}) * (__n DIV {k} + 1) "
+                f"THEN (__r - 1) DIV (__n DIV {k} + 1) + 1 "
+                f"ELSE (__n % {k}) "
+                f"  + (__r - (__n % {k}) * (__n DIV {k} + 1) - 1) "
+                f"    DIV (__n DIV {k}) + 1 END AS INT)"
+            ),
+        )
+    )
+    return (
+        ranked.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.min(value_col).alias("lo"),
+            F.max(value_col).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _q_equidepth(spark, sf_dir):
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    orders = engine_for(spark, sf_dir).catalogs.table("mongodb.tpch.orders")
+    return equidepth_histogram(orders, "o_totalprice", "o_orderkey", k=8)
+
+
+register(
+    "op_equidepth_hist",
+    _q_equidepth,
+    oracle="""
     WITH t AS (
       SELECT o_totalprice,
              ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
-      FROM {orders}
+      FROM orders
     )
     SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
            min(o_totalprice) AS lo, max(o_totalprice) AS hi

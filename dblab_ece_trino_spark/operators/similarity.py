@@ -414,3 +414,98 @@ def _q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # projection as sim_search_lsh; neighbor-set recall vs brute force is
 # additionally asserted in tests/test_similarity.py.
 register("sim_search_ivf", _q_sim_ivf, oracle=_ANN_INVARIANT_ORACLE)
+
+
+# ------------------------------------------------------- semantic dedup
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster embeddings with the
+    IVF coarse quantizer, then flag within-cluster near-duplicates.
+
+    A vector is a duplicate when some LOWER-id member of its cluster has
+    cosine ≥ ``threshold``; the canonical is the lowest such id (both
+    aggregates are deterministic).  Returns (dup_id, canonical_id,
+    max_cos).
+
+    Shape at 100 TB: the pairwise stage is WITHIN-CLUSTER only — one
+    hash shuffle on the cluster id, candidate count sum-of-cell-sizes²
+    instead of n²; n_clusters grows with the corpus so cell size stays
+    bounded (the same blocking discipline as dedup.py's LSH bands).
+    Cluster assignment is a broadcast join against the tiny centroid
+    table.  Embedding-payload rows cross exactly one shuffle.
+    """
+    from dblab_ece_trino_spark.session import ensure_parallelism, materialize
+
+    centroids = ivf_index(corpus, n_clusters, iters, id_col, vec_col)
+    v = materialize(
+        ensure_parallelism(corpus).select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("cv")
+        )
+    )
+    cells = _assign(v, centroids)
+    a = cells.select(
+        "cluster", F.col("vid").alias("aid"), F.col("cv").alias("av")
+    )
+    b = cells.select(
+        "cluster", F.col("vid").alias("bid"), F.col("cv").alias("bv")
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("aid") < F.col("bid"))
+        .withColumn("cos", F.round(cosine(F.col("av"), F.col("bv")), 6))
+        .filter(F.col("cos") >= threshold)
+        .groupBy("bid")
+        .agg(
+            F.min("aid").alias("canonical_id"),
+            F.max("cos").alias("max_cos"),
+        )
+        .select(F.col("bid").alias("dup_id"), "canonical_id", "max_cos")
+    )
+
+
+_PLANT_OFFSET = 1_000_000
+
+
+def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-twin invariant (the dedup_simhash pattern, upgraded to a
+    full value check): exact copies of the first 10 vectors are planted
+    at ``vec_id + 1_000_000`` and the operator must recover EXACTLY the
+    10 (plant, original, cos=1.0) pairs —
+
+    - identical vectors always share an IVF cell (the assignment ranks
+      (sim DESC, cluster ASC), both deterministic), so planted-twin
+      recall through the cluster blocking is 1.0 by construction, not
+      probabilistically;
+    - the corpus has no natural pair above the 0.9 threshold (max
+      measured pairwise cosine 0.51 across the gate SFs — the synthetic
+      embeddings are near-random), so the planted pairs are the entire
+      expected output and any extra row is a precision failure the hash
+      catches.
+    """
+    emb = _emb(spark, sf_dir)
+    plants = (
+        emb.filter(F.col("vec_id") < 10)
+        .withColumn("vec_id", F.col("vec_id") + F.lit(_PLANT_OFFSET))
+    )
+    return semantic_dedup(emb.unionByName(plants), threshold=0.9).orderBy(
+        "dup_id"
+    )
+
+
+register(
+    "dedup_semantic",
+    _q_dedup_semantic,
+    oracle=f"""
+    SELECT CAST(vec_id + {_PLANT_OFFSET} AS BIGINT) AS dup_id,
+           vec_id AS canonical_id,
+           CAST(1.0 AS DOUBLE) AS max_cos
+    FROM embeddings WHERE vec_id < 10
+    ORDER BY dup_id
+    """,
+)

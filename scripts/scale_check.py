@@ -96,6 +96,12 @@ def main() -> None:
         "llm_train_order", "llm_tf_cosine_dup",
         "llm_quality_rules", "llm_domain_mix", "llm_budget_select",
         "llm_vocab_topk", "op_click_attribution",
+        # round-4 additions: SCALE.md straggler rows + changed/new ops
+        "op_equidepth_hist", "op_string_agg", "op_median_mode",
+        "op_json_schema_read", "op_window_navigation", "join_asof_forward",
+        "ts_expanding_anomaly", "pipeline_curate_corpus",
+        "op_funnel_conversion", "op_cohort_retention", "text_bm25_score",
+        "dedup_semantic",
     ]
     for name in names:
         t1 = time.monotonic()

@@ -390,6 +390,48 @@ def test_ohlc_single_aggregation(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_equidepth_hist_sharded_rank(spark):
+    """The exact equi-depth histogram must compute its global rank with
+    the two-level sharded form: per-shard row_number windows (never a
+    single-partition ntile sort over the data) and at most one
+    SinglePartition exchange — the one-row-per-shard grand total."""
+    plan = _plan(spark, "op_equidepth_hist")
+    assert "hashpartitioning(__shard" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "ntile" not in plan.lower()
+
+
+def test_funnel_single_key_partitioning(spark):
+    """The funnel is the single-scan stacked-window form: one events
+    scan, every hash partitioning on user_id, three window passes, and
+    no join anywhere (the join formulation re-derived the events lineage
+    once per stage — 6 scans)."""
+    plan = _plan(spark, "op_funnel_conversion")
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert len(re.findall(r"\(\d+\) (?:Batch)?Scan\b", plan)) == 1
+    for m in re.finditer(r"hashpartitioning\((\w+)#", plan):
+        assert m.group(1) == "user_id", plan
+
+
+def test_bm25_filters_tokens_before_shuffle(spark):
+    """Only query-term tokens may reach the per-(doc, term) aggregation:
+    the tok IN (...) filter must sit below the first exchange, so the
+    shuffled frame is O(matching tokens), not O(corpus tokens)."""
+    plan = _plan(spark, "text_bm25_score")
+    blocks = re.findall(r"\((\d+)\) (\w+)[^\n]*\n((?:[^\n(][^\n]*\n)*)", plan)
+    filter_ids = [
+        int(n)
+        for n, node, body in blocks
+        if node == "Filter" and "IN(table,fast,row" in body.replace(" ", "")
+    ]
+    exchange_ids = [int(n) for n, node, _ in blocks if node == "Exchange"]
+    assert filter_ids and exchange_ids, plan
+    # node numbering is leaf-up: the term filter must execute below
+    # (before) every exchange
+    assert min(filter_ids) < min(exchange_ids), plan
+    assert "CartesianProduct" not in plan
+
+
 def test_plan_census_budgets(spark):
     """Every registered entry's physical plan stays within its recorded
     node budget (scans, exchanges, windows, sorts) — the automated form

@@ -74,3 +74,24 @@ def test_ivf_index_deterministic(spark):
     c1 = {r.cluster: tuple(r.centroid) for r in ivf_index(emb, 8, iters=2).collect()}
     c2 = {r.cluster: tuple(r.centroid) for r in ivf_index(emb, 8, iters=2).collect()}
     assert c1 == c2
+
+
+def test_semantic_dedup_recovers_planted_twins(spark):
+    """Exact copies planted at shifted ids must ALL be recovered with
+    their original as canonical and cos exactly 1.0 — identical vectors
+    deterministically share an IVF cell, so cluster blocking cannot drop
+    a twin; and the near-random corpus (max pairwise cosine ~0.5) must
+    contribute no extra pair at threshold 0.9."""
+    from dblab_ece_trino_spark.operators.similarity import semantic_dedup
+
+    emb = _emb(spark)
+    plants = emb.filter(F.col("vec_id") < 7).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(5_000_000)
+    )
+    got = {
+        (r.dup_id, r.canonical_id, r.max_cos)
+        for r in semantic_dedup(
+            emb.unionByName(plants), threshold=0.9
+        ).collect()
+    }
+    assert got == {(5_000_000 + i, i, 1.0) for i in range(7)}
