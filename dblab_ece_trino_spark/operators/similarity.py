@@ -420,7 +420,7 @@ register("sim_search_ivf", _q_sim_ivf, oracle=_ANN_INVARIANT_ORACLE)
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.9,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -435,13 +435,27 @@ def semantic_dedup(
 
     Shape at 100 TB: the pairwise stage is WITHIN-CLUSTER only — one
     hash shuffle on the cluster id, candidate count sum-of-cell-sizes²
-    instead of n²; n_clusters grows with the corpus so cell size stays
-    bounded (the same blocking discipline as dedup.py's LSH bands).
-    Cluster assignment is a broadcast join against the tiny centroid
-    table.  Embedding-payload rows cross exactly one shuffle.
+    instead of n².  ``n_clusters`` defaults to ``max(16, ceil(sqrt(n)))``
+    — the classic IVF balance: total work is assignment n·k plus
+    pairwise n²/k, minimized at k = sqrt(n) where both stages are
+    n^1.5.  A FIXED k turns 3x data into ~9x pairwise work (measured
+    349 s at x30 vs 36 s at x10 on the verbatim-replica scale set);
+    k ∝ n bounds cells but makes the Lloyd assignment the n·k
+    quadratic term instead — sqrt keeps the two in balance.  Past
+    ~10^8 vectors, swap the relational assigner for an
+    ANN/GEMM-accelerated one (the cluster blocking and shuffle shape
+    here stay the same); the relational form is the portable baseline.
+    The count() that sizes k is one action over the narrow id column;
+    pass ``n_clusters`` explicitly to skip it.  Cluster assignment is a
+    broadcast join against the centroid table.  Embedding-payload rows
+    cross exactly one shuffle.
     """
+    import math
+
     from dblab_ece_trino_spark.session import ensure_parallelism, materialize
 
+    if n_clusters is None:
+        n_clusters = max(16, math.isqrt(corpus.select(id_col).count()))
     centroids = ivf_index(corpus, n_clusters, iters, id_col, vec_col)
     v = materialize(
         ensure_parallelism(corpus).select(
