@@ -182,6 +182,59 @@ _BM25_BODY = """
     FROM pivoted
 """
 
+# Markov transition counts over each user's event sequence: one keyed
+# lag window (hash shuffle on user_id, per-user sort), then a tiny
+# (|event types|²)-row aggregate.  The standard "what follows what"
+# path-mining first pass.  Identical SQL on both engines.
+_both(
+    "op_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM {events}
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, next_type
+    """,
+)
+
+# Rolling 7-day distinct active users.  The scalable form: reduce to
+# DISTINCT (day, user) first (payload never shuffles again), then
+# EXPAND each activity day to the 7 target days it contributes to (a
+# bounded explode — 7 rows per pair) and count distinct users per
+# target day.  This replaces the O(days x pairs) range self-join with a
+# linear explode, the same trick as joins.py's bucketized range join.
+_ROLLING_DAU_TPL = """
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      FROM {events}
+    ),
+    expanded AS (
+      SELECT user_id, {expand} AS target_day FROM du
+    )
+    SELECT CAST(target_day AS DATE) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dau_7d
+    FROM expanded
+    GROUP BY target_day
+    ORDER BY day
+"""
+
+_both(
+    "op_rolling_dau",
+    _ROLLING_DAU_TPL.replace(
+        "{expand}", "explode(sequence(d, date_add(d, 6)))"
+    ),
+    _ROLLING_DAU_TPL.replace(
+        "{expand}", "unnest(generate_series(d, d + 6, INTERVAL 1 DAY))"
+    ),
+)
+
 _both(
     "text_bm25_score",
     (

@@ -118,17 +118,17 @@ GRADED_PRIORITY: list[str] = [
     # changed or added this round — (re-)grade under the new code:
     # sharded two-level cumsum, variance clamp, streaming batch analog
     "llm_budget_select", "ts_zscore_anomaly", "ts_expanding_anomaly",
-    # new round-4 operators: behavior pack (funnel, cohort, BM25) and
-    # SemDeDup-style semantic dedup with a planted-twin value oracle
+    # new round-4 operators: behavior pack (funnel, cohort, BM25, event
+    # transitions, rolling DAU), SemDeDup-style semantic dedup with a
+    # planted-twin value oracle, weighted reservoir sampling
     "op_funnel_conversion", "op_cohort_retention", "text_bm25_score",
-    "dedup_semantic",
+    "dedup_semantic", "op_event_transitions", "op_rolling_dau",
+    "sample_weighted_topk",
     # backfill regression watch (green r1-r3; keep eyes on the
     # probabilistic family and the heaviest plans)
     "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
     "dedup_ngram_jaccard", "sim_search_lsh", "sim_search_ivf",
-    "tpch_q8", "tpch_q20",
-    "op_fuzzy_match", "op_click_attribution", "op_upsert_latest",
-    "llm_bigram_lm_score",
+    "tpch_q8", "tpch_q20", "op_fuzzy_match",
 ]
 
 

@@ -275,3 +275,65 @@ register(
     GROUP BY lang
     """,
 )
+
+
+# ------------------------------------------- weighted reservoir top-k
+def _md5_u16_sql(id_expr: str, seed: str) -> str:
+    """Deterministic uniform integer in [0, 65536) from the first four
+    hex chars of md5(seed || id) — instr arithmetic only, so the SAME
+    text runs on Spark and DuckDB (md5_bucket's 2-char form is too
+    coarse for exponential keys: 256 levels collide).  CAST AS STRING:
+    the one spelling both parsers accept (Spark rejects bare VARCHAR,
+    DuckDB aliases STRING to VARCHAR)."""
+    h = f"md5(concat('{seed}', CAST({id_expr} AS STRING)))"
+    terms = [
+        f"(instr('{_HEX}', substr({h}, {i}, 1)) - 1) * {16 ** (4 - i)}"
+        for i in range(1, 5)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_WEIGHTED_SEED = "wsample-v1"
+
+_WEIGHTED_TPL = f"""
+    WITH draws AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+             -ln(({_md5_u16_sql('doc_id', _WEIGHTED_SEED)} + 0.5) / 65536.0)
+               / n_chars AS expkey
+      FROM {{documents}}
+    )
+    SELECT doc_id, lang, n_chars,
+           CAST(round(expkey, 9) AS DOUBLE) AS expkey
+    FROM draws
+    ORDER BY expkey, doc_id
+    LIMIT 20
+"""
+
+
+def _register_weighted() -> None:
+    """A-ES weighted reservoir sampling (Efraimidis–Spirtes): each row
+    draws an exponential key -ln(u)/w from a DETERMINISTIC md5 uniform;
+    the k smallest keys are a weighted-without-replacement sample (here
+    w = n_chars: longer documents proportionally likelier).  No RNG
+    state to coordinate — the same (seed, id) decides identically on
+    every engine, cluster, and rerun, the split_assign discipline
+    applied to weighted selection.
+
+    Shape at 100 TB: a projection plus a global top-k — Spark plans
+    TakeOrderedAndProject (bounded heap per partition + merge of k-row
+    heads), never a global sort.  The ln/division doubles derive from
+    exact integers with identical expression text on both engines, so
+    the selection order is bit-identical; ties impossible (u16 + id
+    tiebreak).
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    register_sql(
+        "sample_weighted_topk",
+        _WEIGHTED_TPL.format(**_SPARK_TABLES),
+        _WEIGHTED_TPL.format(**_ORACLE_TABLES),
+    )
+
+
+_register_weighted()

@@ -87,3 +87,58 @@ def test_bm25_more_matches_scores_higher_at_equal_length(spark):
     three = [r.bm25 for r in rows if r.n_query_terms == 3]
     if one and three:
         assert max(three) > min(one)
+
+
+def test_event_transitions_conservation(spark):
+    """Each user contributes exactly (n_events - 1) transitions, so the
+    transition total must equal total events minus active users."""
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    rows = _entry(spark, "op_event_transitions").collect()
+    events = engine_for(spark, SF_SMALL).catalogs.table(
+        "elastic.default.events"
+    )
+    n_events = events.count()
+    n_users = events.select("user_id").distinct().count()
+    assert sum(r.n_transitions for r in rows) == n_events - n_users
+    for r in rows:
+        assert r.n_users <= r.n_transitions
+
+
+def test_rolling_dau_dominates_daily(spark):
+    """The trailing-7-day distinct count on day d must be >= that day's
+    own distinct count and <= the corpus-wide distinct user count."""
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    rows = {r.day: r.dau_7d for r in _entry(spark, "op_rolling_dau").collect()}
+    events = engine_for(spark, SF_SMALL).catalogs.table(
+        "elastic.default.events"
+    )
+    daily = {
+        r.day: r.n
+        for r in events.selectExpr(
+            "CAST(date_trunc('day', ts) AS DATE) AS day", "user_id"
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    total_users = events.select("user_id").distinct().count()
+    assert daily and set(daily) <= set(rows)
+    for day, n in daily.items():
+        assert n <= rows[day] <= total_users
+
+
+def test_weighted_topk_deterministic_and_ordered(spark):
+    got = [
+        (r.doc_id, r.expkey)
+        for r in _entry(spark, "sample_weighted_topk").collect()
+    ]
+    assert len(got) == 20
+    keys = [k for _, k in got]
+    assert keys == sorted(keys) and keys[0] > 0
+    again = [
+        (r.doc_id, r.expkey)
+        for r in _entry(spark, "sample_weighted_topk").collect()
+    ]
+    assert got == again
