@@ -7,22 +7,28 @@ macros, so these are the composed forms).
 
 Scale notes (100 TB lens):
 
-- ``op_funnel_conversion`` is three keyed aggregations and three joins,
-  ALL on user_id — one partitioning reused across every stage (AQE
-  coalesces the identical exchanges), no global operator anywhere.
+- ``op_funnel_conversion`` is a SINGLE scan with three stacked
+  whole-partition windows on user_id and one keyed agg — 0 joins; the
+  join formulation re-derived the events lineage once per stage (6
+  scans in the plan census) and was discarded.
 - ``op_cohort_retention`` reduces events to (user, week) pairs before
   any join (DISTINCT projection — the wide events payload never crosses
   a shuffle), then joins the tiny per-user cohort frame and aggregates.
   Output cardinality is cohorts x offsets — metadata-scale.
-- ``text_bm25_score`` computes document length and term frequency in
-  one token explode, derives corpus stats (2 values) and per-term
-  document frequencies (|query| rows) as broadcast frames, and scores
-  with a FIXED-ORDER sum over pivoted per-term scores: the textual
-  addition order is identical on both engines, so the doubles are
-  bit-equal before the final round (float sums over an unordered GROUP
-  BY would be last-ulp order-sensitive).  Tokens not in the query are
-  dropped before the per-(doc, term) aggregation, so the shuffled frame
-  is O(matching tokens), not O(corpus tokens).
+- ``op_event_transitions`` is one keyed lag window plus a
+  |event types|²-row aggregate.
+- ``op_rolling_dau`` expands each DISTINCT (day, user) pair to the 7
+  target days it contributes to — a bounded explode instead of an
+  O(days x pairs) range self-join.
+- ``text_bm25_score`` is SINGLE-PASS: one token explode feeds one
+  groupBy(doc_id) producing document length and every per-term
+  frequency together (map-side combinable — the shuffle carries
+  n_docs rows, not tokens); corpus stats reduce that materialized
+  ~40-byte/doc frame to one broadcast row.  Scores are a FIXED-ORDER
+  sum over pivoted per-term columns: the textual addition order is
+  identical on both engines, so the doubles are bit-equal before the
+  final round (float sums over an unordered GROUP BY would be last-ulp
+  order-sensitive).
 
 Week arithmetic parity: ``date_trunc('week', ...)`` is Monday-start on
 both engines but returns TIMESTAMP in Spark vs the same in DuckDB —
@@ -33,7 +39,9 @@ always a multiple of 7; the CAST after /7 truncates an exact double).
 
 from __future__ import annotations
 
-from dblab_ece_trino_spark.operators.registry import register_sql
+from pyspark.sql import DataFrame, SparkSession
+
+from dblab_ece_trino_spark.operators.registry import register, register_sql
 from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
 
 
@@ -132,56 +140,6 @@ _both(
     ),
 )
 
-# BM25 (k1=1.2, b=0.75) for a fixed query term set.  idf is the
-# "+1-inside-the-log" form (always positive); dl/avgdl is expressed as
-# dl * n_docs / tot_dl so every double derives from exact integers with
-# identical expression text.  The per-term scores are pivoted and summed
-# in FIXED textual order — see module docstring.
-_BM25_BODY = """
-    dl AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
-    ),
-    stats AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(dl) AS BIGINT) AS tot_dl
-      FROM dl
-    ),
-    tf AS (
-      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-      FROM toks WHERE tok IN ('table', 'fast', 'row')
-      GROUP BY doc_id, tok
-    ),
-    dfreq AS (
-      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
-    ),
-    term AS (
-      SELECT tf.doc_id, tf.tok,
-             ln(1 + (CAST(s.n_docs AS DOUBLE) - dfreq.df + 0.5)
-                    / (dfreq.df + 0.5))
-             * (tf.tf * 2.2)
-             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
-                               * CAST(s.n_docs AS DOUBLE) / s.tot_dl))
-               AS term_score
-      FROM tf
-      JOIN dl ON tf.doc_id = dl.doc_id
-      JOIN dfreq ON tf.tok = dfreq.tok
-      CROSS JOIN stats s
-    ),
-    pivoted AS (
-      SELECT doc_id,
-             max(CASE WHEN tok = 'table' THEN term_score END) AS s_table,
-             max(CASE WHEN tok = 'fast' THEN term_score END) AS s_fast,
-             max(CASE WHEN tok = 'row' THEN term_score END) AS s_row,
-             CAST(count(*) AS BIGINT) AS n_query_terms
-      FROM term GROUP BY doc_id
-    )
-    SELECT doc_id,
-           CAST(round(coalesce(s_table, 0.0) + coalesce(s_fast, 0.0)
-                      + coalesce(s_row, 0.0), 6) AS DOUBLE) AS bm25,
-           n_query_terms
-    FROM pivoted
-"""
-
 # Markov transition counts over each user's event sequence: one keyed
 # lag window (hash shuffle on user_id, per-user sort), then a tiny
 # (|event types|²)-row aggregate.  The standard "what follows what"
@@ -235,24 +193,138 @@ _both(
     ),
 )
 
-_both(
-    "text_bm25_score",
-    (
-        """
-    WITH toks AS (
-      SELECT doc_id, tok FROM {documents}
-      LATERAL VIEW explode(split(trim(text), '\\\\s+')) t AS tok
-    ),
-    """
-        + _BM25_BODY
-    ),
-    (
-        r"""
+
+# BM25 (k1=1.2, b=0.75) for a fixed query term set.  idf is the
+# "+1-inside-the-log" form (always positive); dl/avgdl is expressed as
+# dl * n_docs / tot_dl so every double derives from exact integers with
+# identical expression text on both engines.  Per-term scores live in
+# pivoted columns and are summed in FIXED textual order — see module
+# docstring.
+#
+# SINGLE-PASS shape: one token explode feeds ONE groupBy(doc_id) that
+# produces document length and every per-term frequency together
+# (map-side combinable — the shuffle carries n_docs rows, not tokens);
+# corpus stats and per-term document frequencies reduce that narrow
+# frame to one broadcast row.  The Spark side materializes the
+# ~40-byte/doc aggregate so the stats branch cannot re-derive the
+# explode (the first formulation's four-consumer lineage cost four
+# corpus scans in the plan census); the oracle states the identical
+# computation as straight SQL.
+_BM25_TERMS = ("table", "fast", "row")
+
+
+def _bm25_term_score(term: str) -> str:
+    """Score expression for one term — IDENTICAL text on both engines
+    (the oracle embeds the same string), so the doubles are bit-equal."""
+    return (
+        f"CASE WHEN tf_{term} > 0 THEN "
+        f"ln(1 + (CAST(n_docs AS DOUBLE) - df_{term} + 0.5) "
+        f"/ (df_{term} + 0.5)) "
+        f"* (tf_{term} * 2.2) "
+        f"/ (tf_{term} + 1.2 * (0.25 + 0.75 * dl "
+        f"* CAST(n_docs AS DOUBLE) / tot_dl)) END"
+    )
+
+
+_BM25_FINAL = (
+    "CAST(round("
+    + " + ".join(f"coalesce(s_{t}, 0.0)" for t in _BM25_TERMS)
+    + ", 6) AS DOUBLE)"
+)
+
+_BM25_N_TERMS = (
+    "CAST("
+    + " + ".join(f"CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END" for t in _BM25_TERMS)
+    + " AS BIGINT)"
+)
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.session import materialize
+
+    docs = engine_for(spark, sf_dir).catalogs.table("lake.llm.documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    agg = materialize(
+        toks.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("dl"),
+            *[
+                F.count(F.when(F.col("tok") == t, 1))
+                .cast("long")
+                .alias(f"tf_{t}")
+                for t in _BM25_TERMS
+            ],
+        )
+    )
+    stats = agg.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("tot_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long"))
+            .cast("long")
+            .alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    ).withColumn("__k", F.lit(1))
+    scored = (
+        agg.withColumn("__k", F.lit(1))
+        .join(F.broadcast(stats), "__k")
+        .select(
+            "doc_id",
+            *[
+                F.expr(_bm25_term_score(t)).alias(f"s_{t}")
+                for t in _BM25_TERMS
+            ],
+            F.expr(_BM25_N_TERMS).alias("n_query_terms"),
+        )
+    )
+    return scored.filter(F.col("n_query_terms") > 0).select(
+        "doc_id", F.expr(_BM25_FINAL).alias("bm25"), "n_query_terms"
+    )
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n             ".join(
+        f"CAST(count(CASE WHEN tok = '{t}' THEN 1 END) AS BIGINT) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    s_cols = ",\n           ".join(
+        f"{_bm25_term_score(t)} AS s_{t}" for t in _BM25_TERMS
+    )
+    return rf"""
     WITH toks AS (
       SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
-      FROM {documents}
+      FROM documents
     ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+             {tf_cols}
+      FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS tot_dl,
+             {df_cols}
+      FROM agg
+    ),
+    scored AS (
+      SELECT a.doc_id,
+           {s_cols},
+           {_BM25_N_TERMS} AS n_query_terms
+      FROM agg a CROSS JOIN stats s
+    )
+    SELECT doc_id, {_BM25_FINAL} AS bm25, n_query_terms
+    FROM scored WHERE n_query_terms > 0
     """
-        + _BM25_BODY
-    ),
-)
+
+
+register("text_bm25_score", _q_bm25, oracle=_bm25_oracle())

@@ -413,22 +413,17 @@ def test_funnel_single_key_partitioning(spark):
         assert m.group(1) == "user_id", plan
 
 
-def test_bm25_filters_tokens_before_shuffle(spark):
-    """Only query-term tokens may reach the per-(doc, term) aggregation:
-    the tok IN (...) filter must sit below the first exchange, so the
-    shuffled frame is O(matching tokens), not O(corpus tokens)."""
+def test_bm25_single_pass(spark):
+    """BM25 is the single-pass form: the token explode and the
+    per-document pivoted aggregation run ONCE inside the materialized
+    narrow frame, so the visible plan reads the checkpoint (no Generate,
+    no parquet scan), carries at most one exchange (the one-row corpus
+    stats), and broadcasts the stats back."""
     plan = _plan(spark, "text_bm25_score")
-    blocks = re.findall(r"\((\d+)\) (\w+)[^\n]*\n((?:[^\n(][^\n]*\n)*)", plan)
-    filter_ids = [
-        int(n)
-        for n, node, body in blocks
-        if node == "Filter" and "IN(table,fast,row" in body.replace(" ", "")
-    ]
-    exchange_ids = [int(n) for n, node, _ in blocks if node == "Exchange"]
-    assert filter_ids and exchange_ids, plan
-    # node numbering is leaf-up: the term filter must execute below
-    # (before) every exchange
-    assert min(filter_ids) < min(exchange_ids), plan
+    assert "Scan parquet" not in plan, plan  # payload read once, inside
+    assert "Generate" not in plan, plan  # the checkpointed lineage
+    assert plan.count(") Exchange") <= 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
 
