@@ -328,3 +328,97 @@ def _bm25_oracle() -> str:
 
 
 register("text_bm25_score", _q_bm25, oracle=_bm25_oracle())
+
+
+# A-priori-pruned token co-occurrence (frequent-pair mining): candidate
+# pairs are generated ONLY among tokens whose document frequency already
+# clears the support floor (a pair cannot reach support s unless both
+# members do — the apriori property), so the per-document pair explosion
+# is f², f = frequent tokens per doc, never tokens².
+#
+# Derivation discipline (the curate-pipeline materialize() pattern):
+# the DISTINCT (doc, token) presence frame feeds the frequent-token
+# count and the frequent-presence projection — TWO corpus passes, not
+# five (the all-CTE SQL form re-derived it for freq/ft/ft/stats: 5
+# scans in the plan census).  The frequent-presence frame (docs x
+# frequent-vocab only) is checkpointed before the self-join so the pair
+# stage reads it twice from storage instead of re-tokenizing the
+# corpus, and n_docs comes from a column-pruned count of the documents
+# table (whitespace tokenization yields >= 1 token for every document,
+# including empty ones, so the counts agree by construction).
+_COOC_MINSUP = 150
+
+
+def _q_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.session import materialize
+
+    docs = engine_for(spark, sf_dir).catalogs.table("lake.llm.documents")
+    dt = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).distinct()
+    freq = dt.groupBy("tok").agg(F.count("*").cast("long").alias("df")).filter(
+        F.col("df") >= _COOC_MINSUP
+    )
+    ft = materialize(dt.join(F.broadcast(freq), "tok"))
+    a = ft.select("doc_id", F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    b = ft.select("doc_id", F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b", "df_a", "df_b")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= _COOC_MINSUP)
+    )
+    n_docs = docs.select("doc_id").count()
+    return (
+        pairs.select(
+            "tok_a",
+            "tok_b",
+            "support",
+            F.round(
+                F.col("support").cast("double")
+                * F.lit(n_docs)
+                / (F.col("df_a") * F.col("df_b")),
+                6,
+            )
+            .cast("double")
+            .alias("lift"),
+        )
+        .orderBy("tok_a", "tok_b")
+    )
+
+
+register(
+    "op_token_cooccurrence",
+    _q_token_cooccurrence,
+    oracle=rf"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    freq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df
+      FROM dt GROUP BY tok HAVING count(*) >= {_COOC_MINSUP}
+    ),
+    ft AS (
+      SELECT dt.doc_id, dt.tok, f.df FROM dt JOIN freq f ON dt.tok = f.tok
+    ),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, a.df AS df_a, b.df AS df_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY a.tok, b.tok, a.df, b.df
+    ),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT tok_a, tok_b, support,
+           CAST(round(CAST(support AS DOUBLE) * n_docs
+                      / (df_a * df_b), 6) AS DOUBLE) AS lift
+    FROM pairs CROSS JOIN stats
+    WHERE support >= {_COOC_MINSUP}
+    ORDER BY tok_a, tok_b
+    """,
+)

@@ -123,12 +123,12 @@ GRADED_PRIORITY: list[str] = [
     # planted-twin value oracle, weighted reservoir sampling
     "op_funnel_conversion", "op_cohort_retention", "text_bm25_score",
     "dedup_semantic", "op_event_transitions", "op_rolling_dau",
-    "sample_weighted_topk",
+    "sample_weighted_topk", "op_token_cooccurrence",
     # backfill regression watch (green r1-r3; keep eyes on the
     # probabilistic family and the heaviest plans)
     "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
     "dedup_ngram_jaccard", "sim_search_lsh", "sim_search_ivf",
-    "tpch_q8", "tpch_q20", "op_fuzzy_match",
+    "tpch_q8", "tpch_q20",
 ]
 
 

@@ -142,3 +142,29 @@ def test_weighted_topk_deterministic_and_ordered(spark):
         for r in _entry(spark, "sample_weighted_topk").collect()
     ]
     assert got == again
+
+
+def test_token_cooccurrence_apriori_bounds(spark):
+    """Pair support can never exceed either member's document frequency
+    (the apriori property the pruning relies on), pairs are canonically
+    ordered, and lift is positive."""
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from pyspark.sql import functions as FF
+
+    rows = _entry(spark, "op_token_cooccurrence").collect()
+    assert len(rows) > 0
+    docs = engine_for(spark, SF_SMALL).catalogs.table("lake.llm.documents")
+    df_map = {
+        r.tok: r.df
+        for r in docs.select(
+            "doc_id", FF.explode(FF.split(FF.trim("text"), r"\s+")).alias("tok")
+        )
+        .distinct()
+        .groupBy("tok")
+        .agg(FF.count("*").alias("df"))
+        .collect()
+    }
+    for r in rows:
+        assert r.tok_a < r.tok_b
+        assert 150 <= r.support <= min(df_map[r.tok_a], df_map[r.tok_b])
+        assert r.lift > 0
