@@ -299,7 +299,7 @@ _WEIGHTED_TPL = f"""
     WITH draws AS (
       SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
              -ln(({_md5_u16_sql('doc_id', _WEIGHTED_SEED)} + 0.5) / 65536.0)
-               / n_chars AS expkey
+               / greatest(n_chars, 1) AS expkey
       FROM {{documents}}
     )
     SELECT doc_id, lang, n_chars,
@@ -314,7 +314,9 @@ def _register_weighted() -> None:
     """A-ES weighted reservoir sampling (Efraimidis–Spirtes): each row
     draws an exponential key -ln(u)/w from a DETERMINISTIC md5 uniform;
     the k smallest keys are a weighted-without-replacement sample (here
-    w = n_chars: longer documents proportionally likelier).  No RNG
+    w = greatest(n_chars, 1): longer documents proportionally likelier;
+    the clamp guards the zero-weight edge, where double division by
+    zero is NULL on Spark but inf on DuckDB).  No RNG
     state to coordinate — the same (seed, id) decides identically on
     every engine, cluster, and rerun, the split_assign discipline
     applied to weighted selection.
