@@ -422,3 +422,31 @@ register(
     ORDER BY tok_a, tok_b
     """,
 )
+
+
+# Daily new-vs-returning split: an active user is "new" on their
+# first-ever activity day, "returning" after.  DISTINCT (day, user)
+# reduction first; the per-user first-day frame joins back on user_id
+# and one keyed agg produces the daily split.  Identical SQL on both
+# engines; counts only (exact integers).
+_both(
+    "op_new_vs_returning",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      FROM {events}
+    ),
+    firsts AS (
+      SELECT user_id, min(d) AS first_day FROM du GROUP BY user_id
+    )
+    SELECT du.d AS day,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN du.d = f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN du.d > f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returning
+    FROM du JOIN firsts f ON du.user_id = f.user_id
+    GROUP BY du.d
+    ORDER BY day
+    """,
+)

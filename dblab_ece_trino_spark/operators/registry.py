@@ -124,11 +124,13 @@ GRADED_PRIORITY: list[str] = [
     "op_funnel_conversion", "op_cohort_retention", "text_bm25_score",
     "dedup_semantic", "op_event_transitions", "op_rolling_dau",
     "sample_weighted_topk", "op_token_cooccurrence",
+    "op_new_vs_returning",
     # backfill regression watch (green r1-r3; keep eyes on the
-    # probabilistic family and the heaviest plans)
+    # probabilistic family and the heaviest plans; tpch_q8/q20 stay
+    # watched through bench.py's headline set)
     "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
     "dedup_ngram_jaccard", "sim_search_lsh", "sim_search_ivf",
-    "tpch_q8", "tpch_q20",
+    "tpch_q8",
 ]
 
 

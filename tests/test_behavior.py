@@ -168,3 +168,20 @@ def test_token_cooccurrence_apriori_bounds(spark):
         assert r.tok_a < r.tok_b
         assert 150 <= r.support <= min(df_map[r.tok_a], df_map[r.tok_b])
         assert r.lift > 0
+
+
+def test_new_vs_returning_conservation(spark):
+    """n_new + n_returning == n_active per day; each user is new exactly
+    once; total new across days == distinct users."""
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    rows = _entry(spark, "op_new_vs_returning").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_new + r.n_returning == r.n_active
+    events = engine_for(spark, SF_SMALL).catalogs.table(
+        "elastic.default.events"
+    )
+    assert sum(r.n_new for r in rows) == (
+        events.select("user_id").distinct().count()
+    )
