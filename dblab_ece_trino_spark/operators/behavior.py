@@ -67,9 +67,7 @@ def _both(name: str, spark_tpl: str, oracle_tpl: str | None = None) -> None:
 # event log once and reading it six times.  Identical SQL on both
 # engines; the windows have no ORDER BY (whole-partition frame), so
 # there is no per-partition sort either.
-_both(
-    "op_funnel_conversion",
-    """
+FUNNEL_TEMPLATE = """
     WITH w1 AS (
       SELECT user_id, ts, event_type,
              min(CASE WHEN event_type = 'view' THEN ts END)
@@ -97,8 +95,9 @@ _both(
     WHERE t_view IS NOT NULL
     GROUP BY user_id
     ORDER BY user_id
-    """,
-)
+"""
+
+_both("op_funnel_conversion", FUNNEL_TEMPLATE)
 
 # Weekly cohort retention: cohort = week of a user's first event;
 # n_active = distinct cohort members active k weeks later.  Counts only
@@ -144,9 +143,7 @@ _both(
 # lag window (hash shuffle on user_id, per-user sort), then a tiny
 # (|event types|²)-row aggregate.  The standard "what follows what"
 # path-mining first pass.  Identical SQL on both engines.
-_both(
-    "op_event_transitions",
-    """
+TRANSITIONS_TEMPLATE = """
     WITH seq AS (
       SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (
@@ -159,8 +156,9 @@ _both(
     FROM seq WHERE prev_type IS NOT NULL
     GROUP BY prev_type, event_type
     ORDER BY prev_type, next_type
-    """,
-)
+"""
+
+_both("op_event_transitions", TRANSITIONS_TEMPLATE)
 
 # Rolling 7-day distinct active users.  The scalable form: reduce to
 # DISTINCT (day, user) first (payload never shuffles again), then

@@ -240,3 +240,109 @@ def test_snapshot_diff_matches_dict_compare(spark, old, new):
         | {(k, "changed") for k in old.keys() & new.keys() if old[k] != new[k]}
     )
     assert got == want
+
+
+_event_logs = st.lists(
+    st.tuples(
+        st.integers(0, 4),                 # user_id
+        st.integers(0, 1000),              # ts offset (seconds)
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _events_view(spark, log, name):
+    """Materialize a generated event log as a temp view with unique
+    (ts, event_id) order keys."""
+    rows = [
+        (i, f"2024-01-01 00:{t // 60 % 60:02d}:{t % 60:02d}", u, e)
+        for i, (u, t, e) in enumerate(log)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string"
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    df.createOrReplaceTempView(name)
+    return df
+
+
+@given(log=_event_logs)
+@settings(**_SETTINGS)
+def test_funnel_matches_python_reference(spark, log):
+    from dblab_ece_trino_spark.operators.behavior import FUNNEL_TEMPLATE
+
+    _events_view(spark, log, "prop_events_funnel")
+    got = {
+        r.user_id: (r.t_view, r.t_click, r.t_purchase, r.stage)
+        for r in spark.sql(
+            FUNNEL_TEMPLATE.format(events="prop_events_funnel")
+        ).collect()
+    }
+
+    # python reference: strictly ordered first-view -> first-later-click
+    # -> first-later-purchase per user
+    by_user: dict = {}
+    for i, (u, t, e) in enumerate(log):
+        by_user.setdefault(u, []).append((t, i, e))
+    want = {}
+    for u, evs in by_user.items():
+        views = [t for t, _, e in evs if e == "view"]
+        if not views:
+            continue
+        t_view = min(views)
+        clicks = [t for t, _, e in evs if e == "click" and t > t_view]
+        t_click = min(clicks) if clicks else None
+        purchases = (
+            [t for t, _, e in evs if e == "purchase" and t > t_click]
+            if t_click is not None
+            else []
+        )
+        t_purchase = min(purchases) if purchases else None
+        want[u] = (
+            t_view,
+            t_click,
+            t_purchase,
+            1 + (t_click is not None) + (t_purchase is not None),
+        )
+    assert set(got) == set(want)
+    for u, (tv, tc, tp, stage) in want.items():
+        gv, gc, gp, gstage = got[u]
+        assert gstage == stage
+
+        def sec(ts):
+            return None if ts is None else ts.minute * 60 + ts.second
+
+        assert (sec(gv), sec(gc), sec(gp)) == (tv, tc, tp)
+
+
+@given(log=_event_logs)
+@settings(**_SETTINGS)
+def test_transitions_match_python_reference(spark, log):
+    from dblab_ece_trino_spark.operators.behavior import TRANSITIONS_TEMPLATE
+
+    _events_view(spark, log, "prop_events_trans")
+    got = {
+        (r.prev_type, r.next_type): (r.n_transitions, r.n_users)
+        for r in spark.sql(
+            TRANSITIONS_TEMPLATE.format(events="prop_events_trans")
+        ).collect()
+    }
+
+    by_user: dict = {}
+    for i, (u, t, e) in enumerate(log):
+        by_user.setdefault(u, []).append((t, i, e))
+    counts: dict = {}
+    users: dict = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+            users.setdefault((a, b), set()).add(u)
+    want = {k: (n, len(users[k])) for k, n in counts.items()}
+    assert got == want
