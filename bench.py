@@ -53,10 +53,12 @@ HEADLINE = [
     # round-3 late additions (appended so prior rounds stay comparable)
     "llm_bigram_lm_score",
     "ts_zscore_anomaly",
-    # round-4 additions: the fused curation pipeline and one
-    # analytics-pack representative
+    # round-4 additions: the fused curation pipeline, one
+    # analytics-pack representative, and two behavior-pack flagships
     "pipeline_curate_corpus",
     "op_equidepth_hist",
+    "op_funnel_conversion",
+    "text_bm25_score",
 ]
 
 

@@ -20,6 +20,11 @@ Scale notes (100 TB lens):
 - ``op_rolling_dau`` expands each DISTINCT (day, user) pair to the 7
   target days it contributes to — a bounded explode instead of an
   O(days x pairs) range self-join.
+- ``op_new_vs_returning`` joins the per-user first-day frame back on
+  user_id over the same reduced (day, user) pairs.
+- ``op_token_cooccurrence`` mines frequent token pairs with a-priori
+  pruning and a materialized frequent-presence frame — see its block
+  comment.
 - ``text_bm25_score`` is SINGLE-PASS: one token explode feeds one
   groupBy(doc_id) producing document length and every per-term
   frequency together (map-side combinable — the shuffle carries
