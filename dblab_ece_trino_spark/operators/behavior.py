@@ -19,7 +19,9 @@ Scale notes (100 TB lens):
   |event types|²-row aggregate.
 - ``op_rolling_dau`` expands each DISTINCT (day, user) pair to the 7
   target days it contributes to — a bounded explode instead of an
-  O(days x pairs) range self-join.
+  O(days x pairs) range self-join — then clamps target days to the
+  last observed activity day so no partial trailing window is
+  reported as a future day.
 - ``op_new_vs_returning`` joins the per-user first-day frame back on
   user_id over the same reduced (day, user) pairs.
 - ``op_token_cooccurrence`` mines frequent token pairs with a-priori
@@ -182,6 +184,7 @@ _ROLLING_DAU_TPL = """
     SELECT CAST(target_day AS DATE) AS day,
            CAST(count(DISTINCT user_id) AS BIGINT) AS dau_7d
     FROM expanded
+    WHERE target_day <= (SELECT max(d) FROM du)
     GROUP BY target_day
     ORDER BY day
 """

@@ -435,7 +435,7 @@ def semantic_dedup(
 
     Shape at 100 TB: the pairwise stage is WITHIN-CLUSTER only — one
     hash shuffle on the cluster id, candidate count sum-of-cell-sizes²
-    instead of n².  ``n_clusters`` defaults to ``max(16, ceil(sqrt(n)))``
+    instead of n².  ``n_clusters`` defaults to ``max(16, floor(sqrt(n)))``
     — the classic IVF balance: total work is assignment n·k plus
     pairwise n²/k, minimized at k = sqrt(n) where both stages are
     n^1.5.  A FIXED k turns 3x data into ~9x pairwise work (measured

@@ -18,8 +18,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-
 
 def census_counts(plan: str) -> dict[str, int]:
     return {
@@ -34,13 +32,16 @@ def main() -> None:
     from dblab_ece_trino_spark.session import EngineSession, explain_str
     import __spark_entry__ as entrymod
 
+    # Parsed here (not at module scope) so importing this module under
+    # pytest can't capture a pytest CLI argument as the sf dir.
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     eng = EngineSession.get(app_name="plan_census")
     spark = eng.spark
     qs = entrymod.queries()
     out: dict[str, tuple[int, int, int, int]] = {}
     for name, fn in qs.items():
         try:
-            plan = explain_str(fn(spark, SF))
+            plan = explain_str(fn(spark, sf))
             c = census_counts(plan)
             out[name] = (c["scans"], c["exchanges"], c["windows"], c["sorts"])
         except Exception as exc:  # pragma: no cover - diagnostic path

@@ -386,9 +386,16 @@ def test_anomaly_stream_matches_registered_batch_entry(spark, events_dir):
     for r in srows:
         n_prior, z_batch, flag_batch = batch[r.event_id]
         assert n_prior == r.n_prior
-        assert flag_batch == bool(r.is_anomaly)
         z_stream = r.zscore
         if z_batch is None:
             assert z_stream is None or z_stream != z_stream  # NaN marker
+            assert flag_batch == bool(r.is_anomaly)
         else:
             assert abs(z_stream - z_batch) <= 5.01e-4  # round-3 rendering
+            # The batch entry derives moments from exact DECIMAL(18,6)
+            # sums while the stream keeps float64 cumsums; a z sitting
+            # exactly on the 2.5-sigma boundary can legitimately flip
+            # the flag between the two paths.  Compare flags only where
+            # the score is bounded away from the threshold.
+            if abs(abs(z_batch) - 2.5) >= 1e-3:
+                assert flag_batch == bool(r.is_anomaly)
