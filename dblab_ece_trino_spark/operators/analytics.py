@@ -410,3 +410,96 @@ _both(
     ORDER BY l_returnflag
     """,
 )
+
+
+# Mergeable-sketch rollup: per-day HLL sketches of distinct users,
+# unioned into weekly estimates (Spark 3.5+ Apache DataSketches
+# hll_sketch_agg / hll_union_agg).  THE 100-TB distinct-count pattern:
+# the expensive pass over the raw event log happens ONCE at the finest
+# grain, and every coarser rollup (week here; month/quarter/dashboard
+# the same way) unions kilobyte sketches instead of re-scanning -- a
+# count(DISTINCT) per window re-reads the log per window and shuffles
+# raw user ids each time.  Sketches are deterministic (no RNG at agg
+# time), so the within-tolerance boolean is stable; the oracle pins the
+# exact per-week distinct counts and asserts the estimate lands within
+# the documented +/-5% (>3 sigma for lgK=12's 1.6% rsd), mirroring the
+# op_approx_distinct tolerance-oracle idiom.
+def _op_hll_rollup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    ev = engine_for(spark, sf_dir).catalogs.table("elastic.default.events")
+    daily = ev.select(
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    sketches = daily.groupBy("week", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    weekly_est = sketches.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = daily.groupBy("week").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return exact.join(weekly_est, "week").select(
+        "week",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_5pct"),
+    )
+
+
+register(
+    "op_hll_rollup",
+    _op_hll_rollup,
+    oracle="""
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           count(DISTINCT user_id) AS exact_users,
+           true AS within_5pct
+    FROM events
+    GROUP BY 1
+    """,
+)
+
+
+# RANGE-frame window: rolling 28-day revenue per customer.  The frame is
+# VALUE-based (epoch-day RANGE BETWEEN 27 PRECEDING), not row-based --
+# gaps in a customer's order history shrink the window contents, which
+# ROWS frames get wrong.  Daily pre-aggregation (the GROUP BY under the
+# window) bounds per-partition window input to distinct active days, and
+# revenue stays DECIMAL until the final cast so the windowed sum is
+# exact under any partitioning.  Engines differ only in the epoch-day
+# expression; the frame semantics are identical.
+_RANGE_FRAME_TPL = """
+    WITH drev AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE) AS day,
+             {epoch_day} AS ed,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+               AS rev
+      FROM {orders}
+      GROUP BY 1, 2, 3
+    )
+    SELECT o_custkey, day,
+           CAST(sum(rev) OVER (
+             PARTITION BY o_custkey ORDER BY ed
+             RANGE BETWEEN 27 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rev_28d
+    FROM drev
+"""
+
+register_sql(
+    "op_rolling_revenue_28d",
+    _RANGE_FRAME_TPL.replace(
+        "{epoch_day}", "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+    ).format(**_SPARK_TABLES),
+    _RANGE_FRAME_TPL.replace(
+        "{epoch_day}",
+        "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))",
+    ).format(**_ORACLE_TABLES),
+)

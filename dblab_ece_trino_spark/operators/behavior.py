@@ -456,3 +456,60 @@ _both(
     ORDER BY day
     """,
 )
+
+
+# Sequential pattern mining: event-type trigrams per user session
+# stream (the order-3 extension of op_event_transitions' bigrams --
+# path analysis "view -> click -> purchase happened N times").  One
+# keyed window pass (two lags share the same sort/exchange) + one hash
+# agg whose output is |event types|^3 -- metadata-scale however large
+# the log is.  (ts, event_id) is a unique ordering key so the lags are
+# deterministic; the top-25 cut is tie-broken on the full trigram.
+_both(
+    "op_event_trigrams",
+    """
+    WITH seq AS (
+      SELECT lag(event_type, 2)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e1,
+             lag(event_type, 1)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             event_type AS e3
+      FROM {events}
+    )
+    SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+    FROM seq
+    WHERE e1 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT 25
+    """,
+)
+
+
+# Hourly trending: top-3 event types per tumbling hour.  The batch
+# analog of streaming/events.py's trending_event_counts (the same
+# pairing discipline as op_click_attribution for the interval join):
+# the hourly count frame is the watermarked windowed-count state, and
+# the rank is the per-window cut a downstream dashboard applies.  One
+# hash agg (map-side combinable: |hours| x |event types| partial rows
+# per task) + one bounded window over per-hour groups.
+_both(
+    "op_trending_hours",
+    """
+    WITH hc AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+      FROM {events}
+      GROUP BY 1, 2
+    )
+    SELECT CAST(hour AS TIMESTAMP) AS hour, event_type,
+           CAST(n AS BIGINT) AS n, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT hour, event_type, n,
+             row_number() OVER (PARTITION BY hour
+                                ORDER BY n DESC, event_type) AS rk
+      FROM hc
+    )
+    WHERE rk <= 3
+    ORDER BY hour, rk
+    """,
+)

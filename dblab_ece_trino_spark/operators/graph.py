@@ -1,0 +1,252 @@
+"""Graph analytics over a market-basket co-order graph: fixed-point
+PageRank and triangle participation (beyond-parity ops — the reference
+ships no graph surface; SURVEY §2.8's function-pack lane is where user
+macros like these live).
+
+Graph derivation (shared by both ops and both engines): nodes are parts,
+with an undirected edge between two parts that appear together in at
+least ``min_support`` orders.  The edge build is a self-join of lineitem
+on l_orderkey — fan-out is C(items-per-order, 2), bounded by the order
+size (≤ ~20 in TPC-H-shaped data), so the pair stream is a BOUNDED
+per-order explode, not an n² blow-up, and the support threshold
+(a-priori pruning, same economics as behavior.py's token co-occurrence
+miner) keeps the edge set sparse: measured 3.6k edges over 2k part
+nodes at sf0.01 and 3.9k edges over 20k nodes at sf0.1 — density FALLS
+as the catalog grows, which is exactly the production shape.
+
+Scale notes (100 TB lens):
+
+- **PageRank** runs as an iterative DataFrame loop (the dedup_clusters
+  precedent: Spark CTEs are inlined, so an unrolled-SQL form would
+  re-derive the lineitem self-join once per iteration — the loop
+  materializes edges/degrees ONCE and each iteration is one
+  contribution join + one keyed agg, i.e. one shuffle per iteration on
+  the edge table).  All arithmetic is FIXED-POINT INTEGER (rank mass
+  scaled by 10^12): float PageRank is order-sensitive under distributed
+  summation (float addition is not associative, so two runs of the same
+  job can rank ties differently), while BIGINT sums are exact and
+  associative on any partitioning — this is what makes the op
+  deterministic on a 1000-executor cluster AND lets DuckDB replay it
+  bit-for-bit as an unrolled 5-iteration CTE oracle.
+- **Triangles** use the oriented (u < v) edge list: each triangle is
+  counted exactly once as a < b < c, the wedge join (e1.v = e2.u) is
+  bounded by sum-of-degree² of the THRESHOLDED graph, not the raw
+  co-order stream.  For power-law graphs where id-orientation leaves
+  hot wedges, the standard upgrade is degree-orientation (order edges
+  by (degree, id) instead of id) — noted here, not needed at this
+  density.
+
+Both entries return exact integers, so driver hashing has no float
+rendering risk anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dblab_ece_trino_spark.operators.registry import register
+
+PR_SCALE = 10**12
+PR_ITERS = 5
+MIN_SUPPORT = 2
+
+# Oracle-side shared edge derivation (DuckDB dialect).
+_PAIRS_CTE = f"""
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {MIN_SUPPORT}
+    )"""
+
+
+def coorder_pairs(li: DataFrame, min_support: int = MIN_SUPPORT) -> DataFrame:
+    """Oriented (u < v) part pairs with >= min_support co-ordered
+    lineitem pair instances (a pair repeated within one order counts
+    each instance — same on both engines)."""
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= min_support)
+        .select("u", "v")
+    )
+
+
+def pagerank(
+    pairs: DataFrame, iters: int = PR_ITERS, scale: int = PR_SCALE
+) -> DataFrame:
+    """Fixed-point integer PageRank (d = 0.85 = 17/20) over the
+    symmetrized pair list.  Returns (node, pr) with pr in units of
+    1/scale; every operation is integer (div = floor division), so the
+    result is independent of partitioning and matches the unrolled SQL
+    oracle exactly.
+
+    One driver-side scalar (the node count, for the teleport term) —
+    the same bounded action semantic_dedup uses for its cluster count.
+    BIGINT bounds: per-node inbound mass <= total mass = scale = 1e12,
+    so 17 * s < 2e13 << 2^63; at ~1e9+ nodes move scale into a
+    DECIMAL(38,0) column, the plan shape is unchanged.
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    edges = materialize(
+        pairs.select("u", "v").unionAll(
+            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    )
+    deg = materialize(
+        edges.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).alias("outdeg")
+        )
+    )
+    n = deg.count()
+    teleport = (3 * scale) // (20 * n)
+    pr = deg.select("node", F.lit(scale // n).cast("long").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            pr.join(deg, "node")
+            .select(F.col("node"), F.expr("pr div outdeg").alias("share"))
+            .join(edges, F.col("node") == F.col("u"))
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("share").alias("s"))
+        )
+        pr = materialize(
+            contrib.select(
+                "node",
+                (F.lit(teleport) + F.expr("(17 * s) div 20"))
+                .cast("long")
+                .alias("pr"),
+            )
+        )
+    return pr
+
+
+def triangle_participation(pairs: DataFrame, top_n: int = 15) -> DataFrame:
+    """Per-node triangle counts from the oriented edge list.
+
+    Each triangle a < b < c appears once in the wedge join; its three
+    corners are then exploded back out and counted.  Returns the top_n
+    nodes by participation (ties broken by node id — deterministic).
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    p = materialize(pairs)
+    tri = (
+        p.alias("e1")
+        .join(p.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .join(
+            p.alias("e3"),
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    # one explode, not a 3-way unionAll: a union re-derives the triangle
+    # join once per branch (9 scans / 13 exchanges in the plan census vs
+    # 3 / 5 for this form — the census caught it)
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    return (
+        corners.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("node"))
+        .limit(top_n)
+        .select(F.col("node").alias("part_key"), "n_triangles")
+    )
+
+
+# ------------------------------------------------------------ query entries
+def _li(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    return engine_for(spark, sf_dir).catalogs.table("psql.tpch.lineitem")
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pr = pagerank(coorder_pairs(_li(spark, sf_dir)))
+    return (
+        pr.orderBy(F.desc("pr"), F.asc("node"))
+        .limit(25)
+        .select(F.col("node").alias("part_key"), F.col("pr").alias("pr_micro"))
+    )
+
+
+def _pagerank_oracle(iters: int = PR_ITERS, scale: int = PR_SCALE) -> str:
+    """Unrolled fixed-iteration PageRank as one DuckDB SQL string.
+
+    DuckDB materializes CTEs, so the unrolled form is fine there; the
+    Spark side deliberately does NOT use this shape (inlined CTEs would
+    re-run the edge build per iteration — see module docstring).
+    """
+    ctes = [
+        _PAIRS_CTE,
+        "edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs)",
+        "deg AS (SELECT u AS node, count(*) AS outdeg FROM edges GROUP BY u)",
+        "nn AS (SELECT count(*) AS n FROM deg)",
+        f"pr0 AS (SELECT node, CAST({scale} // (SELECT n FROM nn) AS BIGINT)"
+        " AS pr FROM deg)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""pr{k} AS (
+      SELECT c.node,
+             CAST({3 * scale} // (20 * (SELECT n FROM nn))
+                  + (17 * c.s) // 20 AS BIGINT) AS pr
+      FROM (SELECT e.v AS node, sum(p.pr // d.outdeg) AS s
+            FROM pr{k - 1} p
+            JOIN deg d ON p.node = d.node
+            JOIN edges e ON e.u = p.node
+            GROUP BY e.v) c
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS part_key, pr AS pr_micro
+    FROM pr{iters}
+    ORDER BY pr DESC, node
+    LIMIT 25
+    """
+    )
+
+
+register("graph_pagerank", _q_pagerank, oracle=_pagerank_oracle())
+
+
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_participation(coorder_pairs(_li(spark, sf_dir)))
+
+
+register(
+    "graph_triangles",
+    _q_triangles,
+    oracle=f"""
+    WITH {_PAIRS_CTE},
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e1.v = e2.u
+      JOIN pairs e3 ON e1.u = e3.u AND e2.v = e3.v
+    ),
+    corners AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT node AS part_key, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners
+    GROUP BY node
+    ORDER BY n_triangles DESC, node
+    LIMIT 15
+    """,
+)

@@ -53,6 +53,7 @@ def _ensure_loaded() -> None:
         joins,
         analytics,
         behavior,
+        graph,
         dedup,
         similarity,
         text,

@@ -416,3 +416,69 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# ------------------------------------------------ BPE merge candidates
+def bpe_merge_candidates(
+    docs: DataFrame, top_n: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """First-round BPE merge statistics: adjacent character-pair
+    frequencies within words, weighted by word frequency — the argmax
+    pair is the first merge a byte-pair-encoding tokenizer would learn
+    on this corpus.
+
+    THE scale property of real BPE trainers, kept here: the corpus is
+    collapsed to a (word, frequency) table FIRST, and the per-character
+    pair explode runs over the VOCABULARY (|V| distinct words, Heaps'
+    law ~sqrt of corpus size), not over the token stream.  At 100 TB the
+    word-frequency agg is one map-side-combinable shuffle of tiny
+    (word, count) pairs; everything after it is metadata-scale.
+    Counting from the raw stream would explode len(w) rows per token
+    occurrence.
+    """
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    pairs = wf.select(
+        F.expr(
+            "explode(transform(sequence(1, length(w) - 1),"
+            " i -> substring(w, i, 2)))"
+        ).alias("pair"),
+        "f",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(top_n)
+    )
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_merge_candidates(_docs(spark, sf_dir))
+
+
+register(
+    "llm_bpe_merges",
+    _q_bpe_merges,
+    oracle=r"""
+    WITH wf AS (
+      SELECT w, count(*) AS f
+      FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+              AS w
+            FROM documents) t
+      WHERE len(w) >= 2
+      GROUP BY w
+    ),
+    pairs AS (
+      SELECT substring(w, i, 2) AS pair, f
+      FROM wf, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+    )
+    SELECT pair, CAST(sum(f) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 50
+    """,
+)

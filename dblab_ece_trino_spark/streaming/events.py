@@ -395,3 +395,34 @@ def anomaly_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def rank_trending(window_counts: DataFrame, top_k: int = 3) -> DataFrame:
+    """Top-k event types per window over ``windowed_event_counts`` output
+    — the batch-side half of the streaming trending pipeline.
+
+    Per-window ranking is not expressible inside an append-mode
+    streaming query (rank needs the window's complete count set), so the
+    production shape is: watermarked windowed counts emit FINALIZED
+    windows to the sink, and this rank runs over the sink — in
+    foreachBatch (a closed window's counts all land in one micro-batch
+    once the watermark passes) or as the downstream batch job.  The
+    driver-graded batch analog is ``op_trending_hours``
+    (operators/behavior.py), which fuses the same count + rank over the
+    static table; tests pin this composition's output to that entry.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        window_counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(
+            F.col("window_start").alias("hour"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

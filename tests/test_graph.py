@@ -1,0 +1,93 @@
+"""Graph operators: fixed-point PageRank and triangle participation
+against hand-computed references on known graphs, plus derivation checks
+for the co-order pair build."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from dblab_ece_trino_spark.operators.graph import (
+    MIN_SUPPORT,
+    PR_SCALE,
+    coorder_pairs,
+    pagerank,
+    triangle_participation,
+)
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs, "u long, v long")
+
+
+def _ref_pagerank(pairs, iters=5, scale=PR_SCALE):
+    """Pure-Python replica of the integer fixed-point iteration."""
+    edges = [(u, v) for u, v in pairs] + [(v, u) for u, v in pairs]
+    deg = defaultdict(int)
+    for u, _ in edges:
+        deg[u] += 1
+    n = len(deg)
+    tel = (3 * scale) // (20 * n)
+    pr = {u: scale // n for u in deg}
+    for _ in range(iters):
+        s = defaultdict(int)
+        for u, v in edges:
+            s[v] += pr[u] // deg[u]
+        pr = {v: tel + (17 * sv) // 20 for v, sv in s.items()}
+    return pr
+
+
+def test_pagerank_matches_python_reference(spark):
+    # triangle 1-2-3 with pendant 4 and a separate edge 5-6
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6)]
+    got = {
+        r.node: r.pr for r in pagerank(_pairs_df(spark, pairs)).collect()
+    }
+    assert got == _ref_pagerank(pairs)
+
+
+def test_pagerank_is_exact_integer_and_ranks_hub_highest(spark):
+    # star: 1 is the hub of 2..5 — must hold the top rank
+    pairs = [(1, k) for k in range(2, 6)]
+    rows = pagerank(_pairs_df(spark, pairs)).collect()
+    top = max(rows, key=lambda r: (r.pr, -r.node))
+    assert top.node == 1
+    # integer fixed-point: total mass within truncation loss of SCALE
+    total = sum(r.pr for r in rows)
+    assert total <= PR_SCALE
+    # each of the 5 iterations truncates < 1 unit per (node, edge) term
+    assert total >= PR_SCALE - 5 * (len(rows) + 2 * len(pairs) + 20)
+
+
+def test_triangle_participation_counts_corners(spark):
+    # triangle 1-2-3 plus two triangles sharing edge (4,5)
+    pairs = [(1, 2), (2, 3), (1, 3), (4, 5), (4, 6), (5, 6), (4, 7), (5, 7)]
+    got = {
+        r.part_key: r.n_triangles
+        for r in triangle_participation(_pairs_df(spark, pairs)).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 1, 7: 1}
+
+
+def test_triangle_free_graph_yields_no_rows(spark):
+    pairs = [(1, 2), (2, 3), (3, 4)]  # path: no triangles
+    assert triangle_participation(_pairs_df(spark, pairs)).count() == 0
+
+
+def test_coorder_pairs_orientation_and_support(spark):
+    # order 10 carries parts {1,2,3} twice -> pairs (1,2),(1,3),(2,3)
+    # reach support 2; order 11 carries {1,9} once -> below support.
+    rows = []
+    for ok, parts in [(10, [1, 2, 3]), (10, [1, 2, 3]), (11, [1, 9])]:
+        for p in parts:
+            rows.append((ok * 100 + p * 7 + len(rows), ok, p))
+    li = spark.createDataFrame(
+        rows, "l_linenumber long, l_orderkey long, l_partkey long"
+    )
+    got = sorted(
+        (r.u, r.v) for r in coorder_pairs(li, min_support=MIN_SUPPORT).collect()
+    )
+    # each duplicated order contributes 2x2=4 co-occurrences per pair
+    assert got == [(1, 2), (1, 3), (2, 3)]
+    assert all(u < v for u, v in got)

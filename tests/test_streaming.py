@@ -399,3 +399,28 @@ def test_anomaly_stream_matches_registered_batch_entry(spark, events_dir):
             # the score is bounded away from the threshold.
             if abs(abs(z_batch) - 2.5) >= 1e-3:
                 assert flag_batch == bool(r.is_anomaly)
+
+
+def test_trending_stream_matches_batch_entry(spark, events_dir):
+    """windowed_event_counts -> rank_trending over the stream sink equals
+    the driver-graded op_trending_hours batch entry."""
+    from dblab_ece_trino_spark.entrypoints import build_queries
+    from dblab_ece_trino_spark.streaming.events import (
+        rank_trending,
+        read_event_stream,
+        run_to_memory,
+        windowed_event_counts,
+    )
+
+    stream = read_event_stream(spark, events_dir)
+    run_to_memory(windowed_event_counts(stream), "trend_counts", complete=True)
+    got = {
+        (r.hour, r.event_type): (r.n, r.rk)
+        for r in rank_trending(spark.table("trend_counts")).collect()
+    }
+    want = {
+        (r.hour, r.event_type): (r.n, r.rk)
+        for r in build_queries()["op_trending_hours"](spark, SF_SMALL).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
