@@ -59,6 +59,10 @@ HEADLINE = [
     "op_equidepth_hist",
     "op_funnel_conversion",
     "text_bm25_score",
+    # round-5 additions: iterative graph op (the only multi-shuffle
+    # loop in the headline set) and the vocabulary-collapsed BPE miner
+    "graph_pagerank",
+    "llm_bpe_merges",
 ]
 
 

@@ -66,15 +66,43 @@ _PAIRS_CTE = f"""
 def coorder_pairs(li: DataFrame, min_support: int = MIN_SUPPORT) -> DataFrame:
     """Oriented (u < v) part pairs with >= min_support co-ordered
     lineitem pair instances (a pair repeated within one order counts
-    each instance — same on both engines)."""
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    each instance — same on both engines).
+
+    Shape: ONE scan + ONE shuffle — per-order part lists (bounded by
+    order size, <= ~20 items) are collected, then the C(k, 2) pair
+    combinations explode map-side from the list.  The equivalent
+    self-join (the oracle's formulation) scans lineitem twice and
+    shuffles both sides; at 100 TB that is the difference between
+    shuffling the fact table once and twice for identical output.
+    """
+    # explicit key repartition ahead of the groupBy: the pair explode is
+    # CPU-heavy per row while the shuffled bytes are tiny, so AQE's
+    # size-targeted coalescing would squeeze the stage onto ~4 tasks and
+    # leave the other cores idle; pinning the width keeps the combine
+    # and explode at full parallelism (the groupBy reuses the hash
+    # partitioning, so this costs no extra shuffle)
+    parallelism = li.sparkSession.sparkContext.defaultParallelism
+    lists = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition(parallelism, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
+    )
     return (
-        a.join(b, "ok")
+        lists.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    " transform(slice(ps, i + 2, size(ps)),"
+                    " y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= min_support)
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .filter(F.col("n_pairs") >= min_support)
         .select("u", "v")
     )
 
@@ -96,34 +124,39 @@ def pagerank(
     """
     from dblab_ece_trino_spark.session import materialize
 
-    edges = materialize(
-        pairs.select("u", "v").unionAll(
-            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
+    # checkpoint the oriented pairs BEFORE symmetrizing: unionAll keeps
+    # two copies of its input subtree, so an unmaterialized pairs frame
+    # would re-run the whole per-order pair derivation twice per job
+    p = materialize(pairs.select("u", "v"))
+    edges = p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
     )
-    deg = materialize(
-        edges.groupBy(F.col("u").alias("node")).agg(
-            F.count(F.lit(1)).alias("outdeg")
-        )
+    # static per-edge out-degree, joined ONCE outside the loop — each
+    # iteration is then a single join + keyed agg (one shuffle), not two
+    ed = materialize(
+        edges.join(deg, edges.u == deg.node).select("u", "v", "outdeg")
     )
-    n = deg.count()
+    nodes = ed.select(F.col("u").alias("node"), "outdeg").distinct()
+    n = nodes.count()
     teleport = (3 * scale) // (20 * n)
-    pr = deg.select("node", F.lit(scale // n).cast("long").alias("pr"))
+    pr = nodes.select("node", F.lit(scale // n).cast("long").alias("pr"))
+    # The loop body stays LAZY: with a fixed iteration count there is no
+    # mid-loop action (unlike dedup_clusters' convergence check), so all
+    # 5 iterations compile into one DAG over the checkpointed edge
+    # frame and run as a single job — per-iteration checkpoints added
+    # ~0.4 s of action overhead each for no lineage benefit at depth 5.
     for _ in range(iters):
         contrib = (
-            pr.join(deg, "node")
-            .select(F.col("node"), F.expr("pr div outdeg").alias("share"))
-            .join(edges, F.col("node") == F.col("u"))
+            pr.join(ed, F.col("node") == F.col("u"))
             .groupBy(F.col("v").alias("node"))
-            .agg(F.sum("share").alias("s"))
+            .agg(F.sum(F.expr("pr div outdeg")).alias("s"))
         )
-        pr = materialize(
-            contrib.select(
-                "node",
-                (F.lit(teleport) + F.expr("(17 * s) div 20"))
-                .cast("long")
-                .alias("pr"),
-            )
+        pr = contrib.select(
+            "node",
+            (F.lit(teleport) + F.expr("(17 * s) div 20"))
+            .cast("long")
+            .alias("pr"),
         )
     return pr
 
@@ -153,7 +186,7 @@ def triangle_participation(pairs: DataFrame, top_n: int = 15) -> DataFrame:
     )
     # one explode, not a 3-way unionAll: a union re-derives the triangle
     # join once per branch (9 scans / 13 exchanges in the plan census vs
-    # 3 / 5 for this form — the census caught it)
+    # 3 scans / 1 exchange for this form — the census caught it)
     corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     return (
         corners.groupBy("node")

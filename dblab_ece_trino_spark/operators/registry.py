@@ -86,52 +86,43 @@ def oracle_queries() -> dict[str, str]:
 # graded keys == list(queries())[:50]).  This list pins which entries
 # occupy those 50 slots this round; everything else keeps its entry (and
 # its local pytest gate) and is rotated into the window in later rounds
-# so every operator accumulates a graded row.  Round-4 window: the 26
-# entries registered late in round 3 that have never been graded (a
-# green row for each closes the cumulative board: every pre-round-4
-# registry entry will then hold a green driver row), the three entries
-# whose implementation changed this round (budget_select's sharded
-# cumsum, the zscore variance clamp, plus quality_floor's tie-sharing
-# rank — already in the never-graded set), the new streaming-analog
-# entry, and backfill regression watch over the dedup/ANN family, the
-# warehouse trio, and the heaviest llmprep ops.  Entries displaced from
-# the window all keep green rows from r1-r3 and their local pytest gate.
+# so every operator accumulates a graded row.  Round-5 window: the 7 new
+# round-5 operators (graph pack, HLL rollup, range frame, trigrams,
+# trending, BPE merges), op_rolling_dau re-graded under the round-4
+# ADVICE clamp, and freshness backfill — every entry whose most recent
+# green row dates to round 1 (25 entries) plus 12 representative
+# round-2-stale entries.  As of round 4 the cumulative board is fully
+# green (every registered entry has held a green driver row), so the
+# window's job is now rotation freshness, not first-time coverage.
+# Entries displaced from the window all keep green rows from r1-r4 and
+# their local pytest gate.
 GRADED_PRIORITY: list[str] = [
     # reference query set (regression watch, every round)
     "q001", "q002", "q003", "q004", "q005",
-    # never graded: analytics pack (late r3)
-    "op_min_max_by", "op_stats_regression", "op_width_bucket_hist",
-    "op_bit_aggregates", "op_try_arithmetic", "op_grouping_marks",
-    "op_approx_percentile_tol", "op_equidepth_hist", "op_string_agg",
-    "op_median_mode",
-    # never graded: time-series pack (late r3)
-    "ts_ewma", "ts_ohlc_bars", "ts_gap_fill", "ts_interp_fill",
-    # never graded: llmprep curation additions (late r3);
-    # llm_quality_floor re-ranks ties metric-only as of r4
-    "llm_dataset_profile", "llm_quality_floor", "llm_ngram_novelty",
-    "llm_incremental_dedup", "pipeline_curate_corpus",
-    # never graded: warehouse audits, SQL surface, joins, sampling,
-    # generator invariants (late r3)
-    "audit_orphans", "audit_skew",
-    "op_json_schema_read", "op_window_navigation",
-    "join_asof_forward", "sample_importance",
-    "gen_fact_dim_join_invariants",
-    # changed or added this round — (re-)grade under the new code:
-    # sharded two-level cumsum, variance clamp, streaming batch analog
-    "llm_budget_select", "ts_zscore_anomaly", "ts_expanding_anomaly",
-    # new round-4 operators: behavior pack (funnel, cohort, BM25, event
-    # transitions, rolling DAU), SemDeDup-style semantic dedup with a
-    # planted-twin value oracle, weighted reservoir sampling
-    "op_funnel_conversion", "op_cohort_retention", "text_bm25_score",
-    "dedup_semantic", "op_event_transitions", "op_rolling_dau",
-    "sample_weighted_topk", "op_token_cooccurrence",
-    "op_new_vs_returning",
-    # backfill regression watch (green r1-r3; keep eyes on the
-    # probabilistic family and the heaviest plans; tpch_q8/q20 stay
-    # watched through bench.py's headline set)
-    "dedup_minhash_lsh", "dedup_clusters", "dedup_simhash",
-    "dedup_ngram_jaccard", "sim_search_lsh", "sim_search_ivf",
-    "tpch_q8",
+    # new round-5 operators (never graded): graph pack, sketch rollup,
+    # range-frame window, sequential trigrams, hourly trending (batch
+    # analog of the streaming rank), BPE merge candidates
+    "graph_pagerank", "graph_triangles", "op_hll_rollup",
+    "op_rolling_revenue_28d", "op_event_trigrams", "op_trending_hours",
+    "llm_bpe_merges",
+    # changed this round: trailing-window clamp (round-4 ADVICE)
+    "op_rolling_dau",
+    # backfill: every entry whose last green row is round 1 — the
+    # stalest slice of the cumulative board (all re-green locally)
+    "op_filter_conjunction", "op_join_shuffle", "op_join_left_composite",
+    "op_join_semi", "op_join_anti", "op_distinct", "op_agg_rollup",
+    "op_topn", "op_except", "op_intersect", "op_union",
+    "op_window_rownum", "op_agg_cube", "op_window_rank_lag",
+    "op_window_distribution", "op_string_functions", "op_date_functions",
+    "op_conditional_functions", "join_asof", "join_range", "dedup_exact",
+    "dedup_embedding", "sim_search_bruteforce", "text_token_count",
+    "text_quality_score",
+    # backfill: representative round-2-stale entries (core relational,
+    # streaming batch analogs, the heaviest TPC-H shapes, multimodal)
+    "op_project_case", "op_join_broadcast", "op_agg_global",
+    "op_agg_groupby", "op_events_time_rollup", "op_session_window",
+    "op_approx_distinct", "tpch_q1", "tpch_q3", "tpch_q18",
+    "multimodal_features", "pipeline_clean_corpus",
 ]
 
 
