@@ -102,6 +102,11 @@ def main() -> None:
         "ts_expanding_anomaly", "pipeline_curate_corpus",
         "op_funnel_conversion", "op_cohort_retention", "text_bm25_score",
         "dedup_semantic",
+        # round-5 additions: graph pack, sketch rollup, range frame,
+        # trigrams, trending, BPE merges, re-clamped rolling DAU
+        "graph_pagerank", "graph_triangles", "op_hll_rollup",
+        "op_rolling_revenue_28d", "op_event_trigrams", "op_trending_hours",
+        "llm_bpe_merges", "op_rolling_dau",
     ]
     for name in names:
         t1 = time.monotonic()
