@@ -1419,3 +1419,89 @@ register(
     ) WHERE rn = 1
     """,
 )
+
+
+# ------------------------------------------------- curriculum ordering
+def curriculum_order(
+    docs: DataFrame,
+    n_bins: int = 4,
+    seed: str = "curriculum-v1",
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Curriculum training order: value-quantized difficulty bins
+    (ascending score), deterministically shuffled WITHIN each bin —
+    the standard easy-to-hard schedule with reproducible intra-bin
+    order (md5(seed || id), the same content-addressed contract as
+    ``train_order``).
+
+    Global position without a global sort: the two-phase rank is
+    ``train_order``'s, generalized to a composite (bin, hash-byte)
+    bucket — per-bucket parallel row_numbers, then one broadcast
+    running-sum over the n_bins x 256 bucket-count frame.  Ordering by
+    (bin, bucket, hash) equals ordering by (bin, hash) because the
+    bucket is the hash's first byte.  Bins are VALUE-quantized against
+    the score max (one broadcast 1-row frame), not ntile — an
+    equi-depth ntile would be a single-partition global window; value
+    bins keep the whole plan shuffle-local and the curriculum semantics
+    ("difficulty thresholds") are arguably the better contract anyway.
+    """
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    # one bounded scalar action for the quantization ceiling (the
+    # semantic_dedup count() precedent) — a broadcast 1-row join would
+    # embed a second scan of docs in the based subtree and double it
+    # again through both window consumers (4 scans in the plan census
+    # vs train_order's 2; this form matches train_order)
+    m = docs.agg(F.max(F.col(score_col).cast("long"))).collect()[0][0]
+    based = (
+        docs.select(
+            F.col(id_col),
+            F.least(
+                F.lit(n_bins - 1),
+                F.expr(
+                    f"(CAST({score_col} AS BIGINT) * {n_bins})"
+                    f" div {m + 1}"
+                ),
+            ).cast("long").alias("bin"),
+            h.alias("__h"),
+        )
+        .withColumn(
+            "__b", F.conv(F.substring("__h", 1, 2), 16, 10).cast("int")
+        )
+    )
+    wb = Window.partitionBy("bin", "__b").orderBy("__h")
+    local = based.withColumn("__local", F.row_number().over(wb))
+    counts = based.groupBy("bin", "__b").agg(F.count("*").alias("__n"))
+    wo = Window.orderBy("bin", "__b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(wo), F.lit(0))
+    ).select("bin", "__b", "__off")
+    return local.join(F.broadcast(offsets), ["bin", "__b"]).select(
+        id_col,
+        "bin",
+        (F.col("__local") + F.col("__off")).cast("long").alias("pos"),
+    )
+
+
+def _q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curriculum_order(_docs(spark, sf_dir))
+
+
+register(
+    "llm_curriculum_order",
+    _q_curriculum_order,
+    oracle="""
+    WITH mx AS (SELECT max(n_chars) AS m FROM documents),
+    b AS (
+      SELECT doc_id,
+             least(3, (CAST(n_chars AS BIGINT) * 4) // (m + 1)) AS bin,
+             md5('curriculum-v1' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents, mx
+    )
+    SELECT doc_id, bin,
+           CAST(row_number() OVER (ORDER BY bin, h) AS BIGINT) AS pos
+    FROM b
+    """,
+)

@@ -107,6 +107,9 @@ GRADED_PRIORITY: list[str] = [
     "llm_bpe_merges",
     # changed this round: trailing-window clamp (round-4 ADVICE)
     "op_rolling_dau",
+    # late round-5 additions (never graded): Z-order layout planner,
+    # curriculum training order
+    "wh_zorder_layout", "llm_curriculum_order",
     # backfill: every entry whose last green row is round 1 — the
     # stalest slice of the cumulative board (all re-green locally)
     "op_filter_conjunction", "op_join_shuffle", "op_join_left_composite",
@@ -118,8 +121,11 @@ GRADED_PRIORITY: list[str] = [
     "dedup_embedding", "sim_search_bruteforce", "text_token_count",
     "text_quality_score",
     # backfill: representative round-2-stale entries (core relational,
-    # streaming batch analogs, the heaviest TPC-H shapes, multimodal)
-    "op_project_case", "op_join_broadcast", "op_agg_global",
+    # streaming batch analogs, the heaviest TPC-H shapes, multimodal);
+    # op_project_case/op_agg_global ceded their slots to the two late
+    # round-5 entries — their families stay covered by op_conditional_
+    # functions and op_agg_groupby
+    "op_join_broadcast",
     "op_agg_groupby", "op_events_time_rollup", "op_session_window",
     "op_approx_distinct", "tpch_q1", "tpch_q3", "tpch_q18",
     "multimodal_features", "pipeline_clean_corpus",

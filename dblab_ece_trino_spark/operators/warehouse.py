@@ -302,3 +302,94 @@ def _register_audit_entries() -> None:
 
 
 _register_audit_entries()
+
+
+# ------------------------------------------------------- z-order layout
+# Data-layout planning: assign rows to target files along a Morton
+# (Z-order) curve over two pruning dimensions, and report the per-file
+# min/max zone map each dimension would carry.  THE 100-TB table-layout
+# lever: a lake clustered this way lets BOTH `WHERE o_custkey = k` and
+# `WHERE day BETWEEN a AND b` scans prune most files from the zone maps
+# alone, where a single-column sort only prunes one of them.  The
+# computation itself is one projection (the z-value is pure per-row
+# integer arithmetic over 8-bit-quantized dims) + one keyed agg on
+# file_id — the planner output, not a rewrite; a writer would
+# `repartitionByRange(z)` with the same expression.  All arithmetic is
+# exact integer (floor division + literal powers of two), so the oracle
+# replays it bit-for-bit; the only engine difference is the integer
+# division operator (`div` vs `//`).
+_ZORDER_BITS = 8
+_ZORDER_FILES = 64
+
+
+def _zorder_interleave_expr(idiv: str) -> str:
+    """Unrolled 8-bit Morton interleave of quantized dims x (even bits)
+    and y (odd bits) — literal constants, no pow()/shift builtins, so
+    the identical formula parses on both engines."""
+    terms = []
+    for i in range(_ZORDER_BITS):
+        terms.append(f"((x {idiv} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((y {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+_ZORDER_TPL = """
+    WITH dims AS (
+      SELECT o_custkey AS ck, {epoch_day} AS ed
+      FROM {orders}
+    ),
+    bounds AS (
+      SELECT min(ck) AS minc, max(ck) AS maxc,
+             min(ed) AS mind, max(ed) AS maxd
+      FROM dims
+    ),
+    scaled AS (
+      SELECT ck, ed,
+             CAST(((ck - minc) * 255) {idiv} greatest(maxc - minc, 1)
+               AS BIGINT) AS x,
+             CAST(((ed - mind) * 255) {idiv} greatest(maxd - mind, 1)
+               AS BIGINT) AS y
+      FROM dims, bounds
+    ),
+    zv AS (SELECT ck, ed, ({zexpr}) AS z FROM scaled)
+    SELECT CAST(z {idiv} {per_file} AS BIGINT) AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(ck) AS min_custkey, max(ck) AS max_custkey,
+           min(ed) AS min_day, max(ed) AS max_day
+    FROM zv
+    GROUP BY 1
+    ORDER BY file_id
+"""
+
+
+def _register_zorder() -> None:
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    per_file = (4**_ZORDER_BITS) // _ZORDER_FILES
+
+    def build(idiv: str, epoch_day: str, tables: dict) -> str:
+        return (
+            _ZORDER_TPL.replace("{idiv}", idiv)
+            .replace("{zexpr}", _zorder_interleave_expr(idiv))
+            .replace("{per_file}", str(per_file))
+            .replace("{epoch_day}", epoch_day)
+            .format(**tables)
+        )
+
+    register_sql(
+        "wh_zorder_layout",
+        build(
+            "div",
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')",
+            _SPARK_TABLES,
+        ),
+        build(
+            "//",
+            "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))",
+            _ORACLE_TABLES,
+        ),
+    )
+
+
+_register_zorder()

@@ -252,3 +252,21 @@ def test_chunk_dedup_identical_docs_keep_first(spark):
     out = {r.doc_id: r for r in chunk_dedup(df).collect()}
     assert out[1].keep_ratio == 1.0 and out[1].n_kept_chunks == out[1].n_chunks
     assert out[2].keep_ratio == 0.0 and out[2].n_kept_chunks == 0
+
+
+def test_curriculum_order_is_binned_permutation(spark):
+    from dblab_ece_trino_spark.operators.llmprep import curriculum_order
+    from tests.conftest import SF_MED
+
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    rows = curriculum_order(docs).collect()
+    n = docs.count()
+    assert sorted(r.pos for r in rows) == list(range(1, n + 1))
+    # bins ascend with position: the curriculum schedule is honored
+    by_pos = sorted(rows, key=lambda r: r.pos)
+    bins = [r.bin for r in by_pos]
+    assert bins == sorted(bins)
+    assert set(bins) <= {0, 1, 2, 3}
+    # deterministic: re-running yields the identical permutation
+    again = {r.doc_id: r.pos for r in curriculum_order(docs).collect()}
+    assert all(again[r.doc_id] == r.pos for r in rows)

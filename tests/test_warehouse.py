@@ -92,3 +92,23 @@ def test_snapshot_diff_matches_recipe(spark):
         .collect()
     }
     assert rev.get("added", 0) == n_removed
+
+
+def test_zorder_layout_invariants(spark, duck):
+    """File assignment covers all rows, file ids are bounded, and the
+    z-order zone maps actually prune: the mean per-file custkey span is
+    a small fraction of the global span (single-column sorts can't give
+    both dims that property)."""
+    from dblab_ece_trino_spark.entrypoints import build_queries
+    from tests.conftest import SF_MED
+
+    rows = build_queries()["wh_zorder_layout"](spark, SF_MED).collect()
+    assert 1 <= len(rows) <= 64
+    assert all(0 <= r.file_id < 64 for r in rows)
+    eng_orders = spark.read.parquet(f"{SF_MED}/orders.parquet")
+    assert sum(r.n_rows for r in rows) == eng_orders.count()
+    glob_span = max(r.max_custkey for r in rows) - min(
+        r.min_custkey for r in rows
+    )
+    mean_span = sum(r.max_custkey - r.min_custkey for r in rows) / len(rows)
+    assert mean_span < 0.5 * glob_span
