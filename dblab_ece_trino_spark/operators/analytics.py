@@ -503,3 +503,152 @@ register_sql(
         "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))",
     ).format(**_ORACLE_TABLES),
 )
+
+
+# Winsorization: clamp a value column at its per-group p05/p95 before
+# aggregating — the standard outlier-robust sum/mean.  Thresholds are
+# DISCRETE percentiles (actual group elements, no interpolation) found
+# from a WEIGHTED VALUE HISTOGRAM: groupBy(group, value) first (map-side
+# combinable; the distinct-value domain is bounded by the price grid —
+# 594k distinct cents under 6M AND under 18M replica rows — so the
+# frame STOPS GROWING with the corpus), then a two-level cumulative
+# count over range-sharded distinct values (per-shard running sums +
+# broadcast per-(group, shard) offsets — op_equidepth_hist's rank
+# machinery, weighted).  percentile_disc(f) = smallest value whose
+# cumulative count reaches ceil(f·n), with ceil done in integers
+# ((n + 19) div 20 for p05), so the oracle's percentile_disc matches
+# bit-for-bit.  The alternatives measured on the x10/x30 replicas: a
+# plain percentile_disc aggregate pins each group's whole value set in
+# one task (flat ~9 s but O(group) memory — dies at 100 TB); ranking
+# the raw rows instead of the histogram costs a sample pass + full-fact
+# checkpoint + window (26 s at x30 vs ~6 s for this form).
+def _q_winsorize(spark, sf_dir):
+    from pyspark.sql import Window, functions as F
+
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.session import materialize
+
+    li = engine_for(spark, sf_dir).catalogs.table("psql.tpch.lineitem")
+    cents = li.select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").alias("c"),
+    )
+    vf = cents.groupBy("l_returnflag", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    shards = li.sparkSession.sparkContext.defaultParallelism
+    sharded = materialize(
+        vf.repartitionByRange(
+            shards, F.col("l_returnflag"), F.col("c")
+        ).withColumn("__shard", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("l_returnflag", "__shard")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local_cum = sharded.withColumn("__lc", F.sum("cnt").over(w))
+    counts = sharded.groupBy("l_returnflag", "__shard").agg(
+        F.sum("cnt").alias("__c")
+    )
+    offs = (
+        counts.alias("a")
+        .join(
+            counts.alias("b"),
+            (F.col("b.l_returnflag") == F.col("a.l_returnflag"))
+            & (F.col("b.__shard") < F.col("a.__shard")),
+            "left",
+        )
+        .groupBy(
+            F.col("a.l_returnflag").alias("l_returnflag"),
+            F.col("a.__shard").alias("__shard"),
+        )
+        .agg(F.coalesce(F.sum("b.__c"), F.lit(0)).alias("__off"))
+    )
+    totals = counts.groupBy("l_returnflag").agg(F.sum("__c").alias("__n"))
+    cum = (
+        local_cum.join(F.broadcast(offs), ["l_returnflag", "__shard"])
+        .withColumn("__cum", F.col("__off") + F.col("__lc"))
+        .join(F.broadcast(totals), "l_returnflag")
+    )
+    th = (
+        cum.withColumn("__lo_r", F.expr("(__n + 19) div 20"))
+        .withColumn("__hi_r", F.expr("(19 * __n + 19) div 20"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(F.col("__cum") >= F.col("__lo_r"), F.col("c"))).alias("lo"),
+            F.min(F.when(F.col("__cum") >= F.col("__hi_r"), F.col("c"))).alias("hi"),
+        )
+    )
+    return (
+        cents.join(F.broadcast(th), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_if(F.col("c") < F.col("lo")).cast("long").alias("n_low_clamped"),
+            F.count_if(F.col("c") > F.col("hi")).cast("long").alias("n_high_clamped"),
+            F.sum(F.least(F.greatest(F.col("c"), F.col("lo")), F.col("hi")))
+            .cast("long")
+            .alias("winsorized_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register(
+    "op_winsorize",
+    _q_winsorize,
+    oracle="""
+    WITH cents AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+      FROM lineitem
+    ),
+    th AS (
+      SELECT l_returnflag,
+             CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY c)
+               AS BIGINT) AS lo,
+             CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY c)
+               AS BIGINT) AS hi
+      FROM cents
+      GROUP BY l_returnflag
+    )
+    SELECT c.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count_if(c.c < t.lo) AS BIGINT) AS n_low_clamped,
+           CAST(count_if(c.c > t.hi) AS BIGINT) AS n_high_clamped,
+           CAST(sum(least(greatest(c.c, t.lo), t.hi)) AS BIGINT)
+             AS winsorized_cents
+    FROM cents c
+    JOIN th t ON c.l_returnflag = t.l_returnflag
+    GROUP BY c.l_returnflag
+    ORDER BY c.l_returnflag
+    """,
+)
+
+
+# Deequ-style data-quality expectation suite: declared invariants
+# (non-null keys, positive amounts, domain membership, date range, key
+# uniqueness) verified in ONE scan as conditional aggregates — the
+# pre-publish gate a warehouse runs on every load.  Output is a single
+# verdict row; at 100 TB this is a map-side-combinable single pass
+# whatever the table width, which is why expectation suites are cheap
+# enough to run on every batch.
+_both(
+    "wh_expectations",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count_if(o_custkey IS NULL) AS BIGINT) AS null_custkey,
+           CAST(count_if(o_totalprice <= 0) AS BIGINT) AS nonpositive_price,
+           CAST(count_if(o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+             AS bad_status,
+           CAST(count_if(CAST(o_orderdate AS DATE) < DATE '1992-01-01'
+                      OR CAST(o_orderdate AS DATE) > DATE '1998-12-31')
+             AS BIGINT) AS date_out_of_range,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+             AS duplicate_keys,
+           (count_if(o_custkey IS NULL) = 0
+            AND count_if(o_totalprice <= 0) = 0
+            AND count_if(o_orderstatus NOT IN ('O', 'F', 'P')) = 0
+            AND count(*) = count(DISTINCT o_orderkey)) AS all_passed
+    FROM {orders}
+    """,
+)

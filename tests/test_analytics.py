@@ -178,3 +178,30 @@ def test_incremental_dedup_corpus_cap_is_filter(spark):
     assert twins <= set(got)
     for b in twins:
         assert got[b] == 1.0
+
+
+def test_winsorize_clamps_about_five_percent_each_side(spark):
+    from dblab_ece_trino_spark.entrypoints import build_queries
+    from tests.conftest import SF_MED
+
+    rows = build_queries()["op_winsorize"](spark, SF_MED).collect()
+    assert len(rows) == 3
+    for r in rows:
+        # discrete p05/p95 thresholds: ~5% clamped on each side
+        assert 0 < r.n_low_clamped <= 0.06 * r.n
+        assert 0 < r.n_high_clamped <= 0.06 * r.n
+        assert r.winsorized_cents > 0
+
+
+def test_expectations_pass_on_clean_orders(spark):
+    from dblab_ece_trino_spark.entrypoints import build_queries
+    from tests.conftest import SF_MED
+
+    r = build_queries()["wh_expectations"](spark, SF_MED).collect()[0]
+    assert r.n_rows > 0
+    assert r.all_passed == (
+        r.null_custkey == 0
+        and r.nonpositive_price == 0
+        and r.bad_status == 0
+        and r.duplicate_keys == 0
+    )
