@@ -430,3 +430,78 @@ def _register_interp_entry() -> None:
 
 
 _register_interp_entry()
+
+
+def _register_seasonal_decompose() -> None:
+    """Classical additive seasonal decomposition of the daily value
+    series: trend = centered 7-day moving average, seasonal = mean
+    detrended value per day-of-week, residual = the rest.
+
+    Scale shape: the ONLY full-data pass is the per-day aggregation
+    (map-side combinable, one shuffle); every window after it runs over
+    the DAILY frame, which is calendar-bounded (36,500 rows per century)
+    — a global ORDER BY ed window over that frame is metadata-scale
+    whatever the event volume, the same argument as ts_gap_fill's grid.
+    Day-of-week is computed as ed % 7 (epoch-day modulo — identical
+    integers on both engines; dayofweek() numbering differs between
+    them).  Determinism: daily sums and the seasonal numerator are
+    exact DECIMAL; trend/seasonal divisions run the identical double
+    expression on identical operands; every emitted float is
+    round(.., 6) of a deterministic double (the ts_zscore discipline).
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    tpl = """
+    WITH daily AS (
+      SELECT {epoch_day} AS ed,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS v
+      FROM {events}
+      GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT ed, day, v,
+             CAST(sum(v) OVER (ORDER BY ed
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS DECIMAL(38,6)) AS s7,
+             count(*) OVER (ORDER BY ed
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+      FROM daily
+    ),
+    de AS (
+      SELECT ed, day, v,
+             round(CAST(s7 AS DOUBLE) / n7, 6) AS trend,
+             CAST(round(CAST(v AS DOUBLE)
+                        - round(CAST(s7 AS DOUBLE) / n7, 6), 6)
+               AS DECIMAL(28,6)) AS detr
+      FROM tr
+    ),
+    se AS (
+      SELECT ed, day, v, trend, detr,
+             CAST(sum(detr) OVER (PARTITION BY ed % 7) AS DOUBLE)
+               / count(*) OVER (PARTITION BY ed % 7) AS seas_raw
+      FROM de
+    )
+    SELECT day, CAST(v AS DOUBLE) AS v, trend,
+           round(seas_raw, 6) AS seasonal,
+           round(CAST(detr AS DOUBLE) - round(seas_raw, 6), 6) AS residual
+    FROM se
+    ORDER BY day
+    """
+    register_sql(
+        "ts_seasonal_decompose",
+        tpl.replace(
+            "{epoch_day}",
+            "datediff(CAST(date_trunc('day', ts) AS DATE),"
+            " DATE '1970-01-01')",
+        ).format(**_SPARK_TABLES),
+        tpl.replace(
+            "{epoch_day}",
+            "datediff('day', DATE '1970-01-01',"
+            " CAST(date_trunc('day', ts) AS DATE))",
+        ).format(**_ORACLE_TABLES),
+    )
+
+
+_register_seasonal_decompose()

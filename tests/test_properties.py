@@ -346,3 +346,21 @@ def test_transitions_match_python_reference(spark, log):
             users.setdefault((a, b), set()).add(u)
     want = {k: (n, len(users[k])) for k, n in counts.items()}
     assert got == want
+
+
+def test_seasonal_decompose_reconstructs_series(spark):
+    """Additive decomposition identity: v = trend + seasonal + residual
+    up to the 1e-6 rounding grid (3 rounded terms -> 2e-6 slack)."""
+    from dblab_ece_trino_spark.entrypoints import build_queries
+    from tests.conftest import SF_MED
+
+    rows = build_queries()["ts_seasonal_decompose"](spark, SF_MED).collect()
+    assert len(rows) >= 28  # one month of daily points at sf0.01
+    for r in rows:
+        assert abs(r.v - (r.trend + r.seasonal + r.residual)) <= 2.1e-6
+    # trend is a 7-day smoother: its variance is below the raw series'
+    import statistics
+
+    assert statistics.pvariance([r.trend for r in rows]) < statistics.pvariance(
+        [r.v for r in rows]
+    )
