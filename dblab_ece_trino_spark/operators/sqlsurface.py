@@ -287,3 +287,50 @@ _both(
     ORDER BY user_id, event_id
     """,
 )
+
+
+# Aggregate FILTER clause (SQL:2003) — per-aggregate predicates in one
+# pass, the idiomatic alternative to CASE-wrapped aggs; one scan, one
+# map-side-combinable agg.  Identical syntax on both engines.
+_both(
+    "op_agg_filter_clause",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT)
+             AS n_bulk,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                FILTER (WHERE l_discount > 0.05) AS DOUBLE)
+             AS discounted_revenue,
+           CAST(count(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.04)
+             AS BIGINT) AS taxed_suppliers
+    FROM {lineitem}
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+
+
+# Ratio-to-report: each group's share of the grand total via a
+# whole-partition window over the AGGREGATED frame (|groups| rows —
+# metadata-scale; the raw fact crosses one hash agg only).  The share
+# division runs on exact DECIMAL totals rendered through the same
+# round(.., 9) on both engines.
+_both(
+    "op_ratio_to_report",
+    """
+    WITH per_nation AS (
+      SELECT c_nationkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               AS DECIMAL(28,2)) AS revenue
+      FROM {orders} o JOIN {customer} c ON o.o_custkey = c.c_custkey
+      GROUP BY c_nationkey
+    )
+    SELECT c_nationkey,
+           CAST(revenue AS DOUBLE) AS revenue,
+           round(CAST(revenue AS DOUBLE)
+                 / CAST(sum(revenue) OVER () AS DOUBLE), 9) AS share
+    FROM per_nation
+    ORDER BY c_nationkey
+    """,
+)
