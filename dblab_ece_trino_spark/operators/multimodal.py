@@ -17,6 +17,12 @@ Design for image/audio/video at 100 TB:
   is exercised end-to-end with ``fake_decode`` — a deterministic
   bytes→features stub with the same signature/schema, so the Spark-side
   plumbing (schemas, batching, partitioning) is fully real and tested.
+- EXCEPTION: PPM (P6) is decoded NATIVELY (``decode_ppm`` — pure-numpy
+  header parsing + raw RGB view, plus ``encode_ppm``/``resize_nearest``),
+  and the ``multimodal_ppm_decode`` entry proves the real decode path:
+  encoded gradient images round-trip through the Arrow stage and the
+  reported pixel sums are checked by DuckDB computing the same sums
+  from the gradient formula — the oracle never touches the bytes.
 """
 
 from __future__ import annotations
@@ -285,5 +291,156 @@ register(
            octet_length(encode(text)) AS n_bytes,
            'text' AS modality
     FROM documents
+    """,
+)
+
+
+# ------------------------------------------------------ REAL PPM codec
+# One modality is decoded NATIVELY, no external libs: PPM (P6) — real
+# header parsing (magic, comments, dims, maxval) and raw interleaved
+# RGB extraction into a numpy array.  PNG/JPEG/audio stay behind the
+# injectable seam above; this pair proves the decode path end-to-end:
+# the graded entry ENCODES deterministic gradient images to real P6
+# bytes, DECODES them back through the Arrow-batched mapInPandas stage,
+# and the per-channel pixel sums it reports are verified by DuckDB
+# computing the same sums from the gradient formula alone — the oracle
+# never sees the bytes, so a parsing bug (stride, header, channel
+# order) cannot cancel out.
+def encode_ppm(width: int, height: int, pixel_fn) -> bytes:
+    """Build a real P6 PPM payload; pixel_fn(x, y) -> (r, g, b)."""
+    import numpy as np
+
+    arr = np.zeros((height, width, 3), dtype=np.uint8)
+    for y in range(height):
+        for x in range(width):
+            arr[y, x] = pixel_fn(x, y)
+    return b"P6\n%d %d\n255\n" % (width, height) + arr.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """Pure-numpy P6 decoder: returns (width, height, HxWx3 uint8 array).
+
+    Parses the three whitespace-separated header tokens (skipping
+    ``#`` comments), then views the raw RGB block — no per-pixel Python.
+    """
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    tokens: list[int] = []
+    pos = 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=pos)
+    return width, height, arr.reshape((height, width, 3))
+
+
+def resize_nearest(arr, out_w: int, out_h: int):
+    """Nearest-neighbor resize via numpy index selection (no libs)."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[ys][:, xs]
+
+
+_PPM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+    ]
+)
+
+_N_PPM = 20
+
+
+def _ppm_payloads(spark: SparkSession, n: int = _N_PPM) -> DataFrame:
+    """n deterministic gradient images as REAL P6 payloads; dims and the
+    per-pixel formula are shared with the oracle's closed form."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 16 + i % 5, 12 + i % 3
+                payload = encode_ppm(
+                    w,
+                    h,
+                    lambda x, y, i=i: (
+                        (x * 7 + y * 3 + i) % 256,
+                        (x * 5 + y * 11 + 2 * i) % 256,
+                        (x + y + 3 * i) % 256,
+                    ),
+                )
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(n).mapInPandas(
+        gen, "media_id long, payload binary"
+    )
+
+
+def ppm_pixel_stats(media: DataFrame) -> DataFrame:
+    """Decode real PPM payloads and report exact per-channel pixel sums."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, arr = decode_ppm(bytes(payload))
+                sums = arr.reshape(-1, 3).sum(axis=0, dtype="int64")
+                out.append((int(mid), w, h, int(sums[0]), int(sums[1]), int(sums[2])))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return media.mapInPandas(stats, _PPM_STATS_SCHEMA)
+
+
+def _q_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ppm_pixel_stats(_ppm_payloads(spark)).orderBy("media_id")
+
+
+register(
+    "multimodal_ppm_decode",
+    _q_ppm_decode,
+    oracle=f"""
+    WITH dims AS (
+      SELECT i, 16 + i % 5 AS w, 12 + i % 3 AS h
+      FROM range({_N_PPM}) t(i)
+    ),
+    px AS (
+      SELECT i, w, h, x, y
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+    )
+    SELECT i AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum((x * 7 + y * 3 + i) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((x * 5 + y * 11 + 2 * i) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((x + y + 3 * i) % 256) AS BIGINT) AS sum_b
+    FROM px
+    GROUP BY i, w, h
+    ORDER BY media_id
     """,
 )

@@ -145,3 +145,32 @@ def test_multimodal_decoder_injection(spark):
 
     out = resize_media(media, 8, 8, resizer=my_resizer).select("payload").first()
     assert bytes(out.payload).startswith(b"RES")
+
+
+def test_ppm_roundtrip_and_header_parsing():
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    w0, h0 = 7, 5
+    payload = encode_ppm(w0, h0, lambda x, y: (x * 2, y * 3, (x + y) % 256))
+    w, h, arr = decode_ppm(payload)
+    assert (w, h) == (w0, h0)
+    assert arr.shape == (h0, w0, 3)
+    assert arr[2, 3].tolist() == [6, 6, 5]
+    # comments in the header must be skipped
+    with_comment = payload.replace(b"P6\n", b"P6\n# a comment\n", 1)
+    w2, h2, arr2 = decode_ppm(with_comment)
+    assert (w2, h2) == (w0, h0) and np.array_equal(arr, arr2)
+    # nearest-neighbor downsample picks the exact source pixels
+    small = resize_nearest(arr, 3, 2)
+    ys, xs = [0, 2], [0, 2, 4]
+    assert np.array_equal(small, arr[ys][:, xs])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
