@@ -139,6 +139,10 @@ def pagerank(
     )
     nodes = ed.select(F.col("u").alias("node"), "outdeg").distinct()
     n = nodes.count()
+    if n == 0:
+        # no pair reached min_support: an empty rank frame, not a
+        # ZeroDivisionError during query build
+        return pairs.sparkSession.createDataFrame([], "node long, pr long")
     teleport = (3 * scale) // (20 * n)
     pr = nodes.select("node", F.lit(scale // n).cast("long").alias("pr"))
     # The loop body stays LAZY: with a fixed iteration count there is no

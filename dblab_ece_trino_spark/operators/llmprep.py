@@ -1452,7 +1452,10 @@ def curriculum_order(
     # embed a second scan of docs in the based subtree and double it
     # again through both window consumers (4 scans in the plan census
     # vs train_order's 2; this form matches train_order)
-    m = docs.agg(F.max(F.col(score_col).cast("long"))).collect()[0][0]
+    # None when docs is empty or the score column is all NULL — fall
+    # back to 0 so the bin expression stays valid (every row then lands
+    # in bin 0 / the frame is empty anyway)
+    m = docs.agg(F.max(F.col(score_col).cast("long"))).collect()[0][0] or 0
     based = (
         docs.select(
             F.col(id_col),

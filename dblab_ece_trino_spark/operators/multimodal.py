@@ -340,11 +340,23 @@ def decode_ppm(payload: bytes):
         while pos < len(payload) and not payload[pos : pos + 1].isspace():
             pos += 1
         tokens.append(int(payload[start:pos]))
-    pos += 1  # the single whitespace after maxval
+    pos += 1  # the single whitespace after maxval (per spec)
     width, height, maxval = tokens
     if maxval != 255:
         raise ValueError(f"only maxval=255 supported, got {maxval}")
-    arr = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=pos)
+    expected = width * height * 3
+    # tolerate spec-violating but common extra header whitespace (e.g. a
+    # CRLF after maxval): skip whitespace while MORE than the exact
+    # pixel block remains — without this, the stray byte silently
+    # shifts every pixel by one
+    while len(payload) - pos > expected and payload[pos : pos + 1].isspace():
+        pos += 1
+    if len(payload) - pos < expected:
+        raise ValueError(
+            f"truncated PPM payload: need {expected} pixel bytes, "
+            f"have {len(payload) - pos}"
+        )
+    arr = np.frombuffer(payload, dtype=np.uint8, count=expected, offset=pos)
     return width, height, arr.reshape((height, width, 3))
 
 

@@ -434,7 +434,10 @@ _register_interp_entry()
 
 def _register_seasonal_decompose() -> None:
     """Classical additive seasonal decomposition of the daily value
-    series: trend = centered 7-day moving average, seasonal = mean
+    series: trend = centered 7-day moving
+    average over a VALUE-based RANGE frame on the epoch day (calendar
+    gaps shrink the window instead of silently pulling in non-adjacent
+    days as a ROWS frame would), seasonal = mean
     detrended value per day-of-week, residual = the rest.
 
     Scale shape: the ONLY full-data pass is the per-day aggregation
@@ -463,10 +466,10 @@ def _register_seasonal_decompose() -> None:
     tr AS (
       SELECT ed, day, v,
              CAST(sum(v) OVER (ORDER BY ed
-               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
                AS DECIMAL(38,6)) AS s7,
              count(*) OVER (ORDER BY ed
-               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
       FROM daily
     ),
     de AS (

@@ -91,3 +91,15 @@ def test_coorder_pairs_orientation_and_support(spark):
     # each duplicated order contributes 2x2=4 co-occurrences per pair
     assert got == [(1, 2), (1, 3), (2, 3)]
     assert all(u < v for u, v in got)
+
+
+def test_pagerank_empty_edge_set_returns_empty(spark):
+    empty = spark.createDataFrame([], "u long, v long")
+    assert pagerank(empty).count() == 0
+
+
+def test_curriculum_order_empty_docs(spark):
+    from dblab_ece_trino_spark.operators.llmprep import curriculum_order
+
+    empty = spark.createDataFrame([], "doc_id long, n_chars long")
+    assert curriculum_order(empty).count() == 0

@@ -174,3 +174,18 @@ def test_ppm_roundtrip_and_header_parsing():
 
     with _pytest.raises(ValueError):
         decode_ppm(b"P5\n1 1\n255\n\x00")
+
+
+def test_ppm_decoder_edge_cases():
+    import pytest as _pytest
+
+    from dblab_ece_trino_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    payload = encode_ppm(3, 2, lambda x, y: (x, y, 7))
+    # CRLF after maxval (spec-violating but common): pixels must not shift
+    crlf = payload.replace(b"255\n", b"255\r\n", 1)
+    w, h, arr = decode_ppm(crlf)
+    assert (w, h) == (3, 2) and arr[0, 1].tolist() == [1, 0, 7]
+    # truncated pixel block raises instead of mis-shaping
+    with _pytest.raises(ValueError):
+        decode_ppm(payload[:-2])

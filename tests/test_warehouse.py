@@ -94,7 +94,7 @@ def test_snapshot_diff_matches_recipe(spark):
     assert rev.get("added", 0) == n_removed
 
 
-def test_zorder_layout_invariants(spark, duck):
+def test_zorder_layout_invariants(spark):
     """File assignment covers all rows, file ids are bounded, and the
     z-order zone maps actually prune: the mean per-file custkey span is
     a small fraction of the global span (single-column sorts can't give
