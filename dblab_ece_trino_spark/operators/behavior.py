@@ -513,3 +513,29 @@ _both(
     ORDER BY hour, rk
     """,
 )
+
+
+# Per-key hourly rate limit: keep the first N events per (user, hour) in
+# event order — the batch analog of streaming/events.py's
+# throttle_stream (the op_click_attribution pairing discipline: the
+# stateful streaming operator is pinned to this driver-graded batch
+# form in tests).  One keyed window whose partition is (user, hour) —
+# state per partition is a row counter, nothing accumulates beyond the
+# frame, and the hour component keeps partitions bounded however long
+# the log is.
+_both(
+    "op_rate_limit",
+    """
+    WITH r AS (
+      SELECT event_id, user_id, date_trunc('hour', ts) AS hour,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn
+      FROM {events}
+    )
+    SELECT event_id, user_id, CAST(hour AS TIMESTAMP) AS hour,
+           CAST(rn AS BIGINT) AS rn
+    FROM r
+    WHERE rn <= 5
+    ORDER BY event_id
+    """,
+)

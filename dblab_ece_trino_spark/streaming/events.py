@@ -426,3 +426,75 @@ def rank_trending(window_counts: DataFrame, top_k: int = 3) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+THROTTLE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("hour_ms", T.LongType(), True),
+        T.StructField("rn", T.LongType(), True),
+    ]
+)
+
+_THROTTLE_STATE = T.StructType(
+    [
+        T.StructField("hours", T.ArrayType(T.LongType()), True),
+        T.StructField("counts", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def throttle_stream(
+    stream: DataFrame, max_per_hour: int = 5, keep_hours: int = 6
+) -> DataFrame:
+    """Per-user hourly rate limiter: emit only the first
+    ``max_per_hour`` events of each (user, hour), carrying per-hour
+    counters in keyed state.  The batch analog (driver-graded) is
+    ``op_rate_limit`` in operators/behavior.py; tests pin the two.
+
+    State is a small (hour -> count) book per user, pruned to the
+    trailing ``keep_hours`` hours each batch — the watermark analog
+    that bounds state exactly like dedup_event_stream's key TTL.
+    Counting is vectorized: per-hour cumcount over the sorted batch
+    plus the carried base.
+    """
+    def update(key, pdfs, state):
+        import numpy as np
+
+        hours, counts = state.get if state.exists else ([], [])
+        book = dict(zip(list(hours or []), list(counts or [])))
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            hm = (
+                pdf["ts"].dt.floor("h").astype("int64") // 1_000_000
+            )  # epoch ms
+            base = hm.map(lambda h: book.get(int(h), 0))
+            rn = hm.groupby(hm).cumcount() + 1 + base
+            keep = rn <= max_per_hour
+            for h, c in hm.groupby(hm).size().items():
+                book[int(h)] = book.get(int(h), 0) + int(c)
+            if keep.any():
+                out = pd.DataFrame(
+                    {
+                        "event_id": pdf.loc[keep, "event_id"].to_numpy("int64"),
+                        "user_id": np.full(int(keep.sum()), key[0], "int64"),
+                        "hour_ms": hm[keep].to_numpy("int64"),
+                        "rn": rn[keep].to_numpy("int64"),
+                    }
+                )
+                yield out
+        if book:
+            horizon = max(book) - keep_hours * 3_600_000
+            book = {h: c for h, c in book.items() if h >= horizon}
+        state.update((list(book.keys()), list(book.values())))
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=THROTTLE_SCHEMA,
+        stateStructType=_THROTTLE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -424,3 +424,31 @@ def test_trending_stream_matches_batch_entry(spark, events_dir):
     }
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_throttle_stream_matches_batch_entry(spark, events_dir):
+    """throttle_stream's kept set equals the driver-graded op_rate_limit
+    batch analog (same (user, hour) counters, same event ordering)."""
+    from dblab_ece_trino_spark.entrypoints import build_queries
+    from dblab_ece_trino_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory,
+        throttle_stream,
+    )
+
+    stream = read_event_stream(spark, events_dir)
+    run_to_memory(throttle_stream(stream), "throttled", complete=False)
+    got = {
+        r.event_id: (r.user_id, r.hour_ms, r.rn)
+        for r in spark.table("throttled").collect()
+    }
+    want = {
+        r.event_id: (
+            r.user_id,
+            int(r.hour.timestamp() * 1000),
+            r.rn,
+        )
+        for r in build_queries()["op_rate_limit"](spark, SF_SMALL).collect()
+    }
+    assert len(got) == len(want) > 0
+    assert got == want
