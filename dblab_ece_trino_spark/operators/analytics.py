@@ -652,3 +652,36 @@ _both(
     FROM {orders}
     """,
 )
+
+
+# 2-D skyline (Pareto frontier): the days whose best order price is not
+# dominated by any LATER day — "(recency, price) skyline", the classic
+# multi-criteria operator.  Scalable form: one per-day max agg (the only
+# full-data pass), then a running max over the calendar-bounded daily
+# frame scanned in day-descending order — a point survives iff it beats
+# every later day's best.  The quadratic NOT-EXISTS self-join the
+# textbook definition implies never materializes.  max() is
+# order-insensitive so doubles are safe without rounding.
+_both(
+    "op_skyline_2d",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS best_price
+      FROM {orders}
+      GROUP BY 1
+    ),
+    w AS (
+      SELECT day, best_price,
+             max(best_price) OVER (ORDER BY day DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS later_best
+      FROM daily
+    )
+    SELECT day, best_price
+    FROM w
+    WHERE later_best IS NULL OR best_price > later_best
+    ORDER BY day
+    """,
+)

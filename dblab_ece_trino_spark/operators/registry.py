@@ -98,8 +98,8 @@ def oracle_queries() -> dict[str, str]:
 # their local pytest gate.  Five round-5 entries landed after the 50
 # slots filled (op_winsorize, wh_expectations, ts_seasonal_decompose,
 # op_agg_filter_clause, op_ratio_to_report, multimodal_ppm_decode,
-# op_rate_limit); each carries the full local oracle-parity gate and
-# rotates into the round-6 window.
+# op_rate_limit, text_tfidf_topk, op_skyline_2d); each carries the
+# full local oracle-parity gate and rotates into the round-6 window.
 GRADED_PRIORITY: list[str] = [
     # reference query set (regression watch, every round)
     "q001", "q002", "q003", "q004", "q005",

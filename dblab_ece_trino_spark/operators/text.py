@@ -482,3 +482,85 @@ register(
     LIMIT 50
     """,
 )
+
+
+# ------------------------------------------------------ TF-IDF top-k
+def tfidf_topk(
+    docs: DataFrame, k: int = 3, min_len: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF (tf · ln(N/df)).
+
+    Complements text_bm25_score (query-centric relevance) with the
+    doc-centric keyword extraction a curation pipeline uses for topic
+    tagging.  One token explode feeds one (doc, token) agg; df is an
+    agg over THAT frame (tokens never shuffle twice); the per-doc top-k
+    window runs over (doc, distinct-token) rows — bounded by vocabulary
+    per doc, not token count.  ln + round(.., 4) follows the
+    llm_bigram_lm_score parity discipline.
+    """
+    from pyspark.sql import Window
+
+    n = docs.count()
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "tok"
+        ),
+    ).filter(F.length("tok") >= min_len)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfc, "tok").withColumn(
+        "score",
+        F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 4).cast(
+            "double"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "doc_id",
+            "tok",
+            F.col("tf").cast("long").alias("tf"),
+            "score",
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("doc_id", "rk")
+    )
+
+
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_topk(_docs(spark, sf_dir))
+
+
+register(
+    "text_tfidf_topk",
+    _q_tfidf_topk,
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, t AS tok FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        FROM documents) x
+      WHERE len(t) >= 3
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf,
+             CAST(round(tf.tf * ln(
+               CAST((SELECT count(*) FROM documents) AS DOUBLE) / dfc.df),
+               4) AS DOUBLE) AS score
+      FROM tf JOIN dfc ON tf.tok = dfc.tok
+    )
+    SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, score, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, tok) AS rk
+      FROM scored
+    )
+    WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+)
