@@ -42,7 +42,7 @@ rendering risk anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dblab_ece_trino_spark.operators.registry import register
@@ -284,6 +284,180 @@ register(
     FROM corners
     GROUP BY node
     ORDER BY n_triangles DESC, node
+    LIMIT 15
+    """,
+)
+
+
+# ------------------------------------------------------- shortest path (BFS)
+MAX_HOPS = 4
+
+
+def bfs_hops(pairs: DataFrame, max_hops: int = MAX_HOPS) -> DataFrame:
+    """Minimum hop count from the smallest node id to every node within
+    ``max_hops``, as per-hop aggregates (hop, n_nodes, node_sum).
+
+    Level-synchronous BFS as an iterative DataFrame loop: each level is
+    one join (frontier x edges) + one DISTINCT — two shuffles per hop,
+    the textbook Pregel superstep expressed relationally.  The frontier
+    is NOT anti-joined against the visited set: a node rediscovered at a
+    deeper level is collapsed afterwards by the min(hop) aggregation, so
+    each level frame is bounded by |V| (the DISTINCT) and the loop body
+    stays lazy — no per-level action, the whole walk compiles into one
+    DAG like pagerank's fixed-iteration loop.  At 100 TB the anti-join
+    variant trades one extra shuffle per level for smaller frontiers;
+    with hop depth fixed at 4 the collapse-at-the-end form shuffles
+    less in total.
+
+    One driver-side scalar (the source node id), same bounded action as
+    pagerank's node count.
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    p = materialize(pairs.select("u", "v"))
+    edges = p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    row = p.agg(F.min("u").alias("s")).collect()[0]
+    if row["s"] is None:
+        return pairs.sparkSession.createDataFrame(
+            [], "hop int, n_nodes long, node_sum long"
+        )
+    src = int(row["s"])
+    spark = pairs.sparkSession
+    cur = spark.createDataFrame([(src,)], "node long")
+    levels = [cur.select("node", F.lit(0).alias("hop"))]
+    for d in range(1, max_hops + 1):
+        cur = materialize(
+            cur.join(edges, cur.node == edges.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        levels.append(cur.select("node", F.lit(d).alias("hop")))
+    walk = levels[0]
+    for lv in levels[1:]:
+        walk = walk.unionAll(lv)
+    dist = walk.groupBy("node").agg(F.min("hop").alias("hop"))
+    return (
+        dist.groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("node").cast("long").alias("node_sum"),
+        )
+        .orderBy("hop")
+        .select(F.col("hop").cast("int").alias("hop"), "n_nodes", "node_sum")
+    )
+
+
+def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bfs_hops(coorder_pairs(_li(spark, sf_dir)))
+
+
+register(
+    "graph_shortest_path",
+    _q_bfs,
+    # DuckDB replays the BFS as a depth-bounded recursive CTE; the
+    # recursive UNION (distinct) keeps each (node, d) pair once so the
+    # walk is |V| x depth bounded, not path-enumerating.
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    walk(node, d) AS (
+      SELECT (SELECT min(u) FROM pairs), 0
+      UNION
+      SELECT e.v, walk.d + 1
+      FROM walk JOIN edges e ON e.u = walk.node
+      WHERE walk.d < {MAX_HOPS}
+    ),
+    dist AS (SELECT node, min(d) AS hop FROM walk GROUP BY node)
+    SELECT CAST(hop AS INT) AS hop,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(node) AS BIGINT) AS node_sum
+    FROM dist GROUP BY hop ORDER BY hop
+    """,
+)
+
+
+# --------------------------------------------------- neighbor-set Jaccard
+def neighbor_jaccard(
+    pairs: DataFrame, min_common: int = 2, top_n: int = 15
+) -> DataFrame:
+    """Node-pair similarity as Jaccard of neighbor sets — the classic
+    link-prediction / you-bought-this-too primitive.
+
+    |N(a) ∩ N(b)| comes from ONE wedge self-join of the symmetrized
+    adjacency on the shared neighbor (cost: sum of degree² of the
+    thresholded graph, the triangle-join bound); the union size is then
+    algebraic (deg_a + deg_b - common) from a broadcast degree join —
+    no second pair join.  min_common prunes the long tail before the
+    rank.  Ordering is on the ROUNDED score with (a, b) tiebreaks, so
+    the top_n cut is deterministic on both engines.
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    p = materialize(pairs.select("u", "v"))
+    adj = p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    common = (
+        adj.alias("x")
+        .join(adj.alias("y"), F.col("x.v") == F.col("y.v"))
+        .filter(F.col("x.u") < F.col("y.u"))
+        .groupBy(F.col("x.u").alias("a"), F.col("y.u").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    scored = (
+        common.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(deg.withColumnRenamed("node", "b"), "b")
+        .withColumnRenamed("deg", "deg_b")
+        .withColumn(
+            "jac",
+            F.round(
+                F.col("n_common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")),
+                6,
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("jac"), F.asc("a"), F.asc("b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_n)
+        .select("rank", "a", "b", "n_common", "deg_a", "deg_b", "jac")
+    )
+
+
+def _q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neighbor_jaccard(coorder_pairs(_li(spark, sf_dir)))
+
+
+register(
+    "graph_neighbor_jaccard",
+    _q_neighbor_jaccard,
+    oracle=f"""
+    WITH {_PAIRS_CTE},
+    adj AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM adj GROUP BY u),
+    common AS (
+      SELECT x.u AS a, y.u AS b, CAST(count(*) AS BIGINT) AS n_common
+      FROM adj x JOIN adj y ON x.v = y.v AND x.u < y.u
+      GROUP BY x.u, y.u
+      HAVING count(*) >= 2
+    ),
+    scored AS (
+      SELECT c.a, c.b, c.n_common,
+             da.deg AS deg_a, db.deg AS deg_b,
+             round(c.n_common / (da.deg + db.deg - c.n_common), 6) AS jac
+      FROM common c
+      JOIN deg da ON da.node = c.a
+      JOIN deg db ON db.node = c.b
+    )
+    SELECT CAST(row_number() OVER (ORDER BY jac DESC, a, b) AS INT) AS rank,
+           a, b, n_common, deg_a, deg_b, jac
+    FROM scored
+    ORDER BY jac DESC, a, b
     LIMIT 15
     """,
 )

@@ -60,6 +60,7 @@ def _ensure_loaded() -> None:
         multimodal,
         sqlsurface,
         sampling,
+        sketches,
         llmprep,
         warehouse,
         timeseries,
@@ -95,44 +96,39 @@ def oracle_queries() -> dict[str, str]:
 # green (every registered entry has held a green driver row), so the
 # window's job is now rotation freshness, not first-time coverage.
 # Entries displaced from the window all keep green rows from r1-r4 and
-# their local pytest gate.  Five round-5 entries landed after the 50
-# slots filled (op_winsorize, wh_expectations, ts_seasonal_decompose,
-# op_agg_filter_clause, op_ratio_to_report, multimodal_ppm_decode,
-# op_rate_limit, text_tfidf_topk, op_skyline_2d); each carries the
-# full local oracle-parity gate and rotates into the round-6 window.
+# their local pytest gate.  Never-graded entries always outrank
+# freshness backfill for a slot.
 GRADED_PRIORITY: list[str] = [
     # reference query set (regression watch, every round)
     "q001", "q002", "q003", "q004", "q005",
-    # new round-5 operators (never graded): graph pack, sketch rollup,
+    # round-4 operators never graded: graph pack, sketch rollup,
     # range-frame window, sequential trigrams, hourly trending (batch
-    # analog of the streaming rank), BPE merge candidates
+    # analog of the streaming rank), BPE merge candidates, Z-order
+    # layout planner, curriculum training order
     "graph_pagerank", "graph_triangles", "op_hll_rollup",
     "op_rolling_revenue_28d", "op_event_trigrams", "op_trending_hours",
-    "llm_bpe_merges",
-    # changed this round: trailing-window clamp (round-4 ADVICE)
+    "llm_bpe_merges", "wh_zorder_layout", "llm_curriculum_order",
+    # round-4 operators that landed after the last rotation (never
+    # graded): winsorize, expectation suite, seasonal decomposition,
+    # FILTER clause, ratio-to-report, PPM decode, rate limiter batch
+    # analog, TF-IDF keywords, skyline frontier
+    "op_winsorize", "wh_expectations", "ts_seasonal_decompose",
+    "op_agg_filter_clause", "op_ratio_to_report", "multimodal_ppm_decode",
+    "op_rate_limit", "text_tfidf_topk", "op_skyline_2d",
+    # changed round 4: trailing-window clamp (round-4 ADVICE)
     "op_rolling_dau",
-    # late round-5 additions (never graded): Z-order layout planner,
-    # curriculum training order
-    "wh_zorder_layout", "llm_curriculum_order",
-    # backfill: every entry whose last green row is round 1 — the
-    # stalest slice of the cumulative board (all re-green locally)
+    # new round-5 operators (slots reserved as they land; see below)
+    "op_count_min_heavy_hitters", "op_bloom_membership",
+    "graph_shortest_path", "graph_neighbor_jaccard",
+    "ts_autocorrelation", "ts_cusum_changepoint",
+    "wh_cdc_apply", "op_sequence_match", "text_readability",
+    "sim_mips_topk", "wh_compaction_plan", "llm_oov_rate",
+    # backfill: stalest green rows (last green = round 1), capped to the
+    # remaining slots
     "op_filter_conjunction", "op_join_shuffle", "op_join_left_composite",
     "op_join_semi", "op_join_anti", "op_distinct", "op_agg_rollup",
     "op_topn", "op_except", "op_intersect", "op_union",
-    "op_window_rownum", "op_agg_cube", "op_window_rank_lag",
-    "op_window_distribution", "op_string_functions", "op_date_functions",
-    "op_conditional_functions", "join_asof", "join_range", "dedup_exact",
-    "dedup_embedding", "sim_search_bruteforce", "text_token_count",
-    "text_quality_score",
-    # backfill: representative round-2-stale entries (core relational,
-    # streaming batch analogs, the heaviest TPC-H shapes, multimodal);
-    # op_project_case/op_agg_global ceded their slots to the two late
-    # round-5 entries — their families stay covered by op_conditional_
-    # functions and op_agg_groupby
-    "op_join_broadcast",
-    "op_agg_groupby", "op_events_time_rollup", "op_session_window",
-    "op_approx_distinct", "tpch_q1", "tpch_q3", "tpch_q18",
-    "multimodal_features", "pipeline_clean_corpus",
+    "op_window_rownum", "op_agg_cube",
 ]
 
 
