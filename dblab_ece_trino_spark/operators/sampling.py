@@ -41,7 +41,7 @@ def md5_bucket(id_col: Column, seed: str = "split-v1") -> Column:
 
 def _md5_bucket_sql(id_expr: str, seed: str = "split-v1") -> str:
     """The same bucket as ANSI SQL DuckDB accepts (oracle side)."""
-    h = f"md5(concat('{seed}', CAST({id_expr} AS VARCHAR)))"
+    h = f"md5(concat('{seed}', CAST({id_expr} AS STRING)))"
     return (
         f"(instr('{_HEX}', substr({h}, 1, 1)) - 1) * 16"
         f" + (instr('{_HEX}', substr({h}, 2, 1)) - 1)"

@@ -508,3 +508,110 @@ def _register_seasonal_decompose() -> None:
 
 
 _register_seasonal_decompose()
+
+
+def _register_autocorr_cusum() -> None:
+    """Autocorrelation function and CUSUM changepoint over the daily
+    value series.
+
+    - ``ts_autocorrelation``: ACF at lags 1..7 as corr(x_t, x_{t-lag})
+      via a TIME-SHIFT self-join on epoch day (b.ed = a.ed - lag): a
+      true calendar lag, well-defined under gaps — not a row-offset
+      window, which silently mis-lags across missing days.  The daily
+      frame is tiny (one row per day) so the 7-way lag expansion is a
+      broadcast-scale join; the heavy lifting (the event scan + daily
+      rollup) happens ONCE.  corr inputs are exact DECIMAL daily sums
+      cast to DOUBLE, result rounded to 4 (the op_stats_regression
+      discipline: moment sums are partition-order-sensitive in the
+      last ulps).
+    - ``ts_cusum_changepoint``: the classic mean-shift detector.  The
+      deviation statistic is computed in EXACT INTEGER micro-units
+      (graph.py's fixed-point PageRank discipline): with P_t the prefix
+      sum and T the total, D_t = n*P_t - t*T equals n * CUSUM_t and its
+      argmax is partition-order-independent, so the top-5 selection is
+      bit-deterministic on both engines.  BIGINT bounds: |D| <= n * T
+      ~ 1e17 at sf0.1 micro-units; at 1000x move the same plan to
+      DECIMAL(38,0) columns.  One event scan, one daily rollup
+      (map-side combinable), one single-partition window over the
+      narrow DAILY frame (one row/day — bounded by calendar span, not
+      data volume).
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    daily_cte = """
+    daily AS (
+      SELECT {epoch_day} AS ed,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+                  * 1000000 AS BIGINT) AS vu
+      FROM {events}
+      GROUP BY 1, 2
+    )"""
+
+    acf_tpl = (
+        "WITH "
+        + daily_cte
+        + """
+    SELECT lags.lg AS lag_days,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(round(corr(CAST(a.vu AS DOUBLE), CAST(b.vu AS DOUBLE)), 4)
+                AS DOUBLE) AS acf
+    FROM (VALUES (1), (2), (3), (4), (5), (6), (7)) lags(lg)
+    CROSS JOIN daily a
+    JOIN daily b ON b.ed = a.ed - lags.lg
+    GROUP BY lags.lg
+    ORDER BY lags.lg
+    """
+    )
+
+    cusum_tpl = (
+        "WITH "
+        + daily_cte
+        + """,
+    tot AS (
+      SELECT CAST(sum(vu) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n
+      FROM daily
+    ),
+    pre AS (
+      SELECT ed, day, vu,
+             CAST(sum(vu) OVER (ORDER BY ed) AS BIGINT) AS prefix,
+             CAST(row_number() OVER (ORDER BY ed) AS BIGINT) AS t
+      FROM daily
+    ),
+    dev AS (
+      SELECT p.day, p.t, tt.n,
+             CAST(tt.n * p.prefix - p.t * tt.total AS BIGINT) AS d
+      FROM pre p CROSS JOIN tot tt
+    )
+    SELECT CAST(row_number() OVER (ORDER BY abs(d) DESC, day) AS INT) AS rank,
+           day,
+           CAST(round(CAST(d AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000), 2)
+                AS DOUBLE) AS cusum,
+           CAST(CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 ELSE 0 END AS INT)
+             AS direction
+    FROM dev
+    ORDER BY abs(d) DESC, day
+    LIMIT 5
+    """
+    )
+
+    spark_epoch = (
+        "datediff(CAST(date_trunc('day', ts) AS DATE), DATE '1970-01-01')"
+    )
+    duck_epoch = (
+        "datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE))"
+    )
+    for name, tpl in (
+        ("ts_autocorrelation", acf_tpl),
+        ("ts_cusum_changepoint", cusum_tpl),
+    ):
+        register_sql(
+            name,
+            tpl.replace("{epoch_day}", spark_epoch).format(**_SPARK_TABLES),
+            tpl.replace("{epoch_day}", duck_epoch).format(**_ORACLE_TABLES),
+        )
+
+
+_register_autocorr_cusum()

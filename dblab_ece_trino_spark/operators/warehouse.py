@@ -393,3 +393,179 @@ def _register_zorder() -> None:
 
 
 _register_zorder()
+
+
+# --------------------------------------------------------------- CDC apply
+def cdc_apply(
+    changes: DataFrame, key_cols: list[str], seq_col: str, op_col: str
+) -> DataFrame:
+    """Apply an ordered change log (I/U/D rows) to produce the live
+    snapshot: per key, the highest-sequence row wins; a winning delete
+    removes the key.  This is ``MERGE`` expressed as one hash shuffle +
+    per-key window (reusing latest_by_key — the same WindowGroupLimit
+    plan, no global sort), the merge-on-read half of a CDC lakehouse
+    pipeline.  Late/duplicate change events are absorbed for free: the
+    sequence ordering, not arrival order, decides."""
+    live = latest_by_key(changes, key_cols, seq_col)
+    return live.filter(F.col(op_col) != F.lit("D"))
+
+
+def _q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: a deterministic synthetic change log over orders
+    (insert for every key; +10% reprice for the md5-even half; delete
+    for the md5 1/8th), applied and rolled up per order status.
+
+    Prices ride in DECIMAL end to end (exact under any partitioning);
+    the md5 draw is the sampling.py discipline so both engines build the
+    identical log."""
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.operators.sampling import md5_bucket
+
+    o = engine_for(spark, sf_dir).catalogs.table("mongodb.tpch.orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        price.cast("decimal(22,4)").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    upd = (
+        o.filter(md5_bucket(F.col("o_orderkey"), "cdc-u") < 128)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(2).alias("seq"),
+            F.lit("U").alias("op"),
+            (price * F.lit("1.1").cast("decimal(3,2)"))
+            .cast("decimal(22,4)")
+            .alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    dele = (
+        o.filter(md5_bucket(F.col("o_orderkey"), "cdc-d") < 32)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit(3).alias("seq"),
+            F.lit("D").alias("op"),
+            F.lit(None).cast("decimal(22,4)").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+    )
+    live = cdc_apply(base.unionByName(upd).unionByName(dele), ["k"], "seq", "op")
+    return (
+        live.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_live"),
+            F.round(F.sum("price").cast("double"), 2).alias("total_price"),
+        )
+        .orderBy("status")
+    )
+
+
+def _cdc_oracle() -> str:
+    from dblab_ece_trino_spark.operators.sampling import _md5_bucket_sql
+
+    bu = _md5_bucket_sql("o_orderkey", "cdc-u")
+    bd = _md5_bucket_sql("o_orderkey", "cdc-d")
+    return f"""
+    WITH log AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'I' AS op,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(22,4))
+               AS price,
+             o_orderstatus AS status
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'U',
+             CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                  * CAST(1.1 AS DECIMAL(3,2)) AS DECIMAL(22,4)),
+             o_orderstatus
+      FROM orders WHERE {bu} < 128
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', NULL, o_orderstatus
+      FROM orders WHERE {bd} < 32
+    ),
+    latest AS (
+      SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      FROM log
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_live,
+           round(CAST(sum(price) AS DOUBLE), 2) AS total_price
+    FROM latest
+    WHERE rn = 1 AND op <> 'D'
+    GROUP BY status
+    ORDER BY status
+    """
+
+
+register("wh_cdc_apply", _q_cdc_apply, oracle=_cdc_oracle())
+
+
+# ------------------------------------------------------- compaction planner
+def _register_compaction_plan() -> None:
+    """Small-file compaction planner over a simulated file inventory
+    (documents hash-bucketed into 8 'files' per source, byte size =
+    sum of n_chars).
+
+    The plan is metadata-scale work: the inventory has one row per FILE
+    (at 100 TB that is the table manifest, not the data), so the
+    per-source cumsum window runs over tiny partitions.  Small files
+    (< SMALL bytes) are assigned merge groups by a running-prefix
+    cumsum sliced at TARGET bytes — the same one-shuffle bounded-window
+    shape as text.py's token bin packing, applied to table maintenance.
+    Exact: byte sizes are integers, the prefix sum is BIGINT, and the
+    group id is floor(prefix/TARGET) on values far below 2^53.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.operators.sampling import _md5_bucket_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    small, target = 600, 2000
+    bucket = _md5_bucket_sql("doc_id", "compact-")
+    tpl = f"""
+    WITH files AS (
+      SELECT source, ({bucket}) % 8 AS file_id,
+             CAST(sum(n_chars) AS BIGINT) AS bytes,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM {{documents}}
+      GROUP BY 1, 2
+    ),
+    small_files AS (
+      SELECT source, file_id, bytes FROM files WHERE bytes < {small}
+    ),
+    packed AS (
+      SELECT source, file_id,
+             CAST(floor(CAST(coalesce(sum(bytes) OVER (
+                 PARTITION BY source ORDER BY bytes, file_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS DOUBLE) / {target}) AS BIGINT) AS grp
+      FROM small_files
+    ),
+    per_source AS (
+      SELECT f.source,
+             CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(CASE WHEN f.bytes < {small} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_small,
+             CAST(sum(f.bytes) AS BIGINT) AS bytes_total
+      FROM files f GROUP BY f.source
+    ),
+    merged AS (
+      SELECT source, CAST(count(DISTINCT grp) AS BIGINT) AS n_merged
+      FROM packed GROUP BY source
+    )
+    SELECT p.source, p.n_files, p.n_small,
+           CAST(coalesce(m.n_merged, 0) AS BIGINT) AS n_merged_files,
+           CAST(p.n_files - p.n_small + coalesce(m.n_merged, 0) AS BIGINT)
+             AS n_files_after,
+           p.bytes_total
+    FROM per_source p LEFT JOIN merged m ON m.source = p.source
+    ORDER BY p.source
+    """
+    register_sql(
+        "wh_compaction_plan",
+        tpl.format(**_SPARK_TABLES),
+        tpl.format(**_ORACLE_TABLES),
+    )
+
+
+_register_compaction_plan()
