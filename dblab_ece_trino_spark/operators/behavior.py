@@ -539,3 +539,78 @@ _both(
     ORDER BY event_id
     """,
 )
+
+
+# ------------------------------------------------- sequence pattern match
+def _register_sequence_match() -> None:
+    """MATCH_RECOGNIZE analog: per-user journey pattern counting.
+
+    Each user's view/click/purchase events collapse to a single-char
+    code string in (ts, event_id) order; the pattern ``vc*p`` (a view,
+    any run of clicks, then a purchase — no other event in between)
+    is counted with non-overlapping regex semantics.  Trino ships
+    row-pattern matching as the MATCH_RECOGNIZE clause (SURVEY §2.8's
+    SQL-surface lane); Spark has no clause for it, but the
+    collapse-to-string + regex form expresses the same FSM over each
+    key's ordered row sequence — and is how sequential-pattern mining
+    is idiomatically done on Spark at scale.
+
+    Scale shape: one hash shuffle on user_id; the per-user code string
+    is bounded by the user's event count (sessions in production — cap
+    the collect with a window slice if a key can be pathological).
+    Regex semantics note: 'vc*p' is anchored at each scan position and
+    both RE2 (DuckDB) and Java regex (Spark) resolve it leftmost-first
+    with identical results for this pattern class (no alternation whose
+    branches overlap).
+
+    Spark's ordered concat is transform(array_sort(collect_list(
+    struct(ts, event_id, code)))) — array_sort on the struct gives the
+    (ts, event_id) total order (event_id is unique, so the sort is
+    deterministic); DuckDB has ordered aggregation natively
+    (string_agg ... ORDER BY).
+    """
+    code = """
+      CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                      WHEN 'purchase' THEN 'p' END
+    """
+    tpl = f"""
+    WITH coded AS (
+      SELECT user_id, ts, event_id, {code} AS code
+      FROM {{events}}
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    journeys AS (
+      SELECT user_id, {{seq_agg}} AS seq
+      FROM coded
+      GROUP BY user_id
+    ),
+    matched AS (
+      SELECT user_id, CAST({{n_matches}} AS INT) AS n_matches,
+             CAST(length(seq) AS BIGINT) AS path_len
+      FROM journeys
+    )
+    SELECT n_matches,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(path_len) AS BIGINT) AS total_path_len
+    FROM matched
+    GROUP BY n_matches
+    ORDER BY n_matches
+    """
+    spark_sql = (
+        tpl.replace(
+            "{seq_agg}",
+            "concat_ws('', transform(array_sort(collect_list("
+            "struct(ts, event_id, code))), x -> x.code))",
+        )
+        .replace("{n_matches}", "size(regexp_extract_all(seq, 'vc*p', 0))")
+        .format(**_SPARK_TABLES)
+    )
+    oracle_sql = (
+        tpl.replace("{seq_agg}", "string_agg(code, '' ORDER BY ts, event_id)")
+        .replace("{n_matches}", "len(regexp_extract_all(seq, 'vc*p'))")
+        .format(**_ORACLE_TABLES)
+    )
+    register_sql("op_sequence_match", spark_sql, oracle_sql)
+
+
+_register_sequence_match()

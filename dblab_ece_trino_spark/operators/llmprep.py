@@ -1508,3 +1508,89 @@ register(
     FROM b
     """,
 )
+
+
+# --------------------------------------------------------- OOV / coverage
+def oov_rate(
+    docs: DataFrame,
+    vocab_size: int = 500,
+    text_col: str = "text",
+    by_col: str = "source",
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-``vocab_size`` word
+    vocabulary (lowercased alpha tokens — the normalization is explicit
+    because OOV is a statement about the tokenizer, not the corpus),
+    then report each group's out-of-vocabulary token rate.
+
+    The pre-training question this answers: which slices of a new 100 TB
+    dump will shred into unknown tokens under the current tokenizer.
+    Shape: one explode + keyed agg for the vocab candidates, a second
+    for the per-group totals, and a BROADCAST anti-ish join of the token
+    stream against the tiny vocab (the vocab is bounded by construction,
+    so the join never shuffles the stream).  The vocab rank reuses
+    vocab_topk's tiny-aggregate window; ties at the cut break on the
+    token text (deterministic).
+    """
+    toks = docs.select(
+        F.col(by_col).alias("grp"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    per_tok = toks.groupBy("w").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.orderBy(F.col("tf").desc(), F.col("w"))
+    vocab = (
+        per_tok.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= vocab_size)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    tagged = toks.join(F.broadcast(vocab), "w", "left")
+    return (
+        tagged.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_pct",
+            F.round(F.col("n_oov") / F.col("n_tokens") * 100, 4),
+        )
+        .orderBy("grp")
+        .select(F.col("grp").alias("source"), "n_tokens", "n_oov", "oov_pct")
+    )
+
+
+def _q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return oov_rate(_docs(spark, sf_dir))
+
+
+register(
+    "llm_oov_rate",
+    _q_oov_rate,
+    oracle=r"""
+    WITH toks AS (
+      SELECT d.source AS grp, t.w AS w
+      FROM documents d,
+           unnest(regexp_extract_all(lower(d.text), '[a-z]+')) AS t(w)
+    ),
+    per_tok AS (
+      SELECT w, count(*) AS tf FROM toks GROUP BY w
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, row_number() OVER (ORDER BY tf DESC, w) AS rk FROM per_tok
+      ) r WHERE rk <= 500
+    )
+    SELECT t.grp AS source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                 / count(*) * 100, 4) AS oov_pct
+    FROM toks t LEFT JOIN vocab v ON v.w = t.w
+    GROUP BY t.grp
+    ORDER BY t.grp
+    """,
+)

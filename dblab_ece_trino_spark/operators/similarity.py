@@ -523,3 +523,81 @@ register(
     ORDER BY dup_id
     """,
 )
+
+
+# ------------------------------------------------------------- MIPS top-k
+def dot_product(a: Column, b: Column) -> Column:
+    """Inner product of two array<double> columns, JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact maximum-inner-product top-k per query (recommendation /
+    retrieval scoring where vector NORM CARRIES SIGNAL, so cosine is the
+    wrong metric).
+
+    Same shape as knn_bruteforce: broadcast queries, one corpus scan,
+    per-query WindowGroupLimit top-k — no shuffle of the corpus side.
+    Ordering is on the ROUNDED score with neighbor-id tiebreak
+    (deterministic across engines).  The scale path for MIPS is the
+    norm-augmentation reduction to cosine ANN (append sqrt(M² − |v|²)
+    to each corpus vector, 0 to queries; Shrivastava & Li's asymmetric
+    LSH) — the reduction's rank-equivalence is pinned by
+    tests/test_similarity.py so the LSH/IVF entries above become MIPS
+    indexes by feeding them the augmented vectors.
+    """
+    from dblab_ece_trino_spark.session import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
+    c = corpus.select(
+        F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = c.join(F.broadcast(q), F.col("qid") != F.col("cid")).select(
+        "qid",
+        "cid",
+        F.round(dot_product(F.col("qv"), F.col("cv")), 6).alias("ip"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("ip").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "ip", "rank")
+    )
+
+
+def _q_sim_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return mips_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+register(
+    "sim_mips_topk",
+    _q_sim_mips,
+    oracle="""
+    WITH scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             round(list_inner_product(q.embedding::DOUBLE[],
+                                      c.embedding::DOUBLE[]), 6) AS ip
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 8
+    ),
+    ranked AS (
+      SELECT qid, cid, ip,
+             CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY ip DESC, cid ASC) AS INT) AS rank
+      FROM scored
+    )
+    SELECT qid, cid, ip, rank FROM ranked WHERE rank <= 5
+    """,
+)

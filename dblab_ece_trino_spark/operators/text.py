@@ -564,3 +564,84 @@ register(
     ORDER BY doc_id, rk
     """,
 )
+
+
+# ------------------------------------------------------------ readability
+def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch-reading-ease-style scoring with a vowel-group syllable
+    proxy, banded into deciles.
+
+    All three counts are single-pass regexp extractions (JVM-side,
+    whole-stage codegen — no Python): words = alpha runs, sentences =
+    terminal-punctuation runs (clamped to >= 1), syllables = vowel
+    runs.  The formula is per-row IEEE double arithmetic — identical
+    on any engine given identical inputs — so the decile band is exact
+    on both sides; only the band AVERAGES are order-sensitive and they
+    are rounded.  One projection + one keyed agg: the 100 TB cost is
+    the text scan itself.
+    """
+    words = F.size(F.regexp_extract_all(F.col(text_col), F.lit("[A-Za-z]+"), 0))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), 0)),
+        F.lit(1),
+    )
+    syll = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit("[AEIOUaeiouy]+"), 0)
+    )
+    scored = (
+        docs.select(
+            words.alias("n_words"), sents.alias("n_sents"), syll.alias("n_syll")
+        )
+        .filter(F.col("n_words") > 0)
+        .withColumn(
+            "flesch",
+            F.lit(206.835)
+            - F.lit(1.015) * F.col("n_words") / F.col("n_sents")
+            - F.lit(84.6) * F.col("n_syll") / F.col("n_words"),
+        )
+    )
+    return (
+        scored.groupBy(
+            F.floor(F.col("flesch") / 10).cast("long").alias("band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("flesch"), 2).alias("avg_flesch"),
+            F.round(F.avg(F.col("n_words") / F.col("n_sents")), 2).alias(
+                "avg_words_per_sent"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
+def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return readability(_docs(spark, sf_dir))
+
+
+register(
+    "text_readability",
+    _q_readability,
+    oracle=r"""
+    WITH counts AS (
+      SELECT len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+             len(regexp_extract_all(text, '[AEIOUaeiouy]+')) AS n_syll
+      FROM documents
+    ),
+    scored AS (
+      SELECT n_words, n_sents,
+             206.835 - 1.015 * n_words / n_sents
+                     - 84.6 * n_syll / n_words AS flesch
+      FROM counts WHERE n_words > 0
+    )
+    SELECT CAST(floor(flesch / 10) AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(flesch), 2) AS avg_flesch,
+           round(avg(CAST(n_words AS DOUBLE) / n_sents), 2)
+             AS avg_words_per_sent
+    FROM scored
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL
@@ -95,3 +96,66 @@ def test_semantic_dedup_recovers_planted_twins(spark):
         ).collect()
     }
     assert got == {(5_000_000 + i, i, 1.0) for i in range(7)}
+
+
+def test_mips_norm_augmentation_rank_equivalent(spark):
+    """The asymmetric-LSH reduction (append sqrt(M² − |v|²) to corpus
+    vectors, 0 to queries) must rank candidates identically to the raw
+    inner product: with augmented corpus norms all equal to M and a
+    fixed query norm, cos_aug = ip / (M·|q|) is a strictly increasing
+    map of ip.  This is what lets the sign-LSH / IVF indexes above
+    serve MIPS queries unchanged."""
+    from dblab_ece_trino_spark.operators.dedup import cosine
+    from dblab_ece_trino_spark.operators.similarity import (
+        _as_double,
+        mips_topk,
+    )
+
+    emb = _emb(spark)
+    norms = emb.select(
+        F.aggregate(
+            F.transform(_as_double(F.col("embedding")), lambda x: x * x),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("sq")
+    )
+    m2 = norms.agg(F.max("sq")).collect()[0][0] + 1e-9
+    aug_c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.concat(
+            _as_double(F.col("embedding")),
+            F.array(
+                F.sqrt(
+                    F.lit(m2)
+                    - F.aggregate(
+                        F.transform(
+                            _as_double(F.col("embedding")), lambda x: x * x
+                        ),
+                        F.lit(0.0),
+                        lambda a, v: a + v,
+                    )
+                )
+            ),
+        ).alias("cv"),
+    )
+    aug_q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.concat(_as_double(F.col("embedding")), F.array(F.lit(0.0))).alias(
+            "qv"
+        ),
+    )
+    scored = aug_c.join(F.broadcast(aug_q), F.col("qid") != F.col("cid")).select(
+        "qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("s")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("s").desc(), F.col("cid").asc())
+    aug_top = {
+        (r.qid, r.rank): r.cid
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    }
+    ip_top = {
+        (r.qid, r.rank): r.cid
+        for r in mips_topk(emb, emb.filter(F.col("vec_id") < 8), k=5).collect()
+    }
+    assert aug_top == ip_top
