@@ -63,6 +63,13 @@ HEADLINE = [
     # loop in the headline set) and the vocabulary-collapsed BPE miner
     "graph_pagerank",
     "llm_bpe_merges",
+    # round-5 late additions: Count-Min build+probe (the md5-heavy
+    # sketch), BFS traversal loop, CDC merge-on-read resolution,
+    # int8-quantized MIPS
+    "op_count_min_heavy_hitters",
+    "graph_shortest_path",
+    "wh_cdc_apply",
+    "sim_quantized_mips",
 ]
 
 

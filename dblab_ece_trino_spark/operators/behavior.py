@@ -614,3 +614,63 @@ def _register_sequence_match() -> None:
 
 
 _register_sequence_match()
+
+
+# ---------------------------------------------- conversion latency
+def _register_conversion_latency() -> None:
+    """Time-to-convert distribution: hours between a user's FIRST view
+    and their first purchase AFTER it, bucketed into a day-resolution
+    histogram (plus never-converted).
+
+    Product analytics' companion to the funnel count: not whether users
+    convert but how long it takes.  One hash shuffle on user_id for the
+    two firsts (conditional min aggregates — no self-join of the event
+    stream), then a tiny histogram agg.  Buckets are exact integer
+    hour-diffs, so the histogram is partition-order independent.
+    """
+    tpl = """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM {events}
+      GROUP BY user_id
+    ),
+    latency AS (
+      SELECT user_id,
+             CASE
+               WHEN first_view IS NULL THEN NULL
+               WHEN first_purchase IS NULL THEN NULL
+               WHEN first_purchase < first_view THEN NULL
+               ELSE CAST({hours_between} AS BIGINT)
+             END AS hours_to_convert
+      FROM firsts
+      WHERE first_view IS NOT NULL
+    )
+    SELECT CASE WHEN hours_to_convert IS NULL THEN -1
+                ELSE CAST(floor(hours_to_convert / 24) AS BIGINT) END
+             AS days_bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(coalesce(min(hours_to_convert), -1) AS BIGINT) AS min_hours,
+           CAST(coalesce(max(hours_to_convert), -1) AS BIGINT) AS max_hours
+    FROM latency
+    GROUP BY 1
+    ORDER BY 1
+    """
+    spark_sql = (
+        tpl.replace(
+            "{hours_between}",
+            "timestampdiff(SECOND, first_view, first_purchase) div 3600",
+        )
+    ).format(**_SPARK_TABLES)
+    oracle_sql = (
+        tpl.replace(
+            "{hours_between}",
+            "floor(date_diff('second', first_view, first_purchase) / 3600)",
+        )
+    ).format(**_ORACLE_TABLES)
+    register_sql("op_conversion_latency", spark_sql, oracle_sql)
+
+
+_register_conversion_latency()

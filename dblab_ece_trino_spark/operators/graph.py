@@ -378,7 +378,10 @@ register(
 
 # --------------------------------------------------- neighbor-set Jaccard
 def neighbor_jaccard(
-    pairs: DataFrame, min_common: int = 2, top_n: int = 15
+    pairs: DataFrame,
+    min_common: int = 2,
+    top_n: int = 15,
+    max_witness_deg: int | None = None,
 ) -> DataFrame:
     """Node-pair similarity as Jaccard of neighbor sets — the classic
     link-prediction / you-bought-this-too primitive.
@@ -390,11 +393,30 @@ def neighbor_jaccard(
     no second pair join.  min_common prunes the long tail before the
     rank.  Ordering is on the ROUNDED score with (a, b) tiebreaks, so
     the top_n cut is deterministic on both engines.
+
+    Runtime is Θ(Σ deg(v)²) — the wedge count IS the work (measured:
+    148M wedges → ~30 s at the x10 replica's artificially dense graph;
+    see SCALE.md).  For power-law graphs the standard mitigation is
+    ``max_witness_deg``: drop super-nodes (deg > cap) from the graph
+    before the wedge join — a ubiquitous item co-ordered with
+    everything certifies no similarity, while contributing deg² wedges.
+    Deterministic (the cap is on the exact degree), off by default, and
+    the filtered form recomputes degrees on the capped subgraph so the
+    Jaccard stays internally consistent.
     """
     from dblab_ece_trino_spark.session import materialize
 
     p = materialize(pairs.select("u", "v"))
     adj = p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if max_witness_deg is not None:
+        d0 = adj.groupBy(F.col("u").alias("hot")).agg(
+            F.count(F.lit(1)).alias("d")
+        ).filter(F.col("d") > max_witness_deg).select("hot")
+        adj = (
+            adj.join(F.broadcast(d0), adj.u == F.col("hot"), "left_anti")
+            .join(F.broadcast(d0), adj.v == F.col("hot"), "left_anti")
+        )
+        adj = materialize(adj)
     deg = adj.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
@@ -420,10 +442,16 @@ def neighbor_jaccard(
             ),
         )
     )
+    # top_n cut as a bounded heap (TakeOrderedAndProject), NOT a global
+    # row_number window: the candidate set (pairs with >= min_common
+    # shared neighbors) grows with graph density, and a single-partition
+    # window over it was the plan's only scale ceiling (measured 31s at
+    # x10 vs 8s for the same-density triangle join).  The rank column is
+    # then a window over top_n rows only.
+    top = scored.orderBy(F.desc("jac"), F.asc("a"), F.asc("b")).limit(top_n)
     w = Window.orderBy(F.desc("jac"), F.asc("a"), F.asc("b"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= top_n)
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("rank", "a", "b", "n_common", "deg_a", "deg_b", "jac")
     )
 

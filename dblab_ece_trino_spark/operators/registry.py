@@ -87,14 +87,11 @@ def oracle_queries() -> dict[str, str]:
 # graded keys == list(queries())[:50]).  This list pins which entries
 # occupy those 50 slots this round; everything else keeps its entry (and
 # its local pytest gate) and is rotated into the window in later rounds
-# so every operator accumulates a graded row.  Round-5 window: the 7 new
-# round-5 operators (graph pack, HLL rollup, range frame, trigrams,
-# trending, BPE merges), op_rolling_dau re-graded under the round-4
-# ADVICE clamp, and freshness backfill — every entry whose most recent
-# green row dates to round 1 (25 entries) plus 12 representative
-# round-2-stale entries.  As of round 4 the cumulative board is fully
-# green (every registered entry has held a green driver row), so the
-# window's job is now rotation freshness, not first-time coverage.
+# so every operator accumulates a graded row.  Round-5 window: all 35
+# never-graded entries (the 9 round-4 late arrivals that missed the
+# last rotation, the 9 already-rotated round-4 ops, and the 17 new
+# round-5 ops), op_rolling_dau re-graded under the round-4 ADVICE
+# clamp, and round-1-stale freshness backfill in the remaining slots.
 # Entries displaced from the window all keep green rows from r1-r4 and
 # their local pytest gate.  Never-graded entries always outrank
 # freshness backfill for a slot.
@@ -123,12 +120,13 @@ GRADED_PRIORITY: list[str] = [
     "ts_autocorrelation", "ts_cusum_changepoint",
     "wh_cdc_apply", "op_sequence_match", "text_readability",
     "sim_mips_topk", "wh_compaction_plan", "llm_oov_rate",
+    "wh_zone_map_pruning", "llm_negative_pairs", "sim_quantized_mips",
+    "wh_time_travel", "op_conversion_latency",
     # backfill: stalest green rows (last green = round 1), capped to the
     # remaining slots
     "op_filter_conjunction", "op_join_shuffle", "op_join_left_composite",
     "op_join_semi", "op_join_anti", "op_distinct", "op_agg_rollup",
-    "op_topn", "op_except", "op_intersect", "op_union",
-    "op_window_rownum", "op_agg_cube",
+    "op_topn",
 ]
 
 

@@ -601,3 +601,146 @@ register(
     SELECT qid, cid, ip, rank FROM ranked WHERE rank <= 5
     """,
 )
+
+
+# ---------------------------------------------- int8 scalar quantization
+def quantized_mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    levels: int = 255,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MIPS top-k over GLOBALLY scalar-quantized vectors (the int8 SQ
+    storage format of every production ANN index — 4-8x memory cut, and
+    the dot product becomes exact integer arithmetic).
+
+    Quantization uses one global (min, max): code = floor((x-mn)/s_unit
+    + 0.5) with s_unit = (mx-mn)/levels.  The approximate inner product
+    then has the CLOSED FORM
+
+        ip ≈ d·mn² + mn·s·(Σq_a + Σq_b) + s²·Σ q_a q_b
+
+    whose only data terms (Σq, Σ q_a q_b) are EXACT INTEGER sums —
+    associative under any partitioning — so the score, unlike a float
+    dot product, is bit-identical on every engine and every cluster
+    layout (the fixed-point PageRank discipline applied to ANN).  The
+    finishing expression is per-row IEEE arithmetic on those integers.
+
+    Shape: one corpus scan for (codes, Σq) as an array projection, a
+    broadcast of the quantized queries, integer zip_with dot, per-query
+    WindowGroupLimit — identical plan economics to mips_topk but the
+    hot multiply-accumulate runs on BIGINT codes (int8-width values).
+    Two bounded driver scalars (global min/max), same as pagerank's
+    node count.
+    """
+    from dblab_ece_trino_spark.session import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
+    both = corpus.select(_as_double(F.col(vec_col)).alias("v"))
+    row = both.agg(
+        F.min(F.array_min("v")).alias("mn"), F.max(F.array_max("v")).alias("mx")
+    ).collect()[0]
+    mn, mx = float(row["mn"]), float(row["mx"])
+    s_unit = (mx - mn) / float(levels)
+
+    def codes(col):
+        return F.transform(
+            _as_double(col),
+            lambda x: F.floor((x - F.lit(mn)) / F.lit(s_unit) + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+
+    def sum_codes(c):
+        return F.aggregate(c, F.lit(0).cast("long"), lambda a, v: a + v)
+
+    c = corpus.select(
+        F.col(id_col).alias("cid"), codes(F.col(vec_col)).alias("cc")
+    ).withColumn("sum_c", sum_codes(F.col("cc")))
+    q = queries.select(
+        F.col(id_col).alias("qid"), codes(F.col(vec_col)).alias("qc")
+    ).withColumn("sum_q", sum_codes(F.col("qc")))
+    sab = F.aggregate(
+        F.zip_with(F.col("qc"), F.col("cc"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .withColumn("sab", sab)
+        .withColumn(
+            "qip",
+            F.round(
+                F.lit(float(dim) * mn * mn)
+                + F.lit(mn * s_unit) * (F.col("sum_q") + F.col("sum_c"))
+                + F.lit(s_unit * s_unit) * F.col("sab"),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("qip").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "qip", "rank")
+    )
+
+
+def _q_sim_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return quantized_mips_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+register(
+    "sim_quantized_mips",
+    _q_sim_quantized,
+    # DuckDB replays the whole pipeline relationally: range(64) dim
+    # explode (1-based list indexing), global min/max scalars, integer
+    # code sums, and the identical closed-form finish — same exact
+    # integers, same per-row IEEE expression, same rounding.
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, t.i AS dim, CAST(embedding[t.i + 1] AS DOUBLE) AS val
+      FROM embeddings, range(64) t(i)
+    ),
+    st AS (
+      SELECT min(val) AS mn, (max(val) - min(val)) / 255 AS s FROM dims
+    ),
+    codes AS (
+      SELECT d.vec_id, d.dim,
+             CAST(floor((d.val - st.mn) / st.s + 0.5) AS BIGINT) AS q
+      FROM dims d CROSS JOIN st
+    ),
+    vecs AS (
+      SELECT vec_id, CAST(sum(q) AS BIGINT) AS sum_q FROM codes GROUP BY vec_id
+    ),
+    pairs AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid,
+             CAST(sum(a.q * b.q) AS BIGINT) AS sab
+      FROM codes a
+      JOIN codes b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 8
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    scored AS (
+      SELECT p.qid, p.cid,
+             round(64 * st.mn * st.mn
+                   + (st.mn * st.s) * (vq.sum_q + vc.sum_q)
+                   + (st.s * st.s) * p.sab, 6) AS qip
+      FROM pairs p
+      CROSS JOIN st
+      JOIN vecs vq ON vq.vec_id = p.qid
+      JOIN vecs vc ON vc.vec_id = p.cid
+    ),
+    ranked AS (
+      SELECT qid, cid, qip,
+             CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY qip DESC, cid ASC) AS INT) AS rank
+      FROM scored
+    )
+    SELECT qid, cid, qip, rank FROM ranked WHERE rank <= 5
+    """,
+)

@@ -107,6 +107,16 @@ def main() -> None:
         "graph_pagerank", "graph_triangles", "op_hll_rollup",
         "op_rolling_revenue_28d", "op_event_trigrams", "op_trending_hours",
         "llm_bpe_merges", "op_rolling_dau",
+        # round-5 additions: sketches, BFS/jaccard graph ops, ACF/CUSUM,
+        # CDC apply, compaction plan, sequence match, readability,
+        # OOV rate, MIPS
+        "op_count_min_heavy_hitters", "op_bloom_membership",
+        "graph_shortest_path", "graph_neighbor_jaccard",
+        "ts_autocorrelation", "ts_cusum_changepoint",
+        "wh_cdc_apply", "wh_compaction_plan", "op_sequence_match",
+        "text_readability", "llm_oov_rate", "sim_mips_topk",
+        "wh_zone_map_pruning", "llm_negative_pairs", "sim_quantized_mips",
+        "wh_time_travel", "op_conversion_latency",
     ]
     for name in names:
         t1 = time.monotonic()

@@ -8,6 +8,8 @@ from collections import defaultdict
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_MED
+
 from dblab_ece_trino_spark.operators.graph import (
     MIN_SUPPORT,
     PR_SCALE,
@@ -103,3 +105,23 @@ def test_curriculum_order_empty_docs(spark):
 
     empty = spark.createDataFrame([], "doc_id long, n_chars long")
     assert curriculum_order(empty).count() == 0
+
+
+def test_neighbor_jaccard_witness_cap_noop_when_unbound(spark):
+    """With a cap above the max degree the filtered form must equal the
+    exact default — the cap only ever REMOVES super-node witnesses."""
+    from dblab_ece_trino_spark.operators.graph import (
+        coorder_pairs,
+        neighbor_jaccard,
+    )
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    li = engine_for(spark, SF_MED).catalogs.table("psql.tpch.lineitem")
+    base = {tuple(r) for r in neighbor_jaccard(coorder_pairs(li)).collect()}
+    capped = {
+        tuple(r)
+        for r in neighbor_jaccard(
+            coorder_pairs(li), max_witness_deg=10**9
+        ).collect()
+    }
+    assert base == capped

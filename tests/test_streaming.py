@@ -452,3 +452,50 @@ def test_throttle_stream_matches_batch_entry(spark, events_dir):
     }
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_cdc_merge_sink_snapshot_matches_batch_apply(spark, events_dir, tmp_path):
+    """Streaming CDC ingestion resolved by read_cdc_snapshot must equal
+    cdc_apply over the same change rows in batch: per-user change rows
+    derived from events (event_id as the sequence; 'error' events are
+    deletes), streamed availableNow through the merge-on-read log."""
+    from dblab_ece_trino_spark.operators.warehouse import cdc_apply
+    from dblab_ece_trino_spark.streaming.events import (
+        cdc_merge_sink,
+        read_cdc_snapshot,
+        read_event_stream,
+    )
+
+    def to_changes(df):
+        return df.select(
+            F.col("user_id").alias("k"),
+            F.col("event_id").alias("seq"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.col("value").alias("payload"),
+        )
+
+    stream = read_event_stream(spark, str(events_dir))
+    q = cdc_merge_sink(
+        to_changes(stream),
+        str(tmp_path / "cdclog"),
+        str(tmp_path / "cdcckpt"),
+    )
+    q.awaitTermination(120)
+    got = {
+        tuple(r)
+        for r in read_cdc_snapshot(
+            spark, str(tmp_path / "cdclog"), ["k"]
+        )
+        .select("k", "seq", "op", "payload")
+        .collect()
+    }
+    batch = spark.read.parquet(str(events_dir))
+    want = {
+        tuple(r)
+        for r in cdc_apply(to_changes(batch), ["k"], "seq", "op")
+        .select("k", "seq", "op", "payload")
+        .collect()
+    }
+    assert got == want and len(want) > 0
