@@ -150,13 +150,14 @@ def sessionize(
 
 
 def run_to_memory(
-    stream_result: DataFrame, name: str, complete: bool = True
+    stream_result: DataFrame, name: str, complete: bool = True,
+    mode: str | None = None,
 ) -> None:
     """Drain the stream into a memory sink (availableNow) for tests/demos."""
     q = (
         stream_result.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if complete else "append")
+        .outputMode(mode if mode else ("complete" if complete else "append"))
         .trigger(availableNow=True)
         .start()
     )
@@ -543,3 +544,72 @@ def read_cdc_snapshot(
 
     log = spark.read.option("recursiveFileLookup", "true").parquet(log_dir)
     return cdc_apply(log, key_cols, seq_col, op_col)
+
+
+_PATTERN_STATE = "saw_v boolean, n_matches int, path_len bigint"
+_PATTERN_SCHEMA = "user_id bigint, n_matches int, path_len bigint"
+
+
+def pattern_match_stream(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: streaming MATCH_RECOGNIZE for the
+    ``vc*p`` journey pattern (view, any clicks, then purchase) — the
+    streaming dual of operators/behavior's op_sequence_match.
+
+    The regex FSM carries ACROSS micro-batches: state per user is two
+    scalars (inside-a-candidate flag + match count), so a journey whose
+    'v' arrives in one batch and 'p' in the next still counts — the
+    thing the batch op can only see given the whole log at once, and the
+    reason the FSM formulation (not per-batch regex) is the streaming
+    form.  The char scan is the leftmost-first equivalence of the
+    pattern: 'v' always (re)opens a candidate, 'c' sustains it, 'p'
+    closes it as a match — identical semantics to the batch regex,
+    pinned by tests/test_streaming.py against the driver-graded entry.
+
+    State is O(active keys); per-batch work is a vectorized code scan
+    after the same whole-group (ts, event_id) sort the anomaly operator
+    uses (Arrow chunk order within a group is unspecified).  Output
+    mode is UPDATE: each batch re-emits a user's running totals.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        saw_v, n_matches, path_len = (
+            state.get if state.exists else (False, 0, 0)
+        )
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            )
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for et in pdf["event_type"]:
+                if et == "view":
+                    saw_v = True
+                elif et == "purchase":
+                    if saw_v:
+                        n_matches += 1
+                    saw_v = False
+                elif et != "click":
+                    # only view/click/purchase participate; the batch
+                    # entry filters identically
+                    continue
+                path_len += 1
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_matches": [int(n_matches)],
+                    "path_len": [int(path_len)],
+                }
+            )
+        state.update((bool(saw_v), int(n_matches), int(path_len)))
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_PATTERN_SCHEMA,
+        stateStructType=_PATTERN_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,86 @@
+"""Sketch operators: structural invariants beyond the parametric oracle
+gate (Count-Min's domination inequality, Bloom's no-false-negative
+guarantee) — checked over EVERY key, not just the graded top-10 slice.
+
+DuckDB executes the checks; the oracle-parity gate in
+test_correctness.py pins Spark to the identical SQL, so an invariant
+holding on the oracle side holds for the engine output too.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from tests.conftest import SF_MED, duck_for
+from dblab_ece_trino_spark.operators.sketches import (
+    BLOOM_K,
+    BLOOM_M,
+    CMS_DEPTH,
+    CMS_WIDTH,
+    hexint_sql,
+)
+
+
+def test_count_min_estimate_dominates_truth_for_every_key():
+    """CM's structural guarantee: est(k) >= true(k) for ALL keys, under
+    ANY hash family — a single violated key means the sketch build or
+    probe is wrong (not a tuning issue)."""
+    cur = duck_for(duckdb.connect(), SF_MED)
+    bucket = (
+        hexint_sql("e.user_id", "concat('cms-', CAST(j AS STRING), ':')", 4)
+        + f" % {CMS_WIDTH}"
+    )
+    rows = ", ".join(f"({j})" for j in range(CMS_DEPTH))
+    bad = cur.execute(
+        f"""
+        WITH hashed AS (
+          SELECT e.user_id, j, {bucket} AS bucket
+          FROM events e CROSS JOIN (VALUES {rows}) r(j)
+        ),
+        sketch AS (
+          SELECT j, bucket, count(*) AS cnt FROM hashed GROUP BY j, bucket
+        ),
+        probe AS (
+          SELECT h.user_id, min(s.cnt) AS est
+          FROM (SELECT DISTINCT user_id, j, bucket FROM hashed) h
+          JOIN sketch s ON s.j = h.j AND s.bucket = h.bucket
+          GROUP BY h.user_id
+        ),
+        truth AS (
+          SELECT user_id, count(*) AS tc FROM events GROUP BY user_id
+        )
+        SELECT count(*) FROM probe p JOIN truth t USING (user_id)
+        WHERE p.est < t.tc
+        """
+    ).fetchone()[0]
+    assert bad == 0
+
+
+def test_bloom_no_false_negative_any_threshold():
+    """Every build-side key must probe as 'maybe present' (all K bits
+    set) — checked under a different threshold than the graded entry so
+    the guarantee isn't an artifact of one build set."""
+    cur = duck_for(duckdb.connect(), SF_MED)
+    seed = "concat('bloom-', CAST(i AS STRING), ':')"
+    pos = hexint_sql("b.o_custkey", seed, 4) + f" % {BLOOM_M}"
+    rows = ", ".join(f"({i})" for i in range(BLOOM_K))
+    missing = cur.execute(
+        f"""
+        WITH build AS (
+          SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 350000
+        ),
+        bits AS (
+          SELECT DISTINCT {pos} AS p
+          FROM build b CROSS JOIN (VALUES {rows}) r(i)
+        ),
+        probe AS (
+          SELECT b.o_custkey, count(x.p) AS hits
+          FROM build b
+          CROSS JOIN (VALUES {rows}) r(i)
+          LEFT JOIN bits x ON x.p = {pos}
+          GROUP BY b.o_custkey
+        )
+        SELECT count(*) FROM probe WHERE hits < {BLOOM_K}
+        """
+    ).fetchone()[0]
+    assert missing == 0

@@ -499,3 +499,62 @@ def test_cdc_merge_sink_snapshot_matches_batch_apply(spark, events_dir, tmp_path
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_pattern_match_stream_matches_batch_entry(spark, events_dir):
+    """The streaming FSM's final per-user (n_matches, path_len) must
+    equal the driver-graded op_sequence_match histogram's underlying
+    journeys — including journeys whose 'v' and 'p' land in different
+    micro-batches (the fixture splits the log in two)."""
+    from dblab_ece_trino_spark.operators.registry import spark_queries
+    from dblab_ece_trino_spark.streaming.events import (
+        pattern_match_stream,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    stream = read_event_stream(spark, str(events_dir))
+    run_to_memory(pattern_match_stream(stream), "patterns", mode="update")
+    # UPDATE mode re-emits per batch: keep each user's LAST emission
+    got_rows = (
+        spark.table("patterns")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_matches").alias("n_matches"),
+            F.max("path_len").alias("path_len"),
+        )
+        .collect()
+    )
+    # histogram it the way the graded entry does
+    from collections import Counter
+
+    hist = Counter()
+    pathsum = Counter()
+    for r in got_rows:
+        if r.path_len > 0:
+            hist[r.n_matches] += 1
+            pathsum[r.n_matches] += r.path_len
+    # batch truth: recompute per-user journeys in pure Python from the
+    # same files (ts, event_id order), an independent reference
+    import pandas as pd
+    import glob
+
+    pdf = pd.concat(
+        [pd.read_parquet(p) for p in sorted(glob.glob(f"{events_dir}/*.parquet"))]
+    )
+    pdf = pdf[pdf.event_type.isin(["view", "click", "purchase"])]
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    want_hist = Counter()
+    want_pathsum = Counter()
+    for uid, g in pdf.groupby("user_id"):
+        saw_v, n = False, 0
+        for et in g["event_type"]:
+            if et == "view":
+                saw_v = True
+            elif et == "purchase":
+                if saw_v:
+                    n += 1
+                saw_v = False
+        want_hist[n] += 1
+        want_pathsum[n] += len(g)
+    assert hist == want_hist and pathsum == want_pathsum
