@@ -456,3 +456,191 @@ register(
     ORDER BY media_id
     """,
 )
+
+
+# ------------------------------------------------------ REAL WAV codec
+# Second natively-decoded modality: canonical RIFF/PCM WAV (mono,
+# 16-bit).  encode_wav writes a real 44-byte header + little-endian
+# samples; decode_wav WALKS THE CHUNK LIST (not a fixed offset — real
+# files carry LIST/fact chunks before data) and validates PCM format.
+# The graded entry generates sawtooth payloads whose samples have an
+# exact integer closed form, so the DuckDB oracle reproduces the
+# decoded statistics WITHOUT ever seeing a byte — proof the parser
+# reads real WAV structure, not an echo of the generator.
+_WAV_RATE = 8000
+
+
+def encode_wav(samples, rate: int = _WAV_RATE) -> bytes:
+    """Build a real mono 16-bit PCM WAV payload from an int16 array."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,  # PCM
+        1,  # mono
+        rate,
+        rate * 2,
+        2,
+        16,
+        b"data",
+        len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes):
+    """Parse a RIFF/PCM WAV: returns (sample_rate, int16 numpy array).
+
+    Chunk-walking parser: tolerates extra chunks between fmt and data,
+    validates PCM/mono/16-bit, and checks declared sizes against the
+    actual byte count (truncation surfaces as an error, not garbage
+    samples).
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1:
+                raise ValueError(f"not PCM (format {fmt})")
+        elif cid == b"data":
+            if len(body) < size:
+                raise ValueError(
+                    f"truncated data chunk: need {size} bytes, "
+                    f"have {len(body)}"
+                )
+            data = body
+        pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if channels != 1 or bits != 16:
+        raise ValueError(f"expected mono/16-bit, got {channels}ch/{bits}bit")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+_WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_amp", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("rising_crossings", T.LongType()),
+    ]
+)
+
+_N_WAV = 16
+
+
+def _wav_payloads(spark: SparkSession, n: int = _N_WAV) -> DataFrame:
+    """n deterministic sawtooth clips as REAL WAV payloads; the sample
+    formula s_k = (k*step) % (2A) - A is shared with the oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                n_samp = 64 + 16 * (i % 4)
+                step = 50 + 7 * i
+                amp = 1000 + 100 * (i % 7)
+                k = np.arange(n_samp, dtype="int64")
+                s = (k * step) % (2 * amp) - amp
+                rows.append((i, encode_wav(s.astype("int16"))))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+
+
+def wav_stats(media: DataFrame) -> DataFrame:
+    """Decode real WAV payloads; exact integer amplitude statistics."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, s = decode_wav(bytes(payload))
+                s64 = s.astype("int64")
+                rising = int(
+                    np.count_nonzero((s64[:-1] < 0) & (s64[1:] >= 0))
+                )
+                out.append(
+                    (
+                        int(mid),
+                        int(rate),
+                        len(s64),
+                        int(s64.sum()),
+                        int((s64 * s64).sum()),
+                        rising,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_samples",
+                    "sum_amp",
+                    "sum_sq",
+                    "rising_crossings",
+                ],
+            )
+
+    return media.mapInPandas(stats, _WAV_STATS_SCHEMA)
+
+
+def _q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return wav_stats(_wav_payloads(spark)).orderBy("media_id")
+
+
+register(
+    "multimodal_wav_decode",
+    _q_wav_decode,
+    oracle=f"""
+    WITH params AS (
+      SELECT i, 64 + 16 * (i % 4) AS n_samp,
+             50 + 7 * i AS step, 1000 + 100 * (i % 7) AS amp
+      FROM range({_N_WAV}) t(i)
+    ),
+    samp AS (
+      SELECT i, k, (k * step) % (2 * amp) - amp AS s,
+             ((k + 1) * step) % (2 * amp) - amp AS s_next,
+             n_samp
+      FROM params,
+           LATERAL (SELECT unnest(generate_series(0, n_samp - 1)) AS k) tk
+    )
+    SELECT i AS media_id,
+           CAST({_WAV_RATE} AS INT) AS sample_rate,
+           CAST(max(n_samp) AS BIGINT) AS n_samples,
+           CAST(sum(s) AS BIGINT) AS sum_amp,
+           CAST(sum(s * s) AS BIGINT) AS sum_sq,
+           CAST(sum(CASE WHEN k < n_samp - 1 AND s < 0 AND s_next >= 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS rising_crossings
+    FROM samp
+    GROUP BY i
+    ORDER BY media_id
+    """,
+)

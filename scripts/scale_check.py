@@ -116,7 +116,7 @@ def main() -> None:
         "wh_cdc_apply", "wh_compaction_plan", "op_sequence_match",
         "text_readability", "llm_oov_rate", "sim_mips_topk",
         "wh_zone_map_pruning", "llm_negative_pairs", "sim_quantized_mips",
-        "wh_time_travel", "op_conversion_latency",
+        "wh_time_travel", "op_conversion_latency", "multimodal_wav_decode",
     ]
     for name in names:
         t1 = time.monotonic()

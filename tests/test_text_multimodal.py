@@ -189,3 +189,40 @@ def test_ppm_decoder_edge_cases():
     # truncated pixel block raises instead of mis-shaping
     with _pytest.raises(ValueError):
         decode_ppm(payload[:-2])
+
+
+def test_wav_decode_walks_extra_chunks_and_rejects_corruption():
+    """The RIFF parser must skip unknown chunks between fmt and data
+    (real encoders emit LIST/fact), reject truncated data, and reject
+    non-mono/16-bit formats."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s = np.array([0, 100, -100, 32000, -32000], dtype="int16")
+    payload = encode_wav(s, rate=16000)
+    rate, back = decode_wav(payload)
+    assert rate == 16000 and np.array_equal(back, s)
+
+    # splice a LIST chunk between fmt and data (word-aligned odd body)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = payload[:fmt_end] + extra + payload[fmt_end:]
+    rate2, back2 = decode_wav(spliced)
+    assert rate2 == 16000 and np.array_equal(back2, s)
+
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_wav(payload[:-4])
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"nope" + payload[4:])
+    # stereo header must be rejected
+    bad = bytearray(payload)
+    bad[22:24] = struct.pack("<H", 2)
+    with _pytest.raises(ValueError, match="mono"):
+        decode_wav(bytes(bad))
