@@ -159,3 +159,21 @@ def test_mips_norm_augmentation_rank_equivalent(spark):
         for r in mips_topk(emb, emb.filter(F.col("vec_id") < 8), k=5).collect()
     }
     assert aug_top == ip_top
+
+
+def test_quantized_mips_recall(spark):
+    """255-level scalar quantization must keep top-5 recall against
+    exact MIPS above a floor that holds with wide margin on this corpus
+    (deterministic — no RNG, so the measured recall is a constant of
+    the data)."""
+    from dblab_ece_trino_spark.operators.similarity import (
+        mips_topk,
+        quantized_mips_topk,
+    )
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {(r.qid, r.cid) for r in mips_topk(emb, q, k=5).collect()}
+    quant = {(r.qid, r.cid) for r in quantized_mips_topk(emb, q, k=5).collect()}
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, recall

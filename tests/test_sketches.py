@@ -84,3 +84,31 @@ def test_bloom_no_false_negative_any_threshold():
         """
     ).fetchone()[0]
     assert missing == 0
+
+
+def test_sequence_fsm_equals_regex_on_random_strings():
+    """The v/c/p FSM used by the streaming pattern matcher is exactly
+    the non-overlapping leftmost regex scan the batch entry runs —
+    property-checked over random journey strings."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def fsm(seq: str) -> int:
+        saw_v, n = False, 0
+        for ch in seq:
+            if ch == "v":
+                saw_v = True
+            elif ch == "p":
+                if saw_v:
+                    n += 1
+                saw_v = False
+        return n
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="vcp", max_size=40))
+    def check(seq):
+        assert fsm(seq) == len(re.findall("vc*p", seq))
+
+    check()
