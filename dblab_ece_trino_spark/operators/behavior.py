@@ -623,26 +623,33 @@ def _register_conversion_latency() -> None:
     histogram (plus never-converted).
 
     Product analytics' companion to the funnel count: not whether users
-    convert but how long it takes.  One hash shuffle on user_id for the
-    two firsts (conditional min aggregates — no self-join of the event
-    stream), then a tiny histogram agg.  Buckets are exact integer
+    convert but how long it takes.  "First purchase AFTER the first
+    view" needs the first view BEFORE the purchase min can be taken, so
+    first_view is a per-user window min and the conditional purchase
+    min runs in the same keyed aggregation — one hash shuffle total,
+    the window and the groupBy reuse the same partitioning, still no
+    self-join of the event stream.  Buckets are exact integer
     hour-diffs, so the histogram is partition-order independent.
     """
     tpl = """
-    WITH firsts AS (
-      SELECT user_id,
-             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
-             min(CASE WHEN event_type = 'purchase' THEN ts END)
-               AS first_purchase
+    WITH viewed AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS first_view
       FROM {events}
+    ),
+    firsts AS (
+      SELECT user_id,
+             min(first_view) AS first_view,
+             min(CASE WHEN event_type = 'purchase' AND ts >= first_view
+                      THEN ts END) AS first_purchase
+      FROM viewed
       GROUP BY user_id
     ),
     latency AS (
       SELECT user_id,
              CASE
-               WHEN first_view IS NULL THEN NULL
                WHEN first_purchase IS NULL THEN NULL
-               WHEN first_purchase < first_view THEN NULL
                ELSE CAST({hours_between} AS BIGINT)
              END AS hours_to_convert
       FROM firsts

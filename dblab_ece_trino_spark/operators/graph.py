@@ -302,12 +302,15 @@ def bfs_hops(pairs: DataFrame, max_hops: int = MAX_HOPS) -> DataFrame:
     the textbook Pregel superstep expressed relationally.  The frontier
     is NOT anti-joined against the visited set: a node rediscovered at a
     deeper level is collapsed afterwards by the min(hop) aggregation, so
-    each level frame is bounded by |V| (the DISTINCT) and the loop body
-    stays lazy — no per-level action, the whole walk compiles into one
-    DAG like pagerank's fixed-iteration loop.  At 100 TB the anti-join
-    variant trades one extra shuffle per level for smaller frontiers;
-    with hop depth fixed at 4 the collapse-at-the-end form shuffles
-    less in total.
+    each level frame is bounded by |V| (the DISTINCT).  Unlike
+    pagerank's forward-only loop, every frontier is CONSUMED TWICE —
+    as the next level's join base and again in the final min-hop
+    union — so each level is materialized (one eager localCheckpoint
+    per hop); leaving it lazy would re-derive level k once per
+    downstream use, doubling work per remaining hop.  At 100 TB the
+    anti-join variant trades one extra shuffle per level for smaller
+    frontiers; with hop depth fixed at 4 the collapse-at-the-end form
+    shuffles less in total.
 
     One driver-side scalar (the source node id), same bounded action as
     pagerank's node count.
@@ -361,7 +364,7 @@ register(
     WITH RECURSIVE {_PAIRS_CTE},
     edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
     walk(node, d) AS (
-      SELECT (SELECT min(u) FROM pairs), 0
+      SELECT u, 0 FROM (SELECT min(u) AS u FROM pairs) s WHERE u IS NOT NULL
       UNION
       SELECT e.v, walk.d + 1
       FROM walk JOIN edges e ON e.u = walk.node
@@ -489,3 +492,103 @@ register(
     LIMIT 15
     """,
 )
+
+
+# ------------------------------------------------ label-propagation communities
+LP_ITERS = 5
+
+
+def label_prop_communities(
+    pairs: DataFrame, iters: int = LP_ITERS, top_n: int = 10
+) -> DataFrame:
+    """Synchronous min-label propagation for ``iters`` rounds over the
+    co-order graph; returns the top_n communities by size.
+
+    Each round every node takes min(own label, neighbors' labels) —
+    deterministic under any partitioning (min is associative/
+    commutative, labels are node ids), the same discipline that makes
+    dedup_clusters reproducible.  Fixed iterations rather than
+    convergence: after k rounds a label has flooded its k-hop
+    neighborhood, so communities are 'components up to diameter k' —
+    the bounded-latency form a production job wants (and what lets
+    DuckDB replay it as an unrolled CTE).  One shuffle per round on the
+    edge list.  Each round CONSUMES the label frame twice (as the
+    neighbor-join input and as the left side of the merge), so labels
+    are materialized per round — the BFS discipline, not pagerank's
+    lazy loop (left lazy, the doubled lineage compounds to 2^rounds
+    re-derivations: the plan census measured 63 scans for the 5-round
+    lazy form vs 3 after this checkpoint).
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    p = materialize(pairs.select("u", "v"))
+    edges = p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    ed = materialize(edges)
+    labels = ed.select(F.col("u").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(iters):
+        labels = materialize(labels)
+        nbr = (
+            labels.join(ed, labels.node == ed.u)
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+        )
+    top = (
+        labels.groupBy("lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), F.asc("lbl"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("n_nodes"), F.asc("lbl"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", F.col("lbl").alias("community"), "n_nodes"
+    )
+
+
+def _q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_prop_communities(coorder_pairs(_li(spark, sf_dir)))
+
+
+def _label_prop_oracle(iters: int = LP_ITERS) -> str:
+    ctes = [
+        _PAIRS_CTE,
+        "edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs)",
+        "lbl0 AS (SELECT DISTINCT u AS node, u AS lbl FROM edges)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""lbl{k} AS (
+      SELECT l.node,
+             least(l.lbl, coalesce(n.nlbl, l.lbl)) AS lbl
+      FROM lbl{k - 1} l
+      LEFT JOIN (SELECT e.v AS node, min(p.lbl) AS nlbl
+                 FROM lbl{k - 1} p JOIN edges e ON e.u = p.node
+                 GROUP BY e.v) n ON n.node = l.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(row_number() OVER (ORDER BY n_nodes DESC, lbl) AS INT)
+             AS rank,
+           lbl AS community, n_nodes
+    FROM (SELECT lbl, CAST(count(*) AS BIGINT) AS n_nodes
+          FROM lbl{iters} GROUP BY lbl) c
+    ORDER BY n_nodes DESC, lbl
+    LIMIT 10
+    """
+    )
+
+
+register("graph_label_prop", _q_label_prop, oracle=_label_prop_oracle())

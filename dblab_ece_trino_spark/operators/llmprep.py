@@ -1608,13 +1608,12 @@ def negative_pairs(
     No RNG state: the pair set is a pure function of the corpus, so
     re-runs, retries, and different partitionings emit the same pairs —
     the property that makes a 100 TB contrastive dataset reproducible.
-    Shape: one count (bounded driver scalar), one k-way explode
-    projection, one equi-join against the id side to attach partner
-    payloads — no cross join anywhere.  Collision policy: the +1 bump
-    preserves uniformity up to one slot and never needs a retry loop.
+    Shape: one count (bounded driver scalar) + one k-way explode
+    projection emitting (doc_id, partner_id) — no join, no cross join;
+    attaching partner payloads downstream is one equi-join on
+    partner_id.  Collision policy: the +1 bump preserves uniformity up
+    to one slot and never needs a retry loop.
     """
-    from dblab_ece_trino_spark.operators.sampling import md5_bucket
-
     n = docs.count()
     if n < 2:
         return docs.sparkSession.createDataFrame(
@@ -1624,9 +1623,12 @@ def negative_pairs(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("neg_rank"),
     )
-    # md5 folded to 4 hex digits (65536 values) then mod n: the same
-    # fold both engines compute digit-by-digit (instr arithmetic)
-    h = F.md5(
+    # md5 folded to 4 hex digits (65536 values) then mod n — the shared
+    # sketches.hexint_col fold, identical digit-by-digit to the
+    # oracle's hexint_sql rendering
+    from dblab_ece_trino_spark.operators.sketches import hexint_col
+
+    draw = hexint_col(
         F.concat(
             F.lit("neg-"),
             F.col("neg_rank").cast("string"),
@@ -1634,12 +1636,7 @@ def negative_pairs(
             F.col("doc_id").cast("string"),
         )
     )
-    hexpos = [
-        (F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1)
-        * (16 ** (3 - i))
-        for i in range(4)
-    ]
-    raw = (hexpos[0] + hexpos[1] + hexpos[2] + hexpos[3]) % F.lit(n)
+    raw = draw % F.lit(n)
     partner = F.when(raw == F.col("doc_id"), (raw + 1) % F.lit(n)).otherwise(raw)
     return draws.select(
         "doc_id",
@@ -1656,14 +1653,9 @@ def _q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _negative_pairs_oracle() -> str:
-    hexint = "".join(
-        [
-            "((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096",
-            " + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 256",
-            " + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 16",
-            " + (instr('0123456789abcdef', substr(h, 4, 1)) - 1))",
-        ]
-    )
+    from dblab_ece_trino_spark.operators.sketches import hexint_digits_sql
+
+    hexint = hexint_digits_sql("h", 4)
     return f"""
     WITH nn AS (SELECT count(*) AS n FROM documents),
     draws AS (

@@ -518,6 +518,10 @@ def decode_wav(payload: bytes):
         if cid == b"fmt ":
             if size < 16:
                 raise ValueError("fmt chunk too short")
+            if len(body) < 16:
+                raise ValueError(
+                    f"truncated fmt chunk: need 16 bytes, have {len(body)}"
+                )
             fmt, channels, rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
             if fmt != 1:

@@ -339,3 +339,69 @@ def _register_weighted() -> None:
 
 
 _register_weighted()
+
+
+# --------------------------------------------------- Poisson bootstrap
+def _register_poisson_bootstrap() -> None:
+    """Deterministic Poisson bootstrap of the mean order value — THE
+    resampling scheme for data too large to resample globally: instead
+    of drawing n rows with replacement (which needs global coordination),
+    each row independently appears k ~ Poisson(1) times in each
+    replicate, so the whole bootstrap is one stateless projection.
+
+    Determinism: the per-(row, replicate) uniform is the md5 fold
+    (sampling.py discipline); k comes from the fixed inverse-CDF
+    thresholds of Poisson(1) (cumulative 0.36788, 0.73576, 0.91970,
+    0.98101, 0.99634, 0.99941, capped at 6 — P(k>6) ~ 8e-5).  The
+    replicate means use exact integer cent sums, so every replicate's
+    statistic is partition-order independent and the downstream CI
+    (spread across the 32 replicate rows) is reproducible bit-for-bit.
+
+    Shape: one scan, a 32-way explode projection, one keyed agg —
+    linear in rows x replicates, no shuffle wider than the 32-row
+    output.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.operators.sketches import hexint_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    n_reps = 32
+    reps = ", ".join(f"({b})" for b in range(n_reps))
+    u = (
+        hexint_sql(
+            "o_orderkey", "concat('boot-', CAST(b AS STRING), ':')", 8
+        )
+        + " / 4294967296.0"
+    )
+    tpl = f"""
+    WITH drawn AS (
+      SELECT r.b,
+             CASE WHEN u < 0.36788 THEN 0
+                  WHEN u < 0.73576 THEN 1
+                  WHEN u < 0.91970 THEN 2
+                  WHEN u < 0.98101 THEN 3
+                  WHEN u < 0.99634 THEN 4
+                  WHEN u < 0.99941 THEN 5
+                  ELSE 6 END AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM (SELECT o_orderkey, o_totalprice, b, {u} AS u
+            FROM {{orders}} CROSS JOIN (VALUES {reps}) r0(b)) r
+    )
+    SELECT CAST(b AS INT) AS replicate,
+           CAST(sum(k) AS BIGINT) AS n_drawn,
+           CAST(sum(k * cents) AS BIGINT) AS total_cents,
+           round(CAST(sum(k * cents) AS DOUBLE)
+                 / (100.0 * sum(k)), 4) AS mean_price
+    FROM drawn
+    GROUP BY b
+    ORDER BY replicate
+    """
+    register_sql(
+        "sample_poisson_bootstrap",
+        tpl.format(**_SPARK_TABLES),
+        tpl.format(**_ORACLE_TABLES),
+    )
+
+
+_register_poisson_bootstrap()

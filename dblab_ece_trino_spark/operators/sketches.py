@@ -42,20 +42,44 @@ from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
 _HEX = "0123456789abcdef"
 
 
+def hexint_digits_sql(hash_expr: str, digits: int = 4) -> str:
+    """Digit-fold of an md5-hex SQL expression into an integer in
+    [0, 16^digits) — the ONE place the instr-over-hex-alphabet
+    arithmetic lives (engine-portable: DuckDB has no conv())."""
+    terms = [
+        f"(instr('{_HEX}', substr({hash_expr}, {i + 1}, 1)) - 1)"
+        f" * CAST({16 ** (digits - 1 - i)} AS BIGINT)"
+        for i in range(digits)
+    ]
+    # BIGINT weights: at 8 digits the fold reaches 16^8-1 ~ 4.3e9, past
+    # INT32 — Spark's ANSI mode overflows INT literals there
+    return "(" + " + ".join(terms) + ")"
+
+
 def hexint_sql(expr: str, seed: str, digits: int = 4) -> str:
     """Fold the first ``digits`` hex chars of md5(seed || expr) into an
-    integer in [0, 16^digits) — portable SQL both engines parse
-    (DuckDB has no conv(); instr over the hex alphabet works in both).
+    integer in [0, 16^digits) — portable SQL both engines parse.
     ``seed`` may itself be a SQL expression when it is not a plain
     literal prefix (per-row hash families).
     """
     seed_expr = f"'{seed}'" if seed.replace("-", "").isalnum() else seed
     h = f"md5(concat({seed_expr}, CAST({expr} AS STRING)))"
-    terms = [
-        f"(instr('{_HEX}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (digits - 1 - i)}"
-        for i in range(digits)
-    ]
-    return "(" + " + ".join(terms) + ")"
+    return hexint_digits_sql(h, digits)
+
+
+def hexint_col(hash_input, digits: int = 4):
+    """Column form of the same fold: md5(hash_input) digit-folded to an
+    integer — bit-identical to hexint_sql/hexint_digits_sql output."""
+    from pyspark.sql import functions as F
+
+    h = F.md5(hash_input)
+    out = F.lit(0)
+    for i in range(digits):
+        out = out + (
+            (F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1)
+            * (16 ** (digits - 1 - i))
+        )
+    return out
 
 
 def _both(name: str, spark_tpl: str, oracle_tpl: str | None = None) -> None:

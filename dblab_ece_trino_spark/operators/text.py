@@ -586,7 +586,7 @@ def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.lit(1),
     )
     syll = F.size(
-        F.regexp_extract_all(F.col(text_col), F.lit("[AEIOUaeiouy]+"), 0)
+        F.regexp_extract_all(F.col(text_col), F.lit("[AEIOUYaeiouy]+"), 0)
     )
     scored = (
         docs.select(
@@ -626,7 +626,7 @@ register(
     WITH counts AS (
       SELECT len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
              greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
-             len(regexp_extract_all(text, '[AEIOUaeiouy]+')) AS n_syll
+             len(regexp_extract_all(text, '[AEIOUYaeiouy]+')) AS n_syll
       FROM documents
     ),
     scored AS (

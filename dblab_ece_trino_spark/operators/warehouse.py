@@ -410,18 +410,17 @@ def cdc_apply(
     return live.filter(F.col(op_col) != F.lit("D"))
 
 
-def _q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver entry: a deterministic synthetic change log over orders
-    (insert for every key; +10% reprice for the md5-even half; delete
-    for the md5 1/8th), applied and rolled up per order status.
-
-    Prices ride in DECIMAL end to end (exact under any partitioning);
-    the md5 draw is the sampling.py discipline so both engines build the
-    identical log."""
-    from dblab_ece_trino_spark.entrypoints import engine_for
+def _synthetic_cdc_log(o: DataFrame) -> DataFrame:
+    """The deterministic synthetic change log both CDC entries grade
+    against (insert for every key; +10% reprice for the md5-even half,
+    seq 2; delete for the md5 1/8th, seq 3).  Shared so the
+    wh_cdc_apply / wh_time_travel contrast is definitionally over the
+    SAME log — an edit here changes both entries together.  Prices ride
+    in DECIMAL end to end (exact under any partitioning); the md5 draw
+    is the sampling.py discipline so both engines build the identical
+    log."""
     from dblab_ece_trino_spark.operators.sampling import md5_bucket
 
-    o = engine_for(spark, sf_dir).catalogs.table("mongodb.tpch.orders")
     price = F.col("o_totalprice").cast("decimal(18,2)")
     base = o.select(
         F.col("o_orderkey").alias("k"),
@@ -430,40 +429,49 @@ def _q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         price.cast("decimal(22,4)").alias("price"),
         F.col("o_orderstatus").alias("status"),
     )
-    upd = (
-        o.filter(md5_bucket(F.col("o_orderkey"), "cdc-u") < 128)
-        .select(
-            F.col("o_orderkey").alias("k"),
-            F.lit(2).alias("seq"),
-            F.lit("U").alias("op"),
-            (price * F.lit("1.1").cast("decimal(3,2)"))
-            .cast("decimal(22,4)")
-            .alias("price"),
-            F.col("o_orderstatus").alias("status"),
-        )
+    upd = o.filter(md5_bucket(F.col("o_orderkey"), "cdc-u") < 128).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        (price * F.lit("1.1").cast("decimal(3,2)"))
+        .cast("decimal(22,4)")
+        .alias("price"),
+        F.col("o_orderstatus").alias("status"),
     )
-    dele = (
-        o.filter(md5_bucket(F.col("o_orderkey"), "cdc-d") < 32)
-        .select(
-            F.col("o_orderkey").alias("k"),
-            F.lit(3).alias("seq"),
-            F.lit("D").alias("op"),
-            F.lit(None).cast("decimal(22,4)").alias("price"),
-            F.col("o_orderstatus").alias("status"),
-        )
+    dele = o.filter(md5_bucket(F.col("o_orderkey"), "cdc-d") < 32).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("decimal(22,4)").alias("price"),
+        F.col("o_orderstatus").alias("status"),
     )
-    live = cdc_apply(base.unionByName(upd).unionByName(dele), ["k"], "seq", "op")
+    return base.unionByName(upd).unionByName(dele)
+
+
+def _status_rollup(live: DataFrame) -> DataFrame:
+    """Per-status live-row rollup shared by both CDC entries.  The
+    total rides as exact integer 1e-4 units: the decimal sum is exact,
+    and an integer output has no double-rounding boundary (a half-cent
+    value rounded differently by the two engines cost a round)."""
     return (
         live.groupBy("status")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_live"),
-            # exact integer 1e-4 units: the decimal sum is exact, and an
-            # integer output has no double-rounding boundary (a half-cent
-            # value rounded differently by the two engines cost a round)
             (F.sum("price") * 10000).cast("long").alias("total_price_e4"),
         )
         .orderBy("status")
     )
+
+
+def _q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: the shared synthetic change log (see
+    _synthetic_cdc_log), applied to head state and rolled up per order
+    status."""
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    o = engine_for(spark, sf_dir).catalogs.table("mongodb.tpch.orders")
+    live = cdc_apply(_synthetic_cdc_log(o), ["k"], "seq", "op")
+    return _status_rollup(live)
 
 
 def _cdc_oracle() -> str:
@@ -670,52 +678,16 @@ def as_of(
 
 
 def _q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver entry: the same synthetic change log as wh_cdc_apply,
-    resolved AS OF version 2 — updates visible, deletes (seq 3) not yet
-    applied.  The contrast with wh_cdc_apply's head-state totals is the
-    graded evidence that versioned reads see a genuinely different
-    (earlier) table."""
+    """Driver entry: the SAME synthetic change log as wh_cdc_apply
+    (shared builder), resolved AS OF version 2 — updates visible,
+    deletes (seq 3) not yet applied.  The contrast with wh_cdc_apply's
+    head-state totals is the graded evidence that versioned reads see a
+    genuinely different (earlier) table."""
     from dblab_ece_trino_spark.entrypoints import engine_for
-    from dblab_ece_trino_spark.operators.sampling import md5_bucket
 
     o = engine_for(spark, sf_dir).catalogs.table("mongodb.tpch.orders")
-    price = F.col("o_totalprice").cast("decimal(18,2)")
-    base = o.select(
-        F.col("o_orderkey").alias("k"),
-        F.lit(1).alias("seq"),
-        F.lit("I").alias("op"),
-        price.cast("decimal(22,4)").alias("price"),
-        F.col("o_orderstatus").alias("status"),
-    )
-    upd = o.filter(md5_bucket(F.col("o_orderkey"), "cdc-u") < 128).select(
-        F.col("o_orderkey").alias("k"),
-        F.lit(2).alias("seq"),
-        F.lit("U").alias("op"),
-        (price * F.lit("1.1").cast("decimal(3,2)"))
-        .cast("decimal(22,4)")
-        .alias("price"),
-        F.col("o_orderstatus").alias("status"),
-    )
-    dele = o.filter(md5_bucket(F.col("o_orderkey"), "cdc-d") < 32).select(
-        F.col("o_orderkey").alias("k"),
-        F.lit(3).alias("seq"),
-        F.lit("D").alias("op"),
-        F.lit(None).cast("decimal(22,4)").alias("price"),
-        F.col("o_orderstatus").alias("status"),
-    )
-    log = base.unionByName(upd).unionByName(dele)
-    snap = as_of(log, "seq", "op", ["k"], version=2)
-    return (
-        snap.groupBy("status")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_live"),
-            # exact integer 1e-4 units: the decimal sum is exact, and an
-            # integer output has no double-rounding boundary (a half-cent
-            # value rounded differently by the two engines cost a round)
-            (F.sum("price") * 10000).cast("long").alias("total_price_e4"),
-        )
-        .orderBy("status")
-    )
+    snap = as_of(_synthetic_cdc_log(o), "seq", "op", ["k"], version=2)
+    return _status_rollup(snap)
 
 
 def _time_travel_oracle() -> str:
@@ -750,3 +722,52 @@ def _time_travel_oracle() -> str:
 
 
 register("wh_time_travel", _q_time_travel, oracle=_time_travel_oracle())
+
+
+# ----------------------------------------------------- ANALYZE statistics
+def _register_analyze_stats() -> None:
+    """ANALYZE TABLE analog: per-column statistics (row count, null
+    count, exact distinct count, min/max) for the fact table's measure
+    columns — the input every cost-based optimizer and every data
+    contract check starts from.
+
+    ONE scan computes all columns' stats in a single aggregate (Spark
+    plans the multi-DISTINCT via Expand — one pass over the fact, not
+    one scan per column); the per-column rows are then projections of
+    that 1-row frame.  All outputs exact (BIGINT counts, DOUBLE
+    min/max of parquet-exact values), so the driver hash is stable.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    stats = ",\n             ".join(
+        f"CAST(count({c}) AS BIGINT) AS nn_{c},"
+        f" CAST(count(DISTINCT {c}) AS BIGINT) AS nd_{c},"
+        f" CAST(min({c}) AS DOUBLE) AS mn_{c},"
+        f" CAST(max({c}) AS DOUBLE) AS mx_{c}"
+        for c in cols
+    )
+    branches = "\n    UNION ALL\n".join(
+        f"""    SELECT '{c}' AS col, n AS n_rows, n - nn_{c} AS n_nulls,
+           nd_{c} AS n_distinct, mn_{c} AS min_val, mx_{c} AS max_val
+    FROM s"""
+        for c in cols
+    )
+    tpl = f"""
+    WITH s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             {stats}
+      FROM {{lineitem}}
+    )
+{branches}
+    ORDER BY col
+    """
+    register_sql(
+        "wh_analyze_stats",
+        tpl.format(**_SPARK_TABLES),
+        tpl.format(**_ORACLE_TABLES),
+    )
+
+
+_register_analyze_stats()

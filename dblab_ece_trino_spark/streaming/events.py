@@ -564,6 +564,13 @@ def pattern_match_stream(stream: DataFrame) -> DataFrame:
     pattern: 'v' always (re)opens a candidate, 'c' sustains it, 'p'
     closes it as a match — identical semantics to the batch regex,
     pinned by tests/test_streaming.py against the driver-graded entry.
+    ORDERING CONTRACT: events are sorted within each micro-batch, but
+    the FSM folds batches in ARRIVAL order — a journey delivered out of
+    time order across batches (late data) is scanned as it arrives.
+    For disordered sources, buffer behind a watermark and release
+    closed windows to the FSM (the attribute_clicks eviction pattern);
+    in-order-per-key delivery is the same assumption the sessionizer
+    and anomaly operators document.
 
     State is O(active keys); per-batch work is a vectorized code scan
     after the same whole-group (ts, event_id) sort the anomaly operator

@@ -117,6 +117,7 @@ def main() -> None:
         "text_readability", "llm_oov_rate", "sim_mips_topk",
         "wh_zone_map_pruning", "llm_negative_pairs", "sim_quantized_mips",
         "wh_time_travel", "op_conversion_latency", "multimodal_wav_decode",
+        "wh_analyze_stats", "sample_poisson_bootstrap", "graph_label_prop",
     ]
     for name in names:
         t1 = time.monotonic()
