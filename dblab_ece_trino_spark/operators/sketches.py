@@ -9,10 +9,12 @@ membership pre-filters (the same structure Spark's own runtime bloom
 join filter uses, here surfaced as a user-level operator).
 
 Determinism contract (the md5 discipline of operators/sampling.py): the
-hash family is ``md5(seed_i || key)`` folded to an integer via hex-digit
-arithmetic — identical on Spark and DuckDB, so the sketch contents, the
-estimates, and even the Bloom false positives are bit-identical across
-engines and the driver can value-hash them.  No RNG state anywhere.
+hash family is md5 folded to integers via hex-digit arithmetic —
+disjoint digest spans for the CMS depth rows (one md5 per event),
+per-seed digests for the Bloom positions — identical on Spark and
+DuckDB, so the sketch contents, the estimates, and even the Bloom false
+positives are bit-identical across engines and the driver can
+value-hash them.  No RNG state anywhere.
 
 Scale notes (100 TB lens):
 
@@ -42,12 +44,16 @@ from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
 _HEX = "0123456789abcdef"
 
 
-def hexint_digits_sql(hash_expr: str, digits: int = 4) -> str:
+def hexint_digits_sql(hash_expr: str, digits: int = 4, start: int = 1) -> str:
     """Digit-fold of an md5-hex SQL expression into an integer in
-    [0, 16^digits) — the ONE place the instr-over-hex-alphabet
-    arithmetic lives (engine-portable: DuckDB has no conv())."""
+    [0, 16^digits), reading ``digits`` hex chars from 1-based position
+    ``start`` — the ONE place the instr-over-hex-alphabet arithmetic
+    lives (engine-portable: DuckDB has no conv()).  Disjoint spans of
+    one md5 are independent hash values (the bits are uniformly mixed),
+    which is how multi-row sketches get a hash family from a single
+    md5 per row."""
     terms = [
-        f"(instr('{_HEX}', substr({hash_expr}, {i + 1}, 1)) - 1)"
+        f"(instr('{_HEX}', substr({hash_expr}, {start + i}, 1)) - 1)"
         f" * CAST({16 ** (digits - 1 - i)} AS BIGINT)"
         for i in range(digits)
     ]
@@ -101,19 +107,21 @@ _CMS_ROWS = ", ".join(f"({j})" for j in range(CMS_DEPTH))
 
 
 def _cms_sql() -> str:
-    # One md5 per (event, row) with a per-row seed — the rows are
-    # genuinely independent hash functions (a stride on a single hash
-    # would make all rows collide together, degenerating depth to 1).
-    bucket = (
-        hexint_sql(
-            "e.user_id", "concat('cms-', CAST(j AS STRING), ':')", 4
-        )
-        + f" % {CMS_WIDTH}"
+    # ONE md5 per event; the depth rows read DISJOINT 4-hex spans of it
+    # (positions 1-4 / 5-8 / 9-12) — independent hash values from a
+    # single digest, which cuts the build's md5 work depth-fold (md5
+    # was the measured 80%+ of the op).  A stride on one folded value
+    # would NOT work (all rows collide together, degenerating depth to
+    # 1); disjoint bit ranges of a mixed digest do.
+    h = "md5(concat('cms:', CAST(e.user_id AS STRING)))"
+    span = " ".join(
+        f"WHEN {j} THEN {hexint_digits_sql('__h', 4, 1 + 4 * j)} % {CMS_WIDTH}"
+        for j in range(CMS_DEPTH)
     )
     return f"""
     WITH hashed AS (
-      SELECT e.user_id, j, {bucket} AS bucket
-      FROM {{events}} e
+      SELECT user_id, j, CASE j {span} END AS bucket
+      FROM (SELECT e.user_id, {h} AS __h FROM {{events}} e) t
       CROSS JOIN (VALUES {_CMS_ROWS}) rows(j)
     ),
     sketch AS (

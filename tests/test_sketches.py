@@ -17,6 +17,7 @@ from dblab_ece_trino_spark.operators.sketches import (
     BLOOM_M,
     CMS_DEPTH,
     CMS_WIDTH,
+    hexint_digits_sql,
     hexint_sql,
 )
 
@@ -26,16 +27,19 @@ def test_count_min_estimate_dominates_truth_for_every_key():
     ANY hash family — a single violated key means the sketch build or
     probe is wrong (not a tuning issue)."""
     cur = duck_for(duckdb.connect(), SF_MED)
-    bucket = (
-        hexint_sql("e.user_id", "concat('cms-', CAST(j AS STRING), ':')", 4)
-        + f" % {CMS_WIDTH}"
+    span = " ".join(
+        f"WHEN {j} THEN {hexint_digits_sql('__h', 4, 1 + 4 * j)}"
+        f" % {CMS_WIDTH}"
+        for j in range(CMS_DEPTH)
     )
     rows = ", ".join(f"({j})" for j in range(CMS_DEPTH))
     bad = cur.execute(
         f"""
         WITH hashed AS (
-          SELECT e.user_id, j, {bucket} AS bucket
-          FROM events e CROSS JOIN (VALUES {rows}) r(j)
+          SELECT user_id, j, CASE j {span} END AS bucket
+          FROM (SELECT e.user_id, j,
+                       md5(concat('cms:', CAST(e.user_id AS STRING))) AS __h
+                FROM events e CROSS JOIN (VALUES {rows}) r(j)) t
         ),
         sketch AS (
           SELECT j, bucket, count(*) AS cnt FROM hashed GROUP BY j, bucket
