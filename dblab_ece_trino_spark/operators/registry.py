@@ -126,7 +126,7 @@ GRADED_PRIORITY: list[str] = [
     # backfill: stalest green rows (last green = round 1), capped to the
     # remaining slots
     "op_filter_conjunction", "op_join_shuffle", "op_join_left_composite",
-    "op_join_semi",
+    "op_join_semi", "op_join_anti",
 ]
 
 

@@ -352,10 +352,12 @@ def _register_poisson_bootstrap() -> None:
     Determinism: the per-(row, replicate) uniform is the md5 fold
     (sampling.py discipline); k comes from the fixed inverse-CDF
     thresholds of Poisson(1) (cumulative 0.36788, 0.73576, 0.91970,
-    0.98101, 0.99634, 0.99941, capped at 6 — P(k>6) ~ 8e-5).  The
-    replicate means use exact integer cent sums, so every replicate's
-    statistic is partition-order independent and the downstream CI
-    (spread across the 32 replicate rows) is reproducible bit-for-bit.
+    0.98101, 0.99634, 0.99941, capped at 6 — P(k>6) ~ 8e-5).  Each
+    replicate emits EXACT INTEGER outputs only (draw count + cent sum;
+    the mean and the CI spread are one division away for the consumer),
+    so the statistic is partition-order independent and reproducible
+    bit-for-bit — no rounded-double column to sit on a rendering
+    boundary between engines.
 
     Shape: one scan, a 32-way explode projection, one keyed agg —
     linear in rows x replicates, no shuffle wider than the 32-row
@@ -390,9 +392,7 @@ def _register_poisson_bootstrap() -> None:
     )
     SELECT CAST(b AS INT) AS replicate,
            CAST(sum(k) AS BIGINT) AS n_drawn,
-           CAST(sum(k * cents) AS BIGINT) AS total_cents,
-           round(CAST(sum(k * cents) AS DOUBLE)
-                 / (100.0 * sum(k)), 4) AS mean_price
+           CAST(sum(k * cents) AS BIGINT) AS total_cents
     FROM drawn
     GROUP BY b
     ORDER BY replicate

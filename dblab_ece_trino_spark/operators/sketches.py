@@ -79,11 +79,11 @@ def hexint_col(hash_input, digits: int = 4):
     from pyspark.sql import functions as F
 
     h = F.md5(hash_input)
-    out = F.lit(0)
+    out = F.lit(0).cast("long")
     for i in range(digits):
         out = out + (
-            (F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1)
-            * (16 ** (digits - 1 - i))
+            (F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1).cast("long")
+            * F.lit(16 ** (digits - 1 - i)).cast("long")
         )
     return out
 
