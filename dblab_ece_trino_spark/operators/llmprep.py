@@ -1679,3 +1679,71 @@ def _negative_pairs_oracle() -> str:
 
 
 register("llm_negative_pairs", _q_negative_pairs, oracle=_negative_pairs_oracle())
+
+
+# ------------------------------------------- temperature-damped mixing
+def _register_temperature_mix() -> None:
+    """Temperature-damped source rebalancing (the multilingual-corpus
+    technique: sample probability ∝ w^(1/T) flattens the size
+    distribution so small sources aren't drowned) with T = 2, i.e.
+    sqrt damping — chosen deliberately because IEEE sqrt is CORRECTLY
+    ROUNDED on every platform, so both engines compute bit-identical
+    damped weights (pow(x, 1/T) for general T is only ~1-ulp accurate
+    and could flip a threshold; the normalizer, a 20-value sum, is
+    rounded to 6 before use for the same reason).
+
+    Per-document keep decision is the md5 16-bit draw vs the source's
+    integer threshold floor(rate * 65536) — reproducible under any
+    partitioning, no RNG.  The realized rate deviates from the target
+    only by the 2^-16 threshold granularity (documented, not silent).
+    Shape: one tiny per-source agg (broadcast back), one projection —
+    the same economics as llm_domain_mix's exact-proportion form; this
+    op is the probabilistic temperature variant used when sources are
+    too many or too skewed for integer quotas.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.operators.sketches import hexint_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    draw = hexint_sql("doc_id", "tmix-", 4)
+    # target total = half the corpus; rate_s = min(1, q_s * N/2 / w_s)
+    tpl = f"""
+    WITH w AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM {{documents}} GROUP BY source
+    ),
+    norm AS (
+      SELECT CAST(round(sum(sqrt(CAST(n_docs AS DOUBLE))), 6) AS DOUBLE)
+               AS z,
+             CAST(sum(n_docs) AS BIGINT) AS n_total
+      FROM w
+    ),
+    rates AS (
+      SELECT w.source, w.n_docs,
+             CAST(floor(least(
+               sqrt(CAST(w.n_docs AS DOUBLE)) / nm.z
+                 * (CAST(nm.n_total AS DOUBLE) / 2) / w.n_docs,
+               CAST(1.0 AS DOUBLE)) * 65536) AS BIGINT) AS keep_thresh
+      FROM w CROSS JOIN norm nm
+    ),
+    kept AS (
+      SELECT d.source, r.keep_thresh,
+             CASE WHEN {draw} < r.keep_thresh THEN 1 ELSE 0 END AS keep
+      FROM {{documents}} d JOIN rates r ON r.source = d.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(keep) AS BIGINT) AS n_kept,
+           keep_thresh
+    FROM kept
+    GROUP BY source, keep_thresh
+    ORDER BY source
+    """
+    register_sql(
+        "llm_temperature_mix",
+        tpl.format(**_SPARK_TABLES),
+        tpl.format(**_ORACLE_TABLES),
+    )
+
+
+_register_temperature_mix()
