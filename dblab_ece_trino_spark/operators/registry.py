@@ -87,9 +87,9 @@ def oracle_queries() -> dict[str, str]:
 # graded keys == list(queries())[:50]).  This list pins which entries
 # occupy those 50 slots this round; everything else keeps its entry (and
 # its local pytest gate) and is rotated into the window in later rounds
-# so every operator accumulates a graded row.  Round-5 window: all 40
+# so every operator accumulates a graded row.  Round-5 window: all 42
 # never-graded entries (the 9 round-4 late arrivals that missed the
-# last rotation, the 9 already-rotated round-4 ops, and the 22 new
+# last rotation, the 9 already-rotated round-4 ops, and the 24 new
 # round-5 ops), op_rolling_dau re-graded under the round-4 ADVICE
 # clamp, and round-1-stale freshness backfill in the remaining slots.
 # Entries displaced from the window all keep green rows from r1-r4 and
@@ -123,11 +123,10 @@ GRADED_PRIORITY: list[str] = [
     "wh_zone_map_pruning", "llm_negative_pairs", "sim_quantized_mips",
     "wh_time_travel", "op_conversion_latency", "multimodal_wav_decode",
     "wh_analyze_stats", "sample_poisson_bootstrap", "graph_label_prop",
-    "llm_temperature_mix",
+    "llm_temperature_mix", "ts_mom_yoy_change", "llm_span_corruption",
     # backfill: stalest green rows (last green = round 1), capped to the
     # remaining slots
-    "op_filter_conjunction", "op_join_shuffle", "op_join_left_composite",
-    "op_join_semi",
+    "op_filter_conjunction", "op_join_shuffle",
 ]
 
 

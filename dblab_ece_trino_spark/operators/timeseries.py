@@ -615,3 +615,57 @@ def _register_autocorr_cusum() -> None:
 
 
 _register_autocorr_cusum()
+
+
+def _register_mom_yoy() -> None:
+    """Month-over-month and year-over-year revenue change — the BI
+    staple every reference user runs daily.
+
+    One fact scan → monthly cents (exact BIGINT), then two lag windows
+    over the tiny month frame: MoM against the previous calendar month
+    in the frame, YoY against the month 12 rows back ONLY when it is
+    exactly the same month last year (a gap in the series must yield
+    NULL, not a mis-aligned comparison — the row-offset-vs-calendar
+    trap the ACF entry also avoids).  Percentages are per-row IEEE on
+    exact integers, rounded.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    tpl = """
+    WITH monthly AS (
+      SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS mix,
+             CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(month(o_orderdate) AS INT) AS mo,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS cents
+      FROM {orders}
+      GROUP BY 1, 2, 3
+    ),
+    lagged AS (
+      SELECT yr, mo, mix, cents,
+             lag(cents) OVER (ORDER BY mix) AS prev_cents,
+             lag(mix) OVER (ORDER BY mix) AS prev_mix,
+             lag(cents, 12) OVER (ORDER BY mix) AS yoy_cents,
+             lag(mix, 12) OVER (ORDER BY mix) AS yoy_mix
+      FROM monthly
+    )
+    SELECT yr, mo,
+           cents AS revenue_cents,
+           CASE WHEN prev_mix = mix - 1 THEN
+             round((CAST(cents AS DOUBLE) / prev_cents - 1) * 100, 2)
+           END AS mom_pct,
+           CASE WHEN yoy_mix = mix - 12 THEN
+             round((CAST(cents AS DOUBLE) / yoy_cents - 1) * 100, 2)
+           END AS yoy_pct
+    FROM lagged
+    ORDER BY yr, mo
+    """
+    register_sql(
+        "ts_mom_yoy_change",
+        tpl.format(**_SPARK_TABLES),
+        tpl.format(**_ORACLE_TABLES),
+    )
+
+
+_register_mom_yoy()

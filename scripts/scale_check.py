@@ -118,7 +118,7 @@ def main() -> None:
         "wh_zone_map_pruning", "llm_negative_pairs", "sim_quantized_mips",
         "wh_time_travel", "op_conversion_latency", "multimodal_wav_decode",
         "wh_analyze_stats", "sample_poisson_bootstrap", "graph_label_prop",
-        "llm_temperature_mix",
+        "llm_temperature_mix", "ts_mom_yoy_change", "llm_span_corruption",
     ]
     for name in names:
         t1 = time.monotonic()
