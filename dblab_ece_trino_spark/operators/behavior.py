@@ -681,3 +681,76 @@ def _register_conversion_latency() -> None:
 
 
 _register_conversion_latency()
+
+
+def _register_ab_test() -> None:
+    """Deterministic A/B experiment readout: hash-bucketed assignment,
+    binary conversion, and a pooled two-proportion z statistic.
+
+    The product-analytics macro on top of the reference's function
+    surface (Trino users build this from md5 + conditional aggregates;
+    SURVEY §2.8 family).  Assignment is the engine-portable md5 fold
+    (operators/sketches.hexint_sql) over the experiment salt and
+    customer key, so the variant split is bit-identical on both engines
+    and — the property a real experiment needs — stable under
+    re-partitioning and re-runs.  Conversion is "placed an order in
+    1995", resolved with one DISTINCT projection of orders joined back
+    to customers (the converter frame is ~|converters| keys, broadcast
+    at this shape; at 100 TB the join degrades to one key-partitioned
+    shuffle of two narrow frames).
+
+    Everything through the conditional aggregate is exact integer
+    arithmetic; the rates and the z statistic are single per-row IEEE
+    double expressions over those exact counts, written with identical
+    text on both engines (per-row float math is bit-stable cross-engine;
+    only *aggregated* float sums are order-sensitive).
+    """
+    from dblab_ece_trino_spark.operators.sketches import hexint_sql
+
+    bucket = hexint_sql("c_custkey", "abexp1", 4)
+    tpl = f"""
+    WITH conv AS (
+      SELECT DISTINCT o_custkey
+      FROM {{orders}}
+      WHERE o_orderdate >= DATE '1995-01-01'
+        AND o_orderdate < DATE '1996-01-01'
+    ),
+    assigned AS (
+      SELECT ({bucket}) % 2 AS variant,
+             CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END AS converted
+      FROM {{customer}}
+      LEFT JOIN conv ON c_custkey = o_custkey
+    ),
+    counts AS (
+      SELECT
+        CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT)
+          AS conv_a,
+        CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT)
+          AS conv_b
+      FROM assigned
+    ),
+    rates AS (
+      SELECT n_a, n_b, conv_a, conv_b,
+             CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+             CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+             CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+               AS pooled_p
+      FROM counts
+    )
+    SELECT n_a, n_b, conv_a, conv_b, rate_a, rate_b,
+           (rate_a - rate_b)
+             / sqrt(pooled_p * (1 - pooled_p)
+                    * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE)))
+             AS z_score
+    FROM rates
+    """
+    register_sql(
+        "op_ab_test",
+        tpl.format(**_SPARK_TABLES),
+        tpl.format(**_ORACLE_TABLES),
+    )
+
+
+_register_ab_test()

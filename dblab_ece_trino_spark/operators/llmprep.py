@@ -1826,3 +1826,69 @@ def _register_span_corruption() -> None:
 
 
 _register_span_corruption()
+
+
+def _register_fim_transform() -> None:
+    """Fill-in-the-middle (FIM) split planning: for every document, two
+    md5-derived character cut points define (prefix, middle, suffix)
+    spans, and an md5 parity bit picks the PSM / SPM reassembly mode —
+    the standard code-model pretraining transform (Bavarian et al. 2022)
+    expressed as one relational projection.
+
+    Like llm_span_corruption this plans the transform relationally and
+    emits span geometry plus the extracted middle snippet; the actual
+    token-level reassembly happens in the training loader.  Every
+    derived quantity is exact integer arithmetic on md5 hex folds
+    (operators/sketches.hexint_sql), so both engines agree bit-for-bit:
+    cut points are hash folds modulo (len+1), span lengths are integer
+    differences, eligibility (>= 64 chars and a non-empty middle) is an
+    integer predicate, and the snippet is substr() — identical 1-based
+    semantics on Spark and DuckDB, degrading to '' at zero length on
+    both.
+
+    Scale: a single stateless scan-projection over documents — no
+    shuffle, no join; Catalyst prunes to (doc_id, text).  At 100 TB this
+    is the ideal map-only shape.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.operators.sketches import hexint_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    c1 = hexint_sql("doc_id", "fimcut1", 5)
+    c2 = hexint_sql("doc_id", "fimcut2", 5)
+    cm = hexint_sql("doc_id", "fimmode", 4)
+    tpl = f"""
+    WITH spans AS (
+      SELECT doc_id, text,
+             CAST(length(text) AS BIGINT) AS n,
+             ({c1}) % (CAST(length(text) AS BIGINT) + 1) AS cut1,
+             ({c2}) % (CAST(length(text) AS BIGINT) + 1) AS cut2,
+             ({cm}) % 2 AS mflip
+      FROM {{documents}}
+    ),
+    o AS (
+      SELECT doc_id, text, n,
+             least(cut1, cut2) AS lo,
+             greatest(cut1, cut2) AS hi,
+             CASE WHEN mflip = 0 THEN 'psm' ELSE 'spm' END AS fim_mode
+      FROM spans
+    )
+    SELECT doc_id, fim_mode,
+           n AS n_chars,
+           lo AS prefix_len,
+           hi - lo AS middle_len,
+           n - hi AS suffix_len,
+           CASE WHEN n >= 64 AND hi - lo > 0 THEN 1 ELSE 0 END AS eligible,
+           substr(text, CAST(lo + 1 AS INT),
+                  CAST(least(hi - lo, 40) AS INT)) AS middle_preview
+    FROM o
+    ORDER BY doc_id
+    """
+    register_sql(
+        "llm_fim_transform",
+        tpl.format(**_SPARK_TABLES),
+        tpl.format(**_ORACLE_TABLES),
+    )
+
+
+_register_fim_transform()

@@ -779,3 +779,69 @@ def _register_analyze_stats() -> None:
 
 
 _register_analyze_stats()
+
+
+def _register_gdpr_erasure() -> None:
+    """Right-to-erasure cascade audit: given a deterministic cohort of
+    customers to forget, report — per table — how many rows a cascading
+    delete would remove and how much gross revenue the removed fact rows
+    carry.
+
+    The compliance macro every warehouse needs before running the actual
+    DELETEs (the reference engine ships DELETE/MERGE; the audit itself
+    is composed, SURVEY §2.1 DDL family).  The erase cohort here is the
+    md5 fold over the customer key (≈10% of customers) so the entry is
+    deterministic end-to-end; a production caller passes an explicit
+    key list instead and the shape is unchanged.
+
+    Scale: the cohort is a narrow key frame (broadcast at any realistic
+    erasure-batch size), orders joins it on the customer key, and
+    lineitem joins the resulting order-key frame — each fact table is
+    touched by exactly one broadcast-probe pass, no shuffle of fact
+    rows.  The per-table counts come out as a 3-row UNION of the three
+    aggregates (the cohort/order frames are re-derived per branch —
+    Spark inlines CTEs — but both are narrow key projections; the wide
+    fact payload is scanned once per counting branch and never
+    shuffled).  Revenue is summed in exact integer cents.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.operators.sketches import hexint_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    bucket = hexint_sql("c_custkey", "gdpr1", 4)
+    tpl = f"""
+    WITH victims AS (
+      SELECT c_custkey FROM {{customer}} WHERE ({bucket}) < 6554
+    ),
+    vo AS (
+      SELECT o_orderkey
+      FROM {{orders}} JOIN victims ON o_custkey = c_custkey
+    ),
+    vl AS (
+      SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS gross_e2
+      FROM {{lineitem}} JOIN vo ON l_orderkey = o_orderkey
+    )
+    SELECT 'customer' AS table_name,
+           CAST(count(*) AS BIGINT) AS rows_to_erase,
+           CAST(0 AS BIGINT) AS revenue_e2
+    FROM victims
+    UNION ALL
+    SELECT 'orders' AS table_name,
+           CAST(count(*) AS BIGINT) AS rows_to_erase,
+           CAST(0 AS BIGINT) AS revenue_e2
+    FROM vo
+    UNION ALL
+    SELECT 'lineitem' AS table_name,
+           CAST(count(*) AS BIGINT) AS rows_to_erase,
+           CAST(coalesce(sum(gross_e2), 0) AS BIGINT) AS revenue_e2
+    FROM vl
+    ORDER BY table_name
+    """
+    register_sql(
+        "wh_gdpr_erasure",
+        tpl.format(**_SPARK_TABLES),
+        tpl.format(**_ORACLE_TABLES),
+    )
+
+
+_register_gdpr_erasure()

@@ -185,3 +185,42 @@ def test_new_vs_returning_conservation(spark):
     assert sum(r.n_new for r in rows) == (
         events.select("user_id").distinct().count()
     )
+
+
+def test_ab_test_counts_and_z(spark):
+    """Variant counts partition the customer table; conversions match a
+    direct semi-join count; the z statistic's sign matches the rate
+    difference and the value matches a numpy recomputation."""
+    import math
+
+    r = _entry(spark, "op_ab_test").collect()
+    assert len(r) == 1
+    row = r[0]
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    assert row.n_a + row.n_b == cust.count()
+    conv_total = (
+        cust.join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1995-01-01")
+                & (F.col("o_orderdate") < "1996-01-01")
+            ).select("o_custkey").distinct(),
+            cust.c_custkey == F.col("o_custkey"),
+            "semi",
+        ).count()
+    )
+    assert row.conv_a + row.conv_b == conv_total
+    assert abs(row.rate_a - row.conv_a / row.n_a) < 1e-12
+    p = (row.conv_a + row.conv_b) / (row.n_a + row.n_b)
+    want_z = (row.rate_a - row.rate_b) / math.sqrt(
+        p * (1 - p) * (1 / row.n_a + 1 / row.n_b)
+    )
+    assert abs(row.z_score - want_z) < 1e-9
+    assert (row.z_score > 0) == (row.rate_a > row.rate_b)
+
+
+def test_ab_test_assignment_deterministic(spark):
+    """Re-running yields identical counts (hash assignment, no RNG)."""
+    a = _entry(spark, "op_ab_test").collect()[0]
+    b = _entry(spark, "op_ab_test").collect()[0]
+    assert a == b

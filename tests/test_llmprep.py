@@ -270,3 +270,28 @@ def test_curriculum_order_is_binned_permutation(spark):
     # deterministic: re-running yields the identical permutation
     again = {r.doc_id: r.pos for r in curriculum_order(docs).collect()}
     assert all(again[r.doc_id] == r.pos for r in rows)
+
+
+def test_fim_spans_partition_every_document(spark):
+    """prefix+middle+suffix == n_chars for every doc; the preview is
+    the real middle slice capped at 40 chars; modes split the corpus;
+    the plan is deterministic across runs."""
+    from dblab_ece_trino_spark.entrypoints import build_queries
+    from tests.conftest import SF_SMALL
+
+    rows = build_queries()["llm_fim_transform"](spark, SF_SMALL).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    }
+    assert len(rows) == len(docs)
+    modes = set()
+    for r in rows:
+        assert r.prefix_len + r.middle_len + r.suffix_len == r.n_chars
+        assert r.n_chars == len(docs[r.doc_id])
+        assert r.prefix_len >= 0 and r.middle_len >= 0 and r.suffix_len >= 0
+        want = docs[r.doc_id][r.prefix_len : r.prefix_len + min(r.middle_len, 40)]
+        assert r.middle_preview == want
+        assert r.eligible == (1 if (r.n_chars >= 64 and r.middle_len > 0) else 0)
+        modes.add(r.fim_mode)
+    assert modes == {"psm", "spm"}

@@ -112,3 +112,39 @@ def test_zorder_layout_invariants(spark):
     )
     mean_span = sum(r.max_custkey - r.min_custkey for r in rows) / len(rows)
     assert mean_span < 0.5 * glob_span
+
+
+def test_gdpr_erasure_cascade_counts(spark):
+    """Per-table erase counts equal independently-computed semi-join
+    counts, and the revenue total equals the exact-cents sum over the
+    affected lineitems."""
+    from dblab_ece_trino_spark.entrypoints import build_queries
+    from dblab_ece_trino_spark.operators.sketches import hexint_col
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMALL
+
+    rows = {
+        r.table_name: r
+        for r in build_queries()["wh_gdpr_erasure"](spark, SF_SMALL).collect()
+    }
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    victims = cust.filter(
+        hexint_col(F.concat(F.lit("gdpr1"), F.col("c_custkey").cast("string")), 4) < 6554
+    ).select("c_custkey")
+    n_v = victims.count()
+    assert rows["customer"].rows_to_erase == n_v
+    assert 0 < n_v < cust.count()  # cohort is a strict, non-empty subset
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    vo = orders.join(
+        victims, orders.o_custkey == victims.c_custkey, "semi"
+    ).select("o_orderkey")
+    assert rows["orders"].rows_to_erase == vo.count()
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    vl = li.join(vo, li.l_orderkey == vo.o_orderkey, "semi")
+    assert rows["lineitem"].rows_to_erase == vl.count()
+    want_rev = vl.select(
+        F.sum(F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+    ).collect()[0][0]
+    assert rows["lineitem"].revenue_e2 == want_rev
+    assert rows["customer"].revenue_e2 == 0 and rows["orders"].revenue_e2 == 0
