@@ -863,3 +863,187 @@ _CLUSTERS_ORACLE = (
 )
 
 register("dedup_clusters", _q_dedup_clusters, oracle=_CLUSTERS_ORACLE)
+
+
+# -------------------------------------------------- prefix-filter all-pairs
+def prefix_filter_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 9,
+    t_num: int = 4,
+    t_den: int = 5,
+) -> DataFrame:
+    """Exact Jaccard-threshold similarity join via prefix filtering —
+    the AllPairs / PPJoin candidate-generation strategy (Bayardo et al.,
+    WWW 2007; Xiao et al., WWW 2008) over char n-gram shingle sets.
+
+    Where the plain sparse join (ngram_jaccard_pairs) shuffles EVERY
+    shingle occurrence into the self-join, prefix filtering joins only
+    each document's rarest-(1-t) fraction: order the universe by global
+    document frequency ascending (rarest first, ties on the shingle
+    value so the order is total and engine-independent) and keep each
+    set's first ``p = sz - ceil(t*sz) + 1`` shingles.  The prefix-filter
+    lemma guarantees any pair with Jaccard >= t shares a prefix shingle
+    under a common total order, so candidate generation has NO false
+    negatives and the exact verify restores precision.  All thresholds
+    are exact integer arithmetic (t = t_num/t_den, ceil via integer
+    division, verify by cross-multiplication) — no float ever touches a
+    pruning or keep decision, so both engines agree bit-for-bit.
+
+    Scale: candidate volume is driven by rare-shingle collisions
+    (measured at sf0.1 / 5000 docs: 12.5M possible pairs -> 1.29M
+    prefix candidates -> 92k after the positional filter -> 256 true
+    pairs, even on this adversarially tiny 31-word alphabet; Zipfian
+    large-universe corpora prune far harder because their df-ascending
+    prefixes are near-unique).  The shingle frame is materialized once
+    and re-read by the df-count, ranking, and verify — multiple
+    consumers across shuffle boundaries, the curate-pipeline economics,
+    not the ReusedExchange case documented in ngram_jaccard_pairs.
+    Verify is per-candidate array_intersect over the compact signature
+    arrays — O(cand) rows moved, O(sz) set work per row, embarrassingly
+    parallel.
+
+    Measured honestly against the uncapped sparse join (same n, same
+    threshold, Spark hash-agg counting every colliding pair): 28s vs
+    27s at sf0.1 — break-even HERE, because a 31-character alphabet
+    gives every document rare-ish shingles shared with ~2% of the
+    corpus, and Spark's linear hash aggregation eats the 36M-row
+    collision stream as fast as the verify intersects 92k candidate
+    sets.  The crossover is corpus shape, not constant factors: the
+    sparse join's intermediate grows with sum(df^2) (quadratic in
+    corpus size at fixed duplication rate — it doubled 13s->27s from a
+    2x corpus here), while candidates grow with the collision rate of
+    PREFIX (rarest-decile) shingles only, which real vocabularies keep
+    near-linear.  A 1.6x-faster variant that int-tokenizes shingles
+    before intersecting was measured and REJECTED: it needs a global
+    dense vocab id, i.e. a single-partition row_number over the
+    vocabulary — the exact scale ceiling this repo refuses elsewhere
+    (llm_budget_select's sharded cumsum).
+    """
+    from pyspark.sql import Window
+
+    from dblab_ece_trino_spark.session import ensure_parallelism, materialize
+
+    sig = materialize(
+        ensure_parallelism(
+            docs.select(
+                F.col(id_col).alias("sid"),
+                shingles(F.col(text_col), n, "char").alias("arr"),
+            )
+        )
+    )
+    sh = sig.select("sid", F.explode("arr").alias("shingle"))
+    sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = (
+        sh.join(dfc, "shingle")
+        .join(sizes, "sid")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("sid").orderBy("df", "shingle")
+            ),
+        )
+    )
+    # Materialized: both candidate-join sides consume pref, and lazily
+    # each side would re-run the df-join + per-doc ranking window (plan
+    # census measured 2 windows / 10 scans lazy vs 1 window / 8 scans
+    # checkpointed — the frame is ~the prefix fraction of the shingle
+    # table, cheap to store, expensive to re-rank).
+    pref = materialize(
+        ranked.filter(
+            F.expr(f"rnk <= sz - (({t_num} * sz + {t_den - 1}) div {t_den}) + 1")
+        ).select("sid", "shingle", "rnk", "sz")
+    )
+    # PPJoin positional filter.  A qualifying pair's FIRST common
+    # shingle (global df order) is inside both prefixes, and at that
+    # match the true overlap is bounded by 1 + min(remaining positions);
+    # requiring the bound to reach the overlap threshold
+    # alpha = ceil(t/(1+t) * (sz_a+sz_b)) keeps every qualifying pair
+    # (the bound is valid at the first common token) while discarding
+    # prefix collisions that cannot reach alpha.  Exact integers:
+    # X >= ceil(q) <=> (t_num+t_den)*X >= t_num*(sz_a+sz_b) for
+    # integer X.  Measured at sf0.1 (5000 docs): 1.29M plain prefix
+    # candidates -> 92k positional -> 256 verified pairs.
+    pos_ok = (
+        f"({t_num + t_den}) * (1 + least(a.sz - a.rnk, b.sz - b.rnk))"
+        f" >= {t_num} * (a.sz + b.sz)"
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .filter(F.expr(pos_ok))
+        .select(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .distinct()
+    )
+    # Verify by per-pair array intersection over the compact signature
+    # frame — the record-level verify of the PPJoin literature.  The
+    # exploded alternative (cand x shingles(a) matched against
+    # shingles(b)) shuffles O(cand * avg_sz) rows (27M at sf0.1) and
+    # measured 26s end-to-end; joining each candidate to its two ~sz
+    # element shingle arrays and intersecting JVM-side moves only
+    # O(cand) rows.  The arrays are the same distinct-shingle sets the
+    # prefix index was built from (sig is the pre-explode projection),
+    # so |array_intersect| == the sparse join's intersection count.
+    ver = (
+        cand.join(
+            sig.select(F.col("sid").alias("id_a"), F.col("arr").alias("arr_a")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("sid").alias("id_b"), F.col("arr").alias("arr_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("long").alias("inter"),
+            F.size("arr_a").cast("long").alias("sz_a"),
+            F.size("arr_b").cast("long").alias("sz_b"),
+        )
+    )
+    return (
+        ver.filter(F.expr(f"{t_den} * inter >= {t_num} * (sz_a + sz_b - inter)"))
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prefix_filter_pairs(_docs(spark, sf_dir))
+
+
+# The oracle computes the SAME pair set with NO prefix filter — a plain
+# all-pairs sparse join — so a driver-green row proves end-to-end that
+# candidate pruning dropped nothing (the prefix-filter lemma, checked
+# by value, not trusted).
+register(
+    "dedup_prefix_filter",
+    _q_dedup_prefix_filter,
+    oracle=r"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS sid, substr(text, i, 9) AS shingle
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, greatest(length(text)-8, 1))) AS i)
+    ),
+    sizes AS (SELECT sid, count(*) AS sz FROM sh GROUP BY sid),
+    inter AS (
+      SELECT a.sid AS id_a, b.sid AS id_b, CAST(count(*) AS BIGINT) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+      GROUP BY a.sid, b.sid
+    )
+    SELECT id_a, id_b, inter,
+           CAST(sa.sz AS BIGINT) AS sz_a,
+           CAST(sb.sz AS BIGINT) AS sz_b
+    FROM inter
+    JOIN sizes sa ON sa.sid = id_a
+    JOIN sizes sb ON sb.sid = id_b
+    WHERE 5 * inter >= 4 * (sa.sz + sb.sz - inter)
+    ORDER BY id_a, id_b
+    """,
+)

@@ -669,3 +669,148 @@ def _register_mom_yoy() -> None:
 
 
 _register_mom_yoy()
+
+
+def _register_mann_kendall() -> None:
+    """Mann-Kendall trend test per nation over the monthly revenue
+    series — the standard nonparametric "is this series trending?"
+    statistic (Mann 1945; Kendall 1975), fully relational and exact.
+
+    S = sum over month pairs i<j of sign(x_j - x_i), computed by a
+    within-key self-join of the tiny monthly frame (n months per key,
+    n(n-1)/2 bounded pairs — at 100 TB the fact scan dominates and the
+    pair join stays metadata-scale because it runs on the aggregated
+    series, never the facts; per-key cost is fixed by series length,
+    not corpus size).  Monthly revenue is exact integer cents, so
+    sign() decisions are exact; S, n and the variance numerator
+    n(n-1)(2n+5) are exact BIGINTs; only the final z (continuity-
+    corrected, variance /18) is a per-row IEEE expression over those
+    exact integers, identical text on both engines.  n_months rides
+    along via a count window over the monthly frame instead of a third
+    scan branch (Spark inlines CTEs: a separate count branch would
+    re-derive the 3-table join lineage).
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    tpl = """
+    WITH monthly AS (
+      SELECT n_name,
+             (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS mix,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS cents,
+             CAST(count(*) OVER (PARTITION BY n_name) AS BIGINT) AS pre_n
+      FROM {orders}
+      JOIN {customer} ON o_custkey = c_custkey
+      JOIN {nation} ON c_nationkey = n_nationkey
+      GROUP BY n_name, (year(o_orderdate) * 12 + month(o_orderdate) - 1)
+    ),
+    stats AS (
+      SELECT a.n_name AS nation,
+             CAST(max(a.pre_n) AS BIGINT) AS n_months,
+             CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1
+                           ELSE 0 END) AS BIGINT) AS s_stat
+      FROM monthly a
+      JOIN monthly b ON a.n_name = b.n_name AND a.mix < b.mix
+      GROUP BY a.n_name
+    )
+    SELECT nation, n_months, s_stat,
+           n_months * (n_months - 1) * (2 * n_months + 5) AS var18_num,
+           (CAST(s_stat AS DOUBLE)
+              - (CASE WHEN s_stat > 0 THEN 1
+                      WHEN s_stat < 0 THEN -1 ELSE 0 END))
+             / sqrt(CAST(n_months * (n_months - 1) * (2 * n_months + 5)
+                         AS DOUBLE) / 18) AS z_mk
+    FROM stats
+    ORDER BY nation
+    """
+    register_sql(
+        "ts_mann_kendall",
+        tpl.format(**_SPARK_TABLES),
+        tpl.format(**_ORACLE_TABLES),
+    )
+
+
+_register_mann_kendall()
+
+
+def _register_rolling_corr() -> None:
+    """Trailing-28-day Pearson correlation between daily revenue and
+    daily shipped quantity, per return flag — the rolling co-movement
+    diagnostic (do high-volume days stay high-value?) every BI stack
+    layers on a window function.
+
+    Exactness discipline: the five moment components (sum x, sum y,
+    sum xy, sum x^2, sum y^2) are summed in the calendar RANGE window
+    as DECIMAL — per-day values are DECIMAL(18,0) integers (cents /
+    integer units), so products are DECIMAL(37,0) and the windowed sums
+    stay exact far beyond the x30 replica scale (28-day revenue-squared
+    sums reach ~1e21; DECIMAL 38 holds 1e38).  A float sum inside the
+    window would be partition-order-sensitive across engines; exact
+    decimals make the moments bit-identical, and the final correlation
+    is one per-row IEEE expression over them (identical text both
+    engines).  Zero-variance windows yield NULL via an exact
+    denominator-zero guard.
+
+    Scale: one fact scan → per-(flag, day) aggregate (map-side
+    combinable; the window then runs over ~days x flags rows, not
+    facts).  The RANGE frame is over an exact epoch-day integer — the
+    same portable idiom as op_rolling_revenue_28d.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    tpl = """
+    WITH daily AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_shipdate AS DATE) AS d,
+             {epoch_day} AS ed,
+             CAST(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                  AS DECIMAL(18,0)) AS DECIMAL(18,0)) AS x,
+             CAST(CAST(sum(CAST(round(l_quantity, 0) AS BIGINT))
+                  AS DECIMAL(18,0)) AS DECIMAL(18,0)) AS y
+      FROM {lineitem}
+      GROUP BY l_returnflag, CAST(l_shipdate AS DATE), {epoch_day}
+    ),
+    moments AS (
+      SELECT flag, d,
+             CAST(count(*) OVER w AS BIGINT) AS n_days,
+             sum(x) OVER w AS sx,
+             sum(y) OVER w AS sy,
+             sum(x * y) OVER w AS sxy,
+             sum(x * x) OVER w AS sxx,
+             sum(y * y) OVER w AS syy
+      FROM daily
+      WINDOW w AS (PARTITION BY flag ORDER BY ed
+                   RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)
+    )
+    SELECT flag, d, n_days,
+           CAST(sx AS BIGINT) AS rev_cents_28d,
+           CAST(sy AS BIGINT) AS qty_28d,
+           CASE WHEN (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0
+                  OR (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0
+                THEN NULL
+                ELSE (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS corr_28d
+    FROM moments
+    ORDER BY flag, d
+    """
+    spark_sql = tpl.replace(
+        "{epoch_day}", "datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01')"
+    ).format(**_SPARK_TABLES)
+    oracle_sql = tpl.replace(
+        "{epoch_day}",
+        "datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))",
+    ).format(**_ORACLE_TABLES)
+    register_sql("ts_rolling_corr", spark_sql, oracle_sql)
+
+
+_register_rolling_corr()

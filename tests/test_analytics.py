@@ -205,3 +205,102 @@ def test_expectations_pass_on_clean_orders(spark):
         and r.bad_status == 0
         and r.duplicate_keys == 0
     )
+
+
+def test_mann_kendall_matches_numpy(spark):
+    """S, n, and z per nation match an O(n^2) python recomputation of
+    the Mann-Kendall statistic from the exact monthly cent series."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.entrypoints import build_queries
+    from tests.conftest import SF_SMALL
+
+    rows = build_queries()["ts_mann_kendall"](spark, SF_SMALL).collect()
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    nat = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nat, cust.c_nationkey == nat.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").alias("mix"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            ).alias("cents")
+        )
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in monthly:
+        series[r.n_name].append((r.mix, r.cents))
+    assert len(rows) == len(series)
+    for r in rows:
+        xs = [c for _, c in sorted(series[r.nation])]
+        n = len(xs)
+        s = sum(
+            (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        assert r.n_months == n
+        assert r.s_stat == s
+        assert r.var18_num == n * (n - 1) * (2 * n + 5)
+        want_z = (s - (1 if s > 0 else -1 if s < 0 else 0)) / math.sqrt(
+            n * (n - 1) * (2 * n + 5) / 18
+        )
+        assert abs(r.z_mk - want_z) < 1e-9
+
+
+def test_rolling_corr_matches_numpy(spark):
+    """The 28-day windowed correlation matches a per-row numpy Pearson
+    over the same calendar window, and windows with data use only days
+    within 27 days back."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from dblab_ece_trino_spark.entrypoints import build_queries
+    from tests.conftest import SF_SMALL
+
+    rows = build_queries()["ts_rolling_corr"](spark, SF_SMALL).collect()
+    daily = defaultdict(dict)
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").collect()
+    for r in li:
+        d = r.l_shipdate.date()
+        prev = daily[r.l_returnflag].get(d, (0, 0))
+        daily[r.l_returnflag][d] = (
+            prev[0] + round(r.l_extendedprice * 100),
+            prev[1] + round(r.l_quantity),
+        )
+    checked = 0
+    for r in rows[:: max(1, len(rows) // 200)]:
+        flag_days = daily[r.flag]
+        win = [
+            v
+            for d, v in flag_days.items()
+            if 0 <= (r.d - d).days <= 27
+        ]
+        xs = np.array([w[0] for w in win], dtype=float)
+        ys = np.array([w[1] for w in win], dtype=float)
+        assert r.n_days == len(win)
+        assert r.rev_cents_28d == int(xs.sum())
+        assert r.qty_28d == int(ys.sum())
+        n = len(win)
+        vx = n * (xs * xs).sum() - xs.sum() ** 2
+        vy = n * (ys * ys).sum() - ys.sum() ** 2
+        if vx == 0 or vy == 0:
+            assert r.corr_28d is None
+        else:
+            want = (n * (xs * ys).sum() - xs.sum() * ys.sum()) / (
+                np.sqrt(vx) * np.sqrt(vy)
+            )
+            assert abs(r.corr_28d - want) < 1e-6
+            assert -1.000001 <= r.corr_28d <= 1.000001
+            checked += 1
+    assert checked > 50

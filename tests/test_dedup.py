@@ -157,3 +157,70 @@ def test_ngram_auto_cap_scales_with_corpus(spark):
     explicit_ids = {(r["id_a"], r["id_b"]) for r in explicit_pairs.collect()}
     # "auto" is exactly the corpus-relative cap, nothing more
     assert auto_ids == explicit_ids and len(auto_ids) > 0
+
+
+def test_prefix_filter_equals_unfiltered_sparse_join(spark):
+    """The prefix-filter lemma, checked Spark-side: the pruned pipeline
+    returns exactly the pair set the plain all-pairs sparse join finds
+    at the same n/threshold, and every returned pair satisfies the
+    integer threshold predicate."""
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.operators.dedup import (
+        prefix_filter_pairs,
+        shingle_table,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.sz_a, r.sz_b)
+        for r in prefix_filter_pairs(docs).collect()
+    }
+    sh = shingle_table(docs, n=9, mode="char")
+    sizes = {r.sid: r.sz for r in sh.groupBy("sid").agg(F.count("*").alias("sz")).collect()}
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.sid") < F.col("b.sid")))
+        .groupBy(F.col("a.sid").alias("ia"), F.col("b.sid").alias("ib"))
+        .agg(F.count("*").alias("i"))
+        .collect()
+    )
+    want = {}
+    for r in brute:
+        sa, sb = sizes[r.ia], sizes[r.ib]
+        if 5 * r.i >= 4 * (sa + sb - r.i):
+            want[(r.ia, r.ib)] = (r.i, sa, sb)
+    assert got == want
+    assert len(got) > 0
+
+
+def test_prefix_filter_candidates_prune(spark):
+    """Candidate generation is a strict subset of all pairs — the point
+    of the algorithm — while keeping every qualifying pair (covered by
+    the equality test above)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.operators.dedup import shingle_table
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    n_docs = docs.count()
+    sh = shingle_table(docs, n=9, mode="char")
+    sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    pref = (
+        sh.join(dfc, "shingle").join(sizes, "sid")
+        .withColumn("rnk", F.row_number().over(Window.partitionBy("sid").orderBy("df", "shingle")))
+        .filter(F.expr("rnk <= sz - ((4 * sz + 4) div 5) + 1"))
+    )
+    n_cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.sid") < F.col("b.sid")),
+        )
+        .select("a.sid", "b.sid").distinct().count()
+    )
+    assert n_cand < n_docs * (n_docs - 1) // 2 // 2  # prunes >2x vs all-pairs
