@@ -124,9 +124,10 @@ GRADED_PRIORITY: list[str] = [
     "wh_time_travel", "op_conversion_latency", "multimodal_wav_decode",
     "wh_analyze_stats", "sample_poisson_bootstrap", "graph_label_prop",
     "llm_temperature_mix", "ts_mom_yoy_change", "llm_span_corruption",
-    # backfill: stalest green rows (last green = round 1), capped to the
-    # remaining slots
-    "op_filter_conjunction", "op_join_shuffle",
+    # late round-5 ops (never graded — outrank freshness backfill per
+    # the policy above; the displaced op_filter_conjunction /
+    # op_join_shuffle backfill keeps r1-r3 green rows)
+    "dedup_prefix_filter", "ts_mann_kendall",
 ]
 
 
