@@ -1892,3 +1892,121 @@ def _register_fim_transform() -> None:
 
 
 _register_fim_transform()
+
+
+def quantile_normalize(
+    docs,
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    shards: int = 32,
+):
+    """Cross-source quantile normalization: map each source's score
+    distribution onto the GLOBAL score distribution (the microarray
+    quantile-normalization recipe applied to corpus curation — put
+    every source's quality heuristic on one comparable scale before
+    mixing/thresholding, so a source whose scorer runs hot cannot crowd
+    out the others).
+
+    A doc at within-source rank r of m maps to the global value at rank
+    ceil(r*N/m) — all integer arithmetic over unique (score, id) total
+    orders, so both engines agree exactly.  The global rank is the
+    two-level sharded form (range-repartition -> per-shard row_number +
+    broadcast shard offsets — equidepth_histogram's machinery): no
+    single-partition window anywhere, the llm_budget_select discipline.
+    The per-source rank is an ordinary partitioned window (parallel by
+    construction).  One range shuffle + one window pass + a self-join
+    on the tiny rank key; the ranked frame is materialized because the
+    target lookup re-reads it.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.session import materialize
+
+    base = docs.select(id_col, group_col, score_col)
+    sharded = materialize(
+        base.repartitionByRange(shards, F.col(score_col), F.col(id_col))
+        .withColumn("__shard", F.spark_partition_id())
+    )
+    counts = sharded.groupBy("__shard").agg(F.count("*").alias("__c"))
+    offs = (
+        counts.alias("a")
+        .join(counts.alias("b"), F.col("b.__shard") < F.col("a.__shard"), "left")
+        .groupBy(F.col("a.__shard").alias("__shard"))
+        .agg(F.coalesce(F.sum("b.__c"), F.lit(0)).alias("__off"))
+    )
+    total = counts.agg(F.sum("__c").alias("__n")).withColumn("__k", F.lit(1))
+    w = Window.partitionBy("__shard").orderBy(score_col, id_col)
+    g = materialize(
+        sharded.withColumn("__lr", F.row_number().over(w))
+        .join(F.broadcast(offs), "__shard")
+        .withColumn("gr", (F.col("__off") + F.col("__lr")).cast("long"))
+        .drop("__shard", "__lr", "__off")
+    )
+    sw = Window.partitionBy(group_col).orderBy(score_col, id_col)
+    cw = Window.partitionBy(group_col)
+    tgt = (
+        g.withColumn("src_rank", F.row_number().over(sw).cast("long"))
+        .withColumn("__m", F.count(F.lit(1)).over(cw))
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(total), "__k")
+        .withColumn(
+            "target_rank",
+            F.expr("CAST((src_rank * __n + __m - 1) div __m AS BIGINT)"),
+        )
+    )
+    lookup = g.select(
+        F.col("gr").alias("target_rank"),
+        F.col(score_col).alias("__norm"),
+    )
+    return (
+        tgt.join(lookup, "target_rank")
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(score_col).cast("long").alias("raw_score"),
+            "src_rank",
+            "target_rank",
+            F.col("__norm").cast("long").alias("norm_score"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def _register_quantile_normalize() -> None:
+    from pyspark.sql import DataFrame, SparkSession
+
+    from dblab_ece_trino_spark.operators.registry import register
+
+    def _q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dblab_ece_trino_spark.entrypoints import engine_for
+
+        docs = engine_for(spark, sf_dir).catalogs.table("lake.llm.documents")
+        return quantile_normalize(docs)
+
+    register(
+        "llm_quantile_normalize",
+        _q,
+        oracle="""
+    WITH g AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS m,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS gr,
+             count(*) OVER () AS n
+      FROM documents
+    )
+    SELECT t.doc_id, t.source,
+           CAST(t.n_chars AS BIGINT) AS raw_score,
+           CAST(t.r AS BIGINT) AS src_rank,
+           CAST((t.r * t.n + t.m - 1) // t.m AS BIGINT) AS target_rank,
+           CAST(g2.n_chars AS BIGINT) AS norm_score
+    FROM g t JOIN g g2 ON g2.gr = (t.r * t.n + t.m - 1) // t.m
+    ORDER BY t.doc_id
+    """,
+    )
+
+
+_register_quantile_normalize()

@@ -295,3 +295,35 @@ def test_fim_spans_partition_every_document(spark):
         assert r.eligible == (1 if (r.n_chars >= 64 and r.middle_len > 0) else 0)
         modes.add(r.fim_mode)
     assert modes == {"psm", "spm"}
+
+
+def test_quantile_normalize_distribution_properties(spark):
+    """Normalized scores are drawn from the global value multiset at
+    the right quantile positions: monotone within source, the top doc
+    of every source maps to the global max, and the mapping is rank-
+    exact against a python recomputation."""
+    from dblab_ece_trino_spark.operators.llmprep import quantile_normalize
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    rows = quantile_normalize(docs).collect()
+    raw = [(r.doc_id, r.source, r.n_chars) for r in docs.collect()]
+    assert len(rows) == len(raw)
+    g = sorted((c, d) for d, _, c in raw)
+    n = len(g)
+    per_src = {}
+    for d, s, c in raw:
+        per_src.setdefault(s, []).append((c, d))
+    for v in per_src.values():
+        v.sort()
+    for r in rows:
+        m = len(per_src[r.source])
+        want_rank = per_src[r.source].index((r.raw_score, r.doc_id)) + 1
+        assert r.src_rank == want_rank
+        j = (want_rank * n + m - 1) // m
+        assert r.target_rank == j
+        assert r.norm_score == g[j - 1][0]
+    for s, v in per_src.items():
+        top_doc = v[-1][1]
+        row = next(r for r in rows if r.doc_id == top_doc and r.source == s)
+        assert row.norm_score == g[-1][0]  # every source's best hits global max
