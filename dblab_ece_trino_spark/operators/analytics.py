@@ -523,10 +523,9 @@ register_sql(
 # the raw rows instead of the histogram costs a sample pass + full-fact
 # checkpoint + window (26 s at x30 vs ~6 s for this form).
 def _q_winsorize(spark, sf_dir):
-    from pyspark.sql import Window, functions as F
+    from pyspark.sql import functions as F
 
     from dblab_ece_trino_spark.entrypoints import engine_for
-    from dblab_ece_trino_spark.session import materialize
 
     li = engine_for(spark, sf_dir).catalogs.table("psql.tpch.lineitem")
     cents = li.select(
@@ -534,49 +533,8 @@ def _q_winsorize(spark, sf_dir):
         F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").alias("c"),
     )
     vf = cents.groupBy("l_returnflag", "c").agg(F.count(F.lit(1)).alias("cnt"))
-    shards = li.sparkSession.sparkContext.defaultParallelism
-    sharded = materialize(
-        vf.repartitionByRange(
-            shards, F.col("l_returnflag"), F.col("c")
-        ).withColumn("__shard", F.spark_partition_id())
-    )
-    w = (
-        Window.partitionBy("l_returnflag", "__shard")
-        .orderBy("c")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local_cum = sharded.withColumn("__lc", F.sum("cnt").over(w))
-    counts = sharded.groupBy("l_returnflag", "__shard").agg(
-        F.sum("cnt").alias("__c")
-    )
-    offs = (
-        counts.alias("a")
-        .join(
-            counts.alias("b"),
-            (F.col("b.l_returnflag") == F.col("a.l_returnflag"))
-            & (F.col("b.__shard") < F.col("a.__shard")),
-            "left",
-        )
-        .groupBy(
-            F.col("a.l_returnflag").alias("l_returnflag"),
-            F.col("a.__shard").alias("__shard"),
-        )
-        .agg(F.coalesce(F.sum("b.__c"), F.lit(0)).alias("__off"))
-    )
-    totals = counts.groupBy("l_returnflag").agg(F.sum("__c").alias("__n"))
-    cum = (
-        local_cum.join(F.broadcast(offs), ["l_returnflag", "__shard"])
-        .withColumn("__cum", F.col("__off") + F.col("__lc"))
-        .join(F.broadcast(totals), "l_returnflag")
-    )
-    th = (
-        cum.withColumn("__lo_r", F.expr("(__n + 19) div 20"))
-        .withColumn("__hi_r", F.expr("(19 * __n + 19) div 20"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.min(F.when(F.col("__cum") >= F.col("__lo_r"), F.col("c"))).alias("lo"),
-            F.min(F.when(F.col("__cum") >= F.col("__hi_r"), F.col("c"))).alias("hi"),
-        )
+    th = grouped_disc_thresholds(
+        vf, "l_returnflag", "c", {"lo": (1, 20), "hi": (19, 20)}
     )
     return (
         cents.join(F.broadcast(th), "l_returnflag")
@@ -683,5 +641,210 @@ _both(
     FROM w
     WHERE later_best IS NULL OR best_price > later_best
     ORDER BY day
+    """,
+)
+
+
+def grouped_disc_thresholds(vf, group_col, value_col, fracs, shards=None):
+    """Exact per-group discrete percentiles (percentile_disc semantics)
+    from a weighted value histogram, with a TWO-LEVEL cumulative rank —
+    range-sharded per-shard running sums plus broadcast per-(group,
+    shard) offsets — so no group's value set ever sits in one task.
+
+    ``vf`` is the histogram frame: (group_col, value_col, cnt).  Its
+    cardinality is the DISTINCT value domain per group (the price grid
+    here), which stops growing with the corpus — the property that
+    makes this form flat at x30 where a native median()/percentile
+    aggregate grows 4x (measured; see op_winsorize / op_mad_outliers
+    block comments).  ``fracs`` maps output column name -> (num, den);
+    the threshold is the smallest value whose cumulative weight reaches
+    ceil(num*n/den), all integer arithmetic, bit-identical to DuckDB's
+    percentile_disc.
+    """
+    from pyspark.sql import Window, functions as F
+
+    from dblab_ece_trino_spark.session import materialize
+
+    shards = shards or vf.sparkSession.sparkContext.defaultParallelism
+    sharded = materialize(
+        vf.repartitionByRange(
+            shards, F.col(group_col), F.col(value_col)
+        ).withColumn("__shard", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy(group_col, "__shard")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local_cum = sharded.withColumn("__lc", F.sum("cnt").over(w))
+    counts = sharded.groupBy(group_col, "__shard").agg(
+        F.sum("cnt").alias("__c")
+    )
+    offs = (
+        counts.alias("a")
+        .join(
+            counts.alias("b"),
+            (F.col(f"b.{group_col}") == F.col(f"a.{group_col}"))
+            & (F.col("b.__shard") < F.col("a.__shard")),
+            "left",
+        )
+        .groupBy(
+            F.col(f"a.{group_col}").alias(group_col),
+            F.col("a.__shard").alias("__shard"),
+        )
+        .agg(F.coalesce(F.sum("b.__c"), F.lit(0)).alias("__off"))
+    )
+    totals = counts.groupBy(group_col).agg(F.sum("__c").alias("__n"))
+    cum = (
+        local_cum.join(F.broadcast(offs), [group_col, "__shard"])
+        .withColumn("__cum", F.col("__off") + F.col("__lc"))
+        .join(F.broadcast(totals), group_col)
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("__cum")
+                >= F.expr(f"({num} * __n + {den - 1}) div {den}"),
+                F.col(value_col),
+            )
+        ).alias(name)
+        for name, (num, den) in fracs.items()
+    ]
+    return cum.groupBy(group_col).agg(*aggs)
+
+
+# Robust dispersion: median absolute deviation with a 3-MAD outlier
+# count per group — the outlier-resistant companion to op_winsorize's
+# percentile clamp.  DISCRETE medians (percentile_disc semantics) from
+# the same weighted-value-histogram rank machinery winsorize uses
+# (grouped_disc_thresholds below): the value domain is the price grid
+# (~594k distinct cents at x30, then the deviation grid after
+# centering), so the histogram frames STOP GROWING with the corpus and
+# every statistic is exact integer arithmetic end-to-end.  The native
+# interpolating median() form was measured first and REJECTED: 11.7s at
+# x10 -> 47.8s at x30 (4.1x at 3x data — per-group value sets pinned in
+# one task, the ceiling the winsorize block documents).  This form is
+# three map-side-combinable fact passes (center, deviation histogram,
+# outlier count) plus metadata-scale histogram ranking.
+def _q_mad_outliers(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    li = engine_for(spark, sf_dir).catalogs.table("psql.tpch.lineitem")
+    cents = li.select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").alias("c"),
+    )
+    vf = cents.groupBy("l_returnflag", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    med = grouped_disc_thresholds(vf, "l_returnflag", "c", {"med": (1, 2)})
+    dev = cents.join(F.broadcast(med), "l_returnflag").withColumn(
+        "adev", F.abs(F.col("c") - F.col("med"))
+    )
+    vf2 = dev.groupBy("l_returnflag", "adev").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mad = grouped_disc_thresholds(vf2, "l_returnflag", "adev", {"mad": (1, 2)})
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("med").cast("long").alias("median_cents"),
+            F.max("mad").cast("long").alias("mad_cents"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_if(F.col("adev") > 3 * F.col("mad"))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register(
+    "op_mad_outliers",
+    _q_mad_outliers,
+    oracle="""
+    WITH cents AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+      FROM lineitem
+    ),
+    med AS (
+      SELECT l_returnflag,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c)
+               AS BIGINT) AS med
+      FROM cents GROUP BY l_returnflag
+    ),
+    dev AS (
+      SELECT c.l_returnflag, c.c, m.med, abs(c.c - m.med) AS adev
+      FROM cents c JOIN med m ON c.l_returnflag = m.l_returnflag
+    ),
+    mad AS (
+      SELECT l_returnflag,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)
+               AS BIGINT) AS mad
+      FROM dev GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag,
+           CAST(max(d.med) AS BIGINT) AS median_cents,
+           CAST(max(m.mad) AS BIGINT) AS mad_cents,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count_if(d.adev > 3 * m.mad) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON d.l_returnflag = m.l_returnflag
+    GROUP BY d.l_returnflag
+    ORDER BY d.l_returnflag
+    """,
+)
+
+
+# Wald–Wolfowitz runs test on the daily-revenue series: is the sequence
+# of above/below-median days random, or does it trend/cluster?  The
+# series frame is calendar-bounded (~2500 rows at any corpus size —
+# the fact scan is the only corpus term), so the unpartitioned lag
+# window is bounded state, the ts_mom_yoy precedent.  Ties with the
+# median are dropped on both engines (the standard treatment); counts
+# and the run total are exact integers, z is one per-row IEEE
+# expression over them.
+_both(
+    "op_runs_test",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS cents
+      FROM {orders}
+      GROUP BY CAST(o_orderdate AS DATE)
+    ),
+    med AS (SELECT median(cents) AS med FROM daily),
+    signs AS (
+      SELECT d, CASE WHEN cents > med THEN 1 ELSE 0 END AS up
+      FROM daily CROSS JOIN med
+      WHERE cents <> med
+    ),
+    runs AS (
+      SELECT up,
+             CASE WHEN lag(up) OVER (ORDER BY d) IS NULL
+                    OR lag(up) OVER (ORDER BY d) <> up
+                  THEN 1 ELSE 0 END AS newrun
+      FROM signs
+    ),
+    agg AS (
+      SELECT CAST(sum(up) AS BIGINT) AS n1,
+             CAST(sum(1 - up) AS BIGINT) AS n2,
+             CAST(sum(newrun) AS BIGINT) AS r
+      FROM runs
+    )
+    SELECT n1, n2, r,
+           (CAST(r AS DOUBLE)
+              - (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1))
+             / sqrt(2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    * (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                       - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+                    / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                       * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                       * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1)))
+             AS z_runs
+    FROM agg
     """,
 )

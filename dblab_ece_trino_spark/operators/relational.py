@@ -649,3 +649,59 @@ register(
     GROUP BY l_returnflag
     """,
 )
+
+
+# Hopping (sliding) time-window aggregation — Spark's native
+# window(ts, windowDuration, slideDuration) in batch mode, the third
+# member of the time-window family next to the tumbling rollup
+# (op_events_time_rollup) and session windows (op_session_window).
+# Each event lands in duration/slide = 6 hopping windows; Spark's
+# operator expands them with an internal generator (one scan, no join),
+# and the oracle replays the same epoch-aligned expansion with
+# generate_series.  Counts are exact; the value sum is an exact decimal
+# aggregate cast to DOUBLE only for render parity.  Scale: the expand
+# is map-side (x6 rows pre-combine), the shuffle carries one row per
+# (window, type) — calendar-bounded output.
+def _op_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    cat = engine_for(spark, sf_dir).catalogs
+    ev = cat.table("elastic.default.events")
+    return (
+        ev.groupBy(
+            F.window("ts", "6 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.expr("CAST(value AS DECIMAL(18,4))")).alias("__tv"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            F.col("__tv").cast("double").alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+register(
+    "op_hopping_window",
+    _op_hopping_window,
+    oracle="""
+    WITH x AS (
+      SELECT ts, event_type, value,
+             date_trunc('hour', ts) - k * (INTERVAL 1 HOUR) AS ws
+      FROM events, LATERAL (SELECT unnest(generate_series(0, 5)) AS k)
+    )
+    SELECT ws AS window_start,
+           ws + INTERVAL 6 HOUR AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM x
+    GROUP BY ws, event_type
+    ORDER BY window_start, event_type
+    """,
+)

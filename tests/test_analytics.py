@@ -304,3 +304,63 @@ def test_rolling_corr_matches_numpy(spark):
             assert -1.000001 <= r.corr_28d <= 1.000001
             checked += 1
     assert checked > 50
+
+
+def test_mad_outliers_matches_python(spark):
+    """Discrete median, discrete MAD and the 3-MAD outlier count match
+    a python recomputation (percentile_disc semantics: smallest element
+    whose rank reaches ceil(n/2))."""
+    from dblab_ece_trino_spark.entrypoints import build_queries
+    from tests.conftest import SF_SMALL
+
+    def disc_median(xs):
+        xs = sorted(xs)
+        return xs[(len(xs) + 1) // 2 - 1]
+
+    rows = build_queries()["op_mad_outliers"](spark, SF_SMALL).collect()
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").collect()
+    groups = {}
+    for r in li:
+        groups.setdefault(r.l_returnflag, []).append(round(r.l_extendedprice * 100))
+    assert len(rows) == len(groups)
+    for r in rows:
+        xs = groups[r.l_returnflag]
+        med = disc_median(xs)
+        devs = [abs(x - med) for x in xs]
+        mad = disc_median(devs)
+        assert r.median_cents == med
+        assert r.mad_cents == mad
+        assert r.n == len(xs)
+        assert r.n_outliers == sum(1 for d in devs if d > 3 * mad)
+        # uniform-ish price data: 3*MAD exceeds the max deviation, so the
+        # count can legitimately be 0 — the equality check above is the gate
+        assert 0 <= r.n_outliers < r.n
+
+
+def test_runs_test_matches_python(spark):
+    """n1/n2/R and z match a direct python runs-test computation."""
+    import math
+    import statistics
+    from collections import defaultdict
+
+    from dblab_ece_trino_spark.entrypoints import build_queries
+    from tests.conftest import SF_SMALL
+
+    row = build_queries()["op_runs_test"](spark, SF_SMALL).collect()[0]
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    daily = defaultdict(int)
+    for r in orders:
+        daily[r.o_orderdate.date() if hasattr(r.o_orderdate, "date") else r.o_orderdate] += round(
+            float(r.o_totalprice) * 100
+        )
+    med = statistics.median(daily.values())
+    seq = [1 if c > med else 0 for _, c in sorted(daily.items()) if c != med]
+    n1, n2 = sum(seq), len(seq) - sum(seq)
+    runs = 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+    assert (row.n1, row.n2, row.r) == (n1, n2, runs)
+    mean = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    assert abs(row.z_runs - (runs - mean) / math.sqrt(var)) < 1e-9
