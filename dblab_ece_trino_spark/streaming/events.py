@@ -67,6 +67,37 @@ def windowed_event_counts(
     )
 
 
+def hopping_event_counts(
+    stream: DataFrame,
+    window: str = "6 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked HOPPING-window rollup: each event lands in
+    window/slide overlapping windows; state for a window is evicted
+    when the watermark passes its end.  Same projection contract as
+    the batch entry op_hopping_window (operators/relational.py) —
+    stream/batch equality is pinned in tests/test_streaming.py, the
+    op_click_attribution discipline.  The exact decimal value sum is
+    kept inside the operator; the final cast to DOUBLE is render
+    parity only."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.expr("CAST(value AS DECIMAL(18,4))")).alias("__tv"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            F.col("__tv").cast("double").alias("total_value"),
+        )
+    )
+
+
 SESSION_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType(), False),

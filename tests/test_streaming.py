@@ -558,3 +558,37 @@ def test_pattern_match_stream_matches_batch_entry(spark, events_dir):
         want_hist[n] += 1
         want_pathsum[n] += len(g)
     assert hist == want_hist and pathsum == want_pathsum
+
+
+def test_hopping_counts_match_registered_batch_entry(spark, events_dir):
+    """Streaming hopping windows == the registered op_hopping_window
+    batch entry on the same events (complete mode drains everything),
+    including the x6 overlap expansion and the exact decimal sums."""
+    from dblab_ece_trino_spark.streaming.events import (
+        hopping_event_counts,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    stream = read_event_stream(spark, events_dir)
+    run_to_memory(hopping_event_counts(stream), "hop_counts", complete=True)
+    got = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in spark.table("hop_counts").collect()
+    }
+    ev = spark.read.parquet(events_dir)
+    batch = (
+        ev.groupBy(F.window("ts", "6 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.expr("CAST(value AS DECIMAL(18,4))"))
+            .cast("double")
+            .alias("tv"),
+        )
+        .collect()
+    )
+    want = {(r.w.start, r.event_type): (r.n, r.tv) for r in batch}
+    assert got == want
+    assert len(got) > 0
+    # every event contributes to exactly 6 windows
+    assert sum(n for n, _ in got.values()) == 6 * ev.count()
