@@ -70,6 +70,12 @@ HEADLINE = [
     "graph_shortest_path",
     "wh_cdc_apply",
     "sim_quantized_mips",
+    # round-5 final additions: the prefix-filter similarity join (the
+    # exact no-cap dedup tier), k-core peeling loop, and the
+    # histogram-form MAD (shared discrete-percentile machinery)
+    "dedup_prefix_filter",
+    "graph_kcore",
+    "op_mad_outliers",
 ]
 
 

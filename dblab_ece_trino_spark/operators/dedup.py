@@ -1047,3 +1047,90 @@ register(
     ORDER BY id_a, id_b
     """,
 )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 9,
+    t_num: int = 9,
+    t_den: int = 10,
+    max_shingle_df: int | str | None = None,
+) -> DataFrame:
+    """Asymmetric containment join: ordered pairs (a, b), a != b, with
+    |shingles(a) ∩ shingles(b)| >= t * |shingles(a)| — "a is mostly
+    contained in b".  The quote/boilerplate/superset detector: a short
+    document embedded in a long one has high containment but LOW
+    Jaccard (the union is dominated by the long side), so a
+    Jaccard-threshold dedup pass never sees it (Broder's distinction
+    between resemblance and containment, STOC 1997).
+
+    Same sparse shingle self-join shape as ngram_jaccard_pairs — one
+    shuffle on the shingle value — but emitted in BOTH directions and
+    thresholded per-side by exact integer cross-multiplication
+    (t = t_num/t_den; no float in any keep decision).  At scale the
+    stop-shingle economics of the Jaccard entry apply unchanged; this
+    entry runs uncapped at the graded SF so the oracle is exact;
+    production callers pass ``max_shingle_df="auto"`` (the same
+    corpus-relative cap, with the same documented precision semantics:
+    dropping stop-shingles shrinks |shingles(a)| too, so containment of
+    the remaining rare-shingle set rises).
+    """
+    sh = shingle_table(docs, id_col, text_col, n, "char")
+    if max_shingle_df == "auto":
+        max_shingle_df = max(50, docs.count() // 100)
+    if max_shingle_df is not None:
+        dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(
+            dfc.filter(F.col("df") <= max_shingle_df), "shingle"
+        ).drop("df")
+    sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.sid") != F.col("b.sid")),
+        )
+        .groupBy(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("sid", "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .filter(F.expr(f"{t_den} * inter >= {t_num} * sz_a"))
+        .select("id_a", "id_b", "inter", "sz_a")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(_docs(spark, sf_dir))
+
+
+register(
+    "dedup_containment",
+    _q_dedup_containment,
+    oracle=r"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS sid, substr(text, i, 9) AS shingle
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, greatest(length(text)-8, 1))) AS i)
+    ),
+    sizes AS (SELECT sid, count(*) AS sz FROM sh GROUP BY sid),
+    inter AS (
+      SELECT a.sid AS id_a, b.sid AS id_b, CAST(count(*) AS BIGINT) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid <> b.sid
+      GROUP BY a.sid, b.sid
+    )
+    SELECT id_a, id_b, inter, CAST(sa.sz AS BIGINT) AS sz_a
+    FROM inter
+    JOIN sizes sa ON sa.sid = id_a
+    WHERE 10 * inter >= 9 * sa.sz
+    ORDER BY id_a, id_b
+    """,
+)

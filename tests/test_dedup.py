@@ -224,3 +224,42 @@ def test_prefix_filter_candidates_prune(spark):
         .select("a.sid", "b.sid").distinct().count()
     )
     assert n_cand < n_docs * (n_docs - 1) // 2 // 2  # prunes >2x vs all-pairs
+
+
+def test_containment_is_asymmetric_and_superset_of_jaccard_twins(spark):
+    """Containment direction matters: pairs can qualify one way only;
+    every exact-text twin (Jaccard 1.0) appears in BOTH directions; and
+    every returned pair satisfies the integer threshold against a
+    python set recomputation."""
+    from dblab_ece_trino_spark.operators.dedup import containment_pairs
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    rows = containment_pairs(docs).collect()
+    assert len(rows) > 0
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    sets = {
+        d: {t[i : i + 9] for i in range(max(len(t) - 8, 1))}
+        for d, t in texts.items()
+    }
+    got = {(r.id_a, r.id_b) for r in rows}
+    for r in rows:
+        inter = len(sets[r.id_a] & sets[r.id_b])
+        assert r.inter == inter
+        assert r.sz_a == len(sets[r.id_a])
+        assert 10 * inter >= 9 * len(sets[r.id_a])
+    # exhaustive: nothing qualifying was missed
+    want = set()
+    ids = list(sets)
+    for x in ids:
+        for y in ids:
+            if x != y and 10 * len(sets[x] & sets[y]) >= 9 * len(sets[x]):
+                want.add((x, y))
+    assert got == want
+    twins = {
+        (x, y)
+        for x in ids
+        for y in ids
+        if x != y and texts[x] == texts[y]
+    }
+    assert twins <= got  # exact twins contained both ways
