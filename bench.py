@@ -76,6 +76,14 @@ HEADLINE = [
     "dedup_prefix_filter",
     "graph_kcore",
     "op_mad_outliers",
+    # round-6 additions: the ops newly seated in the grade window this
+    # round — hopping window (native sliding window), sharded quantile
+    # normalization, GDPR erasure audit, and the containment join on
+    # its new asymmetric prefix-filter plan (127s -> ~17s at sf0.1)
+    "op_hopping_window",
+    "llm_quantile_normalize",
+    "wh_gdpr_erasure",
+    "dedup_containment",
 ]
 
 
@@ -98,6 +106,7 @@ def main() -> None:
 
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
+    rows: dict[str, int] = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
@@ -110,6 +119,7 @@ def main() -> None:
 
         c, n = run()
         cold[name] = round(c, 3)
+        rows[name] = n
         warm[name] = round(min(run()[0] for _ in range(WARM_REPS)), 3)
         print(
             f"# {name}: cold {cold[name]}s, warm_min {warm[name]}s ({n} rows)",
@@ -122,6 +132,10 @@ def main() -> None:
         "unit": "sec",
         "queries": warm,
         "cold": cold,
+        # output cardinalities — for the similarity joins these are the
+        # verified pair counts, the denominator any per-pair cost claim
+        # in SCALE.md divides by
+        "rows": rows,
         "sf": sf,
     }
     print(json.dumps(out))

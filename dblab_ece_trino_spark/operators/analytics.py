@@ -797,6 +797,84 @@ register(
 )
 
 
+# Five-number boxplot summary per group — discrete Q1/Q3 (exact
+# percentile_disc semantics from the shared weighted-histogram rank,
+# the op_winsorize/op_mad_outliers machinery), integer IQR, and the
+# Tukey 1.5-IQR outlier count with the fence test kept in EXACT
+# integers (2*c < 2*q1 - 3*iqr, avoiding the half-unit float): the
+# per-group profile every quality dashboard draws, and the third
+# consumer of grouped_disc_thresholds — the histogram frame is the
+# bounded price grid, so the form stays flat as the corpus grows.
+def _q_boxplot_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    li = engine_for(spark, sf_dir).catalogs.table("psql.tpch.lineitem")
+    cents = li.select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").alias("c"),
+    )
+    vf = cents.groupBy("l_returnflag", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    qs = grouped_disc_thresholds(
+        vf, "l_returnflag", "c", {"q1": (1, 4), "med": (1, 2), "q3": (3, 4)}
+    )
+    return (
+        cents.join(F.broadcast(qs), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("q1").cast("long").alias("q1_cents"),
+            F.max("med").cast("long").alias("median_cents"),
+            F.max("q3").cast("long").alias("q3_cents"),
+            (F.max("q3") - F.max("q1")).cast("long").alias("iqr_cents"),
+            F.count_if(
+                (2 * F.col("c") < 2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1")))
+                | (2 * F.col("c") > 2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1")))
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register(
+    "op_boxplot_stats",
+    _q_boxplot_stats,
+    oracle="""
+    WITH cents AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+      FROM lineitem
+    ),
+    qs AS (
+      SELECT l_returnflag,
+             CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY c)
+               AS BIGINT) AS q1,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c)
+               AS BIGINT) AS med,
+             CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY c)
+               AS BIGINT) AS q3
+      FROM cents GROUP BY l_returnflag
+    )
+    SELECT c.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(q.q1) AS BIGINT) AS q1_cents,
+           CAST(max(q.med) AS BIGINT) AS median_cents,
+           CAST(max(q.q3) AS BIGINT) AS q3_cents,
+           CAST(max(q.q3) - max(q.q1) AS BIGINT) AS iqr_cents,
+           CAST(count_if(
+             2 * c.c < 2 * q.q1 - 3 * (q.q3 - q.q1)
+             OR 2 * c.c > 2 * q.q3 + 3 * (q.q3 - q.q1)
+           ) AS BIGINT) AS n_outliers
+    FROM cents c JOIN qs q ON c.l_returnflag = q.l_returnflag
+    GROUP BY c.l_returnflag
+    ORDER BY c.l_returnflag
+    """,
+)
+
+
 # Wald–Wolfowitz runs test on the daily-revenue series: is the sequence
 # of above/below-median days random, or does it trend/cluster?  The
 # series frame is calendar-bounded (~2500 rows at any corpus size —

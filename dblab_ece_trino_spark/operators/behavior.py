@@ -754,3 +754,118 @@ def _register_ab_test() -> None:
 
 
 _register_ab_test()
+
+
+def _q_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the classic sweep-line over
+    session intervals (+1 at each session start, -1 at its exclusive
+    end, running sum, per-day max): the capacity-planning readout on
+    top of the session_window operator.
+
+    Sessions crossing midnight are CLAMPED to day boundaries via a
+    bounded date explode (a session spans a handful of days at a
+    30-minute idle gap), so the running-sum window partitions BY DAY —
+    never a global sweep: per-day delta frames are two narrow rows per
+    session, and days parallelize perfectly at any corpus size.  Tie
+    policy: at an identical instant, ends sort before starts
+    (delta ASC), so back-to-back sessions never count as concurrent;
+    the per-day MAX of the running sum is invariant to the order
+    within equal (instant, delta) rows, so the result is deterministic
+    on both engines without a unique sort key.  All integer counts.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.streaming.events import session_window_counts
+
+    cat = engine_for(spark, sf_dir).catalogs
+    sess = session_window_counts(cat.table("elastic.default.events")).select(
+        "user_id", "session_start", "session_end"
+    )
+    spans = sess.withColumn(
+        "day",
+        F.explode(
+            F.sequence(
+                F.to_date("session_start"),
+                F.to_date(F.col("session_end") - F.expr("INTERVAL 1 MICROSECOND")),
+            )
+        ),
+    )
+    deltas = spans.select(
+        "day",
+        F.greatest(
+            F.col("session_start"), F.col("day").cast("timestamp_ntz")
+        ).alias("pt"),
+        F.lit(1).alias("delta"),
+    ).unionAll(
+        spans.select(
+            "day",
+            F.least(
+                F.col("session_end"),
+                F.date_add(F.col("day"), 1).cast("timestamp_ntz"),
+            ).alias("pt"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("pt", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        deltas.withColumn("cur", F.sum("delta").over(w))
+        .groupBy("day")
+        .agg(
+            F.expr("count(*) div 2").cast("long").alias("n_sessions"),
+            F.max("cur").cast("long").alias("peak_concurrency"),
+        )
+        .orderBy("day")
+    )
+
+
+register(
+    "op_concurrency_sweep",
+    _q_concurrency_sweep,
+    oracle="""
+    WITH m AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    g AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sess
+      FROM m),
+    sess AS (
+      SELECT user_id, sess,
+             min(ts) AS s, max(ts) + INTERVAL 30 MINUTE AS e
+      FROM g GROUP BY user_id, sess),
+    spans AS (
+      SELECT s, e, CAST(t.dd AS DATE) AS day
+      FROM sess,
+           LATERAL (SELECT unnest(generate_series(
+             CAST(s AS DATE),
+             CAST(e - INTERVAL 1 MICROSECOND AS DATE),
+             INTERVAL 1 DAY)) AS dd) t),
+    deltas AS (
+      SELECT day, greatest(s, CAST(day AS TIMESTAMP)) AS pt, 1 AS delta
+      FROM spans
+      UNION ALL
+      SELECT day, least(e, CAST(day + INTERVAL 1 DAY AS TIMESTAMP)) AS pt,
+             -1 AS delta
+      FROM spans),
+    run AS (
+      SELECT day,
+             sum(delta) OVER (PARTITION BY day ORDER BY pt, delta
+                              ROWS UNBOUNDED PRECEDING) AS cur
+      FROM deltas)
+    SELECT day,
+           CAST(count(*) // 2 AS BIGINT) AS n_sessions,
+           CAST(max(cur) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY day ORDER BY day
+    """,
+)

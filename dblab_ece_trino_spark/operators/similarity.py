@@ -744,3 +744,126 @@ register(
     SELECT qid, cid, qip, rank FROM ranked WHERE rank <= 5
     """,
 )
+
+
+# ------------------------------------------------- epsilon-ball search
+def epsilon_ball_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    t_num: int = 1,
+    t_den: int = 4,
+    levels: int = 255,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Range similarity search: ALL corpus vectors whose quantized inner
+    product with a query reaches ``t_num/t_den`` of the query's own
+    self-product — the threshold companion to the top-k MIPS entries
+    (retrieval wants "everything at least this similar", dedup wants a
+    radius, top-k wants a count; a complete ANN surface needs both).
+
+    Quantization is CENTERED scalar quantization: one global (min, max)
+    pair, codes = floor((x - mid) / s + 0.5) with mid = (mn+mx)/2 —
+    signed int8-range codes, so inner products behave like centered
+    correlations and the relative threshold discriminates (the
+    min-anchored codes of sim_quantized_mips are all-positive, which
+    a self-relative threshold cannot separate).  The KEEP DECISION is
+    pure integer cross-multiplication over exact integer sums:
+    t_den * (sum q_a q_b) >= t_num * (sum q_q q_q) — associative under
+    any partitioning, bit-identical on both engines; no float ever
+    feeds it (the quantized-MIPS discipline, taken one step further:
+    this entry never even computes a float score).
+
+    Shape: one corpus scan, broadcast quantized queries, integer
+    zip_with dot, filter — no window, no shuffle after the join at any
+    corpus size.  Two bounded driver scalars (global min/max).
+    """
+    from dblab_ece_trino_spark.session import ensure_parallelism
+
+    corpus = ensure_parallelism(corpus)
+    row = (
+        corpus.select(_as_double(F.col(vec_col)).alias("v"))
+        .agg(
+            F.min(F.array_min("v")).alias("mn"),
+            F.max(F.array_max("v")).alias("mx"),
+        )
+        .collect()[0]
+    )
+    mn, mx = float(row["mn"]), float(row["mx"])
+    mid = (mn + mx) / 2.0
+    s_unit = (mx - mn) / float(levels)
+
+    def codes(col):
+        return F.transform(
+            _as_double(col),
+            lambda x: F.floor((x - F.lit(mid)) / F.lit(s_unit) + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+
+    c = corpus.select(F.col(id_col).alias("cid"), codes(F.col(vec_col)).alias("cc"))
+    q = queries.select(
+        F.col(id_col).alias("qid"), codes(F.col(vec_col)).alias("qc")
+    ).withColumn(
+        "sqq",
+        F.aggregate(
+            F.zip_with(F.col("qc"), F.col("qc"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        ),
+    )
+    sab = F.aggregate(
+        F.zip_with(F.col("qc"), F.col("cc"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    return (
+        c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .withColumn("sab", sab)
+        .filter(F.expr(f"{t_den} * sab >= {t_num} * sqq"))
+        .select("qid", "cid", F.col("sab").cast("long"), F.col("sqq").cast("long"))
+        .orderBy("qid", "cid")
+    )
+
+
+def _q_sim_epsilon_ball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return epsilon_ball_search(emb, emb.filter(F.col("vec_id") < 8))
+
+
+register(
+    "sim_epsilon_ball",
+    _q_sim_epsilon_ball,
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, t.i AS dim, CAST(embedding[t.i + 1] AS DOUBLE) AS val
+      FROM embeddings, range(64) t(i)
+    ),
+    st AS (
+      SELECT (min(val) + max(val)) / 2 AS mid,
+             (max(val) - min(val)) / 255 AS s
+      FROM dims
+    ),
+    codes AS (
+      SELECT d.vec_id, d.dim,
+             CAST(floor((d.val - st.mid) / st.s + 0.5) AS BIGINT) AS q
+      FROM dims d CROSS JOIN st
+    ),
+    selfdot AS (
+      SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS sqq
+      FROM codes GROUP BY vec_id
+    ),
+    pairs AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid,
+             CAST(sum(a.q * b.q) AS BIGINT) AS sab
+      FROM codes a
+      JOIN codes b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 8
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT p.qid, p.cid, p.sab, s.sqq
+    FROM pairs p JOIN selfdot s ON s.vec_id = p.qid
+    WHERE 4 * p.sab >= 1 * s.sqq
+    ORDER BY p.qid, p.cid
+    """,
+)

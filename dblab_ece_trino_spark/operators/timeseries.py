@@ -735,6 +735,64 @@ def _register_mann_kendall() -> None:
 _register_mann_kendall()
 
 
+def _register_theil_sen() -> None:
+    """Theil–Sen robust trend slope over the global monthly-revenue
+    series — the median of all pairwise slopes (Theil 1950; Sen 1968),
+    the estimator that pairs with ts_mann_kendall's trend *test*: MK
+    says WHETHER the series trends, Theil–Sen says HOW FAST, robust to
+    ~29% outlier contamination where OLS is robust to none.
+
+    Exactness: monthly revenue is exact integer cents, so each pairwise
+    slope (c_j - c_i) / (j - i) is ONE per-row IEEE division of exact
+    integers — correctly rounded, bit-identical on both engines — and
+    the median is DISCRETE (the lo/hi middle elements under a total
+    order on (slope, i, j), the op_runs_test idiom), so no float ever
+    feeds a keep decision or an aggregate sum.  Reported as slope_lo /
+    slope_hi (equal when the pair count is odd).
+
+    Scale: the pair self-join and the ranking window run on the
+    AGGREGATED month frame (~84 rows -> ~3.5k pairs at any corpus
+    size) — the fact scan is the only corpus term, the ts_mann_kendall
+    economics exactly.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    tpl = """
+    WITH monthly AS (
+      SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS mix,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS cents
+      FROM {orders}
+      GROUP BY (year(o_orderdate) * 12 + month(o_orderdate) - 1)
+    ),
+    pairs AS (
+      SELECT a.mix AS i, b.mix AS j,
+             CAST(b.cents - a.cents AS DOUBLE)
+               / CAST(b.mix - a.mix AS DOUBLE) AS slope
+      FROM monthly a JOIN monthly b ON a.mix < b.mix
+    ),
+    ranked AS (
+      SELECT slope,
+             row_number() OVER (ORDER BY slope, i, j) AS rn,
+             count(*) OVER () AS n
+      FROM pairs
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_pairs,
+           max(CASE WHEN 2 * rn <= n + 1 THEN slope END) AS slope_lo,
+           min(CASE WHEN 2 * rn >= n + 1 THEN slope END) AS slope_hi
+    FROM ranked
+    """
+    register_sql(
+        "ts_theil_sen",
+        tpl.format(**_SPARK_TABLES),
+        tpl.format(**_ORACLE_TABLES),
+    )
+
+
+_register_theil_sen()
+
+
 def _register_rolling_corr() -> None:
     """Trailing-28-day Pearson correlation between daily revenue and
     daily shipped quantity, per return flag — the rolling co-movement
