@@ -648,3 +648,179 @@ register(
     ORDER BY media_id
     """,
 )
+
+
+# ------------------------------------------------------ REAL BMP codec
+# Third natively-decoded modality: uncompressed 24-bit BI_RGB Windows
+# BMP.  Where PPM is an ASCII-header/RGB/top-down format, BMP exercises
+# the other half of real image parsing: little-endian BINARY headers
+# (BITMAPFILEHEADER + BITMAPINFOHEADER), a pixel-data OFFSET read from
+# the header (not assumed), BOTTOM-UP row order, BGR channel order, and
+# 4-byte ROW PADDING.  The graded entry's widths cycle through all four
+# padding residues (pad = 1, 2, 3, 0 bytes), the per-channel gradient
+# formulas differ (a BGR/RGB swap cannot cancel), and the reported
+# statistics include a y-WEIGHTED channel sum (plain sums are invariant
+# under a forgotten vertical flip; the weighted sum is not) — so the
+# closed-form DuckDB oracle, which never sees a byte, catches stride,
+# offset, flip, padding, and channel-order bugs individually.
+def encode_bmp(width: int, height: int, pixel_fn) -> bytes:
+    """Build a real bottom-up 24-bit BI_RGB BMP; pixel_fn(x, y) -> (r, g, b)
+    with y=0 the TOP row (the decoder returns top-down arrays)."""
+    import struct
+
+    import numpy as np
+
+    stride = (3 * width + 3) // 4 * 4
+    arr = np.zeros((height, width, 3), dtype=np.uint8)
+    for y in range(height):
+        for x in range(width):
+            arr[y, x] = pixel_fn(x, y)
+    rows = []
+    pad = b"\x00" * (stride - 3 * width)
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        rows.append(arr[y, :, ::-1].tobytes() + pad)  # BGR on disk
+    body = b"".join(rows)
+    off = 14 + 40
+    file_hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+    )
+    return file_hdr + info_hdr + body
+
+
+def decode_bmp(payload: bytes):
+    """Pure-numpy 24-bit BI_RGB BMP decoder: returns (width, height,
+    HxWx3 uint8 RGB array, top-down).
+
+    Reads the pixel offset from the file header (never assumes 54),
+    validates bpp/compression, honors the 4-byte row stride, flips the
+    bottom-up rows, and swaps BGR -> RGB.  Top-down files (negative
+    height) are handled; truncation errors out rather than returning
+    garbage rows.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    hdr_size, width, height = struct.unpack("<Iii", payload[14:26])
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit supported, got {bpp}bpp/c{compression}")
+    top_down = height < 0
+    height = abs(height)
+    stride = (3 * width + 3) // 4 * 4
+    expected = stride * height
+    if len(payload) - data_off < expected:
+        raise ValueError(
+            f"truncated BMP payload: need {expected} pixel bytes, "
+            f"have {len(payload) - data_off}"
+        )
+    raw = np.frombuffer(payload, dtype=np.uint8, count=expected, offset=data_off)
+    rows = raw.reshape(height, stride)[:, : 3 * width].reshape(height, width, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return width, height, rows[:, :, ::-1]  # BGR -> RGB
+
+
+_BMP_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("ysum_r", T.LongType(), True),
+    ]
+)
+
+_N_BMP = 20
+
+
+def _bmp_payloads(spark: SparkSession, n: int = _N_BMP) -> DataFrame:
+    """n deterministic gradient images as REAL BMP payloads; widths
+    17..20 cycle all four row-padding residues."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 17 + i % 4, 9 + i % 3
+                payload = encode_bmp(
+                    w,
+                    h,
+                    lambda x, y, i=i: (
+                        (x * 11 + y * 5 + i) % 256,
+                        (x * 3 + y * 13 + 2 * i) % 256,
+                        (x * 9 + y * 7 + 3 * i) % 256,
+                    ),
+                )
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+
+
+def bmp_pixel_stats(media: DataFrame) -> DataFrame:
+    """Decode real BMP payloads; exact channel sums + a flip-sensitive
+    y-weighted red sum."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, arr = decode_bmp(bytes(payload))
+                sums = arr.reshape(-1, 3).sum(axis=0, dtype="int64")
+                ys = np.arange(h, dtype="int64")
+                ysum_r = int((arr[:, :, 0].sum(axis=1, dtype="int64") * ys).sum())
+                out.append(
+                    (int(mid), w, h, int(sums[0]), int(sums[1]), int(sums[2]), ysum_r)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height",
+                    "sum_r", "sum_g", "sum_b", "ysum_r",
+                ],
+            )
+
+    return media.mapInPandas(stats, _BMP_STATS_SCHEMA)
+
+
+def _q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bmp_pixel_stats(_bmp_payloads(spark)).orderBy("media_id")
+
+
+register(
+    "multimodal_bmp_decode",
+    _q_bmp_decode,
+    oracle=f"""
+    WITH dims AS (
+      SELECT i, 17 + i % 4 AS w, 9 + i % 3 AS h
+      FROM range({_N_BMP}) t(i)
+    ),
+    px AS (
+      SELECT i, w, h, x, y
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+    )
+    SELECT i AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum((x * 11 + y * 5 + i) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((x * 3 + y * 13 + 2 * i) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((x * 9 + y * 7 + 3 * i) % 256) AS BIGINT) AS sum_b,
+           CAST(sum(y * ((x * 11 + y * 5 + i) % 256)) AS BIGINT) AS ysum_r
+    FROM px
+    GROUP BY i, w, h
+    ORDER BY media_id
+    """,
+)

@@ -56,6 +56,31 @@ def main() -> None:
     texts: list[str] = []
     sources = np.array(["web", "news", "forum", "code"])
     rows_src: list[str] = []
+    if N_DOCS > 20_000:
+        # Vectorized path for the x100-scale corpus: per-doc word draws
+        # via one searchsorted over the Zipf CDF (the scalar path's
+        # per-word rng.choice(p=...) is O(V) per draw — infeasible at
+        # 500k docs).  Same distribution family, deterministic under
+        # the same seed; a different stream than the scalar path, so
+        # small-corpus rows measured earlier stay reproducible there.
+        cdf = np.cumsum(probs)
+        words_per_doc = TARGET_CHARS // 7 + 1  # ~avg word+space
+        idx = np.searchsorted(cdf, rng.random((N_DOCS, words_per_doc)))
+        word_matrix = vocab_arr[np.clip(idx, 0, VOCAB - 1)]
+        texts = [" ".join(row) for row in word_matrix]
+        dup_mask = rng.random(N_DOCS) < DUP_RATE
+        dup_mask[0] = False
+        for i in np.nonzero(dup_mask)[0]:
+            base = texts[int(rng.integers(0, i))].split()
+            n_mut = max(1, len(base) // 20)
+            for _ in range(n_mut):
+                base[int(rng.integers(0, len(base)))] = str(
+                    vocab_arr[int(np.searchsorted(cdf, rng.random()))]
+                )
+            texts[i] = " ".join(base)
+        rows_src = [str(s) for s in sources[rng.integers(0, len(sources), N_DOCS)]]
+        _write(texts, rows_src)
+        return
     for i in range(N_DOCS):
         if i > 0 and rng.random() < DUP_RATE:
             # near-dup: clone an earlier doc, mutate ~5% of its words
@@ -75,20 +100,24 @@ def main() -> None:
                 total += len(w) + 1
             texts.append(" ".join(words))
         rows_src.append(str(sources[int(rng.integers(0, len(sources)))]))
+    _write(texts, rows_src)
 
+
+def _write(texts: list[str], rows_src: list[str]) -> None:
     os.makedirs(OUT, exist_ok=True)
+    n = len(texts)
     tbl = pa.table(
         {
-            "doc_id": pa.array(range(N_DOCS), type=pa.int64()),
+            "doc_id": pa.array(range(n), type=pa.int64()),
             "text": pa.array(texts),
-            "lang": pa.array(["en"] * N_DOCS),
+            "lang": pa.array(["en"] * n),
             "source": pa.array(rows_src),
             "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
         }
     )
     pq.write_table(tbl, os.path.join(OUT, "documents.parquet"))
     print(
-        f"# wrote {N_DOCS} docs, vocab={VOCAB} zipf(s={ZIPF_S}), "
+        f"# wrote {n} docs, vocab={VOCAB} zipf(s={ZIPF_S}), "
         f"dup_rate={DUP_RATE} -> {OUT}/documents.parquet"
     )
 

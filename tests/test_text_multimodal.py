@@ -226,3 +226,47 @@ def test_wav_decode_walks_extra_chunks_and_rejects_corruption():
     bad[22:24] = struct.pack("<H", 2)
     with _pytest.raises(ValueError, match="mono"):
         decode_wav(bytes(bad))
+
+
+def test_bmp_roundtrip_padding_flip_and_rejection():
+    """The BMP parser must honor the header's pixel offset, the 4-byte
+    row stride at every padding residue, the bottom-up row order, and
+    the BGR byte order; truncation and unsupported formats raise."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from dblab_ece_trino_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    for w0 in (17, 18, 19, 20):  # pads 1, 2, 3, 0
+        payload = encode_bmp(w0, 3, lambda x, y: (x % 256, (2 * y) % 256, 9))
+        w, h, arr = decode_bmp(payload)
+        assert (w, h) == (w0, 3)
+        assert arr[1, 5].tolist() == [5, 2, 9]  # top-down RGB restored
+    payload = encode_bmp(5, 4, lambda x, y: (x, y, x + y))
+    w, h, arr = decode_bmp(payload)
+    assert arr[0, 0].tolist() == [0, 0, 0] and arr[3, 4].tolist() == [4, 3, 7]
+    # grow the declared pixel offset: parser must read it, not assume 54
+    (off,) = struct.unpack("<I", payload[10:14])
+    moved = bytearray(payload[:off] + b"\xab\xcd" + payload[off:])
+    moved[10:14] = struct.pack("<I", off + 2)
+    w2, h2, arr2 = decode_bmp(bytes(moved))
+    assert np.array_equal(arr, arr2)
+    # top-down variant (negative height) decodes to the same array
+    td = bytearray(payload)
+    td[22:26] = struct.pack("<i", -4)
+    stride = (3 * 5 + 3) // 4 * 4
+    body = payload[off:]
+    rows = [body[i * stride:(i + 1) * stride] for i in range(4)]
+    td_payload = bytes(td[:off]) + b"".join(reversed(rows))
+    w3, h3, arr3 = decode_bmp(td_payload)
+    assert np.array_equal(arr, arr3)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp(payload[:-3])
+    with _pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"XX" + payload[2:])
+    bad = bytearray(payload)
+    bad[28:30] = struct.pack("<H", 8)  # 8bpp palette
+    with _pytest.raises(ValueError, match="24-bit"):
+        decode_bmp(bytes(bad))
