@@ -686,3 +686,92 @@ def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
 
 
 register("graph_kcore", _q_kcore, oracle=_kcore_oracle())
+
+
+# ------------------------------------------------- degree assortativity
+def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-order graph — the Newman (2002)
+    degree-correlation coefficient: Pearson r over (deg(u), deg(v)) of
+    every directed edge.  Answers "do popular parts co-sell with other
+    popular parts (assortative, r > 0) or with the long tail
+    (disassortative, r < 0)?" — the mixing diagnostic that decides
+    whether hub-based partitioning strategies pay off.
+
+    Exactness: every moment (edge count M, Σka, Σka·kb, Σka²) is an
+    exact BIGINT over the SYMMETRIZED edge list (by symmetry
+    Σka = Σkb and Σka² = Σkb², so the coefficient reduces to
+    (M·Σkakb − (Σka)²) / (M·Σka² − (Σka)²)); the final r is one
+    per-row IEEE expression over those integers, identical text on
+    both engines, NULL on regular graphs via an exact zero guard.
+    Shape: the bounded per-order pair explode builds edges once
+    (materialized — both the symmetrize union branches consume it),
+    one degree agg, two broadcast-scale degree joins, one global agg.
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    edges = materialize(coorder_pairs(_li(spark, sf_dir)))
+    sym = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("k")).withColumnRenamed(
+        "u", "node"
+    )
+    j = (
+        sym.join(
+            deg.select(F.col("node").alias("u"), F.col("k").alias("ka")), "u"
+        ).join(
+            deg.select(F.col("node").alias("v"), F.col("k").alias("kb")), "v"
+        )
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("m_directed"),
+        F.sum("ka").cast("long").alias("sum_ka"),
+        F.sum(F.col("ka") * F.col("kb")).cast("long").alias("sum_kakb"),
+        F.sum(F.col("ka") * F.col("ka")).cast("long").alias("sum_ka2"),
+    )
+    return agg.selectExpr(
+        "m_directed",
+        "sum_ka",
+        "sum_kakb",
+        "sum_ka2",
+        "(CAST(m_directed AS DOUBLE) * sum_kakb"
+        " - CAST(sum_ka AS DOUBLE) * sum_ka)"
+        " / nullif(CAST(m_directed AS DOUBLE) * sum_ka2"
+        " - CAST(sum_ka AS DOUBLE) * sum_ka, 0.0) AS assortativity",
+    )
+
+
+register(
+    "graph_assortativity",
+    _q_assortativity,
+    oracle=f"""
+    WITH {_PAIRS_CTE},
+    sym AS (
+      SELECT u, v FROM pairs
+      UNION ALL
+      SELECT v AS u, u AS v FROM pairs
+    ),
+    deg AS (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS k FROM sym GROUP BY u
+    ),
+    j AS (
+      SELECT da.k AS ka, db.k AS kb
+      FROM sym s
+      JOIN deg da ON da.node = s.u
+      JOIN deg db ON db.node = s.v
+    ),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS m_directed,
+             CAST(sum(ka) AS BIGINT) AS sum_ka,
+             CAST(sum(ka * kb) AS BIGINT) AS sum_kakb,
+             CAST(sum(ka * ka) AS BIGINT) AS sum_ka2
+      FROM j
+    )
+    SELECT m_directed, sum_ka, sum_kakb, sum_ka2,
+           (CAST(m_directed AS DOUBLE) * sum_kakb
+              - CAST(sum_ka AS DOUBLE) * sum_ka)
+             / nullif(CAST(m_directed AS DOUBLE) * sum_ka2
+              - CAST(sum_ka AS DOUBLE) * sum_ka, 0.0) AS assortativity
+    FROM a
+    """,
+)

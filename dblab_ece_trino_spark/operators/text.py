@@ -645,3 +645,79 @@ register(
     ORDER BY 1
     """,
 )
+
+
+# --------------------------------------------- character-diversity filter
+def char_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Simpson diversity of the character distribution —
+    the LOG-FREE repetition/garbage detector: a doc dominated by one
+    repeated character (or a tiny alphabet) has collision probability
+    Σp² near 1 and diversity 1 − Σp² near 0, which is the curation
+    signal entropy filters chase, WITHOUT entropy's logarithms.  Chosen
+    deliberately: log/log2 are not IEEE-correctly-rounded, so a
+    Shannon form would ride on cross-engine libm agreement; here the
+    collision numerator Σ cnt² and the totals are EXACT BIGINTs
+    (associative under any partitioning) and the only float is one
+    final per-row division — bit-stable everywhere (the Rényi-2 /
+    collision-entropy trick).
+
+    Shape at 100 TB: one character explode (the token-count economics,
+    linear in corpus bytes), one (doc, char) hash agg with map-side
+    combine (per-doc alphabet-bounded), one per-doc agg — no windows,
+    no joins.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = toks.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_chars_counted"),
+            F.count(F.lit(1)).cast("long").alias("distinct_chars"),
+            F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("coll_num"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_chars_counted",
+            "distinct_chars",
+            "coll_num",
+            "1.0 - CAST(coll_num AS DOUBLE)"
+            " / (CAST(n_chars_counted AS DOUBLE) * n_chars_counted)"
+            " AS simpson_diversity",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bounded id-slice for a constant-size graded result; the statistic
+    # is per-doc, so the slice is exactly the full op's first rows
+    return char_diversity(_docs(spark, sf_dir).filter(F.col("doc_id") < 100))
+
+
+register(
+    "text_char_diversity",
+    _q_char_diversity,
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, substr(text, t.i, 1) AS ch
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) t
+      WHERE doc_id < 100
+    ),
+    counts AS (
+      SELECT doc_id, ch, count(*) AS cnt FROM toks GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_chars_counted,
+           CAST(count(*) AS BIGINT) AS distinct_chars,
+           CAST(sum(cnt * cnt) AS BIGINT) AS coll_num,
+           1.0 - CAST(sum(cnt * cnt) AS DOUBLE)
+             / (CAST(sum(cnt) AS DOUBLE) * sum(cnt)) AS simpson_diversity
+    FROM counts
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
