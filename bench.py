@@ -84,6 +84,14 @@ HEADLINE = [
     "llm_quantile_normalize",
     "wh_gdpr_erasure",
     "dedup_containment",
+    # round-6 new operators
+    "ts_theil_sen",
+    "op_boxplot_stats",
+    "op_concurrency_sweep",
+    "sim_epsilon_ball",
+    "multimodal_bmp_decode",
+    "graph_assortativity",
+    "text_char_diversity",
 ]
 
 

@@ -845,3 +845,56 @@ def _register_gdpr_erasure() -> None:
 
 
 _register_gdpr_erasure()
+
+
+# ----------------------------------------- incremental view maintenance
+def _q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the per-status rollup under the shared
+    CDC log: the materialized-view delta algebra (retract the old
+    contribution of every changed key, add its new one, merge into the
+    stored aggregate) — and the driver oracle is the FULL RECOMPUTE
+    (wh_cdc_apply's rollup), so a green row proves the IVM identity
+    maintained ≡ recomputed BY VALUE, not by construction.
+
+    Work shape — the whole point of IVM at 100 TB: the base aggregate
+    is metadata-scale (one row per group), the stored per-key snapshot
+    is touched only via one keyed join against the CHANGED keys, and
+    every other operation is proportional to |delta|, never |base|.
+    The recompute the oracle performs (full log, per-key window) is
+    exactly the cost this operator avoids.  All prices ride in DECIMAL
+    (exact merge under any partitioning); counts are BIGINTs.
+    """
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    o = engine_for(spark, sf_dir).catalogs.table("mongodb.tpch.orders")
+    log = _synthetic_cdc_log(o)
+    base_live = log.filter(F.col("seq") == 1)  # stored snapshot (all keys I)
+    base_agg = base_live.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("dn"),
+        F.sum("price").alias("dprice"),
+    )
+    delta = log.filter(F.col("seq") >= 2)
+    changed = latest_by_key(delta, ["k"], "seq")
+    old = base_live.join(changed.select("k"), "k", "left_semi")
+    retract = old.select(
+        "status", F.lit(-1).cast("long").alias("dn"), (-F.col("price")).alias("dprice")
+    )
+    add = changed.filter(F.col("op") != F.lit("D")).select(
+        "status", F.lit(1).cast("long").alias("dn"), F.col("price").alias("dprice")
+    )
+    merged = (
+        base_agg.select("status", "dn", "dprice")
+        .unionByName(retract)
+        .unionByName(add)
+        .groupBy("status")
+        .agg(
+            F.sum("dn").cast("long").alias("n_live"),
+            (F.sum("dprice") * 10000).cast("long").alias("total_price_e4"),
+        )
+    )
+    return merged.filter(F.col("n_live") > 0).orderBy("status")
+
+
+# The oracle is wh_cdc_apply's full recompute, verbatim: maintained
+# aggregate == recomputed aggregate is the invariant being graded.
+register("wh_incremental_agg", _q_incremental_agg, oracle=_cdc_oracle())

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""x100 replica spot-check for the top bench-headline operators.
+
+Builds a 100-replica lineitem (re-keyed l_orderkey per replica, the
+scale_check.py protocol — part keys NOT re-strided, so the co-order
+graph densifies; frame the graph rows accordingly) plus a 100x Zipfian
+documents corpus (scripts/zipf_corpus.py 500000), then times:
+
+- dedup_prefix_filter on the REPRESENTATIVE 500k-doc Zipf corpus (the
+  round-5 verdict's "post item 4" framing: the x100 replica of the
+  31-word fixture is dominated by the clone-quadratic output artifact,
+  so the representative corpus is the honest x100 probe for the join),
+- op_mad_outliers and graph_kcore on the x100 lineitem replicas.
+
+Usage: python3 scripts/scale_x100.py [build|run|all]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = "/tmp/scale_check_x100"
+ZIPF = "/tmp/zipf_corpus_x100"
+MULT = 100
+OFFSET = 10_000_000
+
+
+def build(eng) -> None:
+    os.makedirs(DST, exist_ok=True)
+    df = eng.catalogs._read_parquet(os.path.join(SRC, "lineitem.parquet"))
+    replicas = []
+    for i in range(MULT):
+        replicas.append(df.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * OFFSET)))
+    out = replicas[0]
+    for r in replicas[1:]:
+        out = out.unionByName(r)
+    out.write.mode("overwrite").parquet(os.path.join(DST, "lineitem.parquet"))
+
+
+def run(eng) -> None:
+    from dblab_ece_trino_spark.operators.analytics import _q_mad_outliers
+    from dblab_ece_trino_spark.operators.dedup import prefix_filter_pairs
+    from dblab_ece_trino_spark.operators.registry import spark_queries
+
+    spark = eng.spark
+    qs = spark_queries()
+    # MAD + k-core read lineitem through the catalog layout; register a
+    # shim dir holding only the replicated table plus passthrough dims
+    for t in ("orders", "customer", "nation", "region", "part", "supplier",
+              "events", "documents", "embeddings"):
+        src = os.path.join(SRC, f"{t}.parquet")
+        dst = os.path.join(DST, f"{t}.parquet")
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(src, dst)
+    for name in ("op_mad_outliers", "graph_kcore"):
+        t0 = time.monotonic()
+        n = qs[name](spark, DST).count()
+        print(f"RES {name} x100: {time.monotonic()-t0:.1f}s ({n} rows)", flush=True)
+    docs = spark.read.parquet(os.path.join(ZIPF, "documents.parquet"))
+    t0 = time.monotonic()
+    n = prefix_filter_pairs(docs).count()
+    print(f"RES dedup_prefix_filter zipf-x100 (500k docs): "
+          f"{time.monotonic()-t0:.1f}s ({n} pairs)", flush=True)
+
+
+def main() -> None:
+    from dblab_ece_trino_spark.session import EngineSession
+
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    eng = EngineSession.get(app_name="scale_x100")
+    eng.spark.sparkContext.setLogLevel("ERROR")
+    # replica-sweep mitigation documented in SCALE.md round 6: AQE's
+    # runtime shuffle->broadcast conversion misjudges post-checkpoint
+    # frames at this scale
+    eng.spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    if mode in ("build", "all"):
+        t0 = time.monotonic()
+        build(eng)
+        print(f"# x100 lineitem synthesized in {time.monotonic()-t0:.1f}s", flush=True)
+    if mode in ("run", "all"):
+        run(eng)
+    eng.spark.stop()
+
+
+if __name__ == "__main__":
+    main()
