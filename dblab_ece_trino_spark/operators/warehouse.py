@@ -898,3 +898,148 @@ def _q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The oracle is wh_cdc_apply's full recompute, verbatim: maintained
 # aggregate == recomputed aggregate is the invariant being graded.
 register("wh_incremental_agg", _q_incremental_agg, oracle=_cdc_oracle())
+
+
+# ------------------------------------------------------ clustering depth
+def _register_clustering_depth() -> None:
+    """Clustering-depth audit — the Delta/Iceberg OPTIMIZE metric that
+    quantifies how badly file zone ranges overlap on the clustering
+    key: depth(file) = number of same-source files whose [min, max]
+    doc_id range overlaps it.  A point lookup must open ``depth`` files,
+    so depth is the read-amplification number Z-ordering / range
+    clustering exists to drive to 1.  Reported for the SAME rows under
+    both layouts (the wh_zone_map_pruning contrast, applied to the
+    overlap metric): md5-hash-bucketed files interleave the id space
+    (every range spans everything -> depth = n_files), range-bucketed
+    files are disjoint by construction (depth = 1) — the measured WHY
+    of clustered writes.
+
+    Metadata-scale: files are one row each (the manifest, not the
+    data), so the overlap self-joins are bounded by files-per-source
+    squared — at 100 TB that is manifest work.  The Spark side is
+    DataFrame code with an explicit materialize() of the assignment
+    frame: the pure-SQL form re-derived the document scan once per CTE
+    consumer (Spark inlines CTEs — census measured 8 fact scans), while
+    the checkpointed form scans documents exactly TWICE (the 4-row
+    bounds aggregate, joined back broadcast — a max() OVER (PARTITION
+    BY source) window would put a quarter-corpus in one task — and the
+    single assignment pass).  The tiny zone frames are materialized too
+    (each feeds both sides of its overlap self-join).  All depths and
+    bounds are exact integers; the range-file assignment is integer
+    division (Spark ``div`` / DuckDB ``//``).
+    """
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.operators.registry import register
+    from dblab_ece_trino_spark.operators.sampling import md5_bucket
+    from dblab_ece_trino_spark.session import materialize
+
+    def _depth(zone):
+        a, b = zone.alias("a"), zone.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.source") == F.col("b.source"))
+                & (F.col("a.mn") <= F.col("b.mx"))
+                & (F.col("b.mn") <= F.col("a.mx")),
+            )
+            .groupBy(F.col("a.source").alias("source"), F.col("a.fid").alias("fid"))
+            .agg(F.count(F.lit(1)).cast("long").alias("depth"))
+        )
+
+    def _summ(dz, suffix):
+        return dz.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_files_{suffix}"),
+            F.max("depth").cast("long").alias(f"max_depth_{suffix}"),
+            F.sum("depth").cast("long").alias(f"sum_depth_{suffix}"),
+        )
+
+    def _q(spark, sf_dir):
+        from dblab_ece_trino_spark.entrypoints import engine_for
+
+        d = engine_for(spark, sf_dir).catalogs.table("lake.llm.documents")
+        bounds = d.groupBy("source").agg(
+            F.max("doc_id").cast("long").alias("mxid")
+        )
+        fm = materialize(
+            d.join(F.broadcast(bounds), "source").select(
+                "source",
+                (md5_bucket(F.col("doc_id"), "compact-") % 8).alias("fid_h"),
+                F.least(
+                    F.expr("(doc_id * 8) div (mxid + 1)"), F.lit(7)
+                ).alias("fid_r"),
+                "doc_id",
+            )
+        )
+        fh = materialize(
+            fm.groupBy("source", F.col("fid_h").alias("fid")).agg(
+                F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+            )
+        )
+        fr = materialize(
+            fm.groupBy("source", F.col("fid_r").alias("fid")).agg(
+                F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+            )
+        )
+        return (
+            _summ(_depth(fh), "hash")
+            .join(_summ(_depth(fr), "range"), "source")
+            .orderBy("source")
+        )
+
+    from dblab_ece_trino_spark.operators.sampling import _md5_bucket_sql
+
+    bucket = _md5_bucket_sql("doc_id", "compact-")
+    oracle = f"""
+    WITH bounds AS (
+      SELECT source, CAST(max(doc_id) AS BIGINT) AS mxid
+      FROM documents GROUP BY source
+    ),
+    f AS (
+      SELECT d.source, ({bucket}) % 8 AS fid_h,
+             least((d.doc_id * 8) // (b.mxid + 1), 7) AS fid_r,
+             d.doc_id
+      FROM documents d JOIN bounds b ON b.source = d.source
+    ),
+    fh AS (
+      SELECT source, fid_h AS fid, min(doc_id) AS mn, max(doc_id) AS mx
+      FROM f GROUP BY source, fid_h
+    ),
+    fr AS (
+      SELECT source, fid_r AS fid, min(doc_id) AS mn, max(doc_id) AS mx
+      FROM f GROUP BY source, fid_r
+    ),
+    dh AS (
+      SELECT a.source, a.fid, CAST(count(*) AS BIGINT) AS depth
+      FROM fh a JOIN fh b
+        ON a.source = b.source AND a.mn <= b.mx AND b.mn <= a.mx
+      GROUP BY a.source, a.fid
+    ),
+    dr AS (
+      SELECT a.source, a.fid, CAST(count(*) AS BIGINT) AS depth
+      FROM fr a JOIN fr b
+        ON a.source = b.source AND a.mn <= b.mx AND b.mn <= a.mx
+      GROUP BY a.source, a.fid
+    ),
+    sh AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_files_hash,
+             CAST(max(depth) AS BIGINT) AS max_depth_hash,
+             CAST(sum(depth) AS BIGINT) AS sum_depth_hash
+      FROM dh GROUP BY source
+    ),
+    sr AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_files_range,
+             CAST(max(depth) AS BIGINT) AS max_depth_range,
+             CAST(sum(depth) AS BIGINT) AS sum_depth_range
+      FROM dr GROUP BY source
+    )
+    SELECT sh.source, sh.n_files_hash, sh.max_depth_hash, sh.sum_depth_hash,
+           sr.n_files_range, sr.max_depth_range, sr.sum_depth_range
+    FROM sh JOIN sr ON sr.source = sh.source
+    ORDER BY sh.source
+    """
+
+    register("wh_clustering_depth", _q, oracle=oracle)
+
+
+_register_clustering_depth()
