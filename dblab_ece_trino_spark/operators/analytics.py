@@ -942,3 +942,57 @@ _both(
     FROM agg
     """,
 )
+
+
+# Benford first-digit conformance audit over order totals — the classic
+# fraud / data-fabrication screen: naturally-occurring multi-magnitude
+# amounts follow P(d) = log10(1 + 1/d); fabricated or truncated data
+# doesn't.  Exactness discipline: the leading digit is taken from the
+# STRING rendering of exact integer cents (no log10(value) — the
+# magnitude trick rides libm), per-digit counts are one conditional
+# aggregate (map-side combinable, one scan), and the chi-square
+# statistic is a FIXED-TEXTUAL-ORDER 9-term expression over those exact
+# counts and hardcoded double literals of log10(1+1/d) — computing the
+# constants with log10() at runtime would put a not-correctly-rounded
+# libm call on both engines; literals make the finale pure
+# per-row IEEE arithmetic, bit-identical everywhere (the bm25
+# fixed-order-sum discipline).
+def _register_benford() -> None:
+    probs = [
+        "0.3010299956639812", "0.17609125905568124", "0.12493873660829992",
+        "0.09691001300805642", "0.07918124604762482", "0.06694678963061322",
+        "0.05799194697768673", "0.05115252244738129", "0.04575749056067514",
+    ]
+    count_cols = ",\n             ".join(
+        f"CAST(sum(CASE WHEN d = {i + 1} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n{i + 1}"
+        for i in range(9)
+    )
+    chi_terms = " + ".join(
+        f"(CAST(n{i + 1} AS DOUBLE) - CAST(n AS DOUBLE) * {p})"
+        f" * (CAST(n{i + 1} AS DOUBLE) - CAST(n AS DOUBLE) * {p})"
+        f" / (CAST(n AS DOUBLE) * {p})"
+        for i, p in enumerate(probs)
+    )
+    tpl = f"""
+    WITH cents AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM {{orders}}
+      WHERE o_totalprice > 0
+    ),
+    digits AS (
+      SELECT CAST(substr(CAST(c AS STRING), 1, 1) AS INT) AS d FROM cents
+    ),
+    counts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             {count_cols}
+      FROM digits
+    )
+    SELECT n, n1, n2, n3, n4, n5, n6, n7, n8, n9,
+           {chi_terms} AS chi2
+    FROM counts
+    """
+    _both("op_benford_test", tpl)
+
+
+_register_benford()
