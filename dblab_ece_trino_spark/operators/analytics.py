@@ -996,3 +996,52 @@ def _register_benford() -> None:
 
 
 _register_benford()
+
+
+# Chi-square test of independence between return flag and line status —
+# the categorical-association companion to op_benford_test: same
+# exactness discipline (per-cell counts are one conditional aggregate
+# over a single scan, all exact BIGINTs; expected counts and the
+# statistic are a FIXED-TEXTUAL-ORDER per-row expression over those
+# integers, so both engines compute bit-identical doubles).  The cell
+# grid is the known (A,N,R) x (F,O) domain — hardcoding it is what
+# makes the fixed evaluation order possible; a pivoted dynamic grid
+# would put a float sum over an unordered GROUP BY in the finale.
+def _register_chi2_independence() -> None:
+    flags, statuses = ["A", "N", "R"], ["F", "O"]
+    cells = [(f, s) for f in flags for s in statuses]
+    count_cols = ",\n             ".join(
+        f"CAST(sum(CASE WHEN l_returnflag = '{f}' AND l_linestatus = '{s}'"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS n_{f}{s}"
+        for f, s in cells
+    )
+    row_tot = {f: " + ".join(f"n_{f}{s}" for s in statuses) for f in flags}
+    col_tot = {s: " + ".join(f"n_{f}{s}" for f in flags) for s in statuses}
+    chi_terms = " + ".join(
+        f"(CAST(n_{f}{s} AS DOUBLE)"
+        f" - CAST({row_tot[f]} AS DOUBLE) * CAST({col_tot[s]} AS DOUBLE)"
+        f" / CAST(n AS DOUBLE))"
+        f" * (CAST(n_{f}{s} AS DOUBLE)"
+        f" - CAST({row_tot[f]} AS DOUBLE) * CAST({col_tot[s]} AS DOUBLE)"
+        f" / CAST(n AS DOUBLE))"
+        f" / (CAST({row_tot[f]} AS DOUBLE) * CAST({col_tot[s]} AS DOUBLE)"
+        f" / CAST(n AS DOUBLE))"
+        for f, s in cells
+    )
+    sel = ", ".join(f"n_{f}{s}" for f, s in cells)
+    tpl = f"""
+    WITH counts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             {count_cols}
+      FROM {{lineitem}}
+      WHERE l_returnflag IN ('A', 'N', 'R') AND l_linestatus IN ('F', 'O')
+    )
+    SELECT n, {sel},
+           {chi_terms} AS chi2,
+           CAST(2 AS BIGINT) AS dof
+    FROM counts
+    """
+    _both("op_chi2_independence", tpl)
+
+
+_register_chi2_independence()

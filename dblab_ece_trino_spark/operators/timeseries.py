@@ -872,3 +872,63 @@ def _register_rolling_corr() -> None:
 
 
 _register_rolling_corr()
+
+
+def _register_kendall_tau() -> None:
+    """Kendall tau-b rank correlation between monthly revenue and
+    monthly shipped quantity — the nonparametric co-movement measure
+    that completes the rank-statistics family (ts_mann_kendall is
+    exactly Kendall tau of the series against time; ts_theil_sen is its
+    slope estimator).
+
+    Tau-b handles ties exactly: concordant/discordant/tie counts are
+    exact BIGINTs from the pairwise sign comparison, and tau =
+    (C - D) / sqrt((n0-n1)*(n0-n2)) is one per-row IEEE expression over
+    those integers (sqrt is correctly rounded).  The tie corrections
+    n1/n2 come from the SAME pair join (a pair with equal x IS one of
+    the sum t(t-1)/2 tied pairs) — separate per-value GROUP BY branches
+    would re-derive the monthly aggregation per consumer under Spark's
+    CTE inlining (census measured 4 fact scans; this form holds at the
+    self-join's 2).  The pair join runs on the AGGREGATED month frame
+    (~84 rows, ~3.5k pairs at any corpus size) — the fact scan is the
+    only corpus term.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    tpl = """
+    WITH monthly AS (
+      SELECT (year(l_shipdate) * 12 + month(l_shipdate) - 1) AS mix,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS rev,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM {lineitem}
+      GROUP BY (year(l_shipdate) * 12 + month(l_shipdate) - 1)
+    ),
+    pairs AS (
+      SELECT CAST(sum(CASE WHEN (b.rev - a.rev) * (b.qty - a.qty) > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN (b.rev - a.rev) * (b.qty - a.qty) < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(sum(CASE WHEN b.rev = a.rev THEN 1 ELSE 0 END)
+               AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN b.qty = a.qty THEN 1 ELSE 0 END)
+               AS BIGINT) AS n2,
+             CAST(count(*) AS BIGINT) AS n0
+      FROM monthly a JOIN monthly b ON a.mix < b.mix
+    )
+    SELECT c AS concordant, d AS discordant, n0 AS n_pairs, n1 AS ties_x,
+           n2 AS ties_y,
+           (CAST(c AS DOUBLE) - CAST(d AS DOUBLE))
+             / sqrt((CAST(n0 AS DOUBLE) - n1) * (CAST(n0 AS DOUBLE) - n2))
+             AS tau_b
+    FROM pairs
+    """
+    register_sql(
+        "ts_kendall_tau",
+        tpl.format(**_SPARK_TABLES),
+        tpl.format(**_ORACLE_TABLES),
+    )
+
+
+_register_kendall_tau()
