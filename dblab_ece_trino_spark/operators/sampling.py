@@ -405,3 +405,56 @@ def _register_poisson_bootstrap() -> None:
 
 
 _register_poisson_bootstrap()
+
+
+def _register_group_holdout() -> None:
+    """Leakage-safe grouped k-fold assignment — the ML-prep split
+    row-level sample_split cannot give: when rows share an entity
+    (a user's events, a domain's documents), row-level splits leak the
+    entity across folds and inflate eval scores.  Here the fold is a
+    pure function of the GROUP key (md5 bucket mod k), so every row of
+    a user lands in one fold by construction, re-runs and repartitions
+    included (no RNG state — the split of a 100 TB corpus is
+    reproducible from the seed string alone).
+
+    The readout reports per-fold user/event counts AND the leakage
+    audit itself: max_folds_per_user, the invariant the operator
+    exists to enforce, computed from data (not assumed) via a two-level
+    aggregation — per-(user, fold) reduce first, so the audit shuffles
+    |users| rows, never events.  A green driver row proves
+    max_folds_per_user = 1 by value.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    k = 5
+    bucket = _md5_bucket_sql("user_id", "gkf-v1")
+    tpl = f"""
+    WITH assigned AS (
+      SELECT user_id, ({bucket}) % {k} AS fold FROM {{events}}
+    ),
+    per_user AS (
+      SELECT user_id, fold, CAST(count(*) AS BIGINT) AS n_events
+      FROM assigned GROUP BY user_id, fold
+    ),
+    audit AS (
+      SELECT CAST(max(nf) AS BIGINT) AS max_folds_per_user
+      FROM (SELECT user_id, count(DISTINCT fold) AS nf
+            FROM per_user GROUP BY user_id) a
+    )
+    SELECT fold,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           (SELECT max_folds_per_user FROM audit) AS max_folds_per_user
+    FROM per_user
+    GROUP BY fold
+    ORDER BY fold
+    """
+    register_sql(
+        "sample_group_holdout",
+        tpl.format(**_SPARK_TABLES),
+        tpl.format(**_ORACLE_TABLES),
+    )
+
+
+_register_group_holdout()
