@@ -1045,3 +1045,112 @@ def _register_chi2_independence() -> None:
 
 
 _register_chi2_independence()
+
+
+# Two-sample Kolmogorov–Smirnov test between the A and R return flags'
+# daily-revenue distributions — "are these two samples from the same
+# distribution?" without any normality assumption.  EXACT beyond the
+# usual treatment: the KS statistic max |F1 - F2| is computed by
+# cross-multiplication over the cumulative integer counts
+# (|n2*c1 - n1*c2|, maximized as a BIGINT), evaluated on the DISTINCT
+# value frame so ties are handled by construction (both ecdfs step
+# after all rows of a value); only the final division to D is a
+# per-row IEEE op.  The cumulative windows run over the distinct daily
+# cent values — a calendar-bounded frame (~2500 days x 2 flags), the
+# op_runs_test precedent, so the unpartitioned window is bounded state
+# at any corpus size and the fact scan is the only corpus term.
+_both(
+    "op_ks_test",
+    """
+    WITH daily AS (
+      SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM {lineitem}
+      WHERE l_returnflag IN ('A', 'R')
+      GROUP BY l_returnflag, CAST(l_shipdate AS DATE)
+    ),
+    vals AS (
+      SELECT cents,
+             CAST(sum(CASE WHEN flag = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS a_cnt,
+             CAST(sum(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+               AS r_cnt
+      FROM daily GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents,
+             sum(a_cnt) OVER (ORDER BY cents
+               ROWS UNBOUNDED PRECEDING) AS c1,
+             sum(r_cnt) OVER (ORDER BY cents
+               ROWS UNBOUNDED PRECEDING) AS c2,
+             sum(a_cnt) OVER () AS n1,
+             sum(r_cnt) OVER () AS n2
+      FROM vals
+    )
+    SELECT CAST(max(n1) AS BIGINT) AS n1,
+           CAST(max(n2) AS BIGINT) AS n2,
+           CAST(max(abs(n2 * c1 - n1 * c2)) AS BIGINT) AS d_num,
+           CAST(max(abs(n2 * c1 - n1 * c2)) AS DOUBLE)
+             / (CAST(max(n1) AS DOUBLE) * CAST(max(n2) AS DOUBLE))
+             AS ks_d
+    FROM cum
+    """,
+)
+
+
+# Mann–Whitney U (Wilcoxon rank-sum) between the same two samples — the
+# nonparametric location test.  Midranks for ties stay INTEGER by
+# working in doubled units: a value with p pooled predecessors and t
+# ties has midrank (2p + t + 1)/2, so the doubled rank sum
+# R1x2 = sum a_cnt * (2p + t + 1) and the doubled statistic
+# u1_x2 = R1x2 - n1*(n1+1) are exact BIGINTs under any partitioning.
+# The tie-corrected variance term sum(t^3 - t) is likewise exact; the
+# z finale is one per-row IEEE expression.  Same bounded distinct-value
+# frame as op_ks_test.
+_both(
+    "op_mann_whitney",
+    """
+    WITH daily AS (
+      SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS d,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM {lineitem}
+      WHERE l_returnflag IN ('A', 'R')
+      GROUP BY l_returnflag, CAST(l_shipdate AS DATE)
+    ),
+    vals AS (
+      SELECT cents,
+             CAST(sum(CASE WHEN flag = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS a_cnt,
+             CAST(count(*) AS BIGINT) AS t
+      FROM daily GROUP BY cents
+    ),
+    cum AS (
+      SELECT a_cnt, t,
+             coalesce(sum(t) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p,
+             sum(a_cnt) OVER () AS n1,
+             sum(t) OVER () AS n
+      FROM vals
+    ),
+    agg AS (
+      SELECT CAST(max(n1) AS BIGINT) AS n1,
+             CAST(max(n) - max(n1) AS BIGINT) AS n2,
+             CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(a_cnt * (2 * p + t + 1)) AS BIGINT) AS r1_x2,
+             CAST(sum(t * t * t - t) AS BIGINT) AS tie_cubes
+      FROM cum
+    )
+    SELECT n1, n2, r1_x2, tie_cubes,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           ((CAST(r1_x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2
+              - CAST(n1 AS DOUBLE) * n2 / 2)
+             / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+                    * ((CAST(n AS DOUBLE) + 1)
+                       - CAST(tie_cubes AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))))
+             AS z_u
+    FROM agg
+    """,
+)
