@@ -1154,3 +1154,103 @@ _both(
     FROM agg
     """,
 )
+
+
+# Gini coefficient of per-customer spend — the inequality measure every
+# revenue-concentration dashboard wants (how much of the book do the
+# top customers carry).  G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) over
+# ascending-sorted exact integer cents.  The global rank i is the
+# TWO-LEVEL SHARDED row_number (range-repartition on the full sort key,
+# per-shard local ranks, broadcast shard offsets — the
+# llm_budget_select / llm_quantile_normalize discipline), so no
+# single-partition window touches the per-customer frame at any scale;
+# the rank-weighted sum Σ i·x_i is accumulated as DECIMAL(38,0)
+# (i·x reaches ~1e20 at warehouse scale — past BIGINT, exact in
+# decimal), and the Gini finale is one per-row IEEE expression over
+# the exact totals.
+def _register_gini() -> None:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.session import materialize
+
+    def _q(spark, sf_dir):
+        from dblab_ece_trino_spark.entrypoints import engine_for
+
+        o = engine_for(spark, sf_dir).catalogs.table("mongodb.tpch.orders")
+        spend = o.groupBy("o_custkey").agg(
+            F.sum(
+                F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            ).alias("x")
+        )
+        shards = 32
+        sharded = materialize(
+            spend.repartitionByRange(shards, F.col("x"), F.col("o_custkey"))
+            .withColumn("__shard", F.spark_partition_id())
+        )
+        counts = sharded.groupBy("__shard").agg(F.count("*").alias("__c"))
+        offs = (
+            counts.alias("a")
+            .join(counts.alias("b"), F.col("b.__shard") < F.col("a.__shard"), "left")
+            .groupBy(F.col("a.__shard").alias("__shard"))
+            .agg(F.coalesce(F.sum("b.__c"), F.lit(0)).alias("__off"))
+        )
+        ranked = (
+            sharded.withColumn(
+                "__lr",
+                F.row_number().over(
+                    Window.partitionBy("__shard").orderBy("x", "o_custkey")
+                ),
+            )
+            .join(F.broadcast(offs), "__shard")
+            .withColumn("i", (F.col("__off") + F.col("__lr")).cast("long"))
+        )
+        agg = ranked.agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("x").cast("long").alias("total_cents"),
+            F.sum(
+                (F.col("i").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
+                .cast("decimal(38,0)")
+            ).alias("__w"),
+        )
+        return agg.selectExpr(
+            "n_customers",
+            "total_cents",
+            "(2 * CAST(__w AS DOUBLE)"
+            " - (CAST(n_customers AS DOUBLE) + 1) * CAST(total_cents AS DOUBLE))"
+            " / (CAST(n_customers AS DOUBLE) * CAST(total_cents AS DOUBLE))"
+            " AS gini",
+        )
+
+    register(
+        "op_gini_spend",
+        _q,
+        oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i
+      FROM spend
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(x) AS BIGINT) AS total_cents,
+             sum(CAST(CAST(i AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+                 AS DECIMAL(38,0))) AS w
+      FROM ranked
+    )
+    SELECT n_customers, total_cents,
+           (2 * CAST(w AS DOUBLE)
+              - (CAST(n_customers AS DOUBLE) + 1) * CAST(total_cents AS DOUBLE))
+             / (CAST(n_customers AS DOUBLE) * CAST(total_cents AS DOUBLE))
+             AS gini
+    FROM agg
+    """,
+    )
+
+
+_register_gini()

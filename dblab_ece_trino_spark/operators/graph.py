@@ -775,3 +775,101 @@ register(
     FROM a
     """,
 )
+
+
+# ------------------------------------------- local clustering coefficient
+def _q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient cc(v) = 2·tri(v) /
+    (deg(v)·(deg(v)−1)) over the co-order graph, top-25 by cc — "how
+    clique-like is each part's co-purchase neighborhood", the
+    community-density readout that complements triangle counts (raw
+    participation) and assortativity (global mixing).
+
+    Exactness: triangle counts and degrees are exact BIGINTs (the
+    triangle_participation wedge join, un-truncated, joined to the
+    symmetrized degree frame); cc is ONE per-row IEEE division of
+    exact integers, bit-identical on both engines, and the top-25
+    ordering (cc DESC, node ASC) is total via the unique node
+    tiebreak.  Shape: the edge build dominates (one fact scan + one
+    shuffle); the wedge join and the degree agg run on the thresholded
+    edge frame — see the module docstring's density analysis.
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    p = materialize(coorder_pairs(_li(spark, sf_dir)))
+    tri = (
+        p.alias("e1")
+        .join(p.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .join(
+            p.alias("e3"),
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    tcnt = corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    sym = p.select(F.col("u").alias("node")).unionAll(
+        p.select(F.col("v").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tcnt, "node", "left")
+        .select(
+            F.col("node").alias("part_key"),
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            (
+                2.0
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1))
+            ).alias("clustering_coeff"),
+        )
+        .orderBy(F.desc("clustering_coeff"), F.asc("part_key"))
+        .limit(25)
+    )
+
+
+register(
+    "graph_clustering_coeff",
+    _q_clustering_coeff,
+    oracle=f"""
+    WITH {_PAIRS_CTE},
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e1.v = e2.u
+      JOIN pairs e3 ON e1.u = e3.u AND e2.v = e3.v
+    ),
+    corners AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ),
+    tcnt AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM corners GROUP BY node
+    ),
+    sym AS (
+      SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree
+      FROM sym GROUP BY node
+    )
+    SELECT d.node AS part_key, d.degree,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           2.0 * coalesce(t.n_triangles, 0)
+             / (d.degree * (d.degree - 1)) AS clustering_coeff
+    FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+    WHERE d.degree >= 2
+    ORDER BY clustering_coeff DESC, part_key ASC
+    LIMIT 25
+    """,
+)

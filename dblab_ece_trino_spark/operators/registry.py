@@ -114,7 +114,6 @@ GRADED_PRIORITY: list[str] = [
     "op_topn", "op_except", "op_intersect", "op_union",
     "op_window_rownum", "op_agg_cube", "op_window_rank_lag",
     "op_window_distribution", "op_string_functions", "op_date_functions",
-    "op_conditional_functions", "join_asof",
     # new round-6 operators (never graded — outrank freshness backfill;
     # the round-2 backfill tail was displaced as these landed)
     "ts_theil_sen", "op_boxplot_stats", "op_concurrency_sweep",
@@ -122,7 +121,7 @@ GRADED_PRIORITY: list[str] = [
     "graph_assortativity", "text_char_diversity", "wh_incremental_agg",
     "wh_clustering_depth", "op_benford_test", "ts_kendall_tau",
     "op_chi2_independence", "sample_group_holdout", "op_ks_test",
-    "op_mann_whitney",
+    "op_mann_whitney", "graph_clustering_coeff", "op_gini_spend",
     # changed round 6 (ADVICE: 8-digit fold + rank-frame partner map) —
     # re-graded under the new semantics, the op_rolling_dau precedent
     "llm_negative_pairs",
