@@ -92,6 +92,19 @@ HEADLINE = [
     "multimodal_bmp_decode",
     "graph_assortativity",
     "text_char_diversity",
+    # round-6 late additions: IVM, clustering depth, the statistics
+    # pack (Benford, chi2, Kendall tau, KS, Mann-Whitney), grouped
+    # holdout, local clustering coefficient, sharded-rank Gini
+    "wh_incremental_agg",
+    "wh_clustering_depth",
+    "op_benford_test",
+    "op_chi2_independence",
+    "ts_kendall_tau",
+    "op_ks_test",
+    "op_mann_whitney",
+    "sample_group_holdout",
+    "graph_clustering_coeff",
+    "op_gini_spend",
 ]
 
 
