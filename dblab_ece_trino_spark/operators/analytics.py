@@ -1254,3 +1254,111 @@ def _register_gini() -> None:
 
 
 _register_gini()
+
+
+# ABC / Pareto revenue classification of parts — the merchandising
+# 80/95 cut: class A parts carry the first 80% of cumulative revenue
+# (descending), B the next 15%, C the tail.  The running revenue total
+# is the TWO-LEVEL SHARDED cumsum (range-repartition on the full sort
+# key (cents DESC, partkey), per-shard prefix sums, broadcast shard
+# offsets — the llm_budget_select discipline; no single-partition
+# window ever sees the per-part frame), and the class cuts are EXACT
+# integer cross-multiplications (5*cum <= 4*total, 20*cum <= 19*total),
+# so boundary parts classify identically on both engines.  Per-class
+# revenue shares are one per-row IEEE division in the 3-row readout.
+def _register_abc_pareto() -> None:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.session import materialize
+
+    def _q(spark, sf_dir):
+        from dblab_ece_trino_spark.entrypoints import engine_for
+
+        li = engine_for(spark, sf_dir).catalogs.table("psql.tpch.lineitem")
+        spend = li.groupBy("l_partkey").agg(
+            F.sum(
+                F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+            ).alias("cents")
+        )
+        shards = 32
+        sharded = materialize(
+            spend.repartitionByRange(
+                shards, F.col("cents").desc(), F.col("l_partkey")
+            ).withColumn("__shard", F.spark_partition_id())
+        )
+        w = (
+            Window.partitionBy("__shard")
+            .orderBy(F.col("cents").desc(), F.col("l_partkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = sharded.withColumn("__lc", F.sum("cents").over(w))
+        totals = sharded.groupBy("__shard").agg(F.sum("cents").alias("__t"))
+        offs = (
+            totals.alias("a")
+            .join(totals.alias("b"), F.col("b.__shard") < F.col("a.__shard"), "left")
+            .groupBy(F.col("a.__shard").alias("__shard"))
+            .agg(F.coalesce(F.sum("b.__t"), F.lit(0)).alias("__off"))
+        )
+        grand = totals.agg(F.sum("__t").alias("__tot")).withColumn("__k", F.lit(1))
+        classed = (
+            local.join(F.broadcast(offs), "__shard")
+            .withColumn("cum", F.col("__off") + F.col("__lc"))
+            .withColumn("__k", F.lit(1))
+            .join(F.broadcast(grand), "__k")
+            .withColumn(
+                "abc_class",
+                F.expr(
+                    "CASE WHEN 5 * cum <= 4 * __tot THEN 'A'"
+                    " WHEN 20 * cum <= 19 * __tot THEN 'B'"
+                    " ELSE 'C' END"
+                ),
+            )
+        )
+        return (
+            classed.groupBy("abc_class")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_parts"),
+                F.sum("cents").cast("long").alias("cents"),
+                (F.sum("cents") / F.max("__tot")).alias("revenue_share"),
+            )
+            .orderBy("abc_class")
+        )
+
+    register(
+        "op_abc_pareto",
+        _q,
+        oracle="""
+    WITH spend AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cents) OVER () AS tot
+      FROM spend
+    ),
+    classed AS (
+      SELECT cents, tot,
+             CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+                  WHEN 20 * cum <= 19 * tot THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           CAST(sum(cents) AS DOUBLE) / CAST(max(tot) AS DOUBLE)
+             AS revenue_share
+    FROM classed
+    GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+    )
+
+
+_register_abc_pareto()

@@ -113,7 +113,7 @@ GRADED_PRIORITY: list[str] = [
     "op_join_semi", "op_join_anti", "op_distinct", "op_agg_rollup",
     "op_topn", "op_except", "op_intersect", "op_union",
     "op_window_rownum", "op_agg_cube", "op_window_rank_lag",
-    "op_window_distribution", "op_string_functions", "op_date_functions",
+    "op_window_distribution",
     # new round-6 operators (never graded — outrank freshness backfill;
     # the round-2 backfill tail was displaced as these landed)
     "ts_theil_sen", "op_boxplot_stats", "op_concurrency_sweep",
@@ -122,6 +122,7 @@ GRADED_PRIORITY: list[str] = [
     "wh_clustering_depth", "op_benford_test", "ts_kendall_tau",
     "op_chi2_independence", "sample_group_holdout", "op_ks_test",
     "op_mann_whitney", "graph_clustering_coeff", "op_gini_spend",
+    "sample_contamination_rate", "op_abc_pareto",
     # changed round 6 (ADVICE: 8-digit fold + rank-frame partner map) —
     # re-graded under the new semantics, the op_rolling_dau precedent
     "llm_negative_pairs",

@@ -458,3 +458,82 @@ def _register_group_holdout() -> None:
 
 
 _register_group_holdout()
+
+
+def _q_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination RATE report — the measurement companion
+    to ``decontaminate`` (which *removes*): what fraction of the eval
+    split's distinct word 3-grams also occur in the training split.
+    This is the number a curation run publishes before deciding whether
+    decontamination is worth a pass, and the denominator definitions
+    matter: both sides are DISTINCT shingle sets (per-occurrence counts
+    would let one boilerplate-heavy doc dominate the rate).
+
+    Same deterministic %97 split as the decontaminate entry.  Exact
+    integers end to end (distinct counts, a distinct-on-join overlap
+    count); the rate is one per-row IEEE division.  Shape: two
+    distinct-shingle aggregations + one join on the shingle value (the
+    eval side is tiny and broadcastable at any real split ratio) — the
+    corpus is scanned twice (once per split), never shuffled as rows.
+    """
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    docs = engine_for(spark, sf_dir).catalogs.table("lake.llm.documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    ev_sh = ev.select(
+        F.explode(word_shingles(F.col("text"), 3)).alias("shingle")
+    ).distinct()
+    tr_sh = tr.select(
+        F.explode(word_shingles(F.col("text"), 3)).alias("shingle")
+    ).distinct()
+    stats = ev_sh.join(tr_sh, "shingle", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_contaminated")
+    )
+    counts = (
+        ev.agg(F.count(F.lit(1)).cast("long").alias("n_eval_docs"))
+        .crossJoin(tr.agg(F.count(F.lit(1)).cast("long").alias("n_train_docs")))
+        .crossJoin(ev_sh.agg(F.count(F.lit(1)).cast("long").alias("n_eval_ngrams")))
+        .crossJoin(stats)
+    )
+    return counts.selectExpr(
+        "n_eval_docs",
+        "n_train_docs",
+        "n_eval_ngrams",
+        "n_contaminated",
+        "CAST(n_contaminated AS DOUBLE) / CAST(n_eval_ngrams AS DOUBLE)"
+        " AS contamination_rate",
+    )
+
+
+register(
+    "sample_contamination_rate",
+    _q_contamination_rate,
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i)
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 <> 0),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_contaminated
+      FROM ev WHERE shingle IN (SELECT shingle FROM tr)
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 97 = 0)
+        AS n_eval_docs,
+      (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 97 <> 0)
+        AS n_train_docs,
+      (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_eval_ngrams,
+      c.n_contaminated,
+      CAST(c.n_contaminated AS DOUBLE)
+        / (SELECT CAST(count(*) AS DOUBLE) FROM ev) AS contamination_rate
+    FROM c
+    """,
+)
