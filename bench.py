@@ -105,6 +105,8 @@ HEADLINE = [
     "sample_group_holdout",
     "graph_clustering_coeff",
     "op_gini_spend",
+    "sample_contamination_rate",
+    "op_abc_pareto",
 ]
 
 
