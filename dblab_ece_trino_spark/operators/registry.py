@@ -89,15 +89,20 @@ def oracle_queries() -> dict[str, str]:
 # its local pytest gate) and is rotated into the window in later rounds
 # so every operator accumulates a graded row.  After round 5 the board
 # stands at 200/210 entries with a green row (every graded entry's
-# LATEST grade is green); the 10 late-round-5 entries below have never
-# been graded.  Round-6 window: q001-q005 (standing regression watch),
-# the 10 never-graded round-5-late ops (dedup_containment re-planned
-# onto the asymmetric prefix filter before grading, per the round-5
-# verdict), any operators added THIS round (never-graded entries always
-# outrank freshness backfill for a slot), and staleness backfill in the
-# remaining slots — oldest grades first (the round-1-graded micro
-# entries, then round-2).  Entries displaced from the window all keep
-# green rows from earlier rounds and their local pytest gate.
+# LATEST grade is green); the 10 late-round-5 entries below had never
+# been graded.  Round-6 window (final composition, exactly 50):
+# q001-q005 (standing regression watch) + the 10 never-graded
+# round-5-late ops (dedup_containment re-planned onto the asymmetric
+# prefix filter before grading, per the round-5 verdict) + 15
+# round-1-stale backfill slots + the 19 NEW round-6 operators +
+# llm_negative_pairs re-seated after its ADVICE re-plan.  As the 19
+# new ops landed they displaced the stalest backfill from the tail
+# (never-graded entries always outrank freshness backfill); the
+# displaced entries — the remaining r1 micros, the r2 micros,
+# join_asof/join_range, dedup_exact/dedup_embedding,
+# sim_search_bruteforce, text_token_count/text_quality_score — all
+# keep green rows from earlier rounds and their local pytest gate,
+# and head the round-7 backfill queue.
 GRADED_PRIORITY: list[str] = [
     # reference query set (regression watch, every round)
     "q001", "q002", "q003", "q004", "q005",
