@@ -1308,9 +1308,15 @@ def _register_abc_pareto() -> None:
             .join(F.broadcast(grand), "__k")
             .withColumn(
                 "abc_class",
+                # cross-multiply in DECIMAL(38,0): 20 * cum would pass
+                # int64 once total revenue exceeds ~4.6e17 cents, where
+                # Spark (non-ANSI) wraps silently; DuckDB's HUGEINT
+                # side never had the hazard
                 F.expr(
-                    "CASE WHEN 5 * cum <= 4 * __tot THEN 'A'"
-                    " WHEN 20 * cum <= 19 * __tot THEN 'B'"
+                    "CASE WHEN 5 * CAST(cum AS DECIMAL(38,0))"
+                    "       <= 4 * CAST(__tot AS DECIMAL(38,0)) THEN 'A'"
+                    " WHEN 20 * CAST(cum AS DECIMAL(38,0))"
+                    "       <= 19 * CAST(__tot AS DECIMAL(38,0)) THEN 'B'"
                     " ELSE 'C' END"
                 ),
             )

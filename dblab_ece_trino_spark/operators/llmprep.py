@@ -1700,9 +1700,11 @@ def negative_pairs(
 
 
 def _q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # bounded id-slice for a constant-size graded result; the draw for a
-    # given doc depends only on (doc_id, corpus size), so the slice is
-    # exactly the full op's first rows
+    # bounded id-slice for a constant-size graded result; the rank frame
+    # (partner map) is built over the FULL corpus before this slice is
+    # applied, so each doc's drawn partner is identical to what the
+    # unsliced op would emit — the slice is exactly the full op's first
+    # rows
     return negative_pairs(_docs(spark, sf_dir)).filter(F.col("doc_id") < 40)
 
 

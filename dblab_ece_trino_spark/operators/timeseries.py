@@ -882,7 +882,10 @@ def _register_kendall_tau() -> None:
     slope estimator).
 
     Tau-b handles ties exactly: concordant/discordant/tie counts are
-    exact BIGINTs from the pairwise sign comparison, and tau =
+    exact BIGINTs from the pairwise sign comparison — sign(drev) *
+    sign(dqty), never the raw delta product, so two large monthly
+    deltas can't overflow int64 (where Spark non-ANSI wraps silently
+    while DuckDB errors) — and tau =
     (C - D) / sqrt((n0-n1)*(n0-n2)) is one per-row IEEE expression over
     those integers (sqrt is correctly rounded).  The tie corrections
     n1/n2 come from the SAME pair join (a pair with equal x IS one of
@@ -906,9 +909,9 @@ def _register_kendall_tau() -> None:
       GROUP BY (year(l_shipdate) * 12 + month(l_shipdate) - 1)
     ),
     pairs AS (
-      SELECT CAST(sum(CASE WHEN (b.rev - a.rev) * (b.qty - a.qty) > 0
+      SELECT CAST(sum(CASE WHEN sign(b.rev - a.rev) * sign(b.qty - a.qty) > 0
                            THEN 1 ELSE 0 END) AS BIGINT) AS c,
-             CAST(sum(CASE WHEN (b.rev - a.rev) * (b.qty - a.qty) < 0
+             CAST(sum(CASE WHEN sign(b.rev - a.rev) * sign(b.qty - a.qty) < 0
                            THEN 1 ELSE 0 END) AS BIGINT) AS d,
              CAST(sum(CASE WHEN b.rev = a.rev THEN 1 ELSE 0 END)
                AS BIGINT) AS n1,

@@ -74,8 +74,11 @@ def main() -> None:
             base = texts[int(rng.integers(0, i))].split()
             n_mut = max(1, len(base) // 20)
             for _ in range(n_mut):
+                # clip like the matrix path: float error can leave
+                # cdf[-1] fractionally below 1.0, and an unlucky draw
+                # would then index vocab_arr[VOCAB]
                 base[int(rng.integers(0, len(base)))] = str(
-                    vocab_arr[int(np.searchsorted(cdf, rng.random()))]
+                    vocab_arr[min(int(np.searchsorted(cdf, rng.random())), VOCAB - 1)]
                 )
             texts[i] = " ".join(base)
         rows_src = [str(s) for s in sources[rng.integers(0, len(sources), N_DOCS)]]
