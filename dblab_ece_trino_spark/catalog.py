@@ -236,6 +236,39 @@ class CatalogRegistry:
                 )
             )
 
+    #: The reference's LOADED placement: its loader CTASes every tpcds
+    #: generator table into the three stores (data-loader/loader.py:313-322,
+    #: job-loader-es.yaml:44-49) and the five queries address them there —
+    #: ``psql.tpcds.<t>`` for dims + store fact/returns,
+    #: ``mongodb.tpcds.catalog_sales``, ``elastic.default.tpcds_web_sales``.
+    REFERENCE_TPCDS_PLACEMENT = {
+        ("psql", "tpcds"): [
+            ("store_sales", "store_sales"),
+            ("store_returns", "store_returns"),
+            ("reason", "reason"),
+            ("customer", "customer"),
+            ("customer_address", "customer_address"),
+            ("date_dim", "date_dim"),
+            ("item", "item"),
+            ("store", "store"),
+        ],
+        ("mongodb", "tpcds"): [("catalog_sales", "catalog_sales")],
+        ("elastic", "default"): [("tpcds_web_sales", "web_sales")],
+    }
+
+    def register_reference_tpcds(self, sf: float = 1.0) -> None:
+        """Register the generator tables under the reference's exact
+        federated 3-part names, so its five query files run through
+        ``engine.sql`` byte-for-byte (queries/q001.sql..q005.sql)."""
+        for (cat, schema), tables in self.REFERENCE_TPCDS_PLACEMENT.items():
+            for name, gen_table in tables:
+                self.register(
+                    TableSpec(
+                        cat, schema, name, "generator",
+                        options={"table": gen_table, "sf": str(sf)},
+                    )
+                )
+
     def register_jdbc_dsv2_catalog(
         self,
         name: str,

@@ -66,6 +66,7 @@ def _ensure_loaded() -> None:
         timeseries,
     )
     from dblab_ece_trino_spark.sources import generator  # noqa: F401
+    from dblab_ece_trino_spark.bench import reference_parity  # noqa: F401
     from dblab_ece_trino_spark import queries_tpch  # noqa: F401
     from dblab_ece_trino_spark import queries_tpch_ext  # noqa: F401
     from dblab_ece_trino_spark import queries_advanced  # noqa: F401
@@ -122,9 +123,13 @@ GRADED_PRIORITY: list[str] = [
     "op_unpivot", "op_values_inline", "op_window_running_sum",
     "pipeline_clean_corpus", "pipeline_pack_sequences",
     "text_fingerprint", "text_language_id",
+    # NEW round 7: the reference's five literal query files through
+    # engine.sql at generator sf1 + the workers-1≡N invariance, one
+    # graded summary row per query (bench/reference_parity.py)
+    "reference_sql_parity",
     # latest green = round 2, TPC-H tail (displace from the END first
     # when new round-7 ops need seats)
-    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5",
 ]
 
 

@@ -45,7 +45,14 @@ _TABLES: dict[str, dict] = {
 }
 
 _STATES = ["TX", "CA", "NY", "WA", "IL", "GA", "OH", "MI"]
-_EPOCH = "1996-01-01"
+#: TPC-DS date surrogate keys are Julian day numbers and the reference's
+#: literal queries filter on them (queries/q001.sql:4 ``ss_sold_date_sk
+#: BETWEEN 2451545 AND 2488070`` = 2000-01-01..2100-01-26).  The
+#: generated 3-year calendar starts 1999-01-01 (Julian 2451180), so the
+#: reference window covers days 365..1095 of the calendar — the literal
+#: BETWEEN is a genuine ~2/3 filter, neither empty nor all-pass.
+_EPOCH = "1999-01-01"
+_JULIAN_BASE = 2451180  # Julian day number of 1999-01-01
 
 
 def _h(seed: str, *cols: Column) -> Column:
@@ -86,9 +93,13 @@ def gen_table(
     if table == "date_dim":
         d = F.date_add(F.lit(_EPOCH).cast("date"), i.cast("int"))
         return base.select(
-            i.alias("d_date_sk"),
+            (i + _JULIAN_BASE).alias("d_date_sk"),
             d.alias("d_date"),
-            (F.year(d) * 12 + F.month(d) - 1).alias("d_month_seq"),
+            # TPC-DS convention: month sequence counted from 1900-01, so
+            # the reference's literal ``d_month_seq BETWEEN 1193 AND
+            # 1193+11`` (queries/q005.sql:6) = 1999-06..2000-05 lands
+            # inside the generated 1188..1223 range
+            ((F.year(d) - 1900) * 12 + F.month(d) - 1).alias("d_month_seq"),
             F.year(d).alias("d_year"),
             F.month(d).alias("d_moy"),
             F.dayofmonth(d).alias("d_dom"),
@@ -106,7 +117,7 @@ def gen_table(
                 F.concat(F.lit("Last"), (_h("cl", i) % 500).cast("string")), 30, " "
             ).alias("c_last_name"),
             (_h("ca", i) % n_addr).alias("c_current_addr_sk"),
-            (_h("cd", i) % n_dates).alias("c_first_sales_date_sk"),
+            (_h("cd", i) % n_dates + _JULIAN_BASE).alias("c_first_sales_date_sk"),
         )
     if table == "customer_address":
         state = F.element_at(
@@ -147,23 +158,33 @@ def gen_table(
             ),
         )
     if table == "store_sales":
+        qty = (_h("sq", i) % 100 + 1).cast("int")
+        price = _price("sp", i, 1, 200)
         return base.select(
-            (_h("sd", i) % n_dates).alias("ss_sold_date_sk"),
+            (_h("sd", i) % n_dates + _JULIAN_BASE).alias("ss_sold_date_sk"),
             i.alias("ss_item_sk"),  # with ticket number forms the row key
             (i % max(1, n // 4)).alias("ss_ticket_number"),
             (_h("sc", i) % n_cust).alias("ss_customer_sk"),
             (_h("so", i) % n_store).alias("ss_store_sk"),
-            (_h("sq", i) % 100 + 1).cast("int").alias("ss_quantity"),
-            _price("sp", i, 1, 200).alias("ss_sales_price"),
+            qty.alias("ss_quantity"),
+            price.alias("ss_sales_price"),
+            # TPC-DS: extended price = quantity * unit price (what the
+            # reference's q001 literally sums, queries/q001.sql:1)
+            (qty * price).cast("decimal(9,2)").alias("ss_ext_sales_price"),
             _price("sn", i, 1, 20000).alias("ss_net_paid"),
         )
     if table == "store_returns":
+        # each return targets a concrete sale: row id k of store_sales,
+        # whose composite key is (ss_item_sk=k, ss_ticket_number=k%T) —
+        # so the reference's literal q004 composite-key LEFT JOIN
+        # (queries/q004.sql:15-17) actually matches (the old independent
+        # hash streams made a match a 1/T accident)
+        n_ss = table_rows("store_sales", sf)
+        k = _h("ri", i) % n_ss
         return base.select(
-            (_h("rd", i) % n_dates).alias("sr_returned_date_sk"),
-            (_h("ri", i) % (table_rows("store_sales", sf))).alias("sr_item_sk"),
-            (_h("rt", i) % max(1, table_rows("store_sales", sf) // 4)).alias(
-                "sr_ticket_number"
-            ),
+            (_h("rd", i) % n_dates + _JULIAN_BASE).alias("sr_returned_date_sk"),
+            k.alias("sr_item_sk"),
+            (k % max(1, n_ss // 4)).alias("sr_ticket_number"),
             F.when(_h("rr7", i) % 7 == 0, F.lit(None).cast("long"))
             .otherwise(_h("rr", i) % n_reason)
             .alias("sr_reason_sk"),
@@ -171,14 +192,24 @@ def gen_table(
         )
     if table in ("catalog_sales", "web_sales"):
         p = "cs" if table == "catalog_sales" else "ws"
-        return base.select(
-            (_h(p + "d", i) % n_dates).alias(f"{p}_sold_date_sk"),
+        qty = (_h(p + "q", i) % 100 + 1).cast("int")
+        price = _price(p + "p", i, 1, 300)
+        cols = [
+            (_h(p + "d", i) % n_dates + _JULIAN_BASE).alias(f"{p}_sold_date_sk"),
             (_h(p + "c", i) % n_cust).alias(f"{p}_bill_customer_sk"),
             (_h(p + "i", i) % n_item).alias(f"{p}_item_sk"),
             (i % max(1, n // 3)).alias(f"{p}_order_number"),
-            (_h(p + "q", i) % 100 + 1).cast("int").alias(f"{p}_quantity"),
-            _price(p + "p", i, 1, 300).alias(f"{p}_sales_price"),
-        )
+            qty.alias(f"{p}_quantity"),
+            price.alias(f"{p}_sales_price"),
+        ]
+        if p == "cs":
+            # the reference's q002 sums cs_ext_sales_price and q003 joins
+            # on cs_bill_addr_sk (queries/q002.sql:1, q003.sql:4)
+            cols.insert(2, (_h("csa", i) % n_addr).alias("cs_bill_addr_sk"))
+            cols.append(
+                (qty * price).cast("decimal(9,2)").alias("cs_ext_sales_price")
+            )
+        return base.select(*cols)
     raise AssertionError(table)
 
 
@@ -201,7 +232,8 @@ def _q_generator_invariants(spark: SparkSession, sf_dir: str):
     return ss.agg(
         F.count("*").alias("n_rows"),
         (
-            (F.min("ss_sold_date_sk") >= 0) & (F.max("ss_sold_date_sk") < 1096)
+            (F.min("ss_sold_date_sk") >= _JULIAN_BASE)
+            & (F.max("ss_sold_date_sk") < _JULIAN_BASE + 1096)
             & (F.min("ss_customer_sk") >= 0) & (F.max("ss_customer_sk") < 1000)
             & (F.min("ss_store_sk") >= 0) & (F.max("ss_store_sk") < 12)
         ).alias("fk_ok"),
@@ -216,7 +248,7 @@ def _q_generator_join_invariants(spark: SparkSession, sf_dir: str):
     """Referential integrity across generated tables, driver-gradable:
     inner-joining the fact to BOTH its dims must preserve the exact row
     count (every fk lands — the modulus contract), the joined year
-    domain is pinned by date_dim's 1096-day calendar (1996-1998), and
+    domain is pinned by date_dim's 1096-day calendar (1999-2001), and
     store states stay inside the 8-value domain.  Also the natural demo
     of generated dims riding broadcast joins (plan-asserted)."""
     from dblab_ece_trino_spark.entrypoints import engine_for
@@ -232,7 +264,7 @@ def _q_generator_join_invariants(spark: SparkSession, sf_dir: str):
     return j.agg(
         F.count("*").alias("n_rows"),
         F.count_distinct("d_year").alias("n_years"),
-        ((F.min("d_year") == 1996) & (F.max("d_year") == 1998)).alias("years_ok"),
+        ((F.min("d_year") == 1999) & (F.max("d_year") == 2001)).alias("years_ok"),
         (F.count_distinct("s_state") <= 8).alias("states_ok"),
     )
 

@@ -163,7 +163,7 @@ def test_generator_catalog_deterministic_and_scaled(spark):
     df = spark.sql(
         "SELECT CAST(sum(CAST(ss_sales_price AS DECIMAL(18,2))) AS DOUBLE) AS sales "
         f"FROM {reg.lookup('tpcds', 'sf0_1', 'store_sales').view_name} "
-        "WHERE ss_sold_date_sk BETWEEN 100 AND 900"
+        "WHERE ss_sold_date_sk BETWEEN 2451545 AND 2488070"
     )
     assert df.collect()[0].sales > 0
     # FK domains: every sold_date_sk resolves against date_dim
