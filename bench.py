@@ -160,7 +160,12 @@ def main() -> None:
         for f in os.listdir(repo)
         if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
     ]
-    local_name = f"BENCH_LOCAL_r{(max(rounds, default=0) + 1):02d}.json"
+    # only the driver's grading scale claims the round-numbered record —
+    # a dev smoke at sf0.001 must not clobber the committed sf0.1 run
+    if sf is not None and sf >= 0.1:
+        local_name = f"BENCH_LOCAL_r{(max(rounds, default=0) + 1):02d}.json"
+    else:
+        local_name = "BENCH_LOCAL_smoke.json"
     full = {
         "metric": "headline query set wall time (min of 3 warm reps)",
         "value": round(sum(warm.values()), 3),

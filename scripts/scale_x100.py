@@ -32,16 +32,46 @@ MULT = 100
 OFFSET = 10_000_000
 
 
-def build(eng) -> None:
+#: re-key columns per table (the scale_check.py protocol); tables the
+#: round-6/7 sweeps replicate at true x100
+REPLICATED = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def build(eng, tables: list[str] | None = None) -> None:
     os.makedirs(DST, exist_ok=True)
-    df = eng.catalogs._read_parquet(os.path.join(SRC, "lineitem.parquet"))
-    replicas = []
-    for i in range(MULT):
-        replicas.append(df.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * OFFSET)))
-    out = replicas[0]
-    for r in replicas[1:]:
-        out = out.unionByName(r)
-    out.write.mode("overwrite").parquet(os.path.join(DST, "lineitem.parquet"))
+    for table in tables or list(REPLICATED):
+        dst = os.path.join(DST, f"{table}.parquet")
+        # run() may have left a passthrough symlink into the READ-ONLY
+        # testdata — unlink it so Spark never follows it on overwrite
+        if os.path.islink(dst):
+            os.unlink(dst)
+        df = eng.catalogs._read_parquet(os.path.join(SRC, f"{table}.parquet"))
+        replicas = []
+        for i in range(MULT):
+            r = df
+            for c in REPLICATED[table]:
+                r = r.withColumn(c, F.col(c) + F.lit(i * OFFSET))
+            # perturb replica doc text so dedup/shingle cardinalities
+            # stay honest (clone corpora make true-dup counts quadratic)
+            if table == "documents" and "text" in df.columns:
+                r = r.withColumn(
+                    "text",
+                    F.when(F.lit(i) == 0, F.col("text")).otherwise(
+                        F.concat(F.col("text"), F.lit(f" replica{i}"))
+                    ),
+                )
+            replicas.append(r)
+        out = replicas[0]
+        for r in replicas[1:]:
+            out = out.unionByName(r)
+        out.write.mode("overwrite").parquet(dst)
+        print(f"# x{MULT} {table} synthesized", flush=True)
 
 
 def run(eng) -> None:
@@ -70,6 +100,30 @@ def run(eng) -> None:
           f"{time.monotonic()-t0:.1f}s ({n} pairs)", flush=True)
 
 
+#: the round-6 ops the round-7 sweep finishes the x100 table for
+#: (orders/events/documents/embeddings-fed; their feed tables are now
+#: replicated at true x100 by build())
+R6_REMAINING = [
+    "ts_theil_sen", "op_concurrency_sweep", "sim_epsilon_ball",
+    "text_char_diversity", "wh_incremental_agg", "wh_clustering_depth",
+    "sample_group_holdout", "op_benford_test", "op_gini_spend",
+    "sample_contamination_rate",
+]
+
+
+def run_r6(eng) -> None:
+    from dblab_ece_trino_spark.operators.registry import spark_queries
+
+    qs = spark_queries()
+    for name in R6_REMAINING:
+        fn = qs[name]
+        fn(eng.spark, DST).count()  # first touch: codegen/plan compile
+        t0 = time.monotonic()
+        n = fn(eng.spark, DST).count()
+        print(f"RES {name} x100: {time.monotonic()-t0:.2f}s ({n} rows)",
+              flush=True)
+
+
 def main() -> None:
     from dblab_ece_trino_spark.session import EngineSession
 
@@ -82,10 +136,12 @@ def main() -> None:
     eng.spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     if mode in ("build", "all"):
         t0 = time.monotonic()
-        build(eng)
-        print(f"# x100 lineitem synthesized in {time.monotonic()-t0:.1f}s", flush=True)
+        build(eng, tables=sys.argv[2].split(",") if len(sys.argv) > 2 else None)
+        print(f"# x100 build finished in {time.monotonic()-t0:.1f}s", flush=True)
     if mode in ("run", "all"):
         run(eng)
+    if mode == "run_r6":
+        run_r6(eng)
     eng.spark.stop()
 
 
