@@ -107,6 +107,11 @@ HEADLINE = [
     "op_gini_spend",
     "sample_contamination_rate",
     "op_abc_pareto",
+    # round-7 additions: the literal-reference-SQL parity summary (10
+    # generator-sf1 runs under two parallelism modes) and the native
+    # PNG codec (zlib inflate + five-filter reconstruction)
+    "reference_sql_parity",
+    "multimodal_png_decode",
 ]
 
 

@@ -68,12 +68,22 @@ FEATURE_SCHEMA = T.StructType(
 
 # ----------------------------------------------------------- decoder seam
 def decode_image(payload: bytes) -> "object":
-    """REAL DECODER STUB — image libs are not bundled in this container.
-
-    In production this would be e.g. PIL.Image.open(io.BytesIO(payload));
-    the mapInPandas plumbing around it is identical.
+    """Generic image seam: PPM / BMP / PNG decode NATIVELY (the three
+    codecs below, zero external deps — PNG needs only stdlib zlib);
+    compressed formats that genuinely require an external library
+    (JPEG/WebP/...) raise behind this clearly-marked stub.  In
+    production the fallback would be PIL.Image.open(io.BytesIO(payload));
+    the mapInPandas plumbing around it is identical either way.
     """
-    raise NotImplementedError("image decoding requires an image library (e.g. PIL)")
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[: len(b"\x89PNG\r\n\x1a\n")] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    raise NotImplementedError(
+        "JPEG-class image decoding requires an image library (e.g. PIL)"
+    )
 
 
 def decode_audio(payload: bytes) -> "object":
@@ -298,8 +308,10 @@ register(
 # ------------------------------------------------------ REAL PPM codec
 # One modality is decoded NATIVELY, no external libs: PPM (P6) — real
 # header parsing (magic, comments, dims, maxval) and raw interleaved
-# RGB extraction into a numpy array.  PNG/JPEG/audio stay behind the
-# injectable seam above; this pair proves the decode path end-to-end:
+# RGB extraction into a numpy array.  JPEG/audio-compression stay
+# behind the injectable seam above (PNG went native in round 7 — see
+# encode_png/decode_png below); this pair proves the decode path
+# end-to-end:
 # the graded entry ENCODES deterministic gradient images to real P6
 # bytes, DECODES them back through the Arrow-batched mapInPandas stage,
 # and the per-channel pixel sums it reports are verified by DuckDB
@@ -821,6 +833,302 @@ register(
            CAST(sum(y * ((x * 11 + y * 5 + i) % 256)) AS BIGINT) AS ysum_r
     FROM px
     GROUP BY i, w, h
+    ORDER BY media_id
+    """,
+)
+
+
+# ------------------------------------------------------ REAL PNG codec
+# Fourth native codec, closing the PNG seam declared above (decode_image
+# keeps raising only for JPEG-class formats that genuinely need an
+# external library).  Everything PNG needs is stdlib: zlib for the IDAT
+# deflate stream and CRC-32 for chunk integrity.  The encoder cycles ALL
+# FIVE scanline filter types (None/Sub/Up/Average/Paeth, spec ordering)
+# row by row and splits IDAT across two chunks, so the decoder's
+# un-filtering, chunk reassembly, and CRC validation are all genuinely
+# exercised; the graded oracle is the same closed-form-over-the-pixel-
+# formula construction as PPM/WAV/BMP (the oracle never sees a byte).
+# A complementary encode/decode bug pair WOULD round-trip invisibly —
+# tests/test_text_multimodal.py breaks that symmetry with a
+# hand-computed byte-level filter vector per the PNG spec.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(width: int, height: int, pixel_fn, alpha: bool = False) -> bytes:
+    """Build a real PNG (8-bit RGB or RGBA, non-interlaced); pixel_fn(x, y)
+    -> (r, g, b[, a]).  Row y is filtered with type y % 5, so every
+    filter in the spec appears in any image ≥5 rows tall."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    ch = 4 if alpha else 3
+    arr = np.zeros((height, width, ch), dtype=np.uint8)
+    for y in range(height):
+        for x in range(width):
+            arr[y, x] = pixel_fn(x, y)
+    raw = arr.astype(np.int64)
+    out = bytearray()
+    prev = np.zeros((width, ch), dtype=np.int64)
+    for y in range(height):
+        cur = raw[y]
+        ftype = y % 5
+        out.append(ftype)
+        if ftype == 0:  # None
+            filt = cur
+        elif ftype == 1:  # Sub
+            left = np.vstack([np.zeros((1, ch), dtype=np.int64), cur[:-1]])
+            filt = cur - left
+        elif ftype == 2:  # Up
+            filt = cur - prev
+        elif ftype == 3:  # Average
+            left = np.vstack([np.zeros((1, ch), dtype=np.int64), cur[:-1]])
+            filt = cur - (left + prev) // 2
+        else:  # Paeth
+            filt = np.empty_like(cur)
+            for x in range(width):
+                for c in range(ch):
+                    a = int(cur[x - 1, c]) if x > 0 else 0
+                    b = int(prev[x, c])
+                    cc = int(prev[x - 1, c]) if x > 0 else 0
+                    filt[x, c] = int(cur[x, c]) - _paeth(a, b, cc)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = cur
+    comp = zlib.compress(bytes(out), 6)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6 if alpha else 2, 0, 0, 0)
+    half = max(1, len(comp) // 2)  # two IDAT chunks: reassembly is real
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", comp[:half])
+        + _png_chunk(b"IDAT", comp[half:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Pure numpy+zlib PNG decoder: returns (width, height, HxWxC uint8
+    array, C=3 RGB or 4 RGBA, top-down).
+
+    Parses the chunk stream (validating every CRC), reassembles
+    multi-chunk IDAT, inflates, and reverses all five filter types per
+    scanline.  Supports 8-bit color types 2 (RGB) and 6 (RGBA),
+    non-interlaced — the formats the encoder above emits; anything else
+    errors out loudly rather than returning garbage pixels.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color={color} interlace={interlace}"
+        )
+    ch = 4 if color == 6 else 3
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (1 + stride):
+        raise ValueError(
+            f"truncated scanline stream: need {height * (1 + stride)}, "
+            f"have {len(raw)}"
+        )
+    img = np.zeros((height, width, ch), dtype=np.int64)
+    prev = np.zeros((width, ch), dtype=np.int64)
+    for y in range(height):
+        off = y * (1 + stride)
+        ftype = raw[off]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=off + 1
+        ).astype(np.int64).reshape(width, ch)
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub: prefix sum along x, mod 256
+            cur = np.cumsum(line, axis=0) % 256
+        elif ftype == 2:  # Up
+            cur = (line + prev) % 256
+        elif ftype == 3:  # Average (sequential in x)
+            cur = np.zeros_like(line)
+            for x in range(width):
+                left = cur[x - 1] if x > 0 else np.zeros(ch, dtype=np.int64)
+                cur[x] = (line[x] + (left + prev[x]) // 2) % 256
+        elif ftype == 4:  # Paeth (sequential in x)
+            cur = np.zeros_like(line)
+            for x in range(width):
+                for c in range(ch):
+                    a = int(cur[x - 1, c]) if x > 0 else 0
+                    b = int(prev[x, c])
+                    cc = int(prev[x - 1, c]) if x > 0 else 0
+                    cur[x, c] = (int(line[x, c]) + _paeth(a, b, cc)) % 256
+        else:
+            raise ValueError(f"bad filter type {ftype} on row {y}")
+        img[y] = cur
+        prev = cur
+    return width, height, img.astype(np.uint8)
+
+
+_PNG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("sum_a", T.LongType(), True),
+        T.StructField("ysum_g", T.LongType(), True),
+    ]
+)
+
+_N_PNG = 20
+
+
+def _png_payloads(spark: SparkSession, n: int = _N_PNG) -> DataFrame:
+    """n deterministic gradient images as REAL PNG payloads; heights
+    ≥7 so all five filter types occur in every image, alternating
+    RGB / RGBA by parity."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 13 + i % 5, 7 + i % 4
+                alpha = i % 2 == 1
+                if alpha:
+                    payload = encode_png(
+                        w, h,
+                        lambda x, y, i=i: (
+                            (x * 7 + y * 3 + i) % 256,
+                            (x * 5 + y * 11 + 2 * i) % 256,
+                            (x * 13 + y * 2 + 3 * i) % 256,
+                            (x * 4 + y * 9 + 5 * i) % 256,
+                        ),
+                        alpha=True,
+                    )
+                else:
+                    payload = encode_png(
+                        w, h,
+                        lambda x, y, i=i: (
+                            (x * 7 + y * 3 + i) % 256,
+                            (x * 5 + y * 11 + 2 * i) % 256,
+                            (x * 13 + y * 2 + 3 * i) % 256,
+                        ),
+                    )
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+
+
+def png_pixel_stats(media: DataFrame) -> DataFrame:
+    """Decode real PNG payloads; exact channel sums (alpha NULL-free:
+    255-filled for RGB inputs by the spec's opaque default) plus a
+    flip-sensitive y-weighted green sum."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, arr = decode_png(bytes(payload))
+                ch = arr.shape[2]
+                sums = arr.reshape(-1, ch).sum(axis=0, dtype="int64")
+                sum_a = int(sums[3]) if ch == 4 else 255 * w * h
+                ys = np.arange(h, dtype="int64")
+                ysum_g = int((arr[:, :, 1].sum(axis=1, dtype="int64") * ys).sum())
+                out.append(
+                    (int(mid), w, h, ch,
+                     int(sums[0]), int(sums[1]), int(sums[2]), sum_a, ysum_g)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "channels",
+                    "sum_r", "sum_g", "sum_b", "sum_a", "ysum_g",
+                ],
+            )
+
+    return media.mapInPandas(stats, _PNG_STATS_SCHEMA)
+
+
+def _q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return png_pixel_stats(_png_payloads(spark)).orderBy("media_id")
+
+
+register(
+    "multimodal_png_decode",
+    _q_png_decode,
+    oracle=f"""
+    WITH dims AS (
+      SELECT i, 13 + i % 5 AS w, 7 + i % 4 AS h, i % 2 AS has_a
+      FROM range({_N_PNG}) t(i)
+    ),
+    px AS (
+      SELECT i, w, h, has_a, x, y
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+    )
+    SELECT i AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 + has_a AS INT) AS channels,
+           CAST(sum((x * 7 + y * 3 + i) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((x * 5 + y * 11 + 2 * i) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((x * 13 + y * 2 + 3 * i) % 256) AS BIGINT) AS sum_b,
+           CAST(sum(CASE WHEN has_a = 1
+                         THEN (x * 4 + y * 9 + 5 * i) % 256
+                         ELSE 255 END) AS BIGINT) AS sum_a,
+           CAST(sum(y * ((x * 5 + y * 11 + 2 * i) % 256)) AS BIGINT) AS ysum_g
+    FROM px
+    GROUP BY i, w, h, has_a
     ORDER BY media_id
     """,
 )

@@ -127,9 +127,12 @@ GRADED_PRIORITY: list[str] = [
     # engine.sql at generator sf1 + the workers-1≡N invariance, one
     # graded summary row per query (bench/reference_parity.py)
     "reference_sql_parity",
+    # NEW round 7: native PNG codec (stdlib zlib inflate + CRC, all five
+    # scanline filters) — closes the PNG decoder seam
+    "multimodal_png_decode",
     # latest green = round 2, TPC-H tail (displace from the END first
     # when new round-7 ops need seats)
-    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5",
+    "tpch_q1", "tpch_q3", "tpch_q4",
 ]
 
 

@@ -270,3 +270,97 @@ def test_bmp_roundtrip_padding_flip_and_rejection():
     bad[28:30] = struct.pack("<H", 8)  # 8bpp palette
     with _pytest.raises(ValueError, match="24-bit"):
         decode_bmp(bytes(bad))
+
+
+def test_png_roundtrip_filters_chunks_and_rejection():
+    import numpy as np
+    import pytest
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    # every filter type + both color types round-trip (heights >= 5 so
+    # all five filters appear; width varies the Sub/Paeth left edges)
+    for i in range(8):
+        w, h = 13 + i % 5, 7 + i % 4
+        alpha = i % 2 == 1
+
+        def fn(x, y, i=i):
+            px = (
+                (x * 7 + y * 3 + i) % 256,
+                (x * 5 + y * 11 + 2 * i) % 256,
+                (x * 13 + y * 2 + 3 * i) % 256,
+            )
+            return px + ((x * 4 + y * 9 + 5 * i) % 256,) if alpha else px
+
+        payload = encode_png(w, h, fn, alpha=alpha)
+        W, H, arr = decode_png(payload)
+        expect = np.array(
+            [[fn(x, y) for x in range(w)] for y in range(h)], dtype=np.uint8
+        )
+        assert (W, H) == (w, h) and (arr == expect).all()
+        # the generic seam dispatches PNG natively now
+        _, _, arr2 = decode_image(payload)
+        assert (arr2 == expect).all()
+
+    # corrupted chunk body -> CRC error, not garbage pixels
+    bad = bytearray(encode_png(8, 8, lambda x, y: (x, y, 7)))
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x89PNX" + b"\x00" * 64)
+
+
+def test_png_unfilter_against_hand_computed_spec_vector():
+    """encode_png and decode_png could carry COMPLEMENTARY filter bugs
+    that cancel in a round-trip; this vector breaks that symmetry.  The
+    filtered scanline bytes below are computed BY HAND from the PNG
+    spec's filter definitions (Sub, Up, Paeth; bpp=3) for a 3x3 RGB
+    image, wrapped into a minimal chunk stream WITHOUT encode_png —
+    decode_png must reproduce the original pixels from spec-derived
+    bytes alone."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import decode_png
+
+    pixels = np.array(
+        [
+            [(10, 20, 30), (60, 20, 190), (5, 7, 9)],
+            [(1, 2, 3), (4, 5, 6), (250, 251, 252)],
+            [(100, 100, 100), (1, 2, 3), (9, 9, 9)],
+        ],
+        dtype=np.uint8,
+    )
+    # row 0, filter 1 (Sub):   cur - left
+    # row 1, filter 2 (Up):    cur - above
+    # row 2, filter 4 (Paeth): cur - paeth(left, above, upleft)
+    scanlines = bytes(
+        [1, 10, 20, 30, 50, 0, 160, 201, 243, 75]
+        + [2, 247, 238, 229, 200, 241, 72, 245, 244, 243]
+        + [4, 99, 98, 97, 157, 158, 159, 15, 14, 13]
+    )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+    w, h, arr = decode_png(payload)
+    assert (w, h) == (3, 3)
+    assert (arr == pixels).all(), arr
