@@ -1132,3 +1132,270 @@ register(
     ORDER BY media_id
     """,
 )
+
+
+# ------------------------------------------------------ REAL Y4M codec
+# Fifth native codec, and the first to make the VIDEO column real: the
+# frame_sample entry above expands metadata only, while this section
+# parses actual YUV4MPEG2 bytes (the uncompressed video interchange
+# format used by ffmpeg/mjpegtools: an ASCII stream header, then one
+# `FRAME\n` marker + raw planar YUV per frame).  The 100 TB design
+# point is STRIDE-SEEK sampling: a fixed-geometry Y4M stream has a
+# constant frame stride, so sampling every Nth frame touches only the
+# sampled planes (offset arithmetic + a marker check per sampled
+# frame) instead of decoding the whole payload — the decoder below
+# does exactly that, validating each seeked `FRAME\n` marker and
+# erroring loudly on parameterized frame headers rather than reading
+# garbage.  Both C444 and C420jpeg chroma geometries are exercised
+# (the graded fixtures alternate), and the oracle is the usual
+# closed-form-over-the-pixel-formula construction — it never sees a
+# byte.  Reference parity: the reference treats media as opaque blobs
+# (SURVEY §2.10); this implements the decode path Spark-side behind
+# the same mapInPandas seam as PPM/WAV/BMP/PNG.
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def encode_y4m(
+    width: int,
+    height: int,
+    n_frames: int,
+    y_fn,
+    u_fn,
+    v_fn,
+    c420: bool = False,
+    fps=(25, 1),
+) -> bytes:
+    """Build a real YUV4MPEG2 stream; plane functions take (f, x, y)
+    and return 0..255.  Chroma planes use the subsampled grid when
+    c420 (width/2 x height/2, JPEG siting); width/height must then be
+    even."""
+    import numpy as np
+
+    if c420 and (width % 2 or height % 2):
+        raise ValueError("C420 requires even dimensions")
+    cw, chh = (width // 2, height // 2) if c420 else (width, height)
+    header = (
+        f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 "
+        f"C{'420jpeg' if c420 else '444'}\n"
+    ).encode("ascii")
+    out = bytearray(header)
+    for f in range(n_frames):
+        out.extend(b"FRAME\n")
+        for fn, w_, h_ in ((y_fn, width, height), (u_fn, cw, chh), (v_fn, cw, chh)):
+            plane = np.empty((h_, w_), dtype=np.uint8)
+            for y in range(h_):
+                for x in range(w_):
+                    plane[y, x] = fn(f, x, y)
+            out.extend(plane.tobytes())
+    return bytes(out)
+
+
+def parse_y4m_header(payload: bytes):
+    """Parse the stream header -> (width, height, fps_num, fps_den,
+    c420, header_len).  Unknown parameter tags are skipped per spec;
+    chroma tags other than C444/C420jpeg/C420 error loudly."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(_Y4M_MAGIC + b" "):
+        raise ValueError("not a YUV4MPEG2 payload")
+    width = height = None
+    fps_num, fps_den = 25, 1
+    c420 = False
+    for tok in payload[len(_Y4M_MAGIC) + 1 : nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            width = int(val)
+        elif tag == b"H":
+            height = int(val)
+        elif tag == b"F":
+            num, den = val.split(b":")
+            fps_num, fps_den = int(num), int(den)
+        elif tag == b"C":
+            if val in (b"420jpeg", b"420"):
+                c420 = True
+            elif val != b"444":
+                raise ValueError(f"unsupported chroma sampling C{val.decode()}")
+        # Ip / A1:1 / X... tags: accepted and ignored per spec
+    if width is None or height is None:
+        raise ValueError("missing W/H in YUV4MPEG2 header")
+    return width, height, fps_num, fps_den, c420, nl + 1
+
+
+def y4m_sample_frames(payload: bytes, every: int = 1):
+    """Yield (frame_idx, Y, U, V) numpy planes for every Nth frame by
+    STRIDE-SEEK: frame k lives at header_len + k*(6 + frame_bytes), so
+    only sampled frames are materialized.  Each seeked position must
+    carry a bare ``FRAME\\n`` marker — a parameterized frame header
+    (``FRAME Xsomething\\n``, legal y4m but variable-stride) raises
+    rather than silently misreading planes, as does a truncated or
+    non-stride-aligned stream."""
+    import numpy as np
+
+    width, height, _, _, c420, hdr = parse_y4m_header(payload)
+    cw, chh = (width // 2, height // 2) if c420 else (width, height)
+    fbytes = width * height + 2 * cw * chh
+    stride = 6 + fbytes
+    body = len(payload) - hdr
+    if body % stride:
+        if b"FRAME " in payload[hdr : hdr + 6 + 64]:
+            raise ValueError("parameterized FRAME headers are not fixed-stride")
+        raise ValueError("truncated YUV4MPEG2 stream")
+    n_frames = body // stride
+    for f in range(0, n_frames, every):
+        off = hdr + f * stride
+        marker = payload[off : off + 6]
+        if marker != b"FRAME\n":
+            raise ValueError(
+                f"expected bare FRAME marker at frame {f}, got {marker!r}"
+            )
+        off += 6
+        yplane = np.frombuffer(
+            payload, dtype=np.uint8, count=width * height, offset=off
+        ).reshape(height, width)
+        uplane = np.frombuffer(
+            payload, dtype=np.uint8, count=cw * chh, offset=off + width * height
+        ).reshape(chh, cw)
+        vplane = np.frombuffer(
+            payload,
+            dtype=np.uint8,
+            count=cw * chh,
+            offset=off + width * height + cw * chh,
+        ).reshape(chh, cw)
+        yield f, yplane, uplane, vplane
+
+
+_Y4M_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("ts_ms", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("c420", T.IntegerType(), True),
+        T.StructField("ysum", T.LongType(), True),
+        T.StructField("usum", T.LongType(), True),
+        T.StructField("vsum", T.LongType(), True),
+        T.StructField("xwsum_y", T.LongType(), True),
+    ]
+)
+
+_N_Y4M = 12
+_Y4M_EVERY = 3
+
+
+def _y4m_payloads(spark: SparkSession, n: int = _N_Y4M) -> DataFrame:
+    """n deterministic videos as REAL Y4M payloads: dims/frame-count
+    vary, chroma alternates C444 / C420jpeg, F25:1 so ts = 40 ms per
+    frame.  The plane formulas are shared with the oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 16 + 2 * (i % 3), 12 + 2 * ((i // 2) % 2)
+                nf = 9 + i % 4
+                payload = encode_y4m(
+                    w, h, nf,
+                    lambda f, x, y, i=i: (x * 3 + y * 5 + f * 7 + i) % 256,
+                    lambda f, x, y, i=i: (x * 2 + y * 9 + f * 4 + 2 * i) % 256,
+                    lambda f, x, y, i=i: (x * 11 + y * 6 + f * 3 + 5 * i) % 256,
+                    c420=i % 2 == 1,
+                )
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+
+
+def y4m_frame_stats(media: DataFrame, every: int = _Y4M_EVERY) -> DataFrame:
+    """Stride-seek every Nth frame of real Y4M payloads; exact integer
+    plane sums plus an x-weighted luma sum (catches plane transposition
+    that plain sums cannot)."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                w, h, num, den, c420, _ = parse_y4m_header(payload)
+                for f, yp, up, vp in y4m_sample_frames(payload, every):
+                    y64 = yp.astype("int64")
+                    xw = np.arange(w, dtype="int64")
+                    out.append(
+                        (
+                            int(mid), f, f * 1000 * den // num, w, h, int(c420),
+                            int(y64.sum()),
+                            int(up.astype("int64").sum()),
+                            int(vp.astype("int64").sum()),
+                            int((y64.sum(axis=0) * xw).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "frame_idx", "ts_ms", "width", "height",
+                    "c420", "ysum", "usum", "vsum", "xwsum_y",
+                ],
+            )
+
+    return media.mapInPandas(stats, _Y4M_STATS_SCHEMA)
+
+
+def _q_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return y4m_frame_stats(_y4m_payloads(spark)).orderBy("media_id", "frame_idx")
+
+
+register(
+    "multimodal_y4m_frames",
+    _q_y4m_frames,
+    oracle=f"""
+    WITH params AS (
+      SELECT i, 16 + 2 * (i % 3) AS w, 12 + 2 * ((i // 2) % 2) AS h,
+             9 + i % 4 AS nf, i % 2 AS c420
+      FROM range({_N_Y4M}) t(i)
+    ),
+    frames AS (
+      SELECT i, w, h, c420, f,
+             CASE WHEN c420 = 1 THEN w // 2 ELSE w END AS cw,
+             CASE WHEN c420 = 1 THEN h // 2 ELSE h END AS chh
+      FROM params,
+           LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) tf
+      WHERE f % {_Y4M_EVERY} = 0
+    ),
+    luma AS (
+      SELECT i, f,
+             sum((x * 3 + y * 5 + f * 7 + i) % 256) AS ysum,
+             sum(x * ((x * 3 + y * 5 + f * 7 + i) % 256)) AS xwsum_y
+      FROM frames,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+      GROUP BY i, f
+    ),
+    chroma AS (
+      SELECT i, f,
+             sum((x * 2 + y * 9 + f * 4 + 2 * i) % 256) AS usum,
+             sum((x * 11 + y * 6 + f * 3 + 5 * i) % 256) AS vsum
+      FROM frames,
+           LATERAL (SELECT unnest(generate_series(0, cw - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, chh - 1)) AS y) ty
+      GROUP BY i, f
+    )
+    SELECT fr.i AS media_id,
+           CAST(fr.f AS INT) AS frame_idx,
+           CAST(fr.f * 40 AS INT) AS ts_ms,
+           CAST(fr.w AS INT) AS width,
+           CAST(fr.h AS INT) AS height,
+           CAST(fr.c420 AS INT) AS c420,
+           CAST(l.ysum AS BIGINT) AS ysum,
+           CAST(c.usum AS BIGINT) AS usum,
+           CAST(c.vsum AS BIGINT) AS vsum,
+           CAST(l.xwsum_y AS BIGINT) AS xwsum_y
+    FROM frames fr
+    JOIN luma l ON l.i = fr.i AND l.f = fr.f
+    JOIN chroma c ON c.i = fr.i AND c.f = fr.f
+    ORDER BY media_id, frame_idx
+    """,
+)

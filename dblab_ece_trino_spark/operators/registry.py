@@ -130,9 +130,12 @@ GRADED_PRIORITY: list[str] = [
     # NEW round 7: native PNG codec (stdlib zlib inflate + CRC, all five
     # scanline filters) — closes the PNG decoder seam
     "multimodal_png_decode",
+    # NEW round 7: native Y4M video codec — stride-seek every-Nth-frame
+    # sampling over real YUV4MPEG2 bytes, C444 + C420jpeg geometries
+    "multimodal_y4m_frames",
     # latest green = round 2, TPC-H tail (displace from the END first
     # when new round-7 ops need seats)
-    "tpch_q1", "tpch_q3", "tpch_q4",
+    "tpch_q1", "tpch_q3",
 ]
 
 

@@ -364,3 +364,97 @@ def test_png_unfilter_against_hand_computed_spec_vector():
     w, h, arr = decode_png(payload)
     assert (w, h) == (3, 3)
     assert (arr == pixels).all(), arr
+
+
+def test_y4m_roundtrip_seek_and_rejection():
+    import numpy as np
+    import pytest
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        encode_y4m,
+        parse_y4m_header,
+        y4m_sample_frames,
+    )
+
+    for c420, w, h, nf in ((False, 7, 5, 6), (True, 16, 12, 7)):
+        yf = lambda f, x, y: (x * 3 + y * 5 + f * 7) % 256
+        uf = lambda f, x, y: (x * 2 + y * 9 + f * 4) % 256
+        vf = lambda f, x, y: (x * 11 + y * 6 + f * 3) % 256
+        payload = encode_y4m(w, h, nf, yf, uf, vf, c420=c420)
+        W, H, num, den, is420, _ = parse_y4m_header(payload)
+        assert (W, H, num, den, is420) == (w, h, 25, 1, c420)
+        cw, chh = (w // 2, h // 2) if c420 else (w, h)
+        # full decode matches the formulas on every frame
+        frames = list(y4m_sample_frames(payload, every=1))
+        assert [f for f, *_ in frames] == list(range(nf))
+        for f, yp, up, vp in frames:
+            assert (yp == np.array(
+                [[yf(f, x, y) for x in range(w)] for y in range(h)], dtype=np.uint8
+            )).all()
+            assert (up == np.array(
+                [[uf(f, x, y) for x in range(cw)] for y in range(chh)],
+                dtype=np.uint8,
+            )).all()
+            assert (vp == np.array(
+                [[vf(f, x, y) for x in range(cw)] for y in range(chh)],
+                dtype=np.uint8,
+            )).all()
+        # stride-seek sampling == slicing the full decode
+        sampled = list(y4m_sample_frames(payload, every=3))
+        assert [(f, yp.tobytes()) for f, yp, _, _ in sampled] == [
+            (f, yp.tobytes()) for f, yp, _, _ in frames if f % 3 == 0
+        ]
+
+    base = encode_y4m(4, 4, 3, yf, uf, vf)
+    with pytest.raises(ValueError, match="truncated"):
+        list(y4m_sample_frames(base[:-5]))
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        parse_y4m_header(b"JUNK4MPEG2 W4 H4\n")
+    with pytest.raises(ValueError, match="unsupported chroma"):
+        parse_y4m_header(b"YUV4MPEG2 W4 H4 F25:1 C422\n" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="C420 requires even"):
+        encode_y4m(5, 4, 1, yf, uf, vf, c420=True)
+    # a parameterized FRAME header is legal y4m but variable-stride:
+    # must refuse rather than misread planes
+    hdr_len = base.find(b"\n") + 1
+    param = base[:hdr_len] + b"FRAME Xtag\n" + base[hdr_len + 6 :]
+    with pytest.raises(ValueError, match="FRAME"):
+        list(y4m_sample_frames(param))
+
+
+def test_y4m_decode_hand_built_bytes():
+    """Decoder vs a stream assembled BY HAND (no encode_y4m): a 2x2
+    C444 stream with two frames whose plane bytes are written out
+    literally, plus fps/interlace/aspect/unknown-X tags in the header
+    that the parser must skip per spec."""
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        parse_y4m_header,
+        y4m_sample_frames,
+    )
+
+    payload = (
+        b"YUV4MPEG2 W2 H2 F30000:1001 It A4:3 XCOLORRANGE=FULL C444\n"
+        b"FRAME\n"
+        + bytes([1, 2, 3, 4])      # Y frame 0: rows (1,2),(3,4)
+        + bytes([10, 20, 30, 40])  # U
+        + bytes([5, 6, 7, 8])      # V
+        + b"FRAME\n"
+        + bytes([9, 9, 9, 9])
+        + bytes([0, 255, 0, 255])
+        + bytes([100, 101, 102, 103])
+    )
+    w, h, num, den, c420, _ = parse_y4m_header(payload)
+    assert (w, h, num, den, c420) == (2, 2, 30000, 1001, False)
+    frames = list(y4m_sample_frames(payload))
+    assert len(frames) == 2
+    f0, y0, u0, v0 = frames[0]
+    assert f0 == 0
+    assert (y0 == np.array([[1, 2], [3, 4]], dtype=np.uint8)).all()
+    assert (u0 == np.array([[10, 20], [30, 40]], dtype=np.uint8)).all()
+    assert (v0 == np.array([[5, 6], [7, 8]], dtype=np.uint8)).all()
+    f1, y1, u1, v1 = frames[1]
+    assert f1 == 1 and (y1 == 9).all()
+    assert (u1 == np.array([[0, 255], [0, 255]], dtype=np.uint8)).all()
+    assert (v1 == np.array([[100, 101], [102, 103]], dtype=np.uint8)).all()
