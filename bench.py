@@ -108,10 +108,16 @@ HEADLINE = [
     "sample_contamination_rate",
     "op_abc_pareto",
     # round-7 additions: the literal-reference-SQL parity summary (10
-    # generator-sf1 runs under two parallelism modes) and the native
-    # PNG codec (zlib inflate + five-filter reconstruction)
+    # generator-sf1 runs under two parallelism modes), the native PNG
+    # codec (zlib inflate + five-filter reconstruction), the native Y4M
+    # video codec (stride-seek frame sampling), and the KMV distinct
+    # sketch (cross-engine-replayable estimate)
     "reference_sql_parity",
     "multimodal_png_decode",
+    "multimodal_y4m_frames",
+    "op_kmv_distinct",
+    # ... and the native GIF codec (real variable-width LZW + interlace)
+    "multimodal_gif_decode",
 ]
 
 

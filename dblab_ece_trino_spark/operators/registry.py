@@ -101,7 +101,13 @@ def oracle_queries() -> dict[str, str]:
 # q14/q17/q18/q19/q21/q21_agg/q22 — canonical SQL untouched since
 # round 2, the lowest-churn residue) head the round-8 queue.  Any NEW
 # op added this round is never-graded and outranks freshness backfill:
-# seat it by displacing from the TPC-H tail upward.
+# seat it by displacing from the TPC-H tail upward.  Four round-7 ops
+# were seated that way (reference_sql_parity, multimodal_png_decode,
+# multimodal_y4m_frames, op_kmv_distinct), displacing tpch_q3/q4/q5 —
+# those three join the 10 r2 TPC-H shapes at the head of the round-8
+# queue (13 entries), followed by the remaining r2 greens.  A fifth new
+# op (multimodal_gif_decode) took the final tail seat from tpch_q1, so
+# the round-8 TPC-H backfill queue is 14 entries deep.
 GRADED_PRIORITY: list[str] = [
     # reference query set (regression watch, every round)
     "q001", "q002", "q003", "q004", "q005",
@@ -133,9 +139,13 @@ GRADED_PRIORITY: list[str] = [
     # NEW round 7: native Y4M video codec — stride-seek every-Nth-frame
     # sampling over real YUV4MPEG2 bytes, C444 + C420jpeg geometries
     "multimodal_y4m_frames",
-    # latest green = round 2, TPC-H tail (displace from the END first
-    # when new round-7 ops need seats)
-    "tpch_q1", "tpch_q3",
+    # NEW round 7: KMV distinct sketch — cross-engine-replayable estimate,
+    # merge-equals-direct proven by value
+    "op_kmv_distinct",
+    # NEW round 7: native GIF codec — real variable-width LZW
+    # (dictionary growth to 4096, clear resets, LSB-first packing),
+    # 4-pass interlace, palette-indexed color
+    "multimodal_gif_decode",
 ]
 
 

@@ -197,3 +197,74 @@ def _bloom_sql() -> str:
 
 
 _both("op_bloom_membership", _bloom_sql())
+
+# ------------------------------------------------------------ KMV distinct
+# K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002) — the
+# third workhorse sketch, and the one approx_count_distinct's HLL++
+# cannot replay cross-engine (HLL's float harmonic-mean estimate is not
+# value-hashable across engines; KMV's state is k exact integers, so the
+# ESTIMATE itself replays bit-identically).  State = the k smallest
+# distinct hash values in [0, 16^12); estimator (k-1) * M / h_(k) with
+# ONE IEEE division finale (house idiom — both engines evaluate the same
+# double expression).  100 TB lens: the per-partition partial state is k
+# values (TakeOrderedAndProject — Spark's map-side partial top-k), the
+# merge is union-then-k-smallest, and the graded entry PROVES merge ≡
+# direct by value: per-shard k-min partials (the mergeable sketch, one
+# window over 8 shards) re-merged must yield the same k-th minimum as
+# the direct global top-k.  The exact distinct count rides along as the
+# verification column (that full aggregation is what the sketch replaces
+# in production).  If the keyspace has fewer than k values the sketch is
+# exact by definition (k_got < k branch).
+KMV_K = 256
+_KMV_M = 16**12  # hash domain: 12-hex-digit fold, (k-1)*M ~ 7.2e16 << 2^63
+
+
+def _kmv_sql() -> str:
+    h = "md5(concat('kmv:', CAST(l_orderkey AS STRING)))"
+    fold = hexint_digits_sql("__h", 12)
+    return f"""
+    WITH hv AS (
+      SELECT DISTINCT {fold} AS hv
+      FROM (SELECT {h} AS __h FROM {{lineitem}}) t
+    ),
+    global_k AS (
+      SELECT hv FROM hv ORDER BY hv LIMIT {KMV_K}
+    ),
+    gstat AS (
+      SELECT max(hv) AS kth, CAST(count(*) AS BIGINT) AS k_got FROM global_k
+    ),
+    shard_k AS (
+      -- per-shard k-min partials, prefiltered to hv <= global kth: the
+      -- filter is LOSSLESS for the merge (a value > kth can never be
+      -- among the k smallest of the union, and removing only larger
+      -- values preserves every survivor's per-shard rank), and it
+      -- bounds the window frame to <= k rows — without it this window
+      -- would sort the entire distinct keyspace at production scale
+      SELECT hv,
+             row_number() OVER (PARTITION BY hv % 8 ORDER BY hv) AS rn
+      FROM hv, gstat g
+      WHERE hv <= g.kth
+    ),
+    merged AS (
+      SELECT hv FROM shard_k WHERE rn <= {KMV_K} ORDER BY hv LIMIT {KMV_K}
+    ),
+    mstat AS (
+      SELECT max(hv) AS kth FROM merged
+    ),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS nd FROM hv
+    )
+    SELECT CAST({KMV_K} AS INT) AS k,
+           g.k_got,
+           g.kth AS kth_min,
+           CASE WHEN g.k_got < {KMV_K} THEN CAST(e.nd AS DOUBLE)
+                ELSE CAST({KMV_K - 1} AS DOUBLE) * {_KMV_M} / g.kth
+           END AS est_kmv,
+           e.nd AS exact_distinct,
+           CAST(CASE WHEN m.kth = g.kth THEN 1 ELSE 0 END AS INT)
+             AS merged_equals_direct
+    FROM gstat g, mstat m, exact e
+    """
+
+
+_both("op_kmv_distinct", _kmv_sql())

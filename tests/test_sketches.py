@@ -116,3 +116,33 @@ def test_sequence_fsm_equals_regex_on_random_strings():
         assert fsm(seq) == len(re.findall("vc*p", seq))
 
     check()
+
+
+def test_kmv_merge_identity_error_bound_and_exact_branch():
+    """KMV structural checks over the exact graded SQL text: the
+    per-shard-partial merge must reproduce the direct global k-th min
+    (identity, not approximation), the estimate must land within 4
+    standard errors (4/sqrt(k)) of the true distinct count, and a
+    keyspace smaller than k must take the exact branch (est == truth,
+    k_got < k)."""
+    import math
+
+    import __spark_entry__ as entry
+    from dblab_ece_trino_spark.operators.sketches import KMV_K
+
+    sql = entry.oracle_sql()["op_kmv_distinct"]
+
+    cur = duck_for(duckdb.connect(), SF_MED)
+    k, k_got, kth, est, exact, merged_ok = cur.execute(sql).fetchone()
+    assert (k, k_got, merged_ok) == (KMV_K, KMV_K, 1)
+    assert abs(est - exact) / exact <= 4 / math.sqrt(KMV_K), (est, exact)
+
+    # exact branch: 100 distinct keys < k=256
+    tiny = duckdb.connect()
+    tiny.execute(
+        "CREATE VIEW lineitem AS "
+        "SELECT (i % 100) + 1 AS l_orderkey FROM range(1000) t(i)"
+    )
+    k, k_got, kth, est, exact, merged_ok = tiny.execute(sql).fetchone()
+    assert (k_got, exact, merged_ok) == (100, 100, 1)
+    assert est == 100.0

@@ -458,3 +458,151 @@ def test_y4m_decode_hand_built_bytes():
     assert f1 == 1 and (y1 == 9).all()
     assert (u1 == np.array([[0, 255], [0, 255]], dtype=np.uint8)).all()
     assert (v1 == np.array([[100, 101], [102, 103]], dtype=np.uint8)).all()
+
+
+def test_gif_roundtrip_interlace_growth_and_rejection():
+    import numpy as np
+    import pytest
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_gif,
+        decode_image,
+        encode_gif,
+    )
+
+    # palette sizes 4..256 (every LZW min-code-size), both scan orders
+    for i in range(8):
+        bits = 2 + i % 7
+        p = 1 << bits
+        w, h = 9 + 3 * (i % 5), 7 + 2 * (i % 4)
+        idx = lambda x, y, i=i, p=p: (x * 3 + y * 5 + i) % p
+        pal = lambda j, i=i: ((j * 7 + i) % 256, (j * 11 + 2 * i) % 256,
+                              (j * 13 + 3 * i) % 256)
+        payload = encode_gif(w, h, bits, idx, pal, interlace=i % 2 == 1)
+        W, H, arr = decode_gif(payload)
+        expect = np.array(
+            [[pal(idx(x, y)) for x in range(w)] for y in range(h)],
+            dtype=np.uint8,
+        )
+        assert (W, H) == (w, h) and (arr == expect).all()
+        _, _, arr2 = decode_image(payload)  # seam dispatches GIF natively
+        assert (arr2 == expect).all()
+
+    # dictionary growth to the 12-bit ceiling + clear-code reset: a big
+    # 256-color gradient forces width 9->12 and at least one reset, and
+    # LZW must actually compress it
+    big = encode_gif(
+        200, 120, 8,
+        lambda x, y: (x * x + 3 * y) % 256,
+        lambda j: (j, (j * 2) % 256, (j * 3) % 256),
+    )
+    W, H, arr = decode_gif(big)
+    exp = np.array(
+        [[((x * x + 3 * y) % 256) for x in range(200)] for y in range(120)]
+    )
+    assert (arr[:, :, 0] == exp).all()
+    # and on a repetitive image the dictionary must genuinely compress
+    flat = encode_gif(
+        200, 120, 8,
+        lambda x, y: (y * 4) % 256,
+        lambda j: (j, (j * 2) % 256, (j * 3) % 256),
+    )
+    _, _, arr_flat = decode_gif(flat)
+    assert (arr_flat[:, :, 0] == np.array(
+        [[(y * 4) % 256] * 200 for y in range(120)])).all()
+    assert len(flat) < 200 * 120 // 5  # constant rows compress >5x
+    # (the fixed 768-byte global color table is part of the payload)
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"GIF88a" + b"\x00" * 32)
+    trunc = bytearray(encode_gif(8, 8, 2, lambda x, y: 0, lambda j: (j, j, j)))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif(bytes(trunc[:-6]))
+
+
+def test_gif_decode_hand_packed_lzw_spec_vector():
+    """Decoder vs a BYTE-LEVEL hand construction (no encode_gif): the
+    LZW codes for index stream [1,1,1,1] at min-code-size 2 are derived
+    by hand per the GIF89a spec — CLEAR(4), 1, 6 (the KwKwK case: code
+    6 is assigned *by this very emission*), 1, END(5), all 3-bit,
+    LSB-first packed into 0x8C 0x53 — wrapped in a hand-written header
+    with a graphic-control extension block the parser must skip.  A
+    complementary compressor/decompressor bug pair cannot survive
+    this."""
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import decode_gif
+
+    payload = (
+        b"GIF89a"
+        + b"\x04\x00\x01\x00"      # 4x1 logical screen
+        + b"\x81\x00\x00"          # global table, 4 colors
+        + bytes([0, 0, 0, 10, 20, 30, 40, 50, 60, 70, 80, 90])
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE extension: skipped
+        + b"\x2c" + b"\x00\x00\x00\x00\x04\x00\x01\x00" + b"\x00"
+        + b"\x02"                  # LZW min code size
+        + b"\x02\x8c\x53"          # one 2-byte sub-block (hand-packed)
+        + b"\x00\x3b"
+    )
+    w, h, arr = decode_gif(payload)
+    assert (w, h) == (4, 1)
+    assert (arr == np.array([[[10, 20, 30]] * 4], dtype=np.uint8)).all()
+
+
+def test_gif_lzw_against_independent_decoder():
+    """encode_gif's LZW vs an INDEPENDENT dict-based decompressor
+    written here from the spec (different structure from the shipped
+    list-based one): random-ish formula index streams across every
+    min-code-size, including streams long enough to hit the 4096-entry
+    reset."""
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    def independent_decompress(data, mcs, expect):
+        clear, end = 1 << mcs, (1 << mcs) + 1
+        codes = []
+        buf = nb = pos = 0
+        width = mcs + 1
+        table = {i: bytes([i]) for i in range(clear)}
+        nxt = end + 1
+        out = b""
+        prev = None
+        while len(out) < expect:
+            while nb < width:
+                buf |= data[pos] << nb
+                pos += 1
+                nb += 8
+            c = buf & ((1 << width) - 1)
+            buf >>= width
+            nb -= width
+            if c == clear:
+                table = {i: bytes([i]) for i in range(clear)}
+                nxt, width, prev = end + 1, mcs + 1, None
+                continue
+            if c == end:
+                break
+            if prev is None:
+                entry = table[c]
+            elif c in table:
+                entry = table[c]
+                table[nxt] = prev + entry[:1]
+                nxt += 1
+            else:
+                assert c == nxt
+                entry = prev + prev[:1]
+                table[nxt] = entry
+                nxt += 1
+            if nxt + 2 - 2 == (1 << width) and width < 12:
+                width += 1
+            out += entry
+            prev = entry
+        return out[:expect]
+
+    for mcs in range(2, 9):
+        p = 1 << mcs
+        stream = bytes((x * x + 7 * x + 3) % p for x in range(20000))
+        comp = _lzw_compress(stream, mcs)
+        assert independent_decompress(comp, mcs, len(stream)) == stream
+        assert _lzw_decompress(comp, mcs, len(stream)) == stream
