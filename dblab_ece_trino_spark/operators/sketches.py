@@ -38,7 +38,7 @@ Scale notes (100 TB lens):
 
 from __future__ import annotations
 
-from dblab_ece_trino_spark.operators.registry import register_sql
+from dblab_ece_trino_spark.operators.registry import register, register_sql
 from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
 
 _HEX = "0123456789abcdef"
@@ -267,4 +267,72 @@ def _kmv_sql() -> str:
     """
 
 
-_both("op_kmv_distinct", _kmv_sql())
+def _q_kmv_distinct(spark, sf_dir):
+    """DataFrame form of the same semantics, one fact scan: the md5
+    fold + DISTINCT (the dominant cost) runs ONCE into a materialized
+    hv frame, and the direct / shard-partial / exact branches all read
+    the checkpointed rows — the pure-SQL form re-derived the fold 4x
+    under CTE inlining (measured 6.0 s vs ~2 s at sf0.1).  The oracle
+    below stays the single-text SQL both engines can parse; Spark-side
+    arithmetic mirrors it term for term ((k-1)*M is exactly
+    representable: 255 * 2^48, an 8-bit mantissa — so the one IEEE
+    division finale is bit-identical across engines)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.session import materialize
+
+    li = engine_for(spark, sf_dir).catalogs.table("psql.tpch.lineitem")
+    hv = materialize(
+        li.select(
+            hexint_col(
+                F.concat(F.lit("kmv:"), F.col("l_orderkey").cast("string")),
+                12,
+            ).alias("hv")
+        ).distinct()
+    )
+    gstat = (
+        hv.orderBy("hv")
+        .limit(KMV_K)
+        .agg(
+            F.max("hv").alias("kth"),
+            F.count(F.lit(1)).cast("long").alias("k_got"),
+        )
+    )
+    shard_w = Window.partitionBy(F.col("hv") % 8).orderBy("hv")
+    mstat = (
+        hv.join(F.broadcast(gstat.select("kth")), F.col("hv") <= F.col("kth"))
+        .select("hv")
+        .withColumn("rn", F.row_number().over(shard_w))
+        .filter(F.col("rn") <= KMV_K)
+        .orderBy("hv")
+        .limit(KMV_K)
+        .agg(F.max("hv").alias("mkth"))
+    )
+    exact = hv.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    num = float((KMV_K - 1) * _KMV_M)  # exact: 255 * 2^48
+    return (
+        gstat.crossJoin(mstat)
+        .crossJoin(exact)
+        .select(
+            F.lit(KMV_K).cast("int").alias("k"),
+            F.col("k_got"),
+            F.col("kth").alias("kth_min"),
+            F.when(F.col("k_got") < KMV_K, F.col("nd").cast("double"))
+            .otherwise(F.lit(num) / F.col("kth"))
+            .alias("est_kmv"),
+            F.col("nd").alias("exact_distinct"),
+            F.when(F.col("mkth") == F.col("kth"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("merged_equals_direct"),
+        )
+    )
+
+
+register(
+    "op_kmv_distinct",
+    _q_kmv_distinct,
+    oracle=_kmv_sql().format(**_ORACLE_TABLES),
+)
