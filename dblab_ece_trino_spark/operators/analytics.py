@@ -532,18 +532,33 @@ def _q_winsorize(spark, sf_dir):
         "l_returnflag",
         F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").alias("c"),
     )
-    vf = cents.groupBy("l_returnflag", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    from dblab_ece_trino_spark.session import materialize
+
+    # ONE fact pass (r7 re-plan, same as op_mad_outliers): the final
+    # clamped sum and clamp counts are weighted aggregations of the
+    # SAME histogram the thresholds come from — work ∝ the price grid
+    vf = materialize(
+        cents.groupBy("l_returnflag", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    )
     th = grouped_disc_thresholds(
         vf, "l_returnflag", "c", {"lo": (1, 20), "hi": (19, 20)}
     )
+    zero = F.lit(0)
     return (
-        cents.join(F.broadcast(th), "l_returnflag")
+        vf.join(F.broadcast(th), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.count_if(F.col("c") < F.col("lo")).cast("long").alias("n_low_clamped"),
-            F.count_if(F.col("c") > F.col("hi")).cast("long").alias("n_high_clamped"),
-            F.sum(F.least(F.greatest(F.col("c"), F.col("lo")), F.col("hi")))
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum(F.when(F.col("c") < F.col("lo"), F.col("cnt")).otherwise(zero))
+            .cast("long")
+            .alias("n_low_clamped"),
+            F.sum(F.when(F.col("c") > F.col("hi"), F.col("cnt")).otherwise(zero))
+            .cast("long")
+            .alias("n_high_clamped"),
+            F.sum(
+                F.least(F.greatest(F.col("c"), F.col("lo")), F.col("hi"))
+                * F.col("cnt")
+            )
             .cast("long")
             .alias("winsorized_cents"),
         )
@@ -723,36 +738,50 @@ def grouped_disc_thresholds(vf, group_col, value_col, fracs, shards=None):
 # every statistic is exact integer arithmetic end-to-end.  The native
 # interpolating median() form was measured first and REJECTED: 11.7s at
 # x10 -> 47.8s at x30 (4.1x at 3x data — per-group value sets pinned in
-# one task, the ceiling the winsorize block documents).  This form is
-# three map-side-combinable fact passes (center, deviation histogram,
-# outlier count) plus metadata-scale histogram ranking.
+# one task, the ceiling the winsorize block documents).  ONE
+# map-side-combinable fact pass (the (flag, cents) histogram); the
+# deviation histogram and the outlier/row counts are all derived from
+# that histogram by weighted aggregation (work ∝ the price grid, which
+# stops growing with the corpus), not by re-scanning facts — the
+# round-7 re-plan of the original three-fact-pass form (4.6 s -> see
+# SCALE.md; identical values, counts summed from weights instead of
+# per-row).
 def _q_mad_outliers(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.session import materialize
 
     li = engine_for(spark, sf_dir).catalogs.table("psql.tpch.lineitem")
     cents = li.select(
         "l_returnflag",
         F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").alias("c"),
     )
-    vf = cents.groupBy("l_returnflag", "c").agg(F.count(F.lit(1)).alias("cnt"))
-    med = grouped_disc_thresholds(vf, "l_returnflag", "c", {"med": (1, 2)})
-    dev = cents.join(F.broadcast(med), "l_returnflag").withColumn(
-        "adev", F.abs(F.col("c") - F.col("med"))
+    # the ONLY fact pass; materialized because the histogram feeds both
+    # the median rank machinery and the deviation re-histogram (Spark
+    # would otherwise re-scan facts once per consumer under inlining)
+    vf = materialize(
+        cents.groupBy("l_returnflag", "c").agg(F.count(F.lit(1)).alias("cnt"))
     )
-    vf2 = dev.groupBy("l_returnflag", "adev").agg(
-        F.count(F.lit(1)).alias("cnt")
+    med = grouped_disc_thresholds(vf, "l_returnflag", "c", {"med": (1, 2)})
+    vf2 = materialize(
+        vf.join(F.broadcast(med), "l_returnflag")
+        .withColumn("adev", F.abs(F.col("c") - F.col("med")))
+        .groupBy("l_returnflag", "med", "adev")
+        .agg(F.sum("cnt").alias("cnt"))
     )
     mad = grouped_disc_thresholds(vf2, "l_returnflag", "adev", {"mad": (1, 2)})
     return (
-        dev.join(F.broadcast(mad), "l_returnflag")
+        vf2.join(F.broadcast(mad), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
             F.max("med").cast("long").alias("median_cents"),
             F.max("mad").cast("long").alias("mad_cents"),
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.count_if(F.col("adev") > 3 * F.col("mad"))
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), F.col("cnt"))
+                .otherwise(F.lit(0))
+            )
             .cast("long")
             .alias("n_outliers"),
         )
@@ -815,22 +844,34 @@ def _q_boxplot_stats(spark, sf_dir):
         "l_returnflag",
         F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").alias("c"),
     )
-    vf = cents.groupBy("l_returnflag", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    from dblab_ece_trino_spark.session import materialize
+
+    # ONE fact pass (r7 re-plan, same as op_mad_outliers): the Tukey
+    # fence count is a weighted aggregation of the SAME histogram the
+    # quartiles come from — work ∝ the price grid after the histogram
+    vf = materialize(
+        cents.groupBy("l_returnflag", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    )
     qs = grouped_disc_thresholds(
         vf, "l_returnflag", "c", {"q1": (1, 4), "med": (1, 2), "q3": (3, 4)}
     )
     return (
-        cents.join(F.broadcast(qs), "l_returnflag")
+        vf.join(F.broadcast(qs), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cnt").cast("long").alias("n"),
             F.max("q1").cast("long").alias("q1_cents"),
             F.max("med").cast("long").alias("median_cents"),
             F.max("q3").cast("long").alias("q3_cents"),
             (F.max("q3") - F.max("q1")).cast("long").alias("iqr_cents"),
-            F.count_if(
-                (2 * F.col("c") < 2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1")))
-                | (2 * F.col("c") > 2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1")))
+            F.sum(
+                F.when(
+                    (2 * F.col("c")
+                     < 2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1")))
+                    | (2 * F.col("c")
+                       > 2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
             )
             .cast("long")
             .alias("n_outliers"),
