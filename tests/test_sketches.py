@@ -146,3 +146,26 @@ def test_kmv_merge_identity_error_bound_and_exact_branch():
     k, k_got, kth, est, exact, merged_ok = tiny.execute(sql).fetchone()
     assert (k_got, exact, merged_ok) == (100, 100, 1)
     assert est == 100.0
+
+
+def test_kmv_spark_exact_branch_and_parity_with_oracle(spark, tmp_path):
+    """Spark-side twin of the DuckDB tiny-keyspace check: point the
+    entry at a directory whose lineitem has 100 distinct keys (< k) and
+    the DataFrame implementation must take the exact branch with the
+    merge identity intact — proving the branch logic lives in BOTH
+    implementations, not just the oracle text."""
+    import __spark_entry__ as entry
+    from dblab_ece_trino_spark.operators.sketches import KMV_K
+
+    spark.range(1000).selectExpr("(id % 100) + 1 AS l_orderkey").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "lineitem.parquet"))
+    row = (
+        entry.queries()["op_kmv_distinct"](spark, str(tmp_path))
+        .collect()[0]
+        .asDict()
+    )
+    assert row["k"] == KMV_K
+    assert (row["k_got"], row["exact_distinct"]) == (100, 100)
+    assert row["est_kmv"] == 100.0
+    assert row["merged_equals_direct"] == 1
