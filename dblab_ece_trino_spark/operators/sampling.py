@@ -471,10 +471,18 @@ def _q_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same deterministic %97 split as the decontaminate entry.  Exact
     integers end to end (distinct counts, a distinct-on-join overlap
-    count); the rate is one per-row IEEE division.  Shape: two
-    distinct-shingle aggregations + one join on the shingle value (the
-    eval side is tiny and broadcastable at any real split ratio) — the
-    corpus is scanned twice (once per split), never shuffled as rows.
+    count); the rate is one per-row IEEE division.  Shape (r7 re-plan):
+    the DISTINCT eval shingle set is tiny at any real split ratio, so
+    it broadcasts and the train side streams through a map-side
+    broadcast semi-join — train shingles are never globally
+    distinct'd.  The surviving matches are bounded by |eval shingles|,
+    so the final distinct is metadata-scale.  Measured A/B vs the old
+    distinct-then-join form at x30/x100 replicas: parity (the replica
+    fixture's shingle diversity is low, so the old global dedup
+    map-side-combined away) — the re-plan's win is STRUCTURAL: its
+    only large shuffle volume is |eval shingles|, where the old form
+    shuffled the full distinct train shingle set, which grows with
+    corpus diversity at real scale.
     """
     from dblab_ece_trino_spark.entrypoints import engine_for
 
@@ -484,11 +492,11 @@ def _q_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_sh = ev.select(
         F.explode(word_shingles(F.col("text"), 3)).alias("shingle")
     ).distinct()
-    tr_sh = tr.select(
-        F.explode(word_shingles(F.col("text"), 3)).alias("shingle")
-    ).distinct()
-    stats = ev_sh.join(tr_sh, "shingle", "left_semi").agg(
-        F.count(F.lit(1)).cast("long").alias("n_contaminated")
+    stats = (
+        tr.select(F.explode(word_shingles(F.col("text"), 3)).alias("shingle"))
+        .join(F.broadcast(ev_sh), "shingle", "left_semi")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
     )
     counts = (
         ev.agg(F.count(F.lit(1)).cast("long").alias("n_eval_docs"))
