@@ -951,9 +951,18 @@ def decode_png(payload: bytes):
     pos = len(_PNG_SIG)
     ihdr = None
     idat = bytearray()
+    saw_iend = False
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
+        # Bounds-check BEFORE slicing: a payload truncated mid-chunk
+        # would otherwise surface as struct.error from the short CRC
+        # slice instead of the documented ValueError.
+        if pos + 12 + length > len(payload):
+            raise ValueError(
+                f"truncated PNG: {tag!r} chunk of length {length} at "
+                f"offset {pos} overruns the {len(payload)}-byte payload"
+            )
         body = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", payload[pos + 8 + length : pos + 12 + length]
@@ -965,17 +974,25 @@ def decode_png(payload: bytes):
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
+            saw_iend = True
             break
         pos += 12 + length
     if ihdr is None:
         raise ValueError("missing IHDR")
+    if not saw_iend:
+        raise ValueError(
+            "truncated PNG: stream ended without an IEND chunk"
+        )
     width, height, depth, color, comp, filt, interlace = ihdr
     if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
         raise ValueError(
             f"unsupported PNG: depth={depth} color={color} interlace={interlace}"
         )
     ch = 4 if color == 6 else 3
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"truncated PNG: bad IDAT stream ({exc})") from exc
     stride = width * ch
     if len(raw) != height * (1 + stride):
         raise ValueError(
@@ -1231,7 +1248,12 @@ def y4m_sample_frames(payload: bytes, every: int = 1):
     carry a bare ``FRAME\\n`` marker — a parameterized frame header
     (``FRAME Xsomething\\n``, legal y4m but variable-stride) raises
     rather than silently misreading planes, as does a truncated or
-    non-stride-aligned stream."""
+    non-stride-aligned stream.  Marker validation is per SAMPLED
+    position plus the first unsampled frame (when every > 1): a stream
+    corrupted only inside a never-seeked frame body is by design not
+    scanned — that is the point of stride-seek at 100 TB — so this is
+    spot-validation of the stride assumption, not a full-stream
+    integrity check."""
     import numpy as np
 
     width, height, _, _, c420, hdr = parse_y4m_header(payload)
@@ -1244,6 +1266,13 @@ def y4m_sample_frames(payload: bytes, every: int = 1):
             raise ValueError("parameterized FRAME headers are not fixed-stride")
         raise ValueError("truncated YUV4MPEG2 stream")
     n_frames = body // stride
+    if every > 1 and n_frames > 1:
+        off1 = hdr + stride
+        if payload[off1 : off1 + 6] != b"FRAME\n":
+            raise ValueError(
+                "expected bare FRAME marker at unsampled frame 1, got "
+                f"{payload[off1 : off1 + 6]!r}"
+            )
     for f in range(0, n_frames, every):
         off = hdr + f * stride
         marker = payload[off : off + 6]
@@ -1578,13 +1607,16 @@ def encode_gif(
     return bytes(out)
 
 
-def decode_gif(payload: bytes):
-    """Pure-python GIF decoder: returns (width, height, HxWx3 uint8 RGB,
-    top-down).  Walks the block stream (extensions skipped per spec,
-    sub-blocks reassembled), decompresses the real LZW stream, maps
-    through the global color table, de-interlaces.  Single-image GIFs
-    with a global color table only — animations, local color tables,
-    and truncated streams error loudly rather than returning garbage."""
+def decode_gif_full(payload: bytes):
+    """Pure-python GIF decoder: returns (width, height, HxWx3 uint8 RGB
+    top-down, n_colors, interlaced).  Walks the block stream (extensions
+    skipped per spec, sub-blocks reassembled), decompresses the real LZW
+    stream, maps through the global color table, de-interlaces.
+    Single-image GIFs with a global color table only — animations, local
+    color tables, and truncated streams error loudly (ValueError) rather
+    than returning garbage.  n_colors/interlaced come from the decoder's
+    own header/descriptor parse so downstream stats never re-derive them
+    with offset arithmetic (which breaks on extension blocks)."""
     import struct
 
     import numpy as np
@@ -1597,11 +1629,14 @@ def decode_gif(payload: bytes):
         raise ValueError("GIF without a global color table")
     n_colors = 2 << (packed & 0x07)
     pos = 13
+    if pos + 3 * n_colors > len(payload):
+        raise ValueError("truncated GIF: global color table overruns payload")
     palette = np.frombuffer(
         payload, dtype=np.uint8, count=3 * n_colors, offset=pos
     ).reshape(n_colors, 3)
     pos += 3 * n_colors
     image = None
+    interlaced = 0
     while pos < len(payload):
         block = payload[pos]
         pos += 1
@@ -1609,14 +1644,21 @@ def decode_gif(payload: bytes):
             break
         if block == 0x21:  # extension: label + sub-blocks, skip
             pos += 1
-            while payload[pos]:
-                pos += 1 + payload[pos]
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF extension block")
+                n = payload[pos]
+                if n == 0:
+                    break
+                pos += 1 + n
             pos += 1
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
         if image is not None:
             raise ValueError("multi-image GIF (animation) not supported")
+        if pos + 10 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
         left, top, iw, ih = struct.unpack("<HHHH", payload[pos : pos + 8])
         ipacked = payload[pos + 8]
         pos += 9
@@ -1642,13 +1684,20 @@ def decode_gif(payload: bytes):
         if (idx >= n_colors).any():
             raise ValueError("pixel index beyond the color table")
         grid = idx.reshape(ih, iw)
-        if ipacked & 0x40:  # de-interlace
+        interlaced = int(bool(ipacked & 0x40))
+        if interlaced:  # de-interlace
             out = np.empty_like(grid)
             out[_gif_interlace_rows(ih)] = grid
             grid = out
         image = palette[grid]
     if image is None:
         raise ValueError("GIF contains no image block")
+    return width, height, image, n_colors, interlaced
+
+
+def decode_gif(payload: bytes):
+    """(width, height, HxWx3 uint8 RGB) view of decode_gif_full."""
+    width, height, image, _, _ = decode_gif_full(payload)
     return width, height, image
 
 
@@ -1704,16 +1753,16 @@ def gif_pixel_stats(media: DataFrame) -> DataFrame:
     are row-permutation-invariant, so a broken de-interlace would
     otherwise cancel)."""
     import numpy as np
-    import struct
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 payload = bytes(payload)
-                w, h, arr = decode_gif(payload)
-                n_colors = 2 << (payload[10] & 0x07)
-                interlaced = int(bool(payload[13 + 3 * n_colors + 9] & 0x40))
+                # n_colors/interlaced come from the decoder's own block
+                # walk — offset arithmetic here would misread any legal
+                # GIF with an extension before the image descriptor.
+                w, h, arr, n_colors, interlaced = decode_gif_full(payload)
                 a64 = arr.astype("int64")
                 ys = np.arange(h, dtype="int64")
                 out.append(

@@ -486,12 +486,20 @@ def _q_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from dblab_ece_trino_spark.entrypoints import engine_for
 
+    from dblab_ece_trino_spark.session import materialize
+
     docs = engine_for(spark, sf_dir).catalogs.table("lake.llm.documents")
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     tr = docs.filter(F.col("doc_id") % 97 != 0)
-    ev_sh = ev.select(
-        F.explode(word_shingles(F.col("text"), 3)).alias("shingle")
-    ).distinct()
+    # Materialized because it is consumed twice (broadcast semi-join
+    # build + the n_eval_ngrams count) and Spark inlines shared frames —
+    # without this the eval scan+explode+distinct runs once per
+    # consumer.  It is the small side by construction (~1/97 of docs).
+    ev_sh = materialize(
+        ev.select(
+            F.explode(word_shingles(F.col("text"), 3)).alias("shingle")
+        ).distinct()
+    )
     stats = (
         tr.select(F.explode(word_shingles(F.col("text"), 3)).alias("shingle"))
         .join(F.broadcast(ev_sh), "shingle", "left_semi")

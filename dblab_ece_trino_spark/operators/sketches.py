@@ -300,6 +300,9 @@ def _q_kmv_distinct(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("k_got"),
         )
     )
+    # 8 shards is sized to k: the hv <= kth prefilter bounds the input
+    # to ~k = KMV_K (256) rows, so each shard ranks ~32 rows — bump this
+    # alongside any KMV_K increase to keep per-shard windows small.
     shard_w = Window.partitionBy(F.col("hv") % 8).orderBy("hv")
     mstat = (
         hv.join(F.broadcast(gstat.select("kth")), F.col("hv") <= F.col("kth"))

@@ -75,6 +75,19 @@ def test_artifact_tree_matches_reference_layout(spark, tmp_path):
     from dblab_ece_trino_spark.bench.reference_parity import _ref_engine
 
     eng = _ref_engine(spark, "/root/testdata/sf0.001")
+    # Precondition for the q003 byte-identity claim below: its ORDER BY
+    # key (orders DESC) must be tie-free — LIMIT 20 with tied counts
+    # would make the cross-mode diff data-dependent flaky instead of
+    # failing with a cause.  Assert it so a generator tweak that
+    # introduces a tie fails HERE, loudly.
+    q3_counts = [
+        r.orders
+        for r in eng.sql(REFERENCE_SQL["ref_q003"], name="ref_q003").collect()
+    ]
+    assert len(set(q3_counts)) == len(q3_counts), (
+        "ref_q003 ORDER BY key has ties at this sf; the byte-identity "
+        f"artifact comparison is no longer well-defined: {q3_counts}"
+    )
     names = sorted(REFERENCE_SQL)
     timings = run_benchmark(
         eng,

@@ -606,3 +606,63 @@ def test_gif_lzw_against_independent_decoder():
         comp = _lzw_compress(stream, mcs)
         assert independent_decompress(comp, mcs, len(stream)) == stream
         assert _lzw_decompress(comp, mcs, len(stream)) == stream
+
+
+def test_codec_truncation_raises_valueerror_not_internal_errors():
+    """ADVICE r7: a payload truncated mid-structure must surface as the
+    documented ValueError, never struct.error (PNG short CRC slice) or
+    IndexError (GIF extension-skip loop walking past end)."""
+    import pytest
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_gif,
+        decode_png,
+        encode_gif,
+        encode_png,
+    )
+
+    png = encode_png(8, 8, lambda x, y: (x, y, 7))
+    # cut inside a chunk body (and inside the trailing CRC) at several
+    # offsets past the signature + IHDR
+    for cut in (34, len(png) - 3, len(png) - 15):
+        with pytest.raises(ValueError, match="truncated PNG"):
+            decode_png(png[:cut])
+
+    gif = bytearray(encode_gif(8, 8, 2, lambda x, y: 0, lambda j: (j, j, j)))
+    # graft an extension introducer + label, then cut mid-sub-block so
+    # the skip loop would previously IndexError off the end
+    trailer = gif.index(0x3B, 13)
+    truncated_ext = bytes(gif[:13 + 12]) + b"\x21\xf9\x04\x00\x00"
+    with pytest.raises(ValueError, match="truncated GIF extension"):
+        decode_gif(truncated_ext)
+    with pytest.raises(ValueError, match="truncated GIF"):
+        decode_gif(bytes(gif[:13 + 6]))  # cut inside the color table
+
+
+def test_gif_full_metadata_survives_extension_before_descriptor():
+    """ADVICE r7: n_colors/interlaced must come from the decoder's block
+    walk, not offset math that assumes the image descriptor immediately
+    follows the global color table.  A legal GIF89a with a GCE before
+    the descriptor must still report the right interlace flag."""
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_gif_full,
+        encode_gif,
+    )
+
+    plain = encode_gif(
+        9, 7, 3, lambda x, y: (x + y) % 8,
+        lambda j: (j, 2 * j % 256, 3 * j % 256), interlace=True,
+    )
+    # splice a Graphics Control Extension between the global color
+    # table (13 + 3*8 bytes) and the image descriptor
+    split = 13 + 3 * 8
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = plain[:split] + gce + plain[split:]
+    for payload in (plain, spliced):
+        w, h, arr, n_colors, interlaced = decode_gif_full(payload)
+        assert (w, h, n_colors, interlaced) == (9, 7, 8, 1)
+    import numpy as np
+
+    a_plain = decode_gif_full(plain)[2]
+    a_spliced = decode_gif_full(spliced)[2]
+    assert (a_plain == a_spliced).all()
