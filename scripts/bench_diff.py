@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Per-query delta table between two BENCH_LOCAL_*.json records.
+
+The headline bench now covers 60+ queries; eyeballing two ~60-line JSON
+blobs for a regression does not scale.  This prints one row per query
+with old/new warm-min seconds, the absolute and relative delta, sorted
+worst-regression-first, plus queries present in only one record (adds /
+removals) and the headline totals.
+
+Usage:
+    python3 scripts/bench_diff.py OLD.json NEW.json [--threshold PCT]
+
+``--threshold`` (default 10) marks rows whose |relative delta| exceeds
+that percent with ``<<`` so regressions are one grep away:
+    python3 scripts/bench_diff.py BENCH_LOCAL_r07.json BENCH_LOCAL_r08.json | grep '<<'
+Exit status is 0 always — this is a reporting tool, not a gate (the
+plan-budget pytest layer is the gate; timings on a shared box are
+advisory).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        rec = json.load(f)
+    if "queries" not in rec:
+        sys.exit(f"{path}: no 'queries' field — not a BENCH_LOCAL record")
+    return rec
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=10.0,
+                    help="flag rows with |delta| > PCT (default 10)")
+    args = ap.parse_args()
+
+    old, new = load(args.old), load(args.new)
+    oq, nq = old["queries"], new["queries"]
+    common = sorted(set(oq) & set(nq))
+    rows = []
+    for name in common:
+        a, b = float(oq[name]), float(nq[name])
+        rel = (b - a) / a * 100 if a > 0 else float("inf")
+        rows.append((name, a, b, b - a, rel))
+    rows.sort(key=lambda r: -r[4])
+
+    w = max((len(r[0]) for r in rows), default=10)
+    print(f"{'query':<{w}}  {'old_s':>8}  {'new_s':>8}  {'delta_s':>8}  {'delta_%':>8}")
+    for name, a, b, d, rel in rows:
+        flag = "  <<" if abs(rel) > args.threshold else ""
+        print(f"{name:<{w}}  {a:8.3f}  {b:8.3f}  {d:+8.3f}  {rel:+8.1f}{flag}")
+
+    for label, only in (("only in OLD", set(oq) - set(nq)),
+                        ("only in NEW", set(nq) - set(oq))):
+        for name in sorted(only):
+            src = oq if "OLD" in label else nq
+            print(f"{name:<{w}}  [{label}: {float(src[name]):.3f}s]")
+
+    osum, nsum = sum(map(float, oq.values())), sum(map(float, nq.values()))
+    csum_o = sum(float(oq[n]) for n in common)
+    csum_n = sum(float(nq[n]) for n in common)
+    print(f"\nheadline: {old.get('value')}s/{len(oq)}q -> "
+          f"{new.get('value')}s/{len(nq)}q "
+          f"(sum {osum:.1f} -> {nsum:.1f}; "
+          f"{len(common)}-query common subset {csum_o:.1f} -> {csum_n:.1f})")
+
+
+if __name__ == "__main__":
+    main()
