@@ -88,64 +88,51 @@ def oracle_queries() -> dict[str, str]:
 # graded keys == list(queries())[:50]).  This list pins which entries
 # occupy those 50 slots this round; everything else keeps its entry (and
 # its local pytest gate) and is rotated into the window in later rounds
-# so every operator accumulates a graded row.  After round 6 the board
-# is closed: 229/229 registered entries hold a green driver row and no
-# entry's LATEST grade is a failure.  The only grading debt is
-# staleness, so the round-7 window is pure backfill, seated strictly
-# oldest-latest-green first (computed by unioning
-# CORRECTNESS_r01..r06.json): q001-q005 (standing regression watch) +
-# the 10 entries whose only green is round 1 + the 10 round-2 entries
-# the round-6 verdict named (displaced from the r6 window) + 25 more
-# round-2 slots (all 20 remaining non-TPC-H r2 entries + the first 5
-# TPC-H shapes).  The 10 TPC-H entries left at r2 (tpch_q7/q10/q12/
-# q14/q17/q18/q19/q21/q21_agg/q22 — canonical SQL untouched since
-# round 2, the lowest-churn residue) head the round-8 queue.  Any NEW
-# op added this round is never-graded and outranks freshness backfill:
-# seat it by displacing from the TPC-H tail upward.  Four round-7 ops
-# were seated that way (reference_sql_parity, multimodal_png_decode,
-# multimodal_y4m_frames, op_kmv_distinct), displacing tpch_q3/q4/q5 —
-# those three join the 10 r2 TPC-H shapes at the head of the round-8
-# queue (13 entries), followed by the remaining r2 greens.  A fifth new
-# op (multimodal_gif_decode) took the final tail seat from tpch_q1, so
-# the round-8 TPC-H backfill queue is 14 entries deep.
+# so every operator accumulates a graded row.  The board has been
+# closed since round 6 (every registered entry's LATEST grade is green),
+# so the only grading debt is staleness.  The round-8 window clears the
+# ENTIRE r2/r3 backlog (computed by unioning CORRECTNESS_r01..r07.json):
+# q001-q005 (standing regression watch) + all 15 entries whose latest
+# green is round 2 (the TPC-H canon queue, incl. tpch_q1/q3/q4/q5
+# displaced by round-7's new ops) + the round-8 NEW ops + the oldest
+# round-3 entries filling the remaining slots.  NEW ops are seated
+# ahead of freshness backfill (never-graded outranks stale) and
+# displace from the r3 TAIL, never the TPC-H head — the r2 entries are
+# 6 rounds stale and must clear this round.  r3 entries that don't fit
+# (the window's displacement tail) head the round-9 queue.
 GRADED_PRIORITY: list[str] = [
     # reference query set (regression watch, every round)
     "q001", "q002", "q003", "q004", "q005",
-    # latest green = round 1 (stalest on the board)
-    "dedup_embedding", "dedup_exact", "join_asof", "join_range",
-    "op_conditional_functions", "op_date_functions",
-    "op_string_functions", "sim_search_bruteforce",
-    "text_quality_score", "text_token_count",
-    # latest green = round 2, the 10 the round-6 verdict named
-    "op_project_case", "op_join_broadcast", "op_agg_global",
-    "op_agg_groupby", "op_scalar_arithmetic", "op_events_time_rollup",
-    "op_session_window", "op_hash_bucketing", "op_salted_agg",
-    "op_agg_grouping_sets",
-    # latest green = round 2, remaining non-TPC-H entries (all 20)
-    "multimodal_features", "multimodal_frame_sample",
-    "op_approx_distinct", "op_array_hof", "op_collect_agg",
-    "op_except_all", "op_explode", "op_json_extract", "op_map_struct",
-    "op_percentile", "op_pivot", "op_recursive_cte", "op_regexp",
-    "op_unpivot", "op_values_inline", "op_window_running_sum",
-    "pipeline_clean_corpus", "pipeline_pack_sequences",
-    "text_fingerprint", "text_language_id",
-    # NEW round 7: the reference's five literal query files through
-    # engine.sql at generator sf1 + the workers-1≡N invariance, one
-    # graded summary row per query (bench/reference_parity.py)
-    "reference_sql_parity",
-    # NEW round 7: native PNG codec (stdlib zlib inflate + CRC, all five
-    # scanline filters) — closes the PNG decoder seam
-    "multimodal_png_decode",
-    # NEW round 7: native Y4M video codec — stride-seek every-Nth-frame
-    # sampling over real YUV4MPEG2 bytes, C444 + C420jpeg geometries
-    "multimodal_y4m_frames",
-    # NEW round 7: KMV distinct sketch — cross-engine-replayable estimate,
-    # merge-equals-direct proven by value
-    "op_kmv_distinct",
-    # NEW round 7: native GIF codec — real variable-width LZW
-    # (dictionary growth to 4096, clear resets, LSB-first packing),
-    # 4-pass interlace, palette-indexed color
-    "multimodal_gif_decode",
+    # latest green = round 2 (6 rounds stale, the whole backlog):
+    # the TPC-H canon queue
+    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
+    "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q21", "tpch_q21_agg", "tpch_q22",
+    # NEW round 8: BPE ENCODER — applies the learned merge table over
+    # the vocabulary-collapsed distinct-word frame (chain of codegen'd
+    # array folds, work ∝ |V| × rounds, zero shuffles in the merge
+    # application) emitting per-doc exact token counts; closes the
+    # llm_bpe_merges (mine-only) loop
+    "llm_bpe_encode",
+    # latest green = round 3: the TPC-H r3 shapes first
+    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q13", "tpch_q15",
+    "tpch_q16", "tpch_q20",
+    # r3: the word-level similarity join + the round-3 llm_* block
+    "dedup_ngram_jaccard_word",
+    "llm_bigram_lm_score", "llm_chunk_dedup", "llm_chunk_documents",
+    "llm_dedup_resolution", "llm_domain_mix", "llm_pii_redact",
+    "llm_quality_rules", "llm_repetition_profile", "llm_tf_cosine_dup",
+    "llm_train_order", "llm_vocab_topk",
+    # r3: remaining oldest entries (displacement tail — round-8 NEW ops
+    # seat here bottom-up; whatever is displaced heads the round-9
+    # queue along with the 7 r3 entries that didn't fit: sample_split,
+    # sample_stratified, text_length_histogram,
+    # text_rolling_fingerprint, op_upsert_latest, op_snapshot_diff,
+    # op_scd2_intervals)
+    "decontaminate", "gen_store_sales_invariants", "multimodal_resize",
+    "op_click_attribution", "op_fuzzy_match", "op_hierarchy_walk",
+    "op_intersect_all", "op_interval_arith", "op_lateral_explode",
+    "op_null_safe_join",
 ]
 
 

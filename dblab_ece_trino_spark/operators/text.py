@@ -721,3 +721,173 @@ register(
     ORDER BY doc_id
     """,
 )
+
+
+# ------------------------------------------------------- BPE encoder
+#: Fixed merge table: 10 rounds learned by deterministic greedy BPE
+#: training on the sf0.01 documents corpus (pair-count argmax, ties
+#: broken lexicographically — the trainer is tests/test_round8_ops.py's
+#: reference implementation).  Application is corpus-independent, so the
+#: same table runs at every sf.  WELL-FORMED by construction: every
+#: multi-char operand ('er' in round 5, 'ar' in round 9) is produced by
+#: an earlier round, which is the property that makes one greedy
+#: left-to-right pass per merge IN TABLE ORDER equivalent to the
+#: rank-priority fixpoint loop GPT-2-style encoders run (a new
+#: occurrence of pair i can only appear when a later merge j>i creates
+#: one of i's operands — impossible in a trained table).
+BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+]
+
+
+def _bpe_fold_expr(inner: str, a: str, b: str) -> str:
+    """One merge round as a Spark SQL fold over the symbol array:
+    left-to-right greedy — merge the current symbol into the
+    accumulator's tail iff (tail, current) == (a, b).  The fold retests
+    the merged tail against the NEXT symbol, which is exactly the
+    non-overlapping left-to-right scan of the BPE spec (for a == b a
+    run of k symbols yields floor(k/2) merged pairs)."""
+    ab = a + b
+    return (
+        f"aggregate({inner}, cast(array() as array<string>), (acc, s) -> "
+        f"IF(size(acc) > 0 AND element_at(acc, -1) = '{a}' AND s = '{b}', "
+        f"concat(slice(acc, 1, size(acc) - 1), array('{ab}')), "
+        f"concat(acc, array(s))))"
+    )
+
+
+def bpe_token_expr(word_col: str = "w", merges=None) -> str:
+    """Spark SQL expression: symbol array of word_col after applying the
+    merge table in order (chars -> sequence of fold rounds).  Pure
+    whole-stage-codegen expression — no UDF, no shuffle."""
+    expr = f"transform(sequence(1, length({word_col})), i -> substring({word_col}, i, 1))"
+    for a, b in merges or BPE_MERGES:
+        assert (a + b).isalnum(), "merge symbols must be SQL-literal-safe"
+        expr = _bpe_fold_expr(expr, a, b)
+    return expr
+
+
+def bpe_encode_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document EXACT token counts under the learned BPE vocabulary
+    — the application companion to llm_bpe_merges (which only MINES
+    merge candidates; until this entry nothing applied a vocabulary, so
+    token counts elsewhere are whitespace proxies).
+
+    THE scale property (the GPT-2 pre-tokenized idiom): merges are
+    applied on the VOCABULARY-collapsed distinct-word frame — work is
+    |V| x merge rounds (Heaps' law: |V| ~ sqrt of corpus size), never
+    per-document, and the merge application itself is a chain of
+    codegen'd array folds with ZERO shuffles.  The corpus-scale work is
+    one map-side-combinable (doc_id, word) count and one (word)-keyed
+    join of tiny per-word token counts back onto it.  At 100 TB: one
+    fact scan, two key-partitioned shuffles, and a |V|-row side frame.
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
+    ).filter(F.length("w") >= 1)
+    # materialized: consumed by BOTH the vocab distinct and the final
+    # join — Spark inlines shared frames, so without this the scan +
+    # explode + groupBy would run once per consumer
+    dw = materialize(
+        words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vt = dw.select("w").distinct().select(
+        "w",
+        F.expr(f"size({bpe_token_expr('w')})").cast("long").alias("n_tok"),
+    )
+    return (
+        dw.join(vt, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.length("w")).cast("long").alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("n_tok")).cast("long").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_encode_counts(_docs(spark, sf_dir))
+
+
+def _bpe_oracle(merges=None) -> str:
+    """DuckDB oracle: the SAME fixed merge table applied as an unrolled
+    CTE chain over (word, pos, sym) rows.  Greedy non-overlapping
+    left-to-right pass per merge via run-parity gaps-and-islands:
+    candidate positions (sym=a AND next=b) group into consecutive runs;
+    merge starts are the odd-ranked candidates within each run (for
+    a != b runs are singletons; for a == b this yields floor(k/2) pairs
+    per k-run, matching the fold); the symbol AFTER a start is consumed.
+    Four window levels per round, each consumed once (chain), so plain
+    CTEs inline linearly; the twice-consumed frames (dw, s0 source) are
+    MATERIALIZED."""
+    parts = [r"""
+    WITH words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        FROM documents) t
+      WHERE len(w) >= 1
+    ),
+    dw AS MATERIALIZED (
+      SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY doc_id, w
+    ),
+    s0 AS MATERIALIZED (
+      SELECT w, CAST(i AS BIGINT) AS pos, w[i] AS sym
+      FROM (SELECT DISTINCT w FROM dw) v,
+           LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t
+    )"""]
+    for r, (a, b) in enumerate(merges or BPE_MERGES):
+        ab = a + b
+        parts.append(f""",
+    c{r} AS (
+      SELECT w, pos, sym,
+             coalesce(sym = '{a}' AND
+               lead(sym) OVER (PARTITION BY w ORDER BY pos) = '{b}',
+               FALSE) AS cand
+      FROM s{r}
+    ),
+    g{r} AS (
+      SELECT w, pos, sym, cand,
+             CASE WHEN cand THEN pos -
+               ROW_NUMBER() OVER (PARTITION BY w, cand ORDER BY pos)
+             END AS run
+      FROM c{r}
+    ),
+    h{r} AS (
+      SELECT w, pos, sym,
+             cand AND (ROW_NUMBER() OVER (PARTITION BY w, run ORDER BY pos)
+                       % 2 = 1) AS is_start
+      FROM g{r}
+    ),
+    i{r} AS (
+      SELECT w, pos, sym, is_start,
+             coalesce(lag(is_start) OVER (PARTITION BY w ORDER BY pos),
+                      FALSE) AS consumed
+      FROM h{r}
+    ),
+    s{r + 1} AS (
+      SELECT w, ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS pos,
+             CASE WHEN is_start THEN '{ab}' ELSE sym END AS sym
+      FROM i{r}
+      WHERE NOT consumed
+    )""")
+    n = len(merges or BPE_MERGES)
+    parts.append(f""",
+    vt AS (SELECT w, count(*) AS n_tok FROM s{n} GROUP BY w)
+    SELECT dw.doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(cnt * len(w)) AS BIGINT) AS n_chars,
+           CAST(sum(cnt * n_tok) AS BIGINT) AS n_bpe_tokens
+    FROM dw JOIN vt USING (w)
+    GROUP BY dw.doc_id
+    ORDER BY doc_id""")
+    return "".join(parts)
+
+
+register("llm_bpe_encode", _q_bpe_encode, oracle=_bpe_oracle())
