@@ -118,6 +118,11 @@ HEADLINE = [
     "op_kmv_distinct",
     # ... and the native GIF codec (real variable-width LZW + interlace)
     "multimodal_gif_decode",
+    # round-8 additions: the BPE ENCODER (vocabulary-collapsed merge
+    # application, per-doc exact token counts) and the native baseline
+    # JPEG codec (Huffman + IDCT + 4:2:0, restart markers)
+    "llm_bpe_encode",
+    "multimodal_jpeg_decode",
 ]
 
 

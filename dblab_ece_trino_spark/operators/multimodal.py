@@ -68,12 +68,13 @@ FEATURE_SCHEMA = T.StructType(
 
 # ----------------------------------------------------------- decoder seam
 def decode_image(payload: bytes) -> "object":
-    """Generic image seam: PPM / BMP / PNG / GIF decode NATIVELY (zero
-    external deps — PNG needs only stdlib zlib, GIF ships a real LZW);
-    compressed formats that genuinely require an external library
-    (JPEG/WebP/...) raise behind this clearly-marked stub.  In
-    production the fallback would be PIL.Image.open(io.BytesIO(payload));
-    the mapInPandas plumbing around it is identical either way.
+    """Generic image seam: PPM / BMP / PNG / GIF / baseline JPEG decode
+    NATIVELY (zero external deps — PNG needs only stdlib zlib, GIF
+    ships a real LZW, JPEG a real Huffman+IDCT pipeline); formats that
+    genuinely require an external library (WebP/AVIF/progressive
+    JPEG/...) raise behind this clearly-marked stub.  In production the
+    fallback would be PIL.Image.open(io.BytesIO(payload)); the
+    mapInPandas plumbing around it is identical either way.
     """
     if payload[:2] == b"P6":
         return decode_ppm(payload)
@@ -83,8 +84,10 @@ def decode_image(payload: bytes) -> "object":
         return decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "JPEG-class image decoding requires an image library (e.g. PIL)"
+        "WebP/AVIF-class image decoding requires an image library (e.g. PIL)"
     )
 
 
@@ -1812,6 +1815,722 @@ register(
            CAST(sum(y * ((idx * 7 + i) % 256)) AS BIGINT) AS ysum_r
     FROM px
     GROUP BY i, w, h, p, il
+    ORDER BY media_id
+    """,
+)
+
+
+# ------------------------------------------------------------------ JPEG
+# Native baseline JPEG (ITU T.81 sequential DCT, SOF0) — the last image
+# seam closed.  Real marker stream (SOI/APP0/DQT/SOF0/DHT/DRI/SOS/RSTn/
+# EOI), real entropy coding (canonical Huffman from the public Annex K
+# tables, byte stuffing, restart re-alignment), real float FDCT/IDCT,
+# zigzag + quantization, interleaved MCUs at 4:4:4 and 4:2:0 (2x2 Y +
+# 1 Cb + 1 Cr), edge-replicated padding cropped on decode.  Progressive
+# (SOF2), extended/arithmetic SOFs, and 12-bit precision reject loudly.
+#
+# Exactness contract for the graded fixture: blocks are CONSTANT in
+# YCbCr space and the quant DC steps divide 8, so DC = 8*(v-128)/q is
+# integer-exact through quantize->dequantize->IDCT (AC of a constant
+# block is 0; float noise ~1e-12 rounds away).  That makes the decode
+# bit-exact and lets the DuckDB oracle compute pixels from the block
+# formulas + the spec'd floor(x+0.5) YCbCr->RGB conversion without ever
+# seeing a byte — the PPM/PNG/GIF closed-form discipline, kept for a
+# lossy codec by construction.  (General lossy images are covered by
+# the tolerance round-trip and hand-built-MCU tests, not the oracle.)
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: ITU T.81 Annex K "typical" Huffman tables: (bits[16], values).
+_JPEG_STD_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_STD_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_STD_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_JPEG_STD_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_dct_matrix():
+    """Orthonormal 8x8 DCT-II matrix D: FDCT = D @ B @ D.T, IDCT =
+    D.T @ F @ D."""
+    import numpy as np
+
+    d = np.zeros((8, 8))
+    for u in range(8):
+        c = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            d[u, x] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return d
+
+
+def _huff_encode_table(bits, values):
+    """symbol -> (code, length) via canonical code assignment."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[values[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code, length):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad_align(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+    def raw_marker(self, byte2):
+        self.pad_align()
+        self.buf += bytes([0xFF, byte2])
+
+
+def _jpeg_magnitude(v):
+    """(category, magnitude-bit pattern) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg(
+    width,
+    height,
+    y_fn,
+    cb_fn,
+    cr_fn,
+    subsample=False,
+    q_dc=1,
+    restart_interval=0,
+):
+    """Real baseline JFIF encoder.  ``y_fn(x, y)`` gives the full-res
+    luma sample; ``cb_fn``/``cr_fn`` give CHROMA-PLANE samples (full
+    res at 4:4:4, half res at 4:2:0 — the caller's formulas are in the
+    same coordinate space the decoder reconstructs).  Quant tables are
+    flat ones with Q_dc = ``q_dc`` (any divisor of 8 keeps constant
+    blocks bit-exact; see module note).  Runs the full real pipeline:
+    float FDCT, zigzag, quantize, canonical Huffman with the Annex K
+    tables, byte stuffing, optional restart markers."""
+    import struct
+
+    import numpy as np
+
+    if 8 % q_dc:
+        raise ValueError("q_dc must divide 8 for the exactness contract")
+    hmax = vmax = 2 if subsample else 1
+    mcx = -(-width // (8 * hmax))
+    mcy = -(-height // (8 * vmax))
+    comps = [
+        (1, hmax, vmax, 0),  # (id, h, v, quant table id)
+        (2, 1, 1, 1),
+        (3, 1, 1, 1),
+    ]
+
+    def padded_plane(fn, cw, ch, bw, bh):
+        xs = np.minimum(np.arange(bw * 8), cw - 1)
+        ys = np.minimum(np.arange(bh * 8), ch - 1)
+        return np.array(
+            [[fn(int(x), int(y)) for x in xs] for y in ys], dtype=np.float64
+        )
+
+    planes = []
+    for fn, (cid, ch_, cv, _tq) in zip((y_fn, cb_fn, cr_fn), comps):
+        cw = -(-width * ch_ // hmax)
+        chh = -(-height * cv // vmax)
+        planes.append(padded_plane(fn, cw, chh, mcx * ch_, mcy * cv))
+
+    qtabs = []
+    for _ in range(2):
+        q = np.ones(64, dtype=np.int64)
+        q[0] = q_dc
+        qtabs.append(q)
+
+    dmat = _jpeg_dct_matrix()
+    dc_tabs = [
+        _huff_encode_table(*_JPEG_STD_DC_LUM),
+        _huff_encode_table(*_JPEG_STD_DC_CHR),
+    ]
+    ac_tabs = [
+        _huff_encode_table(*_JPEG_STD_AC_LUM),
+        _huff_encode_table(*_JPEG_STD_AC_CHR),
+    ]
+
+    wtr = _JpegBitWriter()
+    pred = [0, 0, 0]
+    mcu_idx = 0
+    rst = 0
+    for my in range(mcy):
+        for mx in range(mcx):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                wtr.raw_marker(0xD0 + rst % 8)
+                rst += 1
+                pred = [0, 0, 0]
+            for ci, (cid, ch_, cv, tq) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch_):
+                        r0 = (my * cv + by) * 8
+                        c0 = (mx * ch_ + bx) * 8
+                        block = planes[ci][r0 : r0 + 8, c0 : c0 + 8] - 128.0
+                        coef = dmat @ block @ dmat.T
+                        zz = np.rint(
+                            coef.reshape(64)[_JPEG_ZIGZAG] / qtabs[tq][np.arange(64)]
+                        ).astype(np.int64)
+                        hc = 0 if ci == 0 else 1
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        s, mag = _jpeg_magnitude(diff)
+                        code, ln = dc_tabs[hc][s]
+                        wtr.write(code, ln)
+                        if s:
+                            wtr.write(mag, s)
+                        run = 0
+                        last_nz = max(
+                            (k for k in range(1, 64) if zz[k]), default=0
+                        )
+                        for k in range(1, last_nz + 1):
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                code, ln = ac_tabs[hc][0xF0]
+                                wtr.write(code, ln)
+                                run -= 16
+                            s, mag = _jpeg_magnitude(int(zz[k]))
+                            code, ln = ac_tabs[hc][(run << 4) | s]
+                            wtr.write(code, ln)
+                            wtr.write(mag, s)
+                            run = 0
+                        if last_nz < 63:
+                            code, ln = ac_tabs[hc][0x00]
+                            wtr.write(code, ln)
+            mcu_idx += 1
+    wtr.pad_align()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tq, q in enumerate(qtabs):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(q[k]) for k in range(64))  # already zigzag-indexed
+    out += b"\xff\xc0" + struct.pack(">H", 8 + 3 * len(comps)) + b"\x08"
+    out += struct.pack(">HH", height, width) + bytes([len(comps)])
+    for cid, ch_, cv, tq in comps:
+        out += bytes([cid, (ch_ << 4) | cv, tq])
+    for tc, th, (bits, values) in (
+        (0, 0, _JPEG_STD_DC_LUM),
+        (0, 1, _JPEG_STD_DC_CHR),
+        (1, 0, _JPEG_STD_AC_LUM),
+        (1, 1, _JPEG_STD_AC_CHR),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(values))
+        out += bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * len(comps)) + bytes(
+        [len(comps)]
+    )
+    for ci, (cid, *_rest) in enumerate(comps):
+        hc = 0 if ci == 0 else 1
+        out += bytes([cid, (hc << 4) | hc])
+    out += b"\x00\x3f\x00"
+    out += wtr.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first reader over the entropy-coded segment with 0xFF00
+    unstuffing; restart markers are consumed explicitly via
+    ``expect_restart``."""
+
+    def __init__(self, payload, pos):
+        self.p = payload
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        if self.pos >= len(self.p):
+            raise ValueError("truncated JPEG entropy stream")
+        b = self.p[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(self.p):
+                raise ValueError("truncated JPEG entropy stream")
+            nxt = self.p[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                # a real marker: no more entropy bits here
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                )
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self):
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n):
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def expect_restart(self, m):
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 1 >= len(self.p):
+            raise ValueError("truncated JPEG: missing restart marker")
+        if self.p[self.pos] != 0xFF or self.p[self.pos + 1] != 0xD0 + m % 8:
+            raise ValueError(
+                f"expected RST{m % 8}, got "
+                f"{self.p[self.pos:self.pos + 2].hex()}"
+            )
+        self.pos += 2
+
+
+def _huff_decode_table(bits, values):
+    """(length, code) -> symbol map for canonical codes (tables are
+    tiny, so a dict probe per length is simple and fast enough inside
+    the Arrow batch loop)."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = values[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _huff_read(rdr, table):
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | rdr.bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v, s):
+    """T.81 F.2.2.1 EXTEND: magnitude bits -> signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+_JPEG_SOF_UNSUPPORTED = {
+    0xC1: "extended sequential",
+    0xC2: "progressive",
+    0xC3: "lossless",
+    0xC5: "differential sequential",
+    0xC6: "differential progressive",
+    0xC7: "differential lossless",
+    0xC9: "arithmetic sequential",
+    0xCA: "arithmetic progressive",
+    0xCB: "arithmetic lossless",
+    0xCD: "differential arithmetic sequential",
+    0xCE: "differential arithmetic progressive",
+    0xCF: "differential arithmetic lossless",
+}
+
+
+def decode_jpeg(payload: bytes):
+    """Pure numpy baseline JPEG decoder: returns (width, height, HxWx3
+    uint8 RGB top-down).  Sequential DCT (SOF0) only — progressive and
+    every other SOF class reject loudly by name, as do 12-bit
+    precision, unknown quant/huffman table ids, and truncated streams.
+    Sample reconstruction is floor(x + 0.5) with [0, 255] clamping and
+    chroma upsampling is box replication; YCbCr->RGB uses the JFIF
+    constants with the same floor(x + 0.5) rule (the exact formulas the
+    closed-form oracle mirrors)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtabs: dict = {}
+    dc_tabs: dict = {}
+    ac_tabs: dict = {}
+    sof = None
+    restart_interval = 0
+    scan = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG marker stream")
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker byte at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI with no scan
+            raise ValueError("JPEG contains no scan")
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if pos + 2 + seglen > len(payload):
+            raise ValueError("truncated JPEG segment")
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker in _JPEG_SOF_UNSUPPORTED:
+            raise ValueError(
+                f"unsupported JPEG: {_JPEG_SOF_UNSUPPORTED[marker]} "
+                f"(SOF{marker - 0xC0}) — baseline sequential (SOF0) only"
+            )
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            bpos = 0
+            while bpos < len(body):
+                pq, tq = body[bpos] >> 4, body[bpos] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                q = np.zeros(64, dtype=np.int64)
+                for k in range(64):
+                    q[_JPEG_ZIGZAG[k]] = body[bpos + 1 + k]
+                qtabs[tq] = q
+                bpos += 65
+        elif marker == 0xC0:  # SOF0
+            prec = body[0]
+            if prec != 8:
+                raise ValueError(f"{prec}-bit JPEG not supported")
+            h, w = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            comps = []
+            for c in range(nc):
+                cid = body[6 + 3 * c]
+                hv = body[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * c]))
+            sof = (w, h, comps)
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            bpos = 0
+            while bpos < len(body):
+                tc, th = body[bpos] >> 4, body[bpos] & 0x0F
+                bits = list(body[bpos + 1 : bpos + 17])
+                n = sum(bits)
+                values = list(body[bpos + 17 : bpos + 17 + n])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decode_table(
+                    bits, values
+                )
+                bpos += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                scan.append((body[1 + 2 * c], body[2 + 2 * c] >> 4,
+                             body[2 + 2 * c] & 0x0F))
+            pos = pos + 2 + seglen
+            break
+        # APPn/COM/anything else: skipped
+        pos = pos + 2 + seglen
+    if sof is None:
+        raise ValueError("JPEG scan before SOF0 frame header")
+    w, h, comps = sof
+    if [cid for cid, *_ in scan] != [cid for cid, *_ in comps]:
+        raise ValueError("SOS component order differs from SOF")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    dmat = _jpeg_dct_matrix()
+    planes = [
+        np.zeros((mcy * cv * 8, mcx * ch_ * 8), dtype=np.float64)
+        for _cid, ch_, cv, _tq in comps
+    ]
+    for _cid, ch_, cv, tq in comps:
+        if tq not in qtabs:
+            raise ValueError(f"missing quant table {tq}")
+    rdr = _JpegBitReader(payload, pos)
+    pred = [0] * len(comps)
+    rst = 0
+    for mcu in range(mcx * mcy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            rdr.expect_restart(rst)
+            rst += 1
+            pred = [0] * len(comps)
+        my, mx = divmod(mcu, mcx)
+        for ci, ((_cid, ch_, cv, tq), (_sid, td, ta)) in enumerate(
+            zip(comps, scan)
+        ):
+            if td not in dc_tabs or ta not in ac_tabs:
+                raise ValueError("missing huffman table for scan")
+            for by in range(cv):
+                for bx in range(ch_):
+                    zz = np.zeros(64, dtype=np.int64)
+                    s = _huff_read(rdr, dc_tabs[td])
+                    diff = _jpeg_extend(rdr.bits(s), s) if s else 0
+                    pred[ci] += diff
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        sym = _huff_read(rdr, ac_tabs[ta])
+                        if sym == 0x00:  # EOB
+                            break
+                        run, size = sym >> 4, sym & 0x0F
+                        if size == 0:
+                            if run != 15:
+                                raise ValueError("bad AC symbol")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC index beyond block")
+                        zz[k] = _jpeg_extend(rdr.bits(size), size)
+                        k += 1
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[_JPEG_ZIGZAG] = zz * qtabs[tq][_JPEG_ZIGZAG]
+                    block = dmat.T @ coef.reshape(8, 8) @ dmat + 128.0
+                    block = np.clip(np.floor(block + 0.5), 0, 255)
+                    r0 = (my * cv + by) * 8
+                    c0 = (mx * ch_ + bx) * 8
+                    planes[ci][r0 : r0 + 8, c0 : c0 + 8] = block
+    full = []
+    for (ci, (_cid, ch_, cv, _tq)) in enumerate(comps):
+        cw = -(-w * ch_ // hmax)
+        chh = -(-h * cv // vmax)
+        p = planes[ci][:chh, :cw]
+        p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch_, axis=1)
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        y = full[0]
+        rgb = np.stack([y, y, y], axis=2)
+    elif len(comps) == 3:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, b], axis=2)
+    else:
+        raise ValueError(f"{len(comps)}-component JPEG not supported")
+    return w, h, np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+_JPEG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("subsampled", T.IntegerType(), True),
+        T.StructField("q_dc", T.IntegerType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("ysum_g", T.LongType(), True),
+        T.StructField("xsum_b", T.LongType(), True),
+    ]
+)
+
+_N_JPEG = 12
+
+
+def _jpeg_params(i: int):
+    return {
+        "w": 24 + 4 * (i % 5),      # 24/28/32/36/40: non-x8 dims crop MCUs
+        "h": 16 + 4 * (i % 4),      # 16/20/24/28
+        "sub": i % 2 == 1,          # alternate 4:4:4 / 4:2:0
+        "q_dc": 1 << (i % 4),       # 1/2/4/8 all divide 8: DC stays exact
+        "ri": 2 if i % 3 == 0 else 0,  # restart markers on a third
+    }
+
+
+def _jpeg_payloads(spark: SparkSession, n: int = _N_JPEG) -> DataFrame:
+    """n deterministic block-constant YCbCr images as REAL baseline JPEG
+    payloads (see module note: block constancy + divisor-of-8 DC quant
+    steps make the lossy pipeline bit-exact, so the oracle can stay
+    closed-form).  Dims include non-multiples of 8/16 (MCU padding +
+    crop), subsampling alternates, quant DC steps cycle, and a third of
+    the streams carry restart markers."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                p = _jpeg_params(i)
+                payload = encode_jpeg(
+                    p["w"], p["h"],
+                    lambda x, y, i=i: ((x // 8) * 29 + (y // 8) * 17 + 16 * i) % 256,
+                    lambda x, y, i=i: ((x // 8) * 13 + (y // 8) * 31 + 8 * i) % 256,
+                    lambda x, y, i=i: ((x // 8) * 23 + (y // 8) * 11 + 24 * i) % 256,
+                    subsample=p["sub"], q_dc=p["q_dc"],
+                    restart_interval=p["ri"],
+                )
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+
+
+def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
+    """Decode real JPEG payloads; exact RGB channel sums plus a
+    y-weighted green sum and x-weighted blue sum (flip/transpose
+    anti-cancellation: plain sums are permutation-invariant, so a
+    broken MCU raster order or swapped chroma planes would otherwise
+    cancel)."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = _jpeg_params(int(mid))
+                w, h, arr = decode_jpeg(bytes(payload))
+                a64 = arr.astype("int64")
+                ys = np.arange(h, dtype="int64")
+                xs = np.arange(w, dtype="int64")
+                out.append(
+                    (
+                        int(mid), w, h, int(p["sub"]), p["q_dc"],
+                        int(a64[:, :, 0].sum()),
+                        int(a64[:, :, 1].sum()),
+                        int(a64[:, :, 2].sum()),
+                        int((a64[:, :, 1].sum(axis=1) * ys).sum()),
+                        int((a64[:, :, 2].sum(axis=0) * xs).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "subsampled", "q_dc",
+                    "sum_r", "sum_g", "sum_b", "ysum_g", "xsum_b",
+                ],
+            )
+
+    return media.mapInPandas(stats, _JPEG_STATS_SCHEMA)
+
+
+def _q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jpeg_pixel_stats(_jpeg_payloads(spark)).orderBy("media_id")
+
+
+register(
+    "multimodal_jpeg_decode",
+    _q_jpeg_decode,
+    oracle=f"""
+    WITH dims AS (
+      SELECT i, 24 + 4 * (i % 5) AS w, 16 + 4 * (i % 4) AS h,
+             i % 2 AS sub, CAST(power(2, i % 4) AS BIGINT) AS q_dc
+      FROM range({_N_JPEG}) t(i)
+    ),
+    px AS (
+      SELECT i, w, h, sub, q_dc, x, y,
+             CAST(((x // 8) * 29 + (y // 8) * 17 + 16 * i) % 256
+                  AS DOUBLE) AS yv,
+             CAST(((x // (8 * (1 + sub))) * 13
+                   + (y // (8 * (1 + sub))) * 31 + 8 * i) % 256
+                  AS DOUBLE) AS cbv,
+             CAST(((x // (8 * (1 + sub))) * 23
+                   + (y // (8 * (1 + sub))) * 11 + 24 * i) % 256
+                  AS DOUBLE) AS crv
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+    ),
+    rgb AS (
+      SELECT i, w, h, sub, q_dc, x, y,
+             least(greatest(CAST(floor(yv + 1.402 * (crv - 128) + 0.5)
+               AS BIGINT), 0), 255) AS r,
+             least(greatest(CAST(floor(yv - 0.344136 * (cbv - 128)
+               - 0.714136 * (crv - 128) + 0.5) AS BIGINT), 0), 255) AS g,
+             least(greatest(CAST(floor(yv + 1.772 * (cbv - 128) + 0.5)
+               AS BIGINT), 0), 255) AS b
+      FROM px
+    )
+    SELECT i AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sub AS INT) AS subsampled, CAST(q_dc AS INT) AS q_dc,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b,
+           CAST(sum(y * g) AS BIGINT) AS ysum_g,
+           CAST(sum(x * b) AS BIGINT) AS xsum_b
+    FROM rgb
+    GROUP BY i, w, h, sub, q_dc
     ORDER BY media_id
     """,
 )

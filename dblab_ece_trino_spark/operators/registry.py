@@ -132,7 +132,10 @@ GRADED_PRIORITY: list[str] = [
     "decontaminate", "gen_store_sales_invariants", "multimodal_resize",
     "op_click_attribution", "op_fuzzy_match", "op_hierarchy_walk",
     "op_intersect_all", "op_interval_arith", "op_lateral_explode",
-    "op_null_safe_join",
+    # NEW round 8: native baseline JPEG decoder (SOF0 Huffman + IDCT +
+    # 4:2:0/4:4:4, restart markers, MCU padding/crop) — closes the last
+    # image-format seam; displaced op_null_safe_join to the round-9 queue
+    "multimodal_jpeg_decode",
 ]
 
 

@@ -666,3 +666,170 @@ def test_gif_full_metadata_survives_extension_before_descriptor():
     a_plain = decode_gif_full(plain)[2]
     a_spliced = decode_gif_full(spliced)[2]
     assert (a_plain == a_spliced).all()
+
+
+def test_jpeg_blockconstant_exactness_and_seam():
+    """The graded fixture's exactness contract, asserted directly:
+    block-constant YCbCr + divisor-of-8 DC quant steps decode
+    BIT-EXACTLY to the closed-form formulas (the oracle never sees a
+    byte; this is the numpy-side proof), across 4:4:4/4:2:0, quant
+    steps 1/2/4/8, restart markers, and non-multiple-of-8 dims."""
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _jpeg_params,
+        decode_image,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for i in range(12):
+        p = _jpeg_params(i)
+        w, h, sub = p["w"], p["h"], p["sub"]
+        payload = encode_jpeg(
+            w, h,
+            lambda x, y, i=i: ((x // 8) * 29 + (y // 8) * 17 + 16 * i) % 256,
+            lambda x, y, i=i: ((x // 8) * 13 + (y // 8) * 31 + 8 * i) % 256,
+            lambda x, y, i=i: ((x // 8) * 23 + (y // 8) * 11 + 24 * i) % 256,
+            subsample=sub, q_dc=p["q_dc"], restart_interval=p["ri"],
+        )
+        W, H, arr = decode_jpeg(payload)
+        assert (W, H) == (w, h)
+        s = 2 if sub else 1
+        xs, ys = np.arange(w), np.arange(h)
+        yv = ((xs[None, :] // 8) * 29 + (ys[:, None] // 8) * 17 + 16 * i) % 256
+        cb = ((xs[None, :] // (8 * s)) * 13 + (ys[:, None] // (8 * s)) * 31 + 8 * i) % 256
+        cr = ((xs[None, :] // (8 * s)) * 23 + (ys[:, None] // (8 * s)) * 11 + 24 * i) % 256
+        exp = np.stack(
+            [
+                np.clip(np.floor(yv + 1.402 * (cr - 128.0) + 0.5), 0, 255),
+                np.clip(np.floor(yv - 0.344136 * (cb - 128.0)
+                                 - 0.714136 * (cr - 128.0) + 0.5), 0, 255),
+                np.clip(np.floor(yv + 1.772 * (cb - 128.0) + 0.5), 0, 255),
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        assert (arr == exp).all(), i
+        _, _, arr2 = decode_image(payload)  # seam dispatches JPEG natively
+        assert (arr2 == exp).all()
+
+
+def test_jpeg_hand_built_mcu_spec_vector():
+    """Decoder vs a BYTE-LEVEL hand construction (no encode_jpeg): a
+    grayscale 8x8 baseline JPEG with CUSTOM tiny Huffman tables.  The
+    entropy bytes 0x2B 0x2F are packed BY HAND: DC symbol 3 (code 00) +
+    magnitude '101' (diff=+5), AC symbol 0x04 (code 0) + magnitude
+    '1100' (coef +12 at zigzag index 1), EOB (code 10), 1-padded ->
+    0b00101011 0b00101111.  Expected
+    pixels come from the T.81 IDCT formula evaluated with an explicit
+    double loop here — fully independent of the codec's matrices.  A
+    complementary encoder/decoder bug pair cannot survive this."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import decode_jpeg
+
+    payload = (
+        b"\xff\xd8"                                    # SOI
+        + b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 8, 8) + b"\x01" + bytes([1, 0x11, 0])
+        # DC table 0: single length-2 code 00 -> symbol 3 (category 3)
+        + b"\xff\xc4" + struct.pack(">H", 20)
+        + b"\x00" + bytes([0, 1] + [0] * 14) + bytes([3])
+        # AC table 0: len-1 code 0 -> 0x04 (run 0, size 4);
+        #             len-2 code 10 -> 0x00 (EOB)
+        + b"\xff\xc4" + struct.pack(">H", 21)
+        + b"\x10" + bytes([1, 1] + [0] * 14) + bytes([0x04, 0x00])
+        + b"\xff\xda" + struct.pack(">H", 8) + b"\x01" + bytes([1, 0x00])
+        + b"\x00\x3f\x00"
+        + bytes([0b00101011, 0b00101111])              # hand-packed MCU
+        + b"\xff\xd9"                                  # EOI
+    )
+    w, h, arr = decode_jpeg(payload)
+    assert (w, h) == (8, 8)
+    # independent IDCT: F[0,0] = 5 (DC), F[0,1] = 12 (first horizontal AC)
+    def c(u):
+        return 1.0 / math.sqrt(2.0) if u == 0 else 1.0
+
+    exp = np.zeros((8, 8), dtype=np.int64)
+    for yy in range(8):
+        for xx in range(8):
+            v = 0.0
+            for (u, vv, coef) in ((0, 0, 5.0), (0, 1, 12.0)):
+                v += (
+                    0.25 * c(u) * c(vv) * coef
+                    * math.cos((2 * yy + 1) * u * math.pi / 16.0)
+                    * math.cos((2 * xx + 1) * vv * math.pi / 16.0)
+                )
+            exp[yy, xx] = min(max(int(math.floor(v + 128.0 + 0.5)), 0), 255)
+    assert (arr[:, :, 0].astype(np.int64) == exp).all()
+    assert (arr[:, :, 1] == arr[:, :, 0]).all()  # grayscale replication
+    # the AC coefficient must make the block vary HORIZONTALLY only
+    assert (exp[0] != exp[0][::-1]).any() and (exp[:, 0] == exp[0, 0]).all()
+
+
+def test_jpeg_roundtrip_tolerance_and_rejection():
+    """Real lossy path on smooth gradients (flat-1 quant tables):
+    reconstruction error bounded by DCT quantization roundoff.  Plus
+    loud rejection: progressive SOF2 by name, 12-bit precision,
+    truncated entropy stream, corrupted restart marker, non-JPEG."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w, h = 36, 28
+    yf = lambda x, y: (3 * x + 5 * y) % 256
+    cbf = lambda x, y: (7 * x + 2 * y) % 256
+    crf = lambda x, y: (x + 11 * y) % 256
+    for sub in (False, True):
+        payload = encode_jpeg(w, h, yf, cbf, crf, subsample=sub)
+        W, H, arr = decode_jpeg(payload)
+        s = 2 if sub else 1
+        xs, ys = np.arange(w), np.arange(h)
+        yv = (3 * xs[None, :] + 5 * ys[:, None]) % 256
+        cb = (7 * (xs[None, :] // s) + 2 * (ys[:, None] // s)) % 256
+        cr = ((xs[None, :] // s) + 11 * (ys[:, None] // s)) % 256
+        exp = np.stack(
+            [
+                yv + 1.402 * (cr - 128.0),
+                yv - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                yv + 1.772 * (cb - 128.0),
+            ],
+            axis=2,
+        )
+        exp = np.clip(np.floor(exp + 0.5), 0, 255)
+        err = np.abs(arr.astype(np.float64) - exp)
+        assert err.max() <= 4 and err.mean() <= 1.0, (sub, err.max(), err.mean())
+
+    payload = encode_jpeg(w, h, yf, cbf, crf, restart_interval=2)
+    # patch SOF0 marker to SOF2 -> progressive rejection by name
+    sof = bytearray(payload)
+    at = sof.index(b"\xff\xc0")
+    sof[at + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(sof))
+    # 12-bit precision
+    prec = bytearray(payload)
+    prec[at + 4] = 12
+    with pytest.raises(ValueError, match="12-bit"):
+        decode_jpeg(bytes(prec))
+    # truncated entropy stream
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        decode_jpeg(payload[: len(payload) - 40])
+    # corrupted restart marker
+    bad = bytearray(payload)
+    rst_at = bad.index(b"\xff\xd0")
+    bad[rst_at + 1] = 0xD5
+    with pytest.raises(ValueError, match="RST|marker"):
+        decode_jpeg(bytes(bad))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89JPG" + b"\x00" * 32)
