@@ -2252,6 +2252,13 @@ def decode_jpeg(payload: bytes):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker byte at {pos}")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # 0xFF fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone markers carry no length field
+            pos += 2
+            continue
         if marker == 0xD9:  # EOI with no scan
             raise ValueError("JPEG contains no scan")
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
@@ -2266,6 +2273,8 @@ def decode_jpeg(payload: bytes):
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             bpos = 0
             while bpos < len(body):
+                if bpos + 65 > len(body):
+                    raise ValueError("truncated JPEG segment (DQT body)")
                 pq, tq = body[bpos] >> 4, body[bpos] & 0x0F
                 if pq != 0:
                     raise ValueError("16-bit quant tables not supported")
@@ -2275,11 +2284,15 @@ def decode_jpeg(payload: bytes):
                 qtabs[tq] = q
                 bpos += 65
         elif marker == 0xC0:  # SOF0
+            if len(body) < 6:
+                raise ValueError("truncated JPEG segment (SOF0 header)")
             prec = body[0]
             if prec != 8:
                 raise ValueError(f"{prec}-bit JPEG not supported")
             h, w = struct.unpack(">HH", body[1:5])
             nc = body[5]
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG segment (SOF0 components)")
             comps = []
             for c in range(nc):
                 cid = body[6 + 3 * c]
@@ -2289,17 +2302,25 @@ def decode_jpeg(payload: bytes):
         elif marker == 0xC4:  # DHT (possibly several tables)
             bpos = 0
             while bpos < len(body):
+                if bpos + 17 > len(body):
+                    raise ValueError("truncated JPEG segment (DHT header)")
                 tc, th = body[bpos] >> 4, body[bpos] & 0x0F
                 bits = list(body[bpos + 1 : bpos + 17])
                 n = sum(bits)
+                if bpos + 17 + n > len(body):
+                    raise ValueError("truncated JPEG segment (DHT values)")
                 values = list(body[bpos + 17 : bpos + 17 + n])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decode_table(
                     bits, values
                 )
                 bpos += 17 + n
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated JPEG segment (DRI)")
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
+            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+                raise ValueError("truncated JPEG segment (SOS)")
             ns = body[0]
             scan = []
             for c in range(ns):

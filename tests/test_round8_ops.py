@@ -48,6 +48,17 @@ def test_bpe_merge_table_is_well_formed():
                 f"operand {operand!r} used before being produced"
             )
         produced.add(a + b)
+    # Second half of the precondition: no LATER merge may produce a
+    # string equal to an earlier merge's operand (or left symbol) —
+    # otherwise pass j could create new occurrences of pair i < j that
+    # the single in-order pass for i already missed, breaking the
+    # fold ≡ rank-priority-fixpoint equivalence the encoder relies on.
+    for j, (aj, bj) in enumerate(BPE_MERGES):
+        product = aj + bj
+        for i, (ai, bi) in enumerate(BPE_MERGES[:j]):
+            assert product not in (ai, bi), (
+                f"merge {j} produces {product!r}, an operand of merge {i}"
+            )
 
 
 def test_bpe_merge_table_matches_deterministic_trainer():

@@ -631,7 +631,6 @@ def test_codec_truncation_raises_valueerror_not_internal_errors():
     gif = bytearray(encode_gif(8, 8, 2, lambda x, y: 0, lambda j: (j, j, j)))
     # graft an extension introducer + label, then cut mid-sub-block so
     # the skip loop would previously IndexError off the end
-    trailer = gif.index(0x3B, 13)
     truncated_ext = bytes(gif[:13 + 12]) + b"\x21\xf9\x04\x00\x00"
     with pytest.raises(ValueError, match="truncated GIF extension"):
         decode_gif(truncated_ext)
@@ -833,3 +832,63 @@ def test_jpeg_roundtrip_tolerance_and_rejection():
         decode_jpeg(bytes(bad))
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x89JPG" + b"\x00" * 32)
+
+
+def test_jpeg_malformed_segments_raise_valueerror_and_fill_bytes_ok():
+    """Round-8 advice closure: length-consistent-but-internally-short
+    DQT/SOF0/DHT bodies must raise the documented ValueError (never
+    IndexError/struct.error), and legal pre-SOS noise — 0xFF fill
+    bytes, a standalone TEM marker — must be skipped, not parsed as a
+    length-prefixed segment."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w, h = 24, 16
+    yf = lambda x, y: (5 * x + y) % 256
+    cbf = lambda x, y: (2 * x + 3 * y) % 256
+    crf = lambda x, y: (x + 7 * y) % 256
+    payload = encode_jpeg(w, h, yf, cbf, crf)
+    ref = decode_jpeg(payload)
+
+    def seg_at(marker: bytes) -> int:
+        return payload.index(marker)
+
+    # DQT body shorter than 65*k: shrink the declared length to cut the
+    # 65-byte table entry short (keeps pos+2+seglen in bounds).
+    at = seg_at(b"\xff\xdb")
+    bad = bytearray(payload)
+    struct.pack_into(">H", bad, at + 2, 40)
+    with pytest.raises(ValueError, match="truncated JPEG segment"):
+        decode_jpeg(bytes(bad))
+    # SOF0 claiming more components than the segment carries
+    at = seg_at(b"\xff\xc0")
+    bad = bytearray(payload)
+    bad[at + 2 + 2 + 5] = 9  # nc = 9 but body only has 3 component slots
+    with pytest.raises(ValueError, match="truncated JPEG segment"):
+        decode_jpeg(bytes(bad))
+    # DHT whose bits[] sum exceeds the remaining body
+    at = seg_at(b"\xff\xc4")
+    bad = bytearray(payload)
+    bad[at + 5] = 250  # inflate the count of 1-bit codes past the body
+    with pytest.raises(ValueError, match="truncated JPEG segment"):
+        decode_jpeg(bytes(bad))
+    # SOS header shorter than 1 + 2*ns
+    at = seg_at(b"\xff\xda")
+    bad = bytearray(payload)
+    bad[at + 4] = 5  # ns = 5 but only 3 component slots follow
+    with pytest.raises(ValueError, match="truncated JPEG segment"):
+        decode_jpeg(bytes(bad))
+
+    # Legal pre-SOS noise: fill bytes + TEM + a stray RST before DQT.
+    at = seg_at(b"\xff\xdb")
+    noisy = payload[:at] + b"\xff\xff\xff\x01\xff\xd3" + payload[at:]
+    w2, h2, arr2 = decode_jpeg(noisy)
+    assert (w2, h2) == ref[:2]
+    assert np.array_equal(arr2, ref[2])
