@@ -92,8 +92,29 @@ def decode_image(payload: bytes) -> "object":
 
 
 def decode_audio(payload: bytes) -> "object":
-    """REAL DECODER STUB — audio libs are not bundled in this container."""
-    raise NotImplementedError("audio decoding requires an audio library")
+    """Generic audio seam: RIFF/WAVE decodes NATIVELY — PCM (format 1,
+    ``decode_wav``) and IMA-ADPCM (format 17, ``decode_adpcm_wav``) are
+    dispatched on the fmt chunk's wFormatTag.  Perceptual-codec formats
+    (MP3/AAC/Opus) genuinely require an external library and raise
+    behind this clearly-marked stub; in production the fallback would
+    be soundfile/ffmpeg — the mapInPandas plumbing is identical."""
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import struct
+
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            if cid == b"fmt " and size >= 2:
+                (tag,) = struct.unpack("<H", payload[pos + 8 : pos + 10])
+                if tag == 17:
+                    return decode_adpcm_wav(payload)
+                return decode_wav(payload)
+            pos += 8 + size + (size % 2)
+        raise ValueError("RIFF/WAVE payload with no fmt chunk")
+    raise NotImplementedError(
+        "MP3/AAC-class audio decoding requires an audio library"
+    )
 
 
 def fake_decode(payload: bytes, dim: int = 8) -> list[float]:
@@ -2555,3 +2576,347 @@ register(
     ORDER BY media_id
     """,
 )
+
+
+# ------------------------------------------------- REAL IMA-ADPCM codec
+# Eighth native codec, and the first COMPRESSED audio one: IMA/DVI
+# ADPCM inside a RIFF/WAVE container (wFormatTag 0x0011), per the IMA
+# "Recommended Practices for Enhancing Digital Audio Compatibility"
+# algorithm (the same 89-entry step table appears in RFC 3551 §4.5.1).
+# Where the PCM WAV entry exercises chunk walking, this one exercises
+# the compressed-format half of real WAV parsing: the 20-byte extended
+# fmt chunk (cbSize + samplesPerBlock), the REQUIRED fact chunk (total
+# sample count — the data chunk alone cannot tell a padded final block
+# from real samples), per-block state headers (predictor + step index),
+# low-nibble-first 4-bit packing, and the bit-exact conditional-add
+# difference reconstruction (NOT ((2m+1)*step)>>3 — the truncation
+# semantics differ and drift accumulates through the predictor).
+#
+# Reference parity note: the reference treats media as opaque binary
+# with typed metadata (SURVEY §2.10); native codecs go beyond parity to
+# make the decode seam real.  Covers the audio half of the reference's
+# q005-style binary-column handling (reference queries/q005.sql).
+#
+# Exactness contract: ADPCM *encoding* is lossy, but *decoding* a given
+# payload is pure integer arithmetic — bit-exact and platform-free.
+# The graded oracle therefore pins per-clip integer statistics that
+# were generated ONCE by an independent scalar reference decoder
+# (scripts/gen_adpcm_expected.py, validated against a hand-stepped
+# nibble vector in tests/test_round9_ops.py) and stored as constants
+# below; the Spark side must reproduce them by actually parsing and
+# decoding the container.
+
+_ADPCM_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_ADPCM_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _adpcm_reconstruct(nibble: int, pred: int, index: int):
+    """One IMA decode step: (new_pred, new_index).  Conditional-add
+    difference form per the IMA practice document §6 (bit-exact)."""
+    step = _ADPCM_STEP_TABLE[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _ADPCM_INDEX_TABLE[nibble & 7]))
+    return pred, index
+
+
+def _adpcm_encode_nibble(sample: int, pred: int, index: int):
+    """Quantize one sample against the current predictor/step: returns
+    (nibble, new_pred, new_index) with the decoder's own reconstruction
+    used for the state update (encoder and decoder stay in lockstep)."""
+    step = _ADPCM_STEP_TABLE[index]
+    delta = sample - pred
+    nibble = 8 if delta < 0 else 0
+    if delta < 0:
+        delta = -delta
+    if delta >= step:
+        nibble |= 4
+        delta -= step
+    if delta >= step >> 1:
+        nibble |= 2
+        delta -= step >> 1
+    if delta >= step >> 2:
+        nibble |= 1
+    pred, index = _adpcm_reconstruct(nibble, pred, index)
+    return nibble, pred, index
+
+
+def encode_adpcm_wav(samples, rate: int = _WAV_RATE,
+                     block_align: int = 256) -> bytes:
+    """Encode mono int16 samples as a real IMA-ADPCM WAV (format 17):
+    extended fmt chunk, fact chunk with the true sample count, and
+    ``block_align``-byte blocks (4-byte state header + low-nibble-first
+    packed codes).  A partial final block is zero-nibble padded; the
+    fact chunk is what lets the decoder trim the padding."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    if block_align < 8 or block_align % 4:
+        raise ValueError("block_align must be a multiple of 4, >= 8")
+    spb = (block_align - 4) * 2 + 1  # samples per full block
+    blocks = bytearray()
+    pos = 0
+    n = len(s)
+    while pos < n:
+        chunk = s[pos : pos + spb]
+        pred = int(chunk[0])
+        # seed index: best step for the first real delta (any choice is
+        # legal — it is carried in the block header)
+        index = 0
+        if len(chunk) > 1:
+            d0 = abs(int(chunk[1]) - pred)
+            while index < 88 and _ADPCM_STEP_TABLE[index] < d0 // 4:
+                index += 1
+        blocks += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for k in range(1, spb):
+            target = int(chunk[k]) if k < len(chunk) else pred
+            nib, pred, index = _adpcm_encode_nibble(target, pred, index)
+            nibbles.append(nib)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            blocks.append(lo | (hi << 4))
+        pos += spb
+    data = bytes(blocks)
+    hdr = struct.pack(
+        "<4sI4s", b"RIFF", 4 + 28 + 12 + 8 + len(data), b"WAVE"
+    )
+    fmt = struct.pack(
+        "<4sIHHIIHHHH",
+        b"fmt ", 20,
+        17,  # WAVE_FORMAT_IMA_ADPCM
+        1,   # mono
+        rate,
+        (rate * block_align + spb - 1) // spb,  # avg bytes/sec
+        block_align,
+        4,   # bits per (compressed) sample
+        2,   # cbSize
+        spb,
+    )
+    fact = struct.pack("<4sII", b"fact", 4, n)
+    return hdr + fmt + fact + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def decode_adpcm_wav(payload: bytes):
+    """Parse + decode a mono IMA-ADPCM WAV: returns (sample_rate,
+    int16 numpy array of exactly fact-chunk-many samples).  Chunk
+    walker validates format 17 / mono / 4-bit, requires the fact chunk,
+    bounds-checks every block, and rejects out-of-range step indices —
+    truncation or corruption surfaces as ValueError, never garbage."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmtc, n_total, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(
+                f"truncated WAV chunk {cid!r}: need {size}, have {len(body)}"
+            )
+        if cid == b"fmt ":
+            if size < 2:
+                raise ValueError("fmt chunk too short")
+            if struct.unpack("<H", body[:2])[0] != 17:
+                raise ValueError(
+                    f"not IMA-ADPCM (format {struct.unpack('<H', body[:2])[0]})"
+                )
+            if size < 20:
+                raise ValueError("IMA-ADPCM fmt chunk needs 20 bytes")
+            fmtc = struct.unpack("<HHIIHHHH", body[:20])
+        elif cid == b"fact":
+            if size < 4:
+                raise ValueError("fact chunk too short")
+            (n_total,) = struct.unpack("<I", body[:4])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if fmtc is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    tag, channels, rate, _abps, block_align, bits, _cb, spb = fmtc
+    if tag != 17:
+        raise ValueError(f"not IMA-ADPCM (format {tag})")
+    if channels != 1 or bits != 4:
+        raise ValueError(f"expected mono/4-bit, got {channels}ch/{bits}bit")
+    if spb != (block_align - 4) * 2 + 1:
+        raise ValueError(
+            f"samplesPerBlock {spb} inconsistent with blockAlign {block_align}"
+        )
+    if n_total is None:
+        raise ValueError("IMA-ADPCM WAV requires a fact chunk")
+    out = np.zeros(n_total, dtype=np.int64)
+    got = 0
+    bpos = 0
+    while got < n_total:
+        if bpos + block_align > len(data):
+            raise ValueError("truncated IMA-ADPCM data: fewer blocks than fact")
+        pred, index, _res = struct.unpack("<hBB", data[bpos : bpos + 4])
+        if index > 88:
+            raise ValueError(f"step index {index} out of range")
+        block = [pred]
+        for bi in range(4, block_align):
+            byte = data[bpos + bi]
+            for nib in (byte & 0x0F, byte >> 4):
+                pred, index = _adpcm_reconstruct(nib, pred, index)
+                block.append(pred)
+        take = min(spb, n_total - got)  # fact count trims final-block padding
+        out[got : got + take] = block[:take]
+        got += take
+        bpos += block_align
+    return rate, out.astype(np.int16)
+
+
+_N_ADPCM = 12
+
+# (n_samples, block_align, sample_rate) per clip — hand-chosen to cover
+# exact-block-multiple counts (i = 0/3/5/8/9), a header-only final
+# block (i = 1: 35 = 2*17 + 1), partial final blocks, and all three
+# block sizes (spb = 17 / 25 / 41).
+_ADPCM_PARAMS = (
+    (34, 12, 8000), (35, 12, 8000), (60, 16, 16000), (25, 16, 8000),
+    (120, 24, 8000), (41, 24, 11025), (100, 12, 8000), (50, 16, 22050),
+    (82, 24, 8000), (17, 12, 8000), (90, 16, 8000), (160, 24, 16000),
+)
+
+
+def _adpcm_signal(i: int, n: int):
+    """Deterministic integer test waveform for clip i (pure int math —
+    no floats anywhere in the fixture definition)."""
+    scale = 3 * (i % 3 + 1)
+    out = []
+    for k in range(n):
+        v = ((k * k * (2 + i % 5) + k * (31 + 7 * i) + 17 * i) % 4096) - 2048
+        out.append(v * scale)
+    return out
+
+
+def _adpcm_payloads(spark: SparkSession, n: int = _N_ADPCM) -> DataFrame:
+    """n deterministic clips as REAL IMA-ADPCM WAV payloads."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                n_samp, ba, rate = _ADPCM_PARAMS[i]
+                s = np.array(_adpcm_signal(i, n_samp), dtype=np.int16)
+                rows.append((i, encode_adpcm_wav(s, rate, block_align=ba)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+
+
+_ADPCM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("block_align", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sum_amp", T.LongType(), True),
+        T.StructField("sum_abs", T.LongType(), True),
+        T.StructField("ksum", T.LongType(), True),
+        T.StructField("last_sample", T.IntegerType(), True),
+    ]
+)
+
+
+def adpcm_stats(media: DataFrame) -> DataFrame:
+    """Decode IMA-ADPCM payloads via the generic audio seam; exact
+    integer statistics.  ``ksum`` (position-weighted sum) is the
+    anti-symmetry guard: plain sums are permutation-invariant, so a
+    nibble-order or block-order bug could otherwise cancel."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                i = int(mid)
+                rate, s = decode_audio(bytes(payload))
+                _, ba, _ = _ADPCM_PARAMS[i]
+                s64 = s.astype(np.int64)
+                k = np.arange(len(s64), dtype=np.int64)
+                out.append(
+                    (
+                        i, int(rate), ba, len(s64), int(s64.sum()),
+                        int(np.abs(s64).sum()), int((k * s64).sum()),
+                        int(s64[-1]) if len(s64) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "block_align", "n_samples",
+                    "sum_amp", "sum_abs", "ksum", "last_sample",
+                ],
+            )
+
+    return media.mapInPandas(stats, _ADPCM_STATS_SCHEMA)
+
+
+def _q_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return adpcm_stats(_adpcm_payloads(spark)).orderBy("media_id")
+
+
+# Pinned per-clip statistics — generated ONCE by the independent scalar
+# reference decoder in scripts/gen_adpcm_expected.py (its own RIFF
+# chunk walk + nibble loop, validated against a hand-stepped vector in
+# tests/test_round9_ops.py) and re-derived there on every pytest run.
+# Regenerate with: PYTHONPATH=. python3 scripts/gen_adpcm_expected.py
+_ADPCM_EXPECTED = [
+    (0, 8000, 12, 34, -81640, 111520, -391831, 3498),
+    (1, 8000, 12, 35, -83304, 247740, 956092, -8202),
+    (2, 16000, 16, 60, -35805, 532777, 4869270, -1140),
+    (3, 8000, 16, 25, -32588, 84864, 248606, 3731),
+    (4, 8000, 24, 120, -50010, 731348, -2283045, 1172),
+    (5, 11025, 24, 41, -109418, 380520, 825956, -2510),
+    (6, 8000, 12, 100, 36879, 273759, 4666748, 5506),
+    (7, 22050, 16, 50, -3832, 306320, 2330839, -4350),
+    (8, 8000, 24, 82, -34345, 711167, 1791408, 12596),
+    (9, 8000, 12, 17, -31532, 50016, -17214, 3454),
+    (10, 8000, 16, 90, 31981, 498075, 6578281, 514),
+    (11, 16000, 24, 160, 188297, 1364337, 22341401, 11067),
+]
+
+_ADPCM_ORACLE = "SELECT " + ", ".join(
+    [
+        "CAST(col0 AS BIGINT) AS media_id",
+        "CAST(col1 AS INT) AS sample_rate",
+        "CAST(col2 AS INT) AS block_align",
+        "CAST(col3 AS BIGINT) AS n_samples",
+        "CAST(col4 AS BIGINT) AS sum_amp",
+        "CAST(col5 AS BIGINT) AS sum_abs",
+        "CAST(col6 AS BIGINT) AS ksum",
+        "CAST(col7 AS INT) AS last_sample",
+    ]
+) + " FROM (VALUES " + ", ".join(
+    str(r) for r in _ADPCM_EXPECTED
+) + ") ORDER BY media_id"
+
+register("multimodal_adpcm_decode", _q_adpcm_decode, oracle=_ADPCM_ORACLE)
+

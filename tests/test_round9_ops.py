@@ -1,0 +1,148 @@
+"""Round-9 operator tests: IMA-ADPCM codec (hand-stepped vector, engine
+vs independent reference decoder, pinned-constant re-derivation,
+container robustness) and the non-zero-AC JPEG fixture family."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+# ------------------------------------------------------------ IMA-ADPCM
+
+
+def test_adpcm_hand_stepped_vector_pins_both_implementations():
+    """Hand-computed decode walk (worked out on paper from the IMA
+    practice document) pins the engine's `_adpcm_reconstruct` AND the
+    independent `scripts.gen_adpcm_expected.ref_step` — the two
+    implementations can't share a complementary bug with this vector
+    asserting the arithmetic itself.
+
+    From pred=0, index=0 (step 7):
+      nib 7  -> diff 0+1+3+7 = 11, pred 11,  index 0+8  = 8  (step 16)
+      nib 15 -> diff 2+4+8+16 = 30 (sign), pred -19, index 16 (step 34)
+      nib 0  -> diff 34>>3 = 4, pred -15, index 15 (step 31)
+      nib 10 -> diff 3+15 = 18 (sign), pred -33, index 14
+    """
+    from dblab_ece_trino_spark.operators.multimodal import _adpcm_reconstruct
+    from scripts.gen_adpcm_expected import ref_step
+
+    expected = [(11, 8), (-19, 16), (-15, 15), (-33, 14)]
+    for impl in (_adpcm_reconstruct, ref_step):
+        pred, index = 0, 0
+        got = []
+        for nib in (7, 15, 0, 10):
+            pred, index = impl(nib, pred, index)
+            got.append((pred, index))
+        assert got == expected, (impl.__module__, got)
+    # clamp edges: max step, both directions, index ceiling
+    for impl in (_adpcm_reconstruct, ref_step):
+        assert impl(7, 32760, 88) == (32767, 88)
+        assert impl(15, -32000, 88) == (-32768, 88)
+        assert impl(0, 5, 0) == (5, 0)  # index floor
+
+
+def test_adpcm_engine_decoder_matches_independent_reference():
+    """Engine decode (numpy path through the generic audio seam) must be
+    sample-exact vs the scripts/ reference decoder on all 12 fixtures."""
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _ADPCM_PARAMS,
+        _N_ADPCM,
+        _adpcm_signal,
+        decode_audio,
+        encode_adpcm_wav,
+    )
+    from scripts.gen_adpcm_expected import ref_decode
+
+    for i in range(_N_ADPCM):
+        n_samp, ba, rate = _ADPCM_PARAMS[i]
+        payload = encode_adpcm_wav(
+            np.array(_adpcm_signal(i, n_samp), dtype=np.int16), rate,
+            block_align=ba,
+        )
+        er, es = decode_audio(payload)
+        rr, rs = ref_decode(payload)
+        assert er == rr == rate
+        assert list(map(int, es)) == rs, f"clip {i} diverges"
+
+
+def test_adpcm_expected_constants_rederive():
+    """The pinned `_ADPCM_EXPECTED` literal must equal a fresh run of
+    the generator — constant drift (stale regeneration after a fixture
+    edit) fails here before it fails at the driver."""
+    from dblab_ece_trino_spark.operators.multimodal import _ADPCM_EXPECTED
+    from scripts.gen_adpcm_expected import expected_rows
+
+    assert expected_rows() == _ADPCM_EXPECTED
+
+
+def test_adpcm_fixture_family_covers_block_shapes():
+    """The clip table must keep covering the block-layout edge cases
+    the decoder's trimming logic exists for."""
+    from dblab_ece_trino_spark.operators.multimodal import _ADPCM_PARAMS
+
+    shapes = set()
+    for n_samp, ba, _rate in _ADPCM_PARAMS:
+        spb = (ba - 4) * 2 + 1
+        rem = n_samp % spb
+        shapes.add(
+            "exact" if rem == 0 else ("header_only" if rem == 1 else "partial")
+        )
+    assert shapes == {"exact", "header_only", "partial"}
+    assert {ba for _n, ba, _r in _ADPCM_PARAMS} == {12, 16, 24}
+
+
+def test_adpcm_roundtrip_fidelity_and_rejection():
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_adpcm_wav,
+        decode_audio,
+        decode_wav,
+        encode_adpcm_wav,
+        encode_wav,
+    )
+
+    k = np.arange(400)
+    s = (3000 * np.sin(k / 25) + 700 * np.sin(k / 6)).astype(np.int16)
+    payload = encode_adpcm_wav(s, 8000, block_align=32)
+    rate, d = decode_adpcm_wav(payload)
+    assert rate == 8000 and len(d) == 400
+    err = np.abs(d.astype(np.int64) - s.astype(np.int64))
+    # adaptation transient at clip start; steady-state must track tightly
+    assert err[50:].max() <= 256 and err.mean() <= 64, (
+        err.max(), err.mean()
+    )
+
+    # the generic seam dispatches on wFormatTag: PCM -> decode_wav path
+    pcm = encode_wav(s, 8000)
+    prate, ps = decode_audio(pcm)
+    assert prate == 8000 and np.array_equal(ps, decode_wav(pcm)[1])
+    # ADPCM through the seam == direct decode
+    arate, asamp = decode_audio(payload)
+    assert arate == 8000 and np.array_equal(asamp, d)
+    # MP3-class stays a loud stub
+    with pytest.raises(NotImplementedError, match="audio library"):
+        decode_audio(b"ID3\x03\x00" + b"\x00" * 64)
+
+    # container robustness: every corruption class raises ValueError
+    with pytest.raises(ValueError, match="truncated"):
+        decode_adpcm_wav(payload[:-40])  # cut inside the data chunk
+    # size-consistent but fewer blocks than the fact count claims
+    import struct as _struct
+
+    dat_at = payload.index(b"data")
+    short = bytearray(payload[: dat_at + 8 + 32])  # keep only one block
+    _struct.pack_into("<I", short, dat_at + 4, 32)
+    with pytest.raises(ValueError, match="fewer blocks than fact"):
+        decode_adpcm_wav(bytes(short))
+    nofact = payload.replace(b"fact", b"fakt")
+    with pytest.raises(ValueError, match="fact chunk"):
+        decode_adpcm_wav(nofact)
+    bad_tag = bytearray(encode_wav(s, 8000))
+    with pytest.raises(ValueError, match="not IMA-ADPCM"):
+        decode_adpcm_wav(bytes(bad_tag))
+    bad_spb = bytearray(payload)
+    at = bad_spb.index(b"fmt ")
+    bad_spb[at + 8 + 18] ^= 0xFF  # corrupt samplesPerBlock
+    with pytest.raises(ValueError, match="samplesPerBlock"):
+        decode_adpcm_wav(bytes(bad_spb))
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_adpcm_wav(b"OggS" + b"\x00" * 64)
