@@ -2489,19 +2489,22 @@ def _jpeg_payloads(spark: SparkSession, n: int = _N_JPEG) -> DataFrame:
     return spark.range(n).mapInPandas(gen, "media_id long, payload binary")
 
 
-def jpeg_pixel_stats(media: DataFrame) -> DataFrame:
+def jpeg_pixel_stats(media: DataFrame, params_fn=None) -> DataFrame:
     """Decode real JPEG payloads; exact RGB channel sums plus a
     y-weighted green sum and x-weighted blue sum (flip/transpose
     anti-cancellation: plain sums are permutation-invariant, so a
     broken MCU raster order or swapped chroma planes would otherwise
-    cancel)."""
+    cancel).  ``params_fn`` maps media_id -> the fixture param dict
+    (block-constant family by default; the AC family passes its own)."""
     import numpy as np
+
+    params_fn = params_fn or _jpeg_params
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                p = _jpeg_params(int(mid))
+                p = params_fn(int(mid))
                 w, h, arr = decode_jpeg(bytes(payload))
                 a64 = arr.astype("int64")
                 ys = np.arange(h, dtype="int64")
@@ -2919,4 +2922,150 @@ _ADPCM_ORACLE = "SELECT " + ", ".join(
 ) + ") ORDER BY media_id"
 
 register("multimodal_adpcm_decode", _q_adpcm_decode, oracle=_ADPCM_ORACLE)
+
+
+
+# --------------------------------------- JPEG non-zero-AC fixture family
+# Second graded JPEG family, closing the round-8 verdict note: the
+# block-constant fixtures above exercise only the DC path (every AC
+# coefficient quantizes to zero), leaving the Huffman-AC decode + full
+# IDCT under pytest but outside the driver gate.  These fixtures put
+# DCT-BASIS content in every block: plane value = per-block DC base +
+# two cosine-product basis terms with per-block integer amplitudes, so
+# the FDCT lands EXACTLY on known integer coefficients (orthonormality:
+# a u,v>=1 basis term of amplitude a produces coefficient 4a; the
+# closed form is re-verified against an explicit double-loop FDCT in
+# scripts/gen_jpeg_ac_expected.py before the expectations are pinned).
+# The cr-plane's second term sits at zigzag index 48, forcing ZRL
+# (16-zero-run) Huffman symbols through the decoder; dims are
+# multiples of 16 so MCU padding stays out of this family's scope (the
+# DC family already grades crop/padding).
+#
+# Oracle discipline: a general lossy block can't value-hash against
+# closed-form SQL, so this family pins stats generated ONCE by the
+# independent explicit-loop reference pipeline (known coefficients ->
+# double-loop IDCT -> JFIF YCbCr->RGB), never by decode_jpeg itself;
+# tests/test_round9_ops.py asserts decode_jpeg reproduces the reference
+# reconstruction pixel-exactly and re-derives the pinned constants.
+
+_N_JPEG_AC = 10
+
+# per-plane (u, v) basis pairs (all >= 1 so coefficients are exactly
+# 4*amplitude); cr's (5, 5) sits deep in the zigzag for ZRL coverage
+_JPEG_AC_BASIS = {
+    "y": ((1, 2), (3, 1)),
+    "cb": ((2, 1), (1, 3)),
+    "cr": ((2, 2), (5, 5)),
+}
+_JPEG_AC_PLANE_OFFSET = {"y": 0, "cb": 3, "cr": 7}
+
+
+def _jpeg_ac_params(i: int):
+    return {
+        "w": 32 + 16 * (i % 2),     # 32/48 (multiples of 16: no padding)
+        "h": 16 + 16 * (i % 3),     # 16/32/48
+        "sub": i % 2 == 1,
+        "q_dc": 1 << (i % 3),       # 1/2/4 — all divide the 8k DC coeffs
+        "ri": 2 if i % 4 == 0 else 0,
+    }
+
+
+def _jpeg_ac_block_coeffs(i: int, plane: str, bx: int, by: int):
+    """The exact quantized-then-dequantized coefficients of block
+    (bx, by): (dc_base, amp1, amp2) in PIXEL units (dc_base is the
+    pre-shift base sample value; amplitudes are the cosine-term
+    weights).  Shared truth between the encoder-side pixel functions
+    and the reference pipeline."""
+    p = _JPEG_AC_PLANE_OFFSET[plane]
+    base = 108 + 4 * ((bx + by + i + p) % 11)
+    amp1 = 3 + ((bx + 2 * by + i + p) % 5)
+    amp2 = 2 + ((2 * bx + by + i) % 4)
+    return base, amp1, amp2
+
+
+def _jpeg_ac_plane_fn(i: int, plane: str):
+    import math
+
+    (u1, v1), (u2, v2) = _JPEG_AC_BASIS[plane]
+
+    def fn(x: int, y: int) -> float:
+        base, a1, a2 = _jpeg_ac_block_coeffs(i, plane, x // 8, y // 8)
+        tx, ty = x % 8, y % 8
+        return (
+            base
+            + a1
+            * math.cos((2 * tx + 1) * u1 * math.pi / 16)
+            * math.cos((2 * ty + 1) * v1 * math.pi / 16)
+            + a2
+            * math.cos((2 * tx + 1) * u2 * math.pi / 16)
+            * math.cos((2 * ty + 1) * v2 * math.pi / 16)
+        )
+
+    return fn
+
+
+def _jpeg_ac_payloads(spark: SparkSession, n: int = _N_JPEG_AC) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                p = _jpeg_ac_params(i)
+                payload = encode_jpeg(
+                    p["w"], p["h"],
+                    _jpeg_ac_plane_fn(i, "y"),
+                    _jpeg_ac_plane_fn(i, "cb"),
+                    _jpeg_ac_plane_fn(i, "cr"),
+                    subsample=p["sub"], q_dc=p["q_dc"],
+                    restart_interval=p["ri"],
+                )
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+
+
+def _q_jpeg_ac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jpeg_pixel_stats(
+        _jpeg_ac_payloads(spark), params_fn=_jpeg_ac_params
+    ).orderBy("media_id")
+
+
+# Pinned stats — generated ONCE by the independent explicit-loop
+# reference pipeline in scripts/gen_jpeg_ac_expected.py (closed-form
+# coefficients cross-checked by a double-loop FDCT, double-loop IDCT,
+# half-boundary distance asserted > 1e-6) and re-derived on every
+# pytest run.  Regenerate: PYTHONPATH=. python3 scripts/gen_jpeg_ac_expected.py
+_JPEG_AC_EXPECTED = [
+    (0, 32, 16, 0, 1, 66920, 55560, 59392, 424468, 977312),
+    (1, 48, 32, 1, 2, 219624, 183792, 202052, 2947904, 5007651),
+    (2, 32, 48, 0, 4, 188830, 207198, 216354, 5050802, 3324383),
+    (3, 48, 16, 1, 1, 95608, 102172, 112240, 772502, 2766913),
+    (4, 32, 32, 0, 2, 127852, 143854, 145611, 2266360, 2171057),
+    (5, 48, 48, 1, 4, 272920, 307672, 320504, 7070212, 6888099),
+    (6, 32, 16, 0, 1, 68802, 73749, 68507, 556829, 978924),
+    (7, 48, 32, 1, 2, 189936, 201812, 165052, 3081474, 3481421),
+    (8, 32, 48, 0, 4, 202928, 183887, 178054, 4169676, 2817447),
+    (9, 48, 16, 1, 1, 98712, 95412, 78164, 710538, 1820356),
+]
+
+_JPEG_AC_ORACLE = "SELECT " + ", ".join(
+    [
+        "CAST(col0 AS BIGINT) AS media_id",
+        "CAST(col1 AS INT) AS width",
+        "CAST(col2 AS INT) AS height",
+        "CAST(col3 AS INT) AS subsampled",
+        "CAST(col4 AS INT) AS q_dc",
+        "CAST(col5 AS BIGINT) AS sum_r",
+        "CAST(col6 AS BIGINT) AS sum_g",
+        "CAST(col7 AS BIGINT) AS sum_b",
+        "CAST(col8 AS BIGINT) AS ysum_g",
+        "CAST(col9 AS BIGINT) AS xsum_b",
+    ]
+) + " FROM (VALUES " + ", ".join(
+    str(r) for r in _JPEG_AC_EXPECTED
+) + ") ORDER BY media_id"
+
+register("multimodal_jpeg_ac_decode", _q_jpeg_ac_decode,
+         oracle=_JPEG_AC_ORACLE)
 

@@ -88,54 +88,52 @@ def oracle_queries() -> dict[str, str]:
 # graded keys == list(queries())[:50]).  This list pins which entries
 # occupy those 50 slots this round; everything else keeps its entry (and
 # its local pytest gate) and is rotated into the window in later rounds
-# so every operator accumulates a graded row.  The board has been
-# closed since round 6 (every registered entry's LATEST grade is green),
-# so the only grading debt is staleness.  The round-8 window clears the
-# ENTIRE r2/r3 backlog (computed by unioning CORRECTNESS_r01..r07.json):
-# q001-q005 (standing regression watch) + all 15 entries whose latest
-# green is round 2 (the TPC-H canon queue, incl. tpch_q1/q3/q4/q5
-# displaced by round-7's new ops) + the round-8 NEW ops + the oldest
-# round-3 entries filling the remaining slots.  NEW ops are seated
-# ahead of freshness backfill (never-graded outranks stale) and
-# displace from the r3 TAIL, never the TPC-H head — the r2 entries are
-# 6 rounds stale and must clear this round.  r3 entries that don't fit
-# (the window's displacement tail) head the round-9 queue.
+# so every operator accumulates a graded row.
+#
+# STEADY-STATE ROTATION POLICY (mechanical from round 9 on): the board
+# has been closed since round 6 — every registered entry's latest grade
+# is green — so the only grading debt is staleness.  Each round's
+# window is derived by unioning CORRECTNESS_r01..r{N-1}.json and taking
+#   (1) NEW never-graded ops first (never-graded outranks stale), then
+#   (2) the remaining slots filled oldest-latest-grade-first,
+#       alphabetical within a cohort (deterministic tie-break),
+# with the displacement tail (entries that don't fit) explicitly listed
+# so the next round's queue head is pre-derived.  q001-q005 rotate like
+# everything else once fresh (they were re-graded green in r8, so they
+# sit OUT of the r9 window for the first time).  With 243 entries and a
+# 50-slot window the full board re-grades every ~5 rounds, which is the
+# staleness ceiling this policy guarantees.
+#
+# ROUND-9 WINDOW: 2 NEW r9 ops (multimodal_adpcm_decode — the IMA-ADPCM
+# codec; multimodal_jpeg_ac_decode — the non-zero-AC JPEG family that
+# puts Huffman-AC + IDCT under the driver gate) + all 8 entries whose
+# latest green is r3 + the alphabetically-first 40 of the 44 r4-latest
+# entries.  Displacement tail (last 4 r4 alphabetically) heads the
+# ROUND-10 QUEUE, pre-derived: ts_gap_fill, ts_interp_fill,
+# ts_ohlc_bars, ts_zscore_anomaly, then the 44 r5-latest entries, then
+# the 2 oldest r6 — 4 + 44 + 2 = exactly 50 (absent new r10 ops, which
+# displace from that tail oldest-cohort-last).
 GRADED_PRIORITY: list[str] = [
-    # reference query set (regression watch, every round)
-    "q001", "q002", "q003", "q004", "q005",
-    # latest green = round 2 (6 rounds stale, the whole backlog):
-    # the TPC-H canon queue
-    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q21", "tpch_q21_agg", "tpch_q22",
-    # NEW round 8: BPE ENCODER — applies the learned merge table over
-    # the vocabulary-collapsed distinct-word frame (chain of codegen'd
-    # array folds, work ∝ |V| × rounds, zero shuffles in the merge
-    # application) emitting per-doc exact token counts; closes the
-    # llm_bpe_merges (mine-only) loop
-    "llm_bpe_encode",
-    # latest green = round 3: the TPC-H r3 shapes first
-    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q13", "tpch_q15",
-    "tpch_q16", "tpch_q20",
-    # r3: the word-level similarity join + the round-3 llm_* block
-    "dedup_ngram_jaccard_word",
-    "llm_bigram_lm_score", "llm_chunk_dedup", "llm_chunk_documents",
-    "llm_dedup_resolution", "llm_domain_mix", "llm_pii_redact",
-    "llm_quality_rules", "llm_repetition_profile", "llm_tf_cosine_dup",
-    "llm_train_order", "llm_vocab_topk",
-    # r3: remaining oldest entries (displacement tail — round-8 NEW ops
-    # seat here bottom-up; whatever is displaced heads the round-9
-    # queue along with the 7 r3 entries that didn't fit: sample_split,
-    # sample_stratified, text_length_histogram,
-    # text_rolling_fingerprint, op_upsert_latest, op_snapshot_diff,
-    # op_scd2_intervals)
-    "decontaminate", "gen_store_sales_invariants", "multimodal_resize",
-    "op_click_attribution", "op_fuzzy_match", "op_hierarchy_walk",
-    "op_intersect_all", "op_interval_arith", "op_lateral_explode",
-    # NEW round 8: native baseline JPEG decoder (SOF0 Huffman + IDCT +
-    # 4:2:0/4:4:4, restart markers, MCU padding/crop) — closes the last
-    # image-format seam; displaced op_null_safe_join to the round-9 queue
-    "multimodal_jpeg_decode",
+    # NEW round 9 (never graded)
+    "multimodal_adpcm_decode", "multimodal_jpeg_ac_decode",
+    # latest green = round 3 (all 8)
+    "op_null_safe_join", "op_scd2_intervals", "op_snapshot_diff",
+    "op_upsert_latest", "sample_split", "sample_stratified",
+    "text_length_histogram", "text_rolling_fingerprint",
+    # latest green = round 4 (alphabetically-first 40 of 44)
+    "audit_orphans", "audit_skew", "dedup_clusters", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_semantic", "dedup_simhash",
+    "gen_fact_dim_join_invariants", "join_asof_forward",
+    "llm_budget_select", "llm_dataset_profile", "llm_incremental_dedup",
+    "llm_ngram_novelty", "llm_quality_floor", "op_approx_percentile_tol",
+    "op_bit_aggregates", "op_cohort_retention", "op_equidepth_hist",
+    "op_event_transitions", "op_funnel_conversion", "op_grouping_marks",
+    "op_json_schema_read", "op_median_mode", "op_min_max_by",
+    "op_new_vs_returning", "op_stats_regression", "op_string_agg",
+    "op_token_cooccurrence", "op_try_arithmetic", "op_width_bucket_hist",
+    "op_window_navigation", "pipeline_curate_corpus", "sample_importance",
+    "sample_weighted_topk", "sim_search_ivf", "sim_search_lsh",
+    "text_bm25_score", "tpch_q8", "ts_ewma", "ts_expanding_anomaly",
 ]
 
 

@@ -146,3 +146,72 @@ def test_adpcm_roundtrip_fidelity_and_rejection():
         decode_adpcm_wav(bytes(bad_spb))
     with pytest.raises(ValueError, match="not a RIFF"):
         decode_adpcm_wav(b"OggS" + b"\x00" * 64)
+
+
+# ------------------------------------------- JPEG non-zero-AC family
+
+
+def test_jpeg_ac_fixtures_exercise_the_ac_path():
+    """Every block in the family must carry >= 2 nonzero quantized AC
+    coefficients (the whole point of the family), and the cr plane's
+    (5,5) basis term must force ZRL symbols: its zigzag index minus the
+    preceding nonzero AC's index must exceed 16."""
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _JPEG_AC_BASIS,
+        _JPEG_ZIGZAG,
+        _N_JPEG_AC,
+        _jpeg_ac_block_coeffs,
+    )
+
+    # zigzag index of natural position (u, v): _JPEG_ZIGZAG maps
+    # zigzag order -> natural index u + 8*v ... recover the inverse
+    inv = {nat: k for k, nat in enumerate(_JPEG_ZIGZAG)}
+    for plane, ((u1, v1), (u2, v2)) in _JPEG_AC_BASIS.items():
+        assert u1 >= 1 and v1 >= 1 and u2 >= 1 and v2 >= 1
+        for i in range(_N_JPEG_AC):
+            base, a1, a2 = _jpeg_ac_block_coeffs(i, plane, 0, 0)
+            assert a1 >= 2 and a2 >= 2  # both AC coeffs nonzero (4*a)
+    z1 = inv[_JPEG_AC_BASIS["cr"][0][0] + 8 * _JPEG_AC_BASIS["cr"][0][1]]
+    z2 = inv[_JPEG_AC_BASIS["cr"][1][0] + 8 * _JPEG_AC_BASIS["cr"][1][1]]
+    assert abs(z2 - z1) > 16, (z1, z2)  # guarantees a ZRL run
+
+
+def test_jpeg_ac_engine_decoder_matches_reference_pixel_exact():
+    """decode_jpeg (Huffman-AC + matrix IDCT + upsample + YCbCr) must
+    reproduce the independent explicit-loop reference reconstruction
+    EXACTLY on every fixture — this is the assertion that puts the AC
+    half of the decoder under a pinned, independently-derived truth."""
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _N_JPEG_AC,
+        _jpeg_ac_params,
+        _jpeg_ac_plane_fn,
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from scripts.gen_jpeg_ac_expected import reference_decode
+
+    for i in range(_N_JPEG_AC):
+        p = _jpeg_ac_params(i)
+        payload = encode_jpeg(
+            p["w"], p["h"],
+            _jpeg_ac_plane_fn(i, "y"),
+            _jpeg_ac_plane_fn(i, "cb"),
+            _jpeg_ac_plane_fn(i, "cr"),
+            subsample=p["sub"], q_dc=p["q_dc"], restart_interval=p["ri"],
+        )
+        w, h, arr = decode_jpeg(payload)
+        rw, rh, rgb = reference_decode(i)
+        assert (w, h) == (rw, rh)
+        ref = np.array(rgb, dtype=np.uint8)
+        mism = np.argwhere(arr != ref)
+        assert mism.size == 0, (
+            f"clip {i}: {len(mism)} mismatching samples, first at "
+            f"{mism[:3].tolist()}"
+        )
+
+
+def test_jpeg_ac_expected_constants_rederive():
+    from dblab_ece_trino_spark.operators.multimodal import _JPEG_AC_EXPECTED
+    from scripts.gen_jpeg_ac_expected import expected_rows
+
+    assert expected_rows() == _JPEG_AC_EXPECTED
