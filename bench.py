@@ -123,6 +123,10 @@ HEADLINE = [
     # JPEG codec (Huffman + IDCT + 4:2:0, restart markers)
     "llm_bpe_encode",
     "multimodal_jpeg_decode",
+    # round-9 additions: the IMA-ADPCM audio codec and the non-zero-AC
+    # JPEG family (Huffman-AC + ZRL + full IDCT under the gate)
+    "multimodal_adpcm_decode",
+    "multimodal_jpeg_ac_decode",
 ]
 
 
@@ -145,6 +149,7 @@ def main() -> None:
 
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
     for name in HEADLINE:
         fn = qs.get(name)
@@ -159,9 +164,15 @@ def main() -> None:
         c, n = run()
         cold[name] = round(c, 3)
         rows[name] = n
-        warm[name] = round(min(run()[0] for _ in range(WARM_REPS)), 3)
+        # all warm reps go into the record (not just the min): round 8
+        # showed 8/61 queries flagged >10% round-over-round purely from
+        # run-to-run noise — the rep spread is what separates a plan
+        # regression from box jitter (scripts/bench_diff.py reads it)
+        reps[name] = [round(run()[0], 3) for _ in range(WARM_REPS)]
+        warm[name] = min(reps[name])
         print(
-            f"# {name}: cold {cold[name]}s, warm_min {warm[name]}s ({n} rows)",
+            f"# {name}: cold {cold[name]}s, warm_min {warm[name]}s "
+            f"reps {reps[name]} ({n} rows)",
             file=sys.stderr,
         )
 
@@ -189,6 +200,7 @@ def main() -> None:
         "n_queries": len(warm),
         "queries": warm,
         "cold": cold,
+        "reps": reps,
         # output cardinalities — for the similarity joins these are the
         # verified pair counts, the denominator any per-pair cost claim
         # in SCALE.md divides by
@@ -212,6 +224,10 @@ def main() -> None:
     }
     line = json.dumps(compact)
     if len(line) > 1900:  # never overflow the driver's 2000-char tail
+        # first fallback: 2-decimal per-query values (~10% shorter)
+        compact["queries"] = {k: round(v, 2) for k, v in warm.items()}
+        line = json.dumps(compact)
+    if len(line) > 1900:
         compact.pop("queries")
         line = json.dumps(compact)
     print(line)

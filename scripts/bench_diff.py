@@ -13,6 +13,16 @@ Usage:
 ``--threshold`` (default 10) marks rows whose |relative delta| exceeds
 that percent with ``<<`` so regressions are one grep away:
     python3 scripts/bench_diff.py BENCH_LOCAL_r07.json BENCH_LOCAL_r08.json | grep '<<'
+
+SPREAD SUPPRESSION: when both records carry a ``reps`` field (all warm
+repetition times, recorded since round 9), a row is flagged only if the
+two rep RANGES are disjoint — new_min > old_max for a regression,
+new_max < old_min for an improvement.  Overlapping ranges mean the
+delta is inside run-to-run jitter (round 8 had 8/61 queries cross the
+10% threshold with zero plan changes); such rows get a ``~`` marker
+instead of ``<<``.  Records without reps fall back to the plain
+threshold.
+
 Exit status is 0 always — this is a reporting tool, not a gate (the
 plan-budget pytest layer is the gate; timings on a shared box are
 advisory).
@@ -43,6 +53,7 @@ def main() -> None:
 
     old, new = load(args.old), load(args.new)
     oq, nq = old["queries"], new["queries"]
+    oreps, nreps = old.get("reps", {}), new.get("reps", {})
     common = sorted(set(oq) & set(nq))
     rows = []
     for name in common:
@@ -54,7 +65,18 @@ def main() -> None:
     w = max((len(r[0]) for r in rows), default=10)
     print(f"{'query':<{w}}  {'old_s':>8}  {'new_s':>8}  {'delta_s':>8}  {'delta_%':>8}")
     for name, a, b, d, rel in rows:
-        flag = "  <<" if abs(rel) > args.threshold else ""
+        flag = ""
+        if abs(rel) > args.threshold:
+            ors, nrs = oreps.get(name), nreps.get(name)
+            if ors and nrs:
+                # flag only when the rep ranges are disjoint in the
+                # delta's direction — overlap means jitter, not plan
+                disjoint = (min(nrs) > max(ors)) if d > 0 else (
+                    max(nrs) < min(ors)
+                )
+                flag = "  <<" if disjoint else "  ~"
+            else:
+                flag = "  <<"
         print(f"{name:<{w}}  {a:8.3f}  {b:8.3f}  {d:+8.3f}  {rel:+8.1f}{flag}")
 
     for label, only in (("only in OLD", set(oq) - set(nq)),
