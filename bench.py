@@ -123,10 +123,12 @@ HEADLINE = [
     # JPEG codec (Huffman + IDCT + 4:2:0, restart markers)
     "llm_bpe_encode",
     "multimodal_jpeg_decode",
-    # round-9 additions: the IMA-ADPCM audio codec and the non-zero-AC
-    # JPEG family (Huffman-AC + ZRL + full IDCT under the gate)
+    # round-9 additions: the IMA-ADPCM audio codec, the non-zero-AC
+    # JPEG family (Huffman-AC + ZRL + full IDCT under the gate), and
+    # concat-then-chunk sequence packing (two-phase-rank token offsets)
     "multimodal_adpcm_decode",
     "multimodal_jpeg_ac_decode",
+    "llm_sequence_pack",
 ]
 
 

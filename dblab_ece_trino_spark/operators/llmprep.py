@@ -2075,3 +2075,133 @@ def _register_quantile_normalize() -> None:
 
 
 _register_quantile_normalize()
+
+
+# ---------------------------------------------- sequence packing (round 9)
+def sequence_pack(
+    docs: DataFrame,
+    ctx: int = 512,
+    seed: str = "pack-v1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style concat-then-chunk sequence packing: documents are laid
+    end-to-end in a deterministic content-addressed order (md5(seed ||
+    id), the same reproducibility contract as ``train_order``) and the
+    token stream is cut into fixed ``ctx``-token context windows that
+    CROSS document boundaries.  Returns one row per context window:
+    how many documents overlap it, how many start in it, its filled
+    token count (= ctx everywhere but the tail window), and the
+    earliest document in it — the stats a packing QA step audits
+    (boundary-crossing rate drives attention-mask design).
+
+    Shape at 100 TB: the global token offset is the two-phase rank used
+    everywhere in this module — per-bucket prefix sums over the md5's
+    first byte (256 parallel windows), bucket offsets from one 256-row
+    running sum broadcast back — never a single-partition window.  The
+    doc->window explode emits ceil(tok/ctx)+1 rows per doc (total work
+    ∝ corpus tokens / ctx) and the final groupBy shuffles one narrow
+    row per (doc, window) overlap.  The narrow (id, hash, tokens) frame
+    is materialized once because both the window branch and the bucket
+    totals consume it.
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    based = materialize(
+        docs.select(
+            F.col(id_col),
+            F.md5(
+                F.concat(F.lit(seed), F.col(id_col).cast("string"))
+            ).alias("__h"),
+            F.size(_toks(F.col(text_col))).cast("long").alias("__tok"),
+        )
+        .filter(F.col("__tok") > 0)
+        .withColumn(
+            "__b", F.conv(F.substring("__h", 1, 2), 16, 10).cast("int")
+        )
+    )
+    wb = Window.partitionBy("__b").orderBy("__h").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = based.withColumn(
+        "__local_off", F.coalesce(F.sum("__tok").over(wb), F.lit(0))
+    )
+    counts = based.groupBy("__b").agg(F.sum("__tok").alias("__n"))
+    wo = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(wo), F.lit(0))
+    ).select("__b", "__off")
+    placed = local.join(F.broadcast(offsets), "__b").withColumn(
+        "__goff", F.col("__off") + F.col("__local_off")
+    )
+    exploded = placed.select(
+        F.col(id_col),
+        "__goff",
+        "__tok",
+        F.explode(
+            F.sequence(
+                F.expr(f"__goff DIV {ctx}"),
+                F.expr(f"(__goff + __tok - 1) DIV {ctx}"),
+            )
+        ).alias("chunk_id"),
+    )
+    lo = F.greatest(F.col("chunk_id") * ctx, F.col("__goff"))
+    hi = F.least(
+        (F.col("chunk_id") + 1) * ctx, F.col("__goff") + F.col("__tok")
+    )
+    return (
+        exploded.groupBy("chunk_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.expr(f"__goff DIV {ctx}") == F.col("chunk_id"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_starts"),
+            F.sum(hi - lo).cast("long").alias("tok_filled"),
+            F.min_by(F.col(id_col), F.col("__goff")).alias("first_doc"),
+        )
+    )
+
+
+def _q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sequence_pack(_docs(spark, sf_dir))
+
+
+register(
+    "llm_sequence_pack",
+    _q_sequence_pack,
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             md5('pack-v1' || CAST(doc_id AS VARCHAR)) AS h,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS tok
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\s+')) > 0
+    ),
+    placed AS (
+      SELECT doc_id, tok,
+             CAST(COALESCE(SUM(tok) OVER (
+               ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS goff
+      FROM base
+    ),
+    ex AS (
+      SELECT doc_id, tok, goff,
+             unnest(generate_series(goff // 512, (goff + tok - 1) // 512))
+               AS chunk_id
+      FROM placed
+    )
+    SELECT chunk_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN goff // 512 = chunk_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_starts,
+           CAST(sum(least((chunk_id + 1) * 512, goff + tok)
+                    - greatest(chunk_id * 512, goff)) AS BIGINT)
+             AS tok_filled,
+           arg_min(doc_id, goff) AS first_doc
+    FROM ex
+    GROUP BY chunk_id
+    """,
+)

@@ -104,18 +104,23 @@ def oracle_queries() -> dict[str, str]:
 # 50-slot window the full board re-grades every ~5 rounds, which is the
 # staleness ceiling this policy guarantees.
 #
-# ROUND-9 WINDOW: 2 NEW r9 ops (multimodal_adpcm_decode — the IMA-ADPCM
+# ROUND-9 WINDOW: 3 NEW r9 ops (multimodal_adpcm_decode — the IMA-ADPCM
 # codec; multimodal_jpeg_ac_decode — the non-zero-AC JPEG family that
-# puts Huffman-AC + IDCT under the driver gate) + all 8 entries whose
-# latest green is r3 + the alphabetically-first 40 of the 44 r4-latest
-# entries.  Displacement tail (last 4 r4 alphabetically) heads the
-# ROUND-10 QUEUE, pre-derived: ts_gap_fill, ts_interp_fill,
-# ts_ohlc_bars, ts_zscore_anomaly, then the 44 r5-latest entries, then
-# the 2 oldest r6 — 4 + 44 + 2 = exactly 50 (absent new r10 ops, which
-# displace from that tail oldest-cohort-last).
+# puts Huffman-AC + IDCT under the driver gate; llm_sequence_pack —
+# concat-then-chunk packing) + all 8 entries whose latest green is r3
+# + the alphabetically-first 39 of the 44 r4-latest entries.
+# Displacement tail (last 5 r4 alphabetically) heads the ROUND-10
+# QUEUE, pre-derived: ts_expanding_anomaly, ts_gap_fill,
+# ts_interp_fill, ts_ohlc_bars, ts_zscore_anomaly, then the 44
+# r5-latest entries, then the oldest r6 — 5 + 44 + 1 = exactly 50
+# (absent new r10 ops, which displace from that tail
+# oldest-cohort-last).
 GRADED_PRIORITY: list[str] = [
-    # NEW round 9 (never graded)
+    # NEW round 9 (never graded): IMA-ADPCM codec, non-zero-AC JPEG
+    # family, and GPT-style concat-then-chunk sequence packing (the
+    # third new op displaced ts_expanding_anomaly to the round-10 tail)
     "multimodal_adpcm_decode", "multimodal_jpeg_ac_decode",
+    "llm_sequence_pack",
     # latest green = round 3 (all 8)
     "op_null_safe_join", "op_scd2_intervals", "op_snapshot_diff",
     "op_upsert_latest", "sample_split", "sample_stratified",
@@ -133,7 +138,7 @@ GRADED_PRIORITY: list[str] = [
     "op_token_cooccurrence", "op_try_arithmetic", "op_width_bucket_hist",
     "op_window_navigation", "pipeline_curate_corpus", "sample_importance",
     "sample_weighted_topk", "sim_search_ivf", "sim_search_lsh",
-    "text_bm25_score", "tpch_q8", "ts_ewma", "ts_expanding_anomaly",
+    "text_bm25_score", "tpch_q8", "ts_ewma",
 ]
 
 

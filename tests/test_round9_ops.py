@@ -215,3 +215,65 @@ def test_jpeg_ac_expected_constants_rederive():
     from scripts.gen_jpeg_ac_expected import expected_rows
 
     assert expected_rows() == _JPEG_AC_EXPECTED
+
+
+# ------------------------------------------------- sequence packing
+
+
+def test_sequence_pack_oracle_matches_pure_python():
+    """The DuckDB oracle for llm_sequence_pack vs an independent
+    pure-Python packer (hashlib md5 order, manual prefix sums, manual
+    window overlap arithmetic) on the sf0.001 corpus — pins the SQL
+    itself, complementing the Spark-vs-oracle parity gate at sf0.01."""
+    import hashlib
+    import re
+
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+
+    CTX = 512
+    rows = []
+    for doc_id, text in docs:
+        tok = len(re.split(r"\s+", text.strip()))
+        if tok > 0:
+            h = hashlib.md5(f"pack-v1{doc_id}".encode()).hexdigest()
+            rows.append((h, doc_id, tok))
+    rows.sort()
+    chunks: dict = {}
+    goff = 0
+    for h, doc_id, tok in rows:
+        for cid in range(goff // CTX, (goff + tok - 1) // CTX + 1):
+            lo = max(cid * CTX, goff)
+            hi = min((cid + 1) * CTX, goff + tok)
+            c = chunks.setdefault(cid, [0, 0, 0, (goff, doc_id)])
+            c[0] += 1
+            c[1] += 1 if goff // CTX == cid else 0
+            c[2] += hi - lo
+            c[3] = min(c[3], (goff, doc_id))
+        goff += tok
+    expected = {
+        cid: (c[0], c[1], c[2], c[3][1]) for cid, c in chunks.items()
+    }
+
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    got = {
+        int(r[0]): (int(r[1]), int(r[2]), int(r[3]), int(r[4]))
+        for r in con.execute(oracle_queries()["llm_sequence_pack"]).fetchall()
+    }
+    assert got == expected
+    # structural sanity: every window but the last is exactly full, and
+    # the packing covers the whole token stream
+    last = max(expected)
+    for cid, (_nd, _ns, filled, _fd) in expected.items():
+        assert filled == CTX or cid == last
+    assert sum(c[2] for c in expected.values()) == goff
