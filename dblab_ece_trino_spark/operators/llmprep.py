@@ -2205,3 +2205,175 @@ register(
     GROUP BY chunk_id
     """,
 )
+
+
+# ------------------------------------------------- duplicated-span coverage
+def dup_span_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document coverage by cross-document duplicated n-gram spans —
+    the measurement half of exact-substring training-data dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": spans of >= n tokens occurring verbatim in more than one
+    document are the removal unit).  For every position-anchored word
+    n-gram that appears in >= 2 distinct documents, the covered token
+    interval is [pos, pos + n); per document those intervals are merged
+    (gaps-and-islands over the sorted anchor positions — an island
+    breaks when the next anchor starts past the previous interval's
+    end, i.e. gap > n) and the output reports exact duplicated-token
+    coverage next to the document's token count.
+
+    100 TB shape: one row per corpus token into a bigint-keyed
+    aggregation (grams are md5-folded to 48-bit ints at extraction —
+    the shuffle carries 8-byte keys, never gram strings), one shuffle
+    join back to the anchor frame, then per-document windows whose
+    partitions are bounded by document length.  The anchor frame is
+    materialized once (document-frequency branch + rejoin both read the
+    checkpointed rows).  No driver-side state; every column integer, so
+    the driver value-hash replays exactly.
+    """
+    from dblab_ece_trino_spark.operators.sketches import hexint_col
+    from dblab_ece_trino_spark.session import materialize
+
+    toks = docs.select(
+        F.col(id_col), _toks(F.col(text_col)).alias("arr")
+    ).select(
+        id_col, "arr", F.size("arr").cast("long").alias("n_tokens")
+    )
+    grams = materialize(
+        toks.filter(F.col("n_tokens") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(0), (F.col("n_tokens") - n).cast("int"))
+            ).alias("pos"),
+            F.col("arr"),
+        )
+        .select(
+            id_col,
+            "pos",
+            hexint_col(
+                F.concat(
+                    F.lit("dsc:"),
+                    F.concat_ws(" ", F.slice(F.col("arr"), F.col("pos") + 1, n)),
+                ),
+                12,
+            ).alias("h"),
+        )
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    anchors = grams.join(dup, "h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    run = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    isl = (
+        anchors.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > n),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("brk").over(run))
+    )
+    cov = isl.groupBy(id_col, "island").agg(
+        (F.max("pos") - F.min("pos") + n).cast("long").alias("cov_len"),
+        F.count(F.lit(1)).cast("long").alias("ng"),
+    )
+    per_doc = cov.groupBy(id_col).agg(
+        F.sum("ng").cast("long").alias("n_dup_grams"),
+        F.sum("cov_len").cast("long").alias("dup_tokens"),
+    )
+    return (
+        toks.select(id_col, "n_tokens")
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias(
+                "n_dup_grams"
+            ),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+        )
+        .orderBy(id_col)
+    )
+
+
+def _q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_span_coverage(_docs(spark, sf_dir))
+
+
+def _dup_span_oracle() -> str:
+    from dblab_ece_trino_spark.operators.sketches import hexint_digits_sql
+
+    fold = hexint_digits_sql("md5('dsc:' || gram)", 12)
+    return rf"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+      FROM documents
+    ),
+    g AS MATERIALIZED (
+      SELECT doc_id, i AS pos, {fold} AS h
+      FROM (
+        SELECT doc_id, i,
+               array_to_string(list_slice(arr, i + 1, i + 8), ' ') AS gram
+        FROM toks, unnest(generate_series(0, len(arr) - 8)) AS r(i)
+        WHERE len(arr) >= 8
+      ) t
+    ),
+    dup AS (
+      SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    anchors AS (
+      SELECT g.doc_id, g.pos FROM g JOIN dup ON dup.h = g.h
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS brk
+      FROM anchors
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ),
+    cov AS (
+      SELECT doc_id, island,
+             CAST(max(pos) - min(pos) + 8 AS BIGINT) AS cov_len,
+             CAST(count(*) AS BIGINT) AS ng
+      FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(ng) AS BIGINT) AS n_dup_grams,
+             CAST(sum(cov_len) AS BIGINT) AS dup_tokens
+      FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.arr) AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens
+    FROM toks t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """
+
+
+register(
+    "llm_dup_span_coverage",
+    _q_dup_span_coverage,
+    oracle=_dup_span_oracle(),
+)

@@ -339,3 +339,140 @@ register(
     _q_kmv_distinct,
     oracle=_kmv_sql().format(**_ORACLE_TABLES),
 )
+
+# ------------------------------------------------------------ HyperLogLog
+# HyperLogLog distinct sketch (Flajolet et al. 2007) — the fourth
+# workhorse sketch, and the module docstring's own counter-example made
+# replayable: the textbook estimator's float harmonic mean Z = Σ 2^-M_j
+# is not value-hashable across engines, but SCALING BY 2^48 makes the
+# register fold pure BIGINT arithmetic (each term 2^(48-rho) is an exact
+# integer because rho is capped at 41 = 40 payload bits + 1), leaving —
+# exactly like op_kmv_distinct — ONE IEEE division finale
+# A / s_scaled with both operands exactly double-representable
+# (s_scaled ≤ 2^56 with lsb ≥ 2^7 spans < 2^53 ulps; A is a double
+# literal both engines parse correctly-rounded).  Register state: m=256
+# buckets from the first 2 hex digits of md5, rho = 1 + leading-zero
+# count of the next 40 bits (10 hex digits) — nibble zeros via a
+# regexp '^0*' prefix length plus a 4-way CASE on the first nonzero
+# nibble, the same instr-over-hex arithmetic as every other sketch
+# here.  The small-range linear-counting correction (m·ln(m/V)) is
+# deliberately NOT emitted: ln is libm-dependent (Java Math.log is
+# 1-ulp, not correctly rounded), so it would break the bit-replay
+# contract — the graded columns are the integer state (v_zero,
+# s_scaled) plus the raw estimate, and the pytest layer applies the
+# correction Python-side and asserts the published 1.04/√m error bound.
+# 100 TB lens: the sketch build is ONE map-side-combinable aggregation
+# to ≤ m rows (partials are (bucket, max rho) pairs — 256 tiny rows per
+# partition regardless of input size, the whole point of HLL); the
+# exact-distinct verification column is the full aggregation the sketch
+# replaces in production, same framing as KMV.
+HLL_M = 256  # 2^8 buckets: first 2 hex digits
+_HLL_RHO_CAP = 41  # 40 payload bits all-zero -> rho = 41
+_HLL_SCALE = 2**48  # Σ 2^(48-rho) stays integral for rho <= 41
+# alpha_m * m^2 * 2^48 for m=256 (alpha = 0.7213/(1+1.079/m)), embedded
+# via repr() so both engines parse the identical double:
+_HLL_A = repr(0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * _HLL_SCALE)
+
+
+def _hll_rho_sql(rest: str, nz: str) -> str:
+    """rho = 1 + leading zero bits of the 40-bit payload ``rest`` given
+    ``nz`` = its leading-zero NIBBLE count (both SQL expressions)."""
+    d = f"(instr('{_HEX}', substr({rest}, CAST({nz} + 1 AS INT), 1)) - 1)"
+    return (
+        f"CASE WHEN {nz} = 10 THEN {_HLL_RHO_CAP} "
+        f"ELSE 4 * {nz} + (CASE WHEN {d} >= 8 THEN 0 WHEN {d} >= 4 THEN 1 "
+        f"WHEN {d} >= 2 THEN 2 ELSE 3 END) + 1 END"
+    )
+
+
+def _hll_sql() -> str:
+    bucket = hexint_digits_sql("h", 2, 1)
+    rho = _hll_rho_sql("rest", "nz")
+    return f"""
+    WITH hv AS (
+      SELECT DISTINCT md5(concat('hll:', CAST(l_orderkey AS STRING))) AS h
+      FROM {{lineitem}}
+    ),
+    prep AS (
+      SELECT {bucket} AS bucket, rest, nz
+      FROM (SELECT h, substr(h, 3, 10) AS rest,
+                   length(regexp_extract(substr(h, 3, 10), '^0*', 0)) AS nz
+            FROM hv) t
+    ),
+    regs AS (
+      SELECT bucket, max({rho}) AS r FROM prep GROUP BY bucket
+    ),
+    st AS (
+      SELECT CAST(count(*) AS BIGINT) AS present,
+             CAST(sum(CAST(1 AS BIGINT) << (48 - r)) AS BIGINT) AS s_present
+      FROM regs
+    ),
+    ex AS (
+      SELECT CAST(count(*) AS BIGINT) AS nd FROM hv
+    )
+    SELECT CAST({HLL_M} AS INT) AS m,
+           CAST({HLL_M} - st.present AS INT) AS v_zero,
+           CAST(st.s_present
+                + ({HLL_M} - st.present) * {_HLL_SCALE} AS BIGINT) AS s_scaled,
+           CAST({_HLL_A} AS DOUBLE)
+             / (st.s_present + ({HLL_M} - st.present) * {_HLL_SCALE})
+             AS est_raw,
+           ex.nd AS exact_distinct
+    FROM st, ex
+    """
+
+
+def _q_hll_distinct(spark, sf_dir):
+    """DataFrame form, one fact scan (the KMV pattern): the md5 +
+    DISTINCT digest frame is materialized once and both the register
+    fold and the exact-distinct verification read the checkpointed
+    rows — pure-SQL CTE inlining would re-derive the distinct per
+    consumer.  Arithmetic mirrors the oracle term for term; see the
+    section comment above for why the state is integer-exact and the
+    estimate is a single bit-identical IEEE division."""
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.session import materialize
+
+    li = engine_for(spark, sf_dir).catalogs.table("psql.tpch.lineitem")
+    hv = materialize(
+        li.select(
+            F.md5(
+                F.concat(F.lit("hll:"), F.col("l_orderkey").cast("string"))
+            ).alias("h")
+        ).distinct()
+    )
+    prep = hv.select(
+        F.expr(hexint_digits_sql("h", 2, 1)).alias("bucket"),
+        F.expr("substr(h, 3, 10)").alias("rest"),
+        F.expr("length(regexp_extract(substr(h, 3, 10), '^0*', 0))").alias(
+            "nz"
+        ),
+    )
+    regs = prep.groupBy("bucket").agg(
+        F.expr(f"max({_hll_rho_sql('rest', 'nz')})").alias("r")
+    )
+    st = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("present"),
+        F.expr("CAST(sum(shiftleft(CAST(1 AS BIGINT), 48 - r)) AS BIGINT)")
+        .alias("s_present"),
+    )
+    ex = hv.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    s_scaled = F.col("s_present") + (
+        (F.lit(HLL_M) - F.col("present")) * F.lit(_HLL_SCALE)
+    )
+    return st.crossJoin(ex).select(
+        F.lit(HLL_M).cast("int").alias("m"),
+        (F.lit(HLL_M) - F.col("present")).cast("int").alias("v_zero"),
+        s_scaled.cast("long").alias("s_scaled"),
+        (F.expr(f"CAST({_HLL_A} AS DOUBLE)") / s_scaled).alias("est_raw"),
+        F.col("nd").alias("exact_distinct"),
+    )
+
+
+register(
+    "op_hll_distinct",
+    _q_hll_distinct,
+    oracle=_hll_sql().format(**_ORACLE_TABLES),
+)

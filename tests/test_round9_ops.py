@@ -277,3 +277,179 @@ def test_sequence_pack_oracle_matches_pure_python():
     for cid, (_nd, _ns, filled, _fd) in expected.items():
         assert filled == CTX or cid == last
     assert sum(c[2] for c in expected.values()) == goff
+
+
+# ------------------------------------------------------ HyperLogLog sketch
+
+
+def test_hll_rho_sql_hand_vectors():
+    """The rho SQL expression (1 + leading-zero bits of the 40-bit
+    payload) against hand-computed nibble vectors, evaluated by DuckDB
+    on literal strings — pins the regexp + nibble-CASE arithmetic."""
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.sketches import _hll_rho_sql
+
+    cases = {
+        "8000000000": 1,   # first bit set
+        "f123456789": 1,
+        "4000000000": 2,   # 0100...
+        "2fffffffff": 3,   # 0010...
+        "1000000000": 4,   # 0001...
+        "0f00000000": 5,   # one zero nibble then 1111
+        "0100000000": 8,   # 0000 0001
+        "0010000000": 12,
+        "0000000001": 40,  # 39 zero bits then 1
+        "0000000000": 41,  # all-zero payload -> cap
+    }
+    con = duckdb.connect()
+    for rest, want in cases.items():
+        expr = _hll_rho_sql(f"'{rest}'", f"length(regexp_extract('{rest}', '^0*', 0))")
+        got = con.execute(f"SELECT {expr}").fetchone()[0]
+        assert got == want, (rest, got, want)
+
+
+def test_hll_oracle_matches_pure_python():
+    """DuckDB oracle for op_hll_distinct vs an independent pure-Python
+    HLL (hashlib md5, integer register fold) over sf0.001 lineitem —
+    pins the SQL itself; Spark-vs-oracle parity rides the sf0.01 gate.
+    Also asserts the bias-corrected estimate (linear counting applied
+    Python-side, where ln is allowed) lands inside 3x the published
+    1.04/sqrt(m) HLL error bound."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+    from dblab_ece_trino_spark.operators.sketches import (
+        _HLL_A,
+        _HLL_SCALE,
+        HLL_M,
+    )
+
+    con = duckdb.connect()
+    keys = [
+        r[0]
+        for r in con.execute(
+            "SELECT DISTINCT l_orderkey FROM "
+            "read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+        ).fetchall()
+    ]
+    regs: dict[int, int] = {}
+    for k in keys:
+        h = hashlib.md5(f"hll:{k}".encode()).hexdigest()
+        bucket = int(h[:2], 16)
+        payload = int(h[2:12], 16)  # 40 bits
+        rho = 41 if payload == 0 else 40 - payload.bit_length() + 1
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    v_zero = HLL_M - len(regs)
+    s_scaled = sum(_HLL_SCALE >> r for r in regs.values()) + v_zero * _HLL_SCALE
+    est_raw = float(_HLL_A) / s_scaled
+
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    )
+    row = con.execute(oracle_queries()["op_hll_distinct"]).fetchone()
+    assert row[0] == HLL_M
+    assert row[1] == v_zero
+    assert row[2] == s_scaled
+    assert row[3] == est_raw  # bit-identical single IEEE division
+    assert row[4] == len(keys)
+
+    # accuracy: apply the standard small-range correction where the
+    # cross-engine contract forbids it (ln), then check the bound
+    est = est_raw
+    if est <= 2.5 * HLL_M and v_zero > 0:
+        est = HLL_M * math.log(HLL_M / v_zero)
+    assert abs(est - len(keys)) / len(keys) <= 3 * 1.04 / math.sqrt(HLL_M)
+
+
+# ------------------------------------------------ duplicated-span coverage
+
+
+def _py_dup_span(docs, n=8):
+    """Independent pure-Python re-derivation: gram STRINGS (not hashes),
+    cross-doc duplicate filter, interval-union by sorted anchors."""
+    import re
+
+    grams: dict[str, set] = {}
+    toks = {}
+    for doc_id, text in docs:
+        t = re.split(r"\s+", text.strip()) if text.strip() else [""]
+        toks[doc_id] = t
+        for i in range(len(t) - n + 1):
+            grams.setdefault(" ".join(t[i : i + n]), set()).add(doc_id)
+    dup = {g for g, ds in grams.items() if len(ds) >= 2}
+    out = {}
+    for doc_id, t in toks.items():
+        anchors = sorted(
+            i for i in range(len(t) - n + 1) if " ".join(t[i : i + n]) in dup
+        )
+        ng, cov, start, prev = len(anchors), 0, None, None
+        for p in anchors:
+            if prev is None or p - prev > n:
+                if prev is not None:
+                    cov += prev - start + n
+                start = p
+            prev = p
+        if prev is not None:
+            cov += prev - start + n
+        out[doc_id] = (len(t), ng, cov)
+    return out
+
+
+def test_dup_span_oracle_matches_pure_python():
+    """DuckDB oracle for llm_dup_span_coverage vs the string-keyed
+    pure-Python packer on sf0.001 — also proves the 48-bit gram-hash
+    fold is collision-free at this SF (a collision would show up as a
+    value mismatch between the hash-keyed SQL and string-keyed Python)."""
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    expected = _py_dup_span(docs)
+
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    got = {
+        int(r[0]): (int(r[1]), int(r[2]), int(r[3]))
+        for r in con.execute(
+            oracle_queries()["llm_dup_span_coverage"]
+        ).fetchall()
+    }
+    assert got == expected
+    # sanity: somebody must actually share an 8-gram at this SF, and
+    # coverage never exceeds the doc
+    assert any(ng > 0 for _t, ng, _c in got.values())
+    for n_tok, _ng, cov in got.values():
+        assert 0 <= cov <= n_tok
+
+
+def test_dup_span_planted_fixture():
+    """Hand-planted corpus: two docs share one exact 10-token sentence
+    (anchors 0..2 in doc 1, offset 5..7 in doc 2 -> one island each,
+    coverage exactly 10), a third doc shares nothing."""
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.llmprep import _dup_span_oracle
+
+    shared = " ".join(f"w{i}" for i in range(10))
+    uniq1 = " ".join(f"a{i}" for i in range(5))
+    uniq3 = " ".join(f"z{i}" for i in range(12))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        f"(1, '{shared}'), (2, '{uniq1} {shared}'), (3, '{uniq3}')"
+        ") AS t(doc_id, text)"
+    )
+    got = {r[0]: (r[1], r[2], r[3]) for r in con.execute(_dup_span_oracle()).fetchall()}
+    assert got == {1: (10, 3, 10), 2: (15, 3, 10), 3: (12, 0, 0)}
