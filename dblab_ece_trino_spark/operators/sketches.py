@@ -1,12 +1,14 @@
 """Probabilistic-sketch operators with exact cross-engine replay:
-Count-Min heavy hitters and Bloom-filter membership.
+Count-Min heavy hitters, Bloom-filter membership, the KMV distinct
+sketch, and an integer-exact HyperLogLog.
 
 The reference engine ships sketch aggregates (approx_distinct's HLL is
 already covered by relational.py / the HLL rollup in analytics); this
-module adds the two other workhorse sketches of a 100 TB pipeline —
-Count-Min for frequency estimation and Bloom filters for cheap
+module adds the workhorse sketches of a 100 TB pipeline as user-level
+operators — Count-Min for frequency estimation, Bloom filters for cheap
 membership pre-filters (the same structure Spark's own runtime bloom
-join filter uses, here surfaced as a user-level operator).
+join filter uses), and two distinct-count sketches (KMV, HLL) whose
+ESTIMATES replay bit-identically across engines.
 
 Determinism contract (the md5 discipline of operators/sampling.py): the
 hash family is md5 folded to integers via hex-digit arithmetic —
