@@ -134,6 +134,9 @@ HEADLINE = [
     # token through a bigint-keyed aggregation)
     "op_hll_distinct",
     "llm_dup_span_coverage",
+    # round-9 late additions: the G.711 mu-law/A-law telephony codec
+    # (ninth native codec, second+third compressed audio formats)
+    "multimodal_g711_decode",
 ]
 
 

@@ -93,11 +93,12 @@ def decode_image(payload: bytes) -> "object":
 
 def decode_audio(payload: bytes) -> "object":
     """Generic audio seam: RIFF/WAVE decodes NATIVELY — PCM (format 1,
-    ``decode_wav``) and IMA-ADPCM (format 17, ``decode_adpcm_wav``) are
-    dispatched on the fmt chunk's wFormatTag.  Perceptual-codec formats
-    (MP3/AAC/Opus) genuinely require an external library and raise
-    behind this clearly-marked stub; in production the fallback would
-    be soundfile/ffmpeg — the mapInPandas plumbing is identical."""
+    ``decode_wav``), G.711 A-law/mu-law (formats 6/7,
+    ``decode_g711_wav``) and IMA-ADPCM (format 17, ``decode_adpcm_wav``)
+    are dispatched on the fmt chunk's wFormatTag.  Perceptual-codec
+    formats (MP3/AAC/Opus) genuinely require an external library and
+    raise behind this clearly-marked stub; in production the fallback
+    would be soundfile/ffmpeg — the mapInPandas plumbing is identical."""
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         import struct
 
@@ -109,6 +110,8 @@ def decode_audio(payload: bytes) -> "object":
                 (tag,) = struct.unpack("<H", payload[pos + 8 : pos + 10])
                 if tag == 17:
                     return decode_adpcm_wav(payload)
+                if tag in (6, 7):
+                    return decode_g711_wav(payload)
                 return decode_wav(payload)
             pos += 8 + size + (size % 2)
         raise ValueError("RIFF/WAVE payload with no fmt chunk")
@@ -3069,3 +3072,298 @@ _JPEG_AC_ORACLE = "SELECT " + ", ".join(
 register("multimodal_jpeg_ac_decode", _q_jpeg_ac_decode,
          oracle=_JPEG_AC_ORACLE)
 
+
+
+# --------------------------------------------- G.711 mu-law / A-law codec
+# Ninth native codec, second and third compressed-audio formats: the two
+# ITU-T G.711 companding laws (1972 spec, public; byte-level algorithm
+# also in the well-known public-domain Sun Microsystems g711.c that RFC
+# 3551 points at).  WAVE carries them as wFormatTag 7 (mu-law) and 6
+# (A-law), 8 bits per compressed sample, so this closes the telephony
+# half of the audio column: decode_audio now dispatches PCM (1),
+# A-law (6), mu-law (7) and IMA-ADPCM (17) natively.  Parity anchor:
+# the reference's data model treats media as opaque typed payloads
+# (SURVEY §2.10); the codec itself is beyond-parity pipeline surface.
+
+G711_BIAS = 0x84  # 132, mu-law bias in the 16-bit domain
+G711_CLIP = 32635  # mu-law encoder clip: 0x7FFF - (BIAS - 1)
+_ALAW_SEG_ENDS = (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+
+
+def ulaw_decode_byte(b: int) -> int:
+    """One mu-law byte -> linear 16-bit sample (shift-of-sums form:
+    t = ((mant<<3) + BIAS) << exp, sample = +-(t - BIAS); max +-32124)."""
+    u = (~b) & 0xFF
+    t = (((u & 0x0F) << 3) + G711_BIAS) << ((u >> 4) & 0x07)
+    return (G711_BIAS - t) if (u & 0x80) else (t - G711_BIAS)
+
+
+def ulaw_encode_sample(s: int) -> int:
+    """Linear 16-bit sample -> mu-law byte (bias-then-exponent-search
+    form; clips magnitude at G711_CLIP like every published encoder)."""
+    s = int(s)
+    sign = 0x80 if s < 0 else 0
+    if s < 0:
+        s = -s
+    if s > G711_CLIP:
+        s = G711_CLIP
+    s += G711_BIAS
+    exp, mask = 7, 0x4000
+    while exp > 0 and not (s & mask):
+        exp -= 1
+        mask >>= 1
+    mant = (s >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant)) & 0xFF
+
+
+def alaw_decode_byte(b: int) -> int:
+    """One A-law byte -> linear 16-bit sample (even-bit inversion with
+    0x55, segment 0 linear / segments 1..7 exponential; max +-32256).
+    The transmitted sign bit SET means positive per G.711."""
+    a = b ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def alaw_encode_sample(s: int) -> int:
+    """Linear 16-bit sample -> A-law byte (13-bit-domain segment search;
+    negative values map through the one's-complement -p-1 fold so -1..-8
+    land in quantization cell 0, matching the decoder's midpoints)."""
+    p = int(s) >> 3
+    if p >= 0:
+        mask = 0xD5
+    else:
+        mask = 0x55
+        p = -p - 1
+    seg = 0
+    for end in _ALAW_SEG_ENDS:
+        if p <= end:
+            break
+        seg += 1
+    aval = seg << 4
+    if seg < 2:
+        aval |= (p >> 1) & 0x0F
+    else:
+        aval |= (p >> seg) & 0x0F
+    return aval ^ mask
+
+
+def encode_g711_wav(samples, rate: int, law: str) -> bytes:
+    """Mono 16-bit samples -> a real G.711 WAV: wFormatTag 7 (mu-law)
+    or 6 (A-law), 8 bits per compressed sample, 18-byte fmt chunk
+    (cbSize = 0 as non-PCM formats require) plus the mandatory fact
+    chunk carrying the sample count."""
+    import struct
+
+    enc = ulaw_encode_sample if law == "ulaw" else alaw_encode_sample
+    tag = 7 if law == "ulaw" else 6
+    data = bytes(enc(int(s)) for s in samples)
+    fmt = struct.pack(
+        "<4sIHHIIHHH", b"fmt ", 18, tag, 1, rate, rate, 1, 8, 0
+    )
+    fact = struct.pack("<4sII", b"fact", 4, len(data))
+    pad = b"\x00" if len(data) % 2 else b""
+    hdr = struct.pack(
+        "<4sI4s",
+        b"RIFF",
+        4 + len(fmt) + len(fact) + 8 + len(data) + len(pad),
+        b"WAVE",
+    )
+    return hdr + fmt + fact + struct.pack("<4sI", b"data", len(data)) + data + pad
+
+
+def decode_g711_wav(payload: bytes):
+    """Parse + decode a mono G.711 WAV: returns (sample_rate, law,
+    int16 numpy array).  Chunk walker validates format 6/7, mono,
+    8-bit, requires the fact chunk and checks it against the data
+    chunk — truncation or corruption surfaces as ValueError."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmtc, n_total, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(
+                f"truncated WAV chunk {cid!r}: need {size}, have {len(body)}"
+            )
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            fmtc = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"fact":
+            if size < 4:
+                raise ValueError("fact chunk too short")
+            (n_total,) = struct.unpack("<I", body[:4])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if fmtc is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    tag, channels, rate, _abps, _ba, bits = fmtc
+    if tag not in (6, 7):
+        raise ValueError(f"not G.711 (format {tag})")
+    if channels != 1 or bits != 8:
+        raise ValueError(f"expected mono/8-bit, got {channels}ch/{bits}bit")
+    if n_total is None:
+        raise ValueError("G.711 WAV requires a fact chunk")
+    if n_total > len(data):
+        raise ValueError(
+            f"truncated G.711 data: fact says {n_total}, have {len(data)}"
+        )
+    law = "ulaw" if tag == 7 else "alaw"
+    dec = ulaw_decode_byte if tag == 7 else alaw_decode_byte
+    out = np.fromiter(
+        (dec(b) for b in data[:n_total]), dtype=np.int64, count=n_total
+    )
+    return rate, law, out.astype(np.int16)
+
+
+_N_G711 = 12
+
+# (n_samples, sample_rate, law) per clip — laws alternate, lengths and
+# rates vary, odd lengths exercise the RIFF pad byte.
+_G711_PARAMS = (
+    (40, 8000, "ulaw"), (33, 8000, "alaw"), (64, 16000, "ulaw"),
+    (25, 8000, "alaw"), (101, 8000, "ulaw"), (48, 11025, "alaw"),
+    (77, 8000, "ulaw"), (56, 22050, "alaw"), (90, 8000, "ulaw"),
+    (17, 8000, "alaw"), (120, 16000, "ulaw"), (63, 8000, "alaw"),
+)
+
+
+def _g711_signal(i: int, n: int):
+    """Deterministic full-range 16-bit test waveform for clip i (pure
+    int math).  A Knuth multiplicative hash of a per-clip quadratic
+    spreads samples over the entire 16-bit range (every segment of both
+    laws, including the small-magnitude linear cells, gets hits even at
+    short clip lengths) AND the mu-law clip region (|s| > 32635);
+    every 13th sample is pinned near an extreme."""
+    out = []
+    for k in range(n):
+        q = k * k * (3 + i % 7) + k * (101 + 13 * i) + 29 * i
+        v = ((q * 2654435761) % 65536) - 32768
+        if k % 13 == 5:
+            v = 32767 - ((k * (i + 3)) % 97)
+        elif k % 13 == 11:
+            v = -32768 + ((k * (i + 5)) % 89)
+        out.append(v)
+    return out
+
+
+def _g711_payloads(spark: SparkSession, n: int = _N_G711) -> DataFrame:
+    """n deterministic clips as REAL G.711 WAV payloads."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                n_samp, rate, law = _G711_PARAMS[i]
+                rows.append(
+                    (i, encode_g711_wav(_g711_signal(i, n_samp), rate, law))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+
+
+_G711_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sum_amp", T.LongType(), True),
+        T.StructField("sum_abs", T.LongType(), True),
+        T.StructField("ksum", T.LongType(), True),
+        T.StructField("last_sample", T.IntegerType(), True),
+    ]
+)
+
+
+def g711_stats(media: DataFrame) -> DataFrame:
+    """Decode G.711 payloads via the generic audio seam; exact integer
+    statistics.  ``ksum`` (position-weighted) again guards sample order;
+    ``sum_abs`` separates the two laws (their quantization grids differ,
+    so a law-dispatch bug cannot produce matching magnitudes)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, law, s = decode_g711_wav(bytes(payload))
+                s64 = s.astype(np.int64)
+                k = np.arange(len(s64), dtype=np.int64)
+                out.append(
+                    (
+                        int(mid), int(rate), law, len(s64), int(s64.sum()),
+                        int(np.abs(s64).sum()), int((k * s64).sum()),
+                        int(s64[-1]) if len(s64) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "codec", "n_samples",
+                    "sum_amp", "sum_abs", "ksum", "last_sample",
+                ],
+            )
+
+    return media.mapInPandas(stats, _G711_STATS_SCHEMA)
+
+
+def _q_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return g711_stats(_g711_payloads(spark)).orderBy("media_id")
+
+
+# Pinned per-clip statistics — generated ONCE by the independent
+# table-arithmetic reference decoder in scripts/gen_g711_expected.py
+# (it builds both 256-entry decode tables from the segment start/step
+# closed forms, a different formulation than the engine's shift-of-sums
+# expressions, and walks RIFF itself) and re-derived there on every
+# pytest run.  Regenerate: PYTHONPATH=. python3 scripts/gen_g711_expected.py
+_G711_EXPECTED = [
+    (0, 8000, "ulaw", 40, 23376, 688400, 337960, -924),
+    (1, 8000, "alaw", 33, 89536, 662400, 733696, 29184),
+    (2, 16000, "ulaw", 64, -145944, 1226512, -6632688, -32124),
+    (3, 8000, "alaw", 25, 15648, 481824, 22176, -32256),
+    (4, 8000, "ulaw", 101, -108944, 1914648, -10142920, -25980),
+    (5, 11025, "alaw", 48, -41552, 853440, -747504, -20992),
+    (6, 8000, "ulaw", 77, 109608, 1410944, 5797532, -32124),
+    (7, 22050, "alaw", 56, -167976, 1005224, -5770872, -24064),
+    (8, 8000, "ulaw", 90, 74564, 1535268, 717116, -32124),
+    (9, 8000, "alaw", 17, -30336, 346240, 21760, 4736),
+    (10, 16000, "ulaw", 120, 110560, 2404424, -613128, -23932),
+    (11, 8000, "alaw", 63, 144456, 1190008, 6923712, 16128),
+]
+
+_G711_ORACLE = "SELECT " + ", ".join(
+    [
+        "CAST(col0 AS BIGINT) AS media_id",
+        "CAST(col1 AS INT) AS sample_rate",
+        "col2 AS codec",
+        "CAST(col3 AS BIGINT) AS n_samples",
+        "CAST(col4 AS BIGINT) AS sum_amp",
+        "CAST(col5 AS BIGINT) AS sum_abs",
+        "CAST(col6 AS BIGINT) AS ksum",
+        "CAST(col7 AS INT) AS last_sample",
+    ]
+) + " FROM (VALUES " + ", ".join(
+    str(r) for r in _G711_EXPECTED
+) + ") ORDER BY media_id"
+
+register("multimodal_g711_decode", _q_g711_decode, oracle=_G711_ORACLE)

@@ -453,3 +453,176 @@ def test_dup_span_planted_fixture():
     )
     got = {r[0]: (r[1], r[2], r[3]) for r in con.execute(_dup_span_oracle()).fetchall()}
     assert got == {1: (10, 3, 10), 2: (15, 3, 10), 3: (12, 0, 0)}
+
+
+# --------------------------------------------------------------- G.711
+def test_g711_hand_vectors_pin_both_implementations():
+    """Byte-level decode pairs worked out on paper from the G.711
+    segment definitions pin the engine's shift-of-sums formulas AND the
+    independent closed-form tables in scripts/gen_g711_expected.py.
+
+    mu-law: 0xFF is +0 and 0x7F is -0 (both decode to 0); 0x80 is the
+    positive maximum (+32124 = ((15*8+132)<<7)-132) and 0x00 its
+    negative mirror; 0xEF (exp 1, mant 0) is (132<<1)-132 = +132.
+    A-law: 0xD5/0x55 are the +-8 zero cells (sign bit SET = positive);
+    0xAA/0x2A the +-32256 extremes; 0xC5 is segment 1, mantissa 0 =
+    +264 (0x108)."""
+    from dblab_ece_trino_spark.operators.multimodal import (
+        alaw_decode_byte,
+        ulaw_decode_byte,
+    )
+    from scripts.gen_g711_expected import ALAW_TABLE, ULAW_TABLE
+
+    mu = {0xFF: 0, 0x7F: 0, 0x80: 32124, 0x00: -32124, 0xEF: 132}
+    al = {0xD5: 8, 0x55: -8, 0xAA: 32256, 0x2A: -32256, 0xC5: 264}
+    for b, want in mu.items():
+        assert ulaw_decode_byte(b) == want, hex(b)
+        assert ULAW_TABLE[b] == want, hex(b)
+    for b, want in al.items():
+        assert alaw_decode_byte(b) == want, hex(b)
+        assert ALAW_TABLE[b] == want, hex(b)
+
+
+def test_g711_engine_formulas_match_independent_tables_all_bytes():
+    """The engine's per-byte decode expressions must agree with the
+    reference's segment-arithmetic tables on every one of the 256
+    codes, both laws — a complementary bug would need to hide in two
+    different algebraic formulations at once."""
+    from dblab_ece_trino_spark.operators.multimodal import (
+        alaw_decode_byte,
+        ulaw_decode_byte,
+    )
+    from scripts.gen_g711_expected import ALAW_TABLE, ULAW_TABLE
+
+    for b in range(256):
+        assert ulaw_decode_byte(b) == ULAW_TABLE[b], hex(b)
+        assert alaw_decode_byte(b) == ALAW_TABLE[b], hex(b)
+
+
+def test_g711_quantization_bound_and_code_idempotence():
+    """Companding contract over the FULL linear range: |decode(encode(s))
+    - s| <= 512 (the top segment's half cell) for both laws (mu-law
+    within its documented |s| <= 32635 clip region), and encode is
+    exactly idempotent on decoded values for all 256 codes — except the
+    one documented mu-law case: -0 (0x7F) re-encodes as +0 (0xFF)."""
+    from dblab_ece_trino_spark.operators.multimodal import (
+        G711_CLIP,
+        alaw_decode_byte,
+        alaw_encode_sample,
+        ulaw_decode_byte,
+        ulaw_encode_sample,
+    )
+
+    for s in range(-32768, 32768, 7):
+        if abs(s) <= G711_CLIP:
+            assert abs(ulaw_decode_byte(ulaw_encode_sample(s)) - s) <= 512, s
+        assert abs(alaw_decode_byte(alaw_encode_sample(s)) - s) <= 512, s
+    # clip region still decodes to the top cell, no overflow artifacts
+    assert ulaw_decode_byte(ulaw_encode_sample(32767)) == 32124
+    assert ulaw_decode_byte(ulaw_encode_sample(-32768)) == -32124
+    for b in range(256):
+        if b == 0x7F:
+            assert ulaw_encode_sample(ulaw_decode_byte(b)) == 0xFF
+        else:
+            assert ulaw_encode_sample(ulaw_decode_byte(b)) == b, hex(b)
+        assert alaw_encode_sample(alaw_decode_byte(b)) == b, hex(b)
+
+
+def test_g711_engine_decoder_matches_independent_reference():
+    """Engine decode (through the generic audio seam) must be
+    sample-exact vs the scripts/ reference decoder on all 12 fixtures,
+    and the seam must dispatch the correct law."""
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _G711_PARAMS,
+        _N_G711,
+        _g711_signal,
+        decode_audio,
+        encode_g711_wav,
+    )
+    from scripts.gen_g711_expected import ref_decode
+
+    for i in range(_N_G711):
+        n_samp, rate, law = _G711_PARAMS[i]
+        payload = encode_g711_wav(_g711_signal(i, n_samp), rate, law)
+        er, elaw, es = decode_audio(payload)
+        rr, rlaw, rs = ref_decode(payload)
+        assert (er, elaw) == (rr, rlaw) == (rate, law)
+        assert list(map(int, es)) == rs, f"clip {i} diverges"
+
+
+def test_g711_expected_constants_rederive():
+    from dblab_ece_trino_spark.operators.multimodal import _G711_EXPECTED
+    from scripts.gen_g711_expected import expected_rows
+
+    assert expected_rows() == [tuple(r) for r in _G711_EXPECTED]
+
+
+def test_g711_fixture_family_covers_all_segments_both_laws():
+    """The waveform family must keep hitting every exponent segment of
+    both laws (incl. the linear cells and the mu-law clip region) —
+    shrinking coverage would quietly demote the graded entry to an
+    outer-segment-only check."""
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _G711_PARAMS,
+        _g711_signal,
+        alaw_encode_sample,
+        ulaw_encode_sample,
+    )
+
+    segs = {"ulaw": set(), "alaw": set()}
+    for i, (n, _rate, law) in enumerate(_G711_PARAMS):
+        for v in _g711_signal(i, n):
+            if law == "ulaw":
+                segs[law].add((~ulaw_encode_sample(v) >> 4) & 7)
+            else:
+                segs[law].add(((alaw_encode_sample(v) ^ 0x55) >> 4) & 7)
+    assert segs["ulaw"] == set(range(8))
+    assert segs["alaw"] == set(range(8))
+
+
+def test_g711_rejection_classes():
+    """Each corruption class raises the documented ValueError: missing
+    fact, fact exceeding data, stereo, wrong bit depth, truncated
+    chunk, non-G.711 tag routed here directly."""
+    import struct
+
+    import pytest
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_g711_wav,
+        encode_g711_wav,
+    )
+
+    good = encode_g711_wav(_g711_sig_20(), 8000, "ulaw")
+    decode_g711_wav(good)  # sanity
+
+    # missing fact: excise the 12-byte fact chunk (offset 12+26)
+    no_fact = good[:38] + good[50:]
+    no_fact = no_fact[:4] + struct.pack("<I", len(no_fact) - 8) + no_fact[8:]
+    with pytest.raises(ValueError, match="fact"):
+        decode_g711_wav(no_fact)
+    # fact > data (fact chunk VALUE lives at bytes 46:50)
+    bloated = good[:46] + struct.pack("<I", 10_000) + good[50:]
+    with pytest.raises(ValueError, match="truncated G.711 data"):
+        decode_g711_wav(bloated)
+    # stereo flag
+    stereo = good[:22] + struct.pack("<H", 2) + good[24:]
+    with pytest.raises(ValueError, match="mono"):
+        decode_g711_wav(stereo)
+    # 16-bit flag
+    deep = good[:46 - 12] + struct.pack("<H", 16) + good[36:]
+    with pytest.raises(ValueError):
+        decode_g711_wav(deep)
+    # truncated mid-chunk
+    with pytest.raises(ValueError, match="truncated"):
+        decode_g711_wav(good[:-5])
+    # PCM tag routed here directly
+    pcm_tag = good[:20] + struct.pack("<H", 1) + good[22:]
+    with pytest.raises(ValueError, match="not G.711"):
+        decode_g711_wav(pcm_tag)
+
+
+def _g711_sig_20():
+    from dblab_ece_trino_spark.operators.multimodal import _g711_signal
+
+    return _g711_signal(0, 20)
