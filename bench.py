@@ -135,8 +135,18 @@ HEADLINE = [
     "op_hll_distinct",
     "llm_dup_span_coverage",
     # round-9 late additions: the G.711 mu-law/A-law telephony codec
-    # (ninth native codec, second+third compressed audio formats)
+    # (ninth native codec, second+third compressed audio formats),
+    # bipartite HITS (six materialized half-steps, broadcast L1
+    # totals), and the one-fact-pass padding-waste audit
     "multimodal_g711_decode",
+    "graph_hits",
+    "llm_pad_waste",
+    # ... and Y4M shot-boundary detection (consecutive-frame luma SAD)
+    # plus Neyman-optimal stratified allocation (one 3-moment fact
+    # pass) and windowed audio energy/VAD stats
+    "multimodal_scene_cut",
+    "sample_neyman_alloc",
+    "multimodal_audio_energy",
 ]
 
 

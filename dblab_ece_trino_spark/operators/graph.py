@@ -873,3 +873,155 @@ register(
     LIMIT 25
     """,
 )
+
+
+# ------------------------------------------------------------ HITS (hubs/auth)
+HITS_SCALE = 10**6
+HITS_ITERS = 3
+
+
+def purchase_edges(orders: DataFrame, li: DataFrame) -> DataFrame:
+    """Directed bipartite purchase graph: one edge customer -> part per
+    DISTINCT (o_custkey, l_partkey) pair.  One shuffle join on orderkey
+    + one distinct; the co-order graph above is undirected (where HITS
+    degenerates to hub == authority), so the hub/authority split needs
+    this bipartite derivation."""
+    return (
+        orders.select(F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("c"))
+        .join(li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")), "ok")
+        .select("c", "p")
+        .distinct()
+    )
+
+
+def hits(edges: DataFrame, iters: int = HITS_ITERS, scale: int = HITS_SCALE) -> tuple:
+    """Fixed-point integer HITS (Kleinberg 1999): hub scores over
+    customers, authority scores over parts, L1-normalized to ``scale``
+    after every half-step.  Returns (hubs, auths) DataFrames.
+
+    Determinism/overflow design (the pagerank precedent, tightened):
+    normalizing each half-step means every score <= scale, so the next
+    half-step's raw sums are <= scale * max_degree and the normalization
+    numerator raw * scale <= scale^2 * 1 = 10^12 per row REGARDLESS of
+    graph size — BIGINT-safe at any node count (only the very first
+    half-step, running on the all-ones init, is bounded by customer
+    count * scale, fine through ~10^12 customers).  All arithmetic is
+    integer (div = floor), so results are partition-order-independent
+    and DuckDB replays the unrolled CTE oracle bit-for-bit.
+
+    Shape: the edge frame is materialized ONCE; each half-step is one
+    shuffle join + one keyed agg + one broadcast cross-join of the
+    1-row L1 total.  Raw frames are materialized per half-step because
+    each is consumed twice (rows + total) — the label-prop/BFS
+    precedent: Spark recomputes lazy branches per consumer.
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    e = materialize(edges)
+    h = e.select("c").distinct().select("c", F.lit(1).cast("long").alias("h"))
+    a = None
+    for _ in range(iters):
+        araw = materialize(
+            h.join(e, "c").groupBy("p").agg(F.sum("h").alias("s"))
+        )
+        atot = araw.agg(F.sum("s").alias("tot"))
+        a = materialize(
+            araw.crossJoin(atot).select(
+                "p", F.expr(f"(s * {scale}) div tot").cast("long").alias("a")
+            )
+        )
+        hraw = materialize(
+            a.join(e, "p").groupBy("c").agg(F.sum("a").alias("s"))
+        )
+        htot = hraw.agg(F.sum("s").alias("tot"))
+        h = materialize(
+            hraw.crossJoin(htot).select(
+                "c", F.expr(f"(s * {scale}) div tot").cast("long").alias("h")
+            )
+        )
+    return h, a
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    eng = engine_for(spark, sf_dir)
+    orders = eng.catalogs.table("mongodb.tpch.orders")
+    li = eng.catalogs.table("psql.tpch.lineitem")
+    h, a = hits(purchase_edges(orders, li))
+    top_h = (
+        h.orderBy(F.desc("h"), F.asc("c"))
+        .limit(10)
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("c").cast("long").alias("node_key"),
+            F.col("h").alias("score_micro"),
+        )
+    )
+    top_a = (
+        a.orderBy(F.desc("a"), F.asc("p"))
+        .limit(10)
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("p").cast("long").alias("node_key"),
+            F.col("a").alias("score_micro"),
+        )
+    )
+    return top_h.unionAll(top_a).orderBy(
+        "role", F.desc("score_micro"), F.asc("node_key")
+    )
+
+
+def _hits_oracle(iters: int = HITS_ITERS, scale: int = HITS_SCALE) -> str:
+    """Unrolled fixed-iteration HITS (DuckDB materializes CTEs; raw
+    frames are referenced twice per level — rows + L1 total — so each
+    is AS MATERIALIZED, the k-core precedent)."""
+    ctes = [
+        """edges AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )""",
+        "h0 AS (SELECT DISTINCT c, CAST(1 AS BIGINT) AS h FROM edges)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""araw{k} AS MATERIALIZED (
+      SELECT e.p, sum(x.h) AS s
+      FROM h{k - 1} x JOIN edges e ON e.c = x.c
+      GROUP BY e.p
+    )"""
+        )
+        ctes.append(
+            f"a{k} AS (SELECT p, CAST((s * {scale})"
+            f" // (SELECT sum(s) FROM araw{k}) AS BIGINT) AS a FROM araw{k})"
+        )
+        ctes.append(
+            f"""hraw{k} AS MATERIALIZED (
+      SELECT e.c, sum(x.a) AS s
+      FROM a{k} x JOIN edges e ON e.p = x.p
+      GROUP BY e.c
+    )"""
+        )
+        ctes.append(
+            f"h{k} AS (SELECT c, CAST((s * {scale})"
+            f" // (SELECT sum(s) FROM hraw{k}) AS BIGINT) AS h FROM hraw{k})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT * FROM (
+      (SELECT 'hub' AS role, CAST(c AS BIGINT) AS node_key,
+              h AS score_micro
+       FROM h{iters} ORDER BY h DESC, c ASC LIMIT 10)
+      UNION ALL
+      (SELECT 'authority' AS role, CAST(p AS BIGINT) AS node_key,
+              a AS score_micro
+       FROM a{iters} ORDER BY a DESC, p ASC LIMIT 10)
+    )
+    ORDER BY role, score_micro DESC, node_key ASC
+    """
+    )
+
+
+register("graph_hits", _q_hits, oracle=_hits_oracle())

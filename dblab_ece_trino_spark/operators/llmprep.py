@@ -2377,3 +2377,90 @@ register(
     _q_dup_span_coverage,
     oracle=_dup_span_oracle(),
 )
+
+
+# ------------------------------------------------- padding-waste audit
+def pad_waste(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length-bucketed batching padding audit: assign every document to
+    its power-of-two token-length bucket and report, per bucket, the
+    exact padding overhead of three batching policies: pad to the
+    bucket's power-of-two ceiling (static shapes, the XLA/TPU bucketing
+    cost — may exceed the unbucketed cost in the top bucket, whose
+    ceiling can pass the corpus max), pad to the bucket's own max
+    length (dynamic batching within buckets — always the cheapest), and
+    pad every sequence to the corpus max (unbucketed baseline) — the
+    standard justification artifact for length-bucketed batch
+    construction in LLM training/inference pipelines.
+
+    100 TB shape: exactly ONE fact pass — the per-bucket aggregation
+    (map-side combinable, ~log2(max_len) output rows) also carries each
+    bucket's max token count, so the corpus max needed for the
+    unbucketed column is an unpartitioned window over the ~17-row
+    bucket frame, never a second scan.  The bucket ceiling is computed
+    with integer bit arithmetic (length of the binary representation of
+    tok-1), identical on both engines — no float log2 anywhere.
+    """
+    toks = docs.select(
+        F.size(_toks(F.col(text_col))).cast("long").alias("tok")
+    ).filter(F.col("tok") >= 1)
+    cap = F.when(F.col("tok") == 1, F.lit(1).cast("long")).otherwise(
+        F.expr("shiftleft(1L, length(bin(tok - 1)))").cast("long")
+    )
+    b = toks.groupBy(cap.alias("cap_tokens")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("sum_tokens"),
+        F.max("tok").cast("long").alias("mx"),
+    )
+    w = Window.partitionBy()
+    return (
+        b.withColumn("gmax", F.max("mx").over(w))
+        .select(
+            "cap_tokens",
+            "n_docs",
+            "sum_tokens",
+            (F.col("n_docs") * F.col("cap_tokens") - F.col("sum_tokens"))
+            .cast("long")
+            .alias("pad_ceiling"),
+            (F.col("n_docs") * F.col("mx") - F.col("sum_tokens"))
+            .cast("long")
+            .alias("pad_bucket_max"),
+            (F.col("n_docs") * F.col("gmax") - F.col("sum_tokens"))
+            .cast("long")
+            .alias("pad_unbucketed"),
+        )
+        .orderBy("cap_tokens")
+    )
+
+
+def _q_pad_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pad_waste(_docs(spark, sf_dir))
+
+
+register(
+    "llm_pad_waste",
+    _q_pad_waste,
+    oracle=r"""
+    WITH t AS (
+      SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS tok
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 1
+    ),
+    b AS MATERIALIZED (
+      SELECT CASE WHEN tok = 1 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(CAST(1 AS BIGINT) << length(bin(tok - 1))
+                            AS BIGINT) END AS cap_tokens,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS sum_tokens,
+             CAST(max(tok) AS BIGINT) AS mx
+      FROM t GROUP BY 1
+    )
+    SELECT cap_tokens, n_docs, sum_tokens,
+           CAST(n_docs * cap_tokens - sum_tokens AS BIGINT) AS pad_ceiling,
+           CAST(n_docs * mx - sum_tokens AS BIGINT) AS pad_bucket_max,
+           CAST(n_docs * (SELECT max(mx) FROM b) - sum_tokens AS BIGINT)
+             AS pad_unbucketed
+    FROM b
+    ORDER BY cap_tokens
+    """,
+)

@@ -3367,3 +3367,329 @@ _G711_ORACLE = "SELECT " + ", ".join(
 ) + ") ORDER BY media_id"
 
 register("multimodal_g711_decode", _q_g711_decode, oracle=_G711_ORACLE)
+
+
+# --------------------------------------------------- Y4M scene-cut detection
+# Shot-boundary detection over real YUV4MPEG2 streams — the video-
+# curation op downstream of the Y4M codec: training-data pipelines
+# sample frames AROUND cuts (shot-aware sampling beats fixed-stride on
+# redundancy), and the cut list itself is the shot-segmentation
+# artifact.  Detector: per consecutive frame pair, the luma sum of
+# absolute differences (SAD); a cut fires when mean |dY| exceeds
+# SCENE_CUT_MAD (integer form: sad * 1 > thr * n_pixels).  All outputs
+# exact integers.
+
+SCENE_CUT_MAD = 32
+
+
+def scene_cut_stats(media: DataFrame, thr: int = SCENE_CUT_MAD) -> DataFrame:
+    """Per-clip scene-cut statistics from consecutive-frame luma SAD.
+
+    Decodes through the real Y4M path (``y4m_sample_frames`` with
+    every=1 — cut detection inherently needs consecutive frames, unlike
+    the stride-seek sampling entry).  Work is one linear pass over each
+    clip inside the Arrow batch; per-clip state never leaves the
+    executor, so the operator partitions by clip like every codec here.
+    """
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                w, h, _n, _d, _c420, _hdr = parse_y4m_header(payload)
+                npix = w * h
+                prev = None
+                n_frames = n_cuts = 0
+                first_cut = -1
+                sad_sum = sad_max = 0
+                for _f, yp, _up, _vp in y4m_sample_frames(payload, 1):
+                    n_frames += 1
+                    y64 = yp.astype(np.int64)
+                    if prev is not None:
+                        sad = int(np.abs(y64 - prev).sum())
+                        sad_sum += sad
+                        sad_max = max(sad_max, sad)
+                        if sad > thr * npix:
+                            n_cuts += 1
+                            if first_cut < 0:
+                                first_cut = n_frames - 1
+                    prev = y64
+                out.append(
+                    (int(mid), w, h, n_frames, n_cuts, first_cut,
+                     sad_sum, sad_max)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "n_frames", "n_cuts",
+                    "first_cut", "sad_sum", "sad_max",
+                ],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("n_frames", T.IntegerType(), True),
+            T.StructField("n_cuts", T.IntegerType(), True),
+            T.StructField("first_cut", T.IntegerType(), True),
+            T.StructField("sad_sum", T.LongType(), True),
+            T.StructField("sad_max", T.LongType(), True),
+        ]
+    )
+    return media.mapInPandas(stats, schema)
+
+
+_N_SCENE = 10
+
+# (n_frames, seg_len, c420) per clip: seg_len frames per scene (cuts at
+# every scene boundary), one single-scene clip (i=8: seg_len > frames)
+# and one single-frame clip (i=9: no pairs at all) pin the no-cut path.
+_SCENE_PARAMS = (
+    (12, 4, False), (16, 5, True), (14, 4, False), (18, 6, True),
+    (12, 3, False), (15, 5, True), (20, 7, False), (16, 4, True),
+    (10, 99, False), (1, 4, False),
+)
+
+
+def _scene_y(i: int, f: int, x: int, y: int) -> int:
+    """Scene-structured luma: per-scene base level (bounded <= 191 so
+    base + 63 never wraps a byte) + a drifting within-scene texture.
+    Within a scene mean |dY| is ~4 (the f*2 drift, plus the 2/64 of
+    pixels wrapping the 64-band); across a scene boundary the base jump
+    dominates (>= 57 gray levels), so SCENE_CUT_MAD = 32 separates the
+    two regimes with wide margin on every fixture."""
+    seg = _SCENE_PARAMS[i][1]
+    base = ((f // seg) * 89 + 17 * i) % 192
+    return base + ((x * 3 + y * 5 + f * 2 + i) % 64)
+
+
+def _scene_payloads(spark: SparkSession, n: int = _N_SCENE) -> DataFrame:
+    """n deterministic multi-scene videos as REAL Y4M payloads."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                nf, _seg, c420 = _SCENE_PARAMS[i]
+                w, h = 16 + 2 * (i % 3), 12 + 2 * ((i // 3) % 2)
+                payload = encode_y4m(
+                    w, h, nf,
+                    lambda f, x, y, i=i: _scene_y(i, f, x, y),
+                    lambda f, x, y, i=i: (x + 2 * y + 3 * i) % 256,
+                    lambda f, x, y, i=i: (2 * x + y + 5 * i) % 256,
+                    c420=c420,
+                )
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+
+
+def _q_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scene_cut_stats(_scene_payloads(spark)).orderBy("media_id")
+
+
+# Pinned per-clip statistics — generated ONCE by the independent
+# SEQUENTIAL Y4M walker + scalar SAD loop in
+# scripts/gen_scene_cut_expected.py (it parses marker-by-marker rather
+# than stride-seeking, and computes |dY| pixel-by-pixel in pure Python)
+# and re-derived there on every pytest run.  Regenerate:
+# PYTHONPATH=. python3 scripts/gen_scene_cut_expected.py
+_SCENE_EXPECTED = [
+    (0, 16, 12, 12, 2, 4, 40992, 17088),
+    (1, 18, 12, 16, 3, 5, 70780, 22200),
+    (2, 20, 12, 14, 3, 4, 76640, 24624),
+    (3, 16, 14, 18, 2, 6, 55908, 23072),
+    (4, 18, 14, 12, 3, 3, 78620, 25964),
+    (5, 20, 14, 15, 2, 5, 66780, 28856),
+    (6, 16, 12, 20, 2, 7, 49512, 19840),
+    (7, 18, 12, 16, 3, 4, 73840, 22264),
+    (8, 20, 12, 10, 0, -1, 8400, 960),
+    (9, 16, 14, 1, 0, -1, 0, 0),
+]
+
+_SCENE_ORACLE = "SELECT " + ", ".join(
+    [
+        "CAST(col0 AS BIGINT) AS media_id",
+        "CAST(col1 AS INT) AS width",
+        "CAST(col2 AS INT) AS height",
+        "CAST(col3 AS INT) AS n_frames",
+        "CAST(col4 AS INT) AS n_cuts",
+        "CAST(col5 AS INT) AS first_cut",
+        "CAST(col6 AS BIGINT) AS sad_sum",
+        "CAST(col7 AS BIGINT) AS sad_max",
+    ]
+) + " FROM (VALUES " + ", ".join(
+    str(r) for r in _SCENE_EXPECTED
+) + ") ORDER BY media_id"
+
+register("multimodal_scene_cut", _q_scene_cut, oracle=_SCENE_ORACLE)
+
+
+# ------------------------------------------------ audio energy / VAD windows
+# Windowed audio analysis over PCM WAV — the audio-curation op
+# downstream of the codecs (the audio analog of the scene-cut entry):
+# speech/audio training pipelines gate clips on silence ratio and
+# activity layout before paying for feature extraction, and the active
+# window list is the VAD artifact.  Per fixed 160-sample window (20 ms
+# at 8 kHz): exact energy (sum of squares), zero-crossing count, and a
+# silence verdict (energy below AUDIO_SILENCE_MSQ per sample).  All
+# outputs exact integers.
+
+AUDIO_WIN = 160
+AUDIO_SILENCE_MSQ = 10_000  # mean-square threshold per sample
+
+
+def audio_energy_stats(
+    media: DataFrame, win: int = AUDIO_WIN, thr: int = AUDIO_SILENCE_MSQ
+) -> DataFrame:
+    """Per-clip VAD-style statistics from fixed windows of the decoded
+    PCM stream (trailing partial window dropped — windows are
+    fixed-duration by construction).  Zero crossings count strict sign
+    products v[k]*v[k+1] < 0 WITHIN each window (zeros break runs
+    without counting).  Integer bounds: per-window energy <= win *
+    32768^2 ~ 1.7e11; the per-clip sum stays BIGINT-safe through ~5e7
+    windows per clip (hours of audio)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, s = decode_audio(bytes(payload))
+                s64 = s.astype(np.int64)
+                nw = len(s64) // win
+                w64 = s64[: nw * win].reshape(nw, win)
+                energy = (w64 * w64).sum(axis=1)
+                zc = ((w64[:, :-1] * w64[:, 1:]) < 0).sum(axis=1)
+                silent = energy < thr * win
+                active = np.nonzero(~silent)[0]
+                out.append(
+                    (
+                        int(mid), int(rate), len(s64), nw,
+                        int(silent.sum()), int(energy.sum()),
+                        int(energy.max()) if nw else 0, int(zc.sum()),
+                        int(active[0]) if len(active) else -1,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "n_windows",
+                    "n_silent", "energy_sum", "energy_max", "zc_sum",
+                    "first_active",
+                ],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("n_windows", T.IntegerType(), True),
+            T.StructField("n_silent", T.IntegerType(), True),
+            T.StructField("energy_sum", T.LongType(), True),
+            T.StructField("energy_max", T.LongType(), True),
+            T.StructField("zc_sum", T.LongType(), True),
+            T.StructField("first_active", T.IntegerType(), True),
+        ]
+    )
+    return media.mapInPandas(stats, schema)
+
+
+_N_AUDIO_E = 10
+
+# (n_samples, rate, layout) per clip; layout plants silence/active
+# window phases: "sas" = silent/active/silent thirds, "as" etc.; one
+# all-silent clip and one shorter-than-a-window clip pin the edges.
+_AUDIO_E_PARAMS = (
+    (1600, 8000, "sas"), (2400, 8000, "as"), (1920, 16000, "asa"),
+    (800, 8000, "sa"), (3200, 8000, "aas"), (1600, 11025, "ssa"),
+    (2080, 8000, "asas"), (1600, 8000, "ssss"), (140, 8000, "a"),
+    (2400, 16000, "saa"),
+)
+
+
+def _audio_e_signal(i: int, n: int, layout: str):
+    """Deterministic int16 waveform with planted silent phases: each
+    layout phase spans an equal slice of the clip; silent phases emit
+    |v| <= 40 noise (mean square << threshold), active phases an
+    alternating +-(8000..20000) pattern (mean square >> threshold and
+    dense zero crossings).  Pure int math."""
+    out = []
+    nph = len(layout)
+    for k in range(n):
+        ph = layout[min(k * nph // n, nph - 1)]
+        if ph == "s":
+            v = ((k * (7 + i) + 3 * i) % 81) - 40
+        else:
+            amp = 8000 + ((k * (13 + i) + 17 * i) % 12000)
+            v = amp if (k // (2 + i % 3)) % 2 == 0 else -amp
+        out.append(v)
+    return out
+
+
+def _audio_e_payloads(spark: SparkSession, n: int = _N_AUDIO_E) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                n_samp, rate, layout = _AUDIO_E_PARAMS[i]
+                s = np.array(
+                    _audio_e_signal(i, n_samp, layout), dtype=np.int16
+                )
+                rows.append((i, encode_wav(s, rate)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+
+
+def _q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_energy_stats(_audio_e_payloads(spark)).orderBy("media_id")
+
+
+# Pinned per-clip statistics — generated ONCE by the independent scalar
+# reference in scripts/gen_audio_energy_expected.py (own RIFF walk,
+# sample-by-sample pure-Python energy/zero-crossing loop vs the
+# engine's vectorized numpy) and re-derived there on every pytest run.
+# Regenerate: PYTHONPATH=. python3 scripts/gen_audio_energy_expected.py
+_AUDIO_E_EXPECTED = [
+    (0, 8000, 1600, 10, 6, 131328627698, 48240717040, 434, 3),
+    (1, 8000, 2400, 15, 7, 215955444835, 52426594720, 618, 0),
+    (2, 16000, 1920, 12, 4, 244973727121, 56114181360, 453, 0),
+    (3, 8000, 800, 5, 2, 107534754800, 46343699360, 292, 2),
+    (4, 8000, 3200, 20, 6, 441303619411, 52281927920, 982, 0),
+    (5, 11025, 1600, 10, 6, 112070252543, 50101143840, 445, 6),
+    (6, 8000, 2080, 13, 5, 199364343109, 49732017520, 831, 0),
+    (7, 8000, 1600, 10, 10, 873443, 88364, 531, -1),
+    (8, 8000, 140, 0, 0, 0, 0, 0, -1),
+    (9, 16000, 2400, 15, 5, 333644744563, 49625474720, 1094, 5),
+]
+
+_AUDIO_E_ORACLE = "SELECT " + ", ".join(
+    [
+        "CAST(col0 AS BIGINT) AS media_id",
+        "CAST(col1 AS INT) AS sample_rate",
+        "CAST(col2 AS BIGINT) AS n_samples",
+        "CAST(col3 AS INT) AS n_windows",
+        "CAST(col4 AS INT) AS n_silent",
+        "CAST(col5 AS BIGINT) AS energy_sum",
+        "CAST(col6 AS BIGINT) AS energy_max",
+        "CAST(col7 AS BIGINT) AS zc_sum",
+        "CAST(col8 AS INT) AS first_active",
+    ]
+) + " FROM (VALUES " + ", ".join(
+    str(r) for r in _AUDIO_E_EXPECTED
+) + ") ORDER BY media_id"
+
+register("multimodal_audio_energy", _q_audio_energy, oracle=_AUDIO_E_ORACLE)

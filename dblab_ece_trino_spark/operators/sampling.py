@@ -22,7 +22,7 @@ avoids hex parsing entirely).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dblab_ece_trino_spark.operators.registry import register
@@ -551,5 +551,119 @@ register(
       CAST(c.n_contaminated AS DOUBLE)
         / (SELECT CAST(count(*) AS DOUBLE) FROM ev) AS contamination_rate
     FROM c
+    """,
+)
+
+
+# ---------------------------------------------- Neyman optimal allocation
+NEYMAN_N = 10_000
+
+
+def neyman_alloc(docs: DataFrame, n: int = NEYMAN_N) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934): the
+    n-row sample budget is split across strata proportionally to
+    N_h * S_h (stratum size times population std-dev of the target
+    variable — here n_chars per `source`), which minimizes the variance
+    of the stratified mean; integer seats are produced by
+    LARGEST-REMAINDER (Hamilton) apportionment so they sum exactly
+    to n.
+
+    Cross-engine determinism: the only float arithmetic is ONE per-row
+    expression (population variance from exact integer moments, one
+    sqrt, one multiply, one floor) evaluated identically on both
+    engines from identical DECIMAL inputs — IEEE basic ops and sqrt are
+    correctly rounded, so the milli-scaled integer sd is bit-identical;
+    everything after (weights, floor-division seats, remainder ranks)
+    is pure BIGINT.  Sum-of-squares moments accumulate in DECIMAL(38,0)
+    (exact, associative on any partitioning).  BIGINT bound: seat
+    numerators are n * sd_milli * N_h — fine through ~1e14 weight; at
+    larger scale move the two columns to DECIMAL(38,0), same plan.
+
+    100 TB shape: ONE fact pass (a map-side-combinable 3-moment
+    aggregation to |strata| rows); the apportionment runs in windows
+    over the tiny strata frame, never touching fact rows again.
+    """
+    m = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("stratum_n"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars")
+        ).alias("sxx"),
+    )
+    s = m.select(
+        "source",
+        "stratum_n",
+        F.expr(
+            "CAST(floor(sqrt((CAST(sxx AS DOUBLE) "
+            "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) "
+            "/ CAST(stratum_n AS DOUBLE)) / CAST(stratum_n AS DOUBLE)) "
+            "* 1000.0) AS BIGINT)"
+        ).alias("sd_milli"),
+    ).withColumn("weight", F.col("sd_milli") * F.col("stratum_n"))
+    w = Window.partitionBy()
+    rk = Window.partitionBy().orderBy(F.desc("rem"), F.asc("source"))
+    seats = (
+        s.withColumn("tw", F.greatest(F.sum("weight").over(w), F.lit(1)))
+        .withColumn("base", F.expr(f"({n} * weight) div tw"))
+        .withColumn("rem", F.expr(f"({n} * weight) % tw"))
+        .withColumn("leftover", F.lit(n) - F.sum("base").over(w))
+        .withColumn("rk", F.row_number().over(rk))
+    )
+    return seats.select(
+        "source",
+        "stratum_n",
+        "sd_milli",
+        "weight",
+        (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("long")
+        .alias("alloc"),
+    ).orderBy("source")
+
+
+def _q_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neyman_alloc(_docs(spark, sf_dir))
+
+
+register(
+    "sample_neyman_alloc",
+    _q_neyman_alloc,
+    oracle=f"""
+    WITH m AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS stratum_n,
+             sum(CAST(n_chars AS HUGEINT)) AS sx,
+             sum(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+      FROM documents GROUP BY source
+    ),
+    s AS MATERIALIZED (
+      SELECT source, stratum_n,
+             CAST(floor(sqrt((CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+               / CAST(stratum_n AS DOUBLE)) / CAST(stratum_n AS DOUBLE))
+               * 1000.0) AS BIGINT) AS sd_milli
+      FROM m
+    ),
+    sw AS MATERIALIZED (
+      SELECT source, stratum_n, sd_milli,
+             CAST(sd_milli * stratum_n AS BIGINT) AS weight
+      FROM s
+    ),
+    seats AS MATERIALIZED (
+      SELECT source, stratum_n, sd_milli, weight,
+             CAST(({NEYMAN_N} * weight)
+               // greatest((SELECT sum(weight) FROM sw), 1) AS BIGINT)
+               AS base,
+             CAST(({NEYMAN_N} * weight)
+               % greatest((SELECT sum(weight) FROM sw), 1) AS BIGINT)
+               AS rem
+      FROM sw
+    )
+    SELECT source, stratum_n, sd_milli, weight,
+           CAST(base + CASE WHEN row_number() OVER
+                  (ORDER BY rem DESC, source ASC)
+                <= {NEYMAN_N} - (SELECT sum(base) FROM seats)
+                THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM seats
+    ORDER BY source
     """,
 )

@@ -626,3 +626,325 @@ def _g711_sig_20():
     from dblab_ece_trino_spark.operators.multimodal import _g711_signal
 
     return _g711_signal(0, 20)
+
+
+# ---------------------------------------------------------------- HITS
+def test_hits_oracle_matches_pure_python():
+    """The unrolled DuckDB HITS oracle must equal an independent dict-
+    based fixed-point implementation (same integer normalization
+    contract) at sf0.001 — pinning the CTE unrolling itself, not just
+    Spark-vs-DuckDB agreement."""
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.graph import (
+        HITS_ITERS,
+        HITS_SCALE,
+        _hits_oracle,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    got = con.execute(_hits_oracle()).fetchall()
+
+    pairs = set(
+        con.execute(
+            "SELECT DISTINCT o.o_custkey, l.l_partkey FROM orders o "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+        ).fetchall()
+    )
+    h = {c: 1 for c, _ in pairs}
+    a = {}
+    for _ in range(HITS_ITERS):
+        araw = {}
+        for c, p in pairs:
+            araw[p] = araw.get(p, 0) + h[c]
+        tot = sum(araw.values())
+        a = {p: (s * HITS_SCALE) // tot for p, s in araw.items()}
+        hraw = {}
+        for c, p in pairs:
+            hraw[c] = hraw.get(c, 0) + a[p]
+        tot = sum(hraw.values())
+        h = {c: (s * HITS_SCALE) // tot for c, s in hraw.items()}
+
+    want = [
+        ("authority", int(p), int(s))
+        for p, s in sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    ] + [
+        ("hub", int(c), int(s))
+        for c, s in sorted(h.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    ]
+    want.sort(key=lambda r: (r[0], -r[2], r[1]))
+    assert [(r[0], int(r[1]), int(r[2])) for r in got] == want
+    # scores are L1-normalized: each <= SCALE, totals within floor loss
+    assert all(0 <= s <= HITS_SCALE for _role, _k, s in want)
+    assert sum(a.values()) <= HITS_SCALE < sum(a.values()) + len(a)
+
+
+# ------------------------------------------------------------ pad waste
+def test_pad_waste_oracle_matches_pure_python():
+    """The bucketed-padding oracle must equal an independent pure-Python
+    audit (int.bit_length for the bucket ceiling — a third formulation
+    vs Spark's shiftleft/bin and DuckDB's << /bin) at sf0.001, and the
+    bucketed overhead must never exceed the unbucketed one."""
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    got = con.execute(oracle_queries()["llm_pad_waste"]).fetchall()
+
+    toks = [
+        len(t[0].strip().split())
+        for t in con.execute("SELECT text FROM documents").fetchall()
+        if len(t[0].strip().split()) >= 1
+    ]
+    buckets: dict = {}
+    for tok in toks:
+        cap = 1 if tok == 1 else 1 << (tok - 1).bit_length()
+        n, s, m = buckets.get(cap, (0, 0, 0))
+        buckets[cap] = (n + 1, s + tok, max(m, tok))
+    gmax = max(toks)
+    want = [
+        (cap, n, s, n * cap - s, n * m - s, n * gmax - s)
+        for cap, (n, s, m) in sorted(buckets.items())
+    ]
+    assert [tuple(map(int, r)) for r in got] == want
+    # dynamic-within-bucket padding is the floor of both other policies
+    for _cap, _n, _s, pc, pm, pu in want:
+        assert 0 <= pm <= pc
+        assert pm <= pu
+
+
+# ------------------------------------------------------------ scene cut
+def test_scene_cut_engine_matches_independent_reference():
+    """Engine detector (stride-seek numpy SAD) must agree exactly with
+    the sequential pure-Python reference on every fixture payload."""
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _N_SCENE,
+        _SCENE_PARAMS,
+        SCENE_CUT_MAD,
+        _scene_y,
+        encode_y4m,
+        parse_y4m_header,
+        y4m_sample_frames,
+    )
+    from scripts.gen_scene_cut_expected import ref_scene_stats
+
+    for i in range(_N_SCENE):
+        nf, _seg, c420 = _SCENE_PARAMS[i]
+        w, h = 16 + 2 * (i % 3), 12 + 2 * ((i // 3) % 2)
+        payload = encode_y4m(
+            w, h, nf,
+            lambda f, x, y, i=i: _scene_y(i, f, x, y),
+            lambda f, x, y, i=i: (x + 2 * y + 3 * i) % 256,
+            lambda f, x, y, i=i: (2 * x + y + 5 * i) % 256,
+            c420=c420,
+        )
+        # engine-path recomputation (same loop scene_cut_stats runs)
+        pw, ph, _n, _d, _c, _hdr = parse_y4m_header(payload)
+        prev = None
+        n_frames = n_cuts = 0
+        first_cut = -1
+        sad_sum = sad_max = 0
+        for _f, yp, _up, _vp in y4m_sample_frames(payload, 1):
+            n_frames += 1
+            y64 = yp.astype(np.int64)
+            if prev is not None:
+                sad = int(np.abs(y64 - prev).sum())
+                sad_sum += sad
+                sad_max = max(sad_max, sad)
+                if sad > SCENE_CUT_MAD * pw * ph:
+                    n_cuts += 1
+                    if first_cut < 0:
+                        first_cut = n_frames - 1
+            prev = y64
+        got = (pw, ph, n_frames, n_cuts, first_cut, sad_sum, sad_max)
+        assert got == ref_scene_stats(payload, SCENE_CUT_MAD), f"clip {i}"
+
+
+def test_scene_cut_ground_truth_positions():
+    """Detected cuts must be EXACTLY the scene boundaries the fixture
+    formula plants (every seg_len frames), clip by clip — the detector
+    is validated against construction, not just against a second
+    parser.  The single-scene and single-frame clips must report none."""
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _N_SCENE,
+        _SCENE_EXPECTED,
+        _SCENE_PARAMS,
+    )
+    from scripts.gen_scene_cut_expected import expected_rows
+
+    assert expected_rows() == [tuple(r) for r in _SCENE_EXPECTED]
+    for i in range(_N_SCENE):
+        nf, seg, _c420 = _SCENE_PARAMS[i]
+        want_cuts = [f for f in range(1, nf) if f % seg == 0]
+        _mid, _w, _h, n_frames, n_cuts, first_cut, _ss, _sm = _SCENE_EXPECTED[i]
+        assert n_frames == nf
+        assert n_cuts == len(want_cuts), f"clip {i}"
+        assert first_cut == (want_cuts[0] if want_cuts else -1), f"clip {i}"
+
+
+def test_scene_cut_margin_between_regimes():
+    """The threshold must sit well inside the gap: on every clip the
+    largest within-scene SAD stays below half the threshold and every
+    boundary SAD exceeds twice the threshold (so a +-2x miscalibration
+    cannot flip a fixture verdict)."""
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _SCENE_PARAMS,
+        SCENE_CUT_MAD,
+        _scene_y,
+        encode_y4m,
+        y4m_sample_frames,
+    )
+
+    i, (nf, seg, c420) = 2, _SCENE_PARAMS[2]
+    w, h = 16 + 2 * (i % 3), 12 + 2 * ((i // 3) % 2)
+    payload = encode_y4m(
+        w, h, nf,
+        lambda f, x, y, i=i: _scene_y(i, f, x, y),
+        lambda f, x, y, i=i: (x + 2 * y + 3 * i) % 256,
+        lambda f, x, y, i=i: (2 * x + y + 5 * i) % 256,
+        c420=c420,
+    )
+    prev, f_idx = None, 0
+    for _f, yp, _u, _v in y4m_sample_frames(payload, 1):
+        y64 = yp.astype(np.int64)
+        if prev is not None:
+            sad = int(np.abs(y64 - prev).sum())
+            if f_idx % seg == 0:
+                assert sad > 2 * SCENE_CUT_MAD * w * h, f_idx
+            else:
+                assert sad < (SCENE_CUT_MAD // 2) * w * h, f_idx
+        prev = y64
+        f_idx += 1
+
+
+# ------------------------------------------------------ Neyman allocation
+def test_neyman_alloc_oracle_matches_pure_python():
+    """The allocation oracle must equal an independent pure-Python
+    Neyman + Hamilton implementation (statistics.pstdev for the
+    std-dev — a third formulation vs the SQL moment algebra), and the
+    seats must sum exactly to the budget with every stratum's seat
+    count within 1 of its exact real-valued share."""
+    import duckdb
+    from statistics import pstdev
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+    from dblab_ece_trino_spark.operators.sampling import NEYMAN_N
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    got = con.execute(oracle_queries()["sample_neyman_alloc"]).fetchall()
+
+    rows = con.execute("SELECT source, n_chars FROM documents").fetchall()
+    by_src: dict = {}
+    for src, nc in rows:
+        by_src.setdefault(src, []).append(nc)
+    stats = {
+        src: (len(v), int(pstdev(v) * 1000), len(v) * int(pstdev(v) * 1000))
+        for src, v in by_src.items()
+    }
+    tw = sum(w for _n, _sd, w in stats.values())
+    base = {s: (NEYMAN_N * w) // tw for s, (_n, _sd, w) in stats.items()}
+    rem = {s: (NEYMAN_N * w) % tw for s, (_n, _sd, w) in stats.items()}
+    leftover = NEYMAN_N - sum(base.values())
+    order = sorted(stats, key=lambda s: (-rem[s], s))
+    alloc = {
+        s: base[s] + (1 if i < leftover else 0) for i, s in enumerate(order)
+    }
+    want = [
+        (s, stats[s][0], stats[s][1], stats[s][2], alloc[s])
+        for s in sorted(stats)
+    ]
+    assert [tuple(map(lambda x: x if isinstance(x, str) else int(x), r))
+            for r in got] == want
+    assert sum(alloc.values()) == NEYMAN_N
+    for s, (_n, _sd, w) in stats.items():
+        exact = NEYMAN_N * w / tw
+        assert abs(alloc[s] - exact) < 1, s  # Hamilton stays within 1 seat
+
+
+# ------------------------------------------------------- audio energy/VAD
+def test_audio_energy_engine_matches_independent_reference():
+    """The engine's vectorized window stats (reshape + numpy sums) must
+    agree exactly with the sample-by-sample scalar reference on every
+    fixture payload."""
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _AUDIO_E_PARAMS,
+        _N_AUDIO_E,
+        AUDIO_SILENCE_MSQ,
+        AUDIO_WIN,
+        _audio_e_signal,
+        decode_audio,
+        encode_wav,
+    )
+    from scripts.gen_audio_energy_expected import ref_stats
+
+    for i in range(_N_AUDIO_E):
+        n, rate, layout = _AUDIO_E_PARAMS[i]
+        payload = encode_wav(
+            np.array(_audio_e_signal(i, n, layout), dtype=np.int16), rate
+        )
+        erate, s = decode_audio(payload)
+        s64 = s.astype(np.int64)
+        nw = len(s64) // AUDIO_WIN
+        w64 = s64[: nw * AUDIO_WIN].reshape(nw, AUDIO_WIN)
+        energy = (w64 * w64).sum(axis=1)
+        zc = ((w64[:, :-1] * w64[:, 1:]) < 0).sum(axis=1)
+        silent = energy < AUDIO_SILENCE_MSQ * AUDIO_WIN
+        active = np.nonzero(~silent)[0]
+        got = (
+            erate, len(s64), nw, int(silent.sum()), int(energy.sum()),
+            int(energy.max()) if nw else 0, int(zc.sum()),
+            int(active[0]) if len(active) else -1,
+        )
+        assert got == ref_stats(payload, AUDIO_WIN, AUDIO_SILENCE_MSQ), i
+
+
+def test_audio_energy_ground_truth_silence_layout():
+    """Windows lying fully inside a planted phase must get the phase's
+    verdict (silent phases silent, active phases active) on every clip
+    — validating the detector against construction, and the pinned
+    constants must re-derive."""
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _AUDIO_E_EXPECTED,
+        _AUDIO_E_PARAMS,
+        _N_AUDIO_E,
+        AUDIO_SILENCE_MSQ,
+        AUDIO_WIN,
+        _audio_e_signal,
+    )
+    from scripts.gen_audio_energy_expected import expected_rows
+
+    assert expected_rows() == [tuple(r) for r in _AUDIO_E_EXPECTED]
+    for i in range(_N_AUDIO_E):
+        n, _rate, layout = _AUDIO_E_PARAMS[i]
+        s = _audio_e_signal(i, n, layout)
+        nph = len(layout)
+        nw = n // AUDIO_WIN
+        for wi in range(nw):
+            lo, hi = wi * AUDIO_WIN, (wi + 1) * AUDIO_WIN
+            phases = {layout[min(k * nph // n, nph - 1)] for k in range(lo, hi)}
+            if len(phases) > 1:
+                continue  # boundary window: verdict depends on mix
+            e = sum(v * v for v in s[lo:hi])
+            if phases == {"s"}:
+                assert e < AUDIO_SILENCE_MSQ * AUDIO_WIN, (i, wi)
+            else:
+                assert e >= AUDIO_SILENCE_MSQ * AUDIO_WIN, (i, wi)
+    # the edge fixtures stay pinned: an all-silent clip and a clip
+    # shorter than one window
+    assert _AUDIO_E_EXPECTED[7][4] == _AUDIO_E_EXPECTED[7][3]  # all silent
+    assert _AUDIO_E_EXPECTED[7][8] == -1
+    assert _AUDIO_E_EXPECTED[8][3] == 0  # no full window
