@@ -147,6 +147,11 @@ HEADLINE = [
     "multimodal_scene_cut",
     "sample_neyman_alloc",
     "multimodal_audio_energy",
+    # ... and MOSS winnowing fingerprint candidate pairs (packed-key
+    # single-window argmin, df-capped fingerprint join) and the
+    # baseline TIFF/PackBits codec (tenth native codec)
+    "text_winnowing",
+    "multimodal_tiff_decode",
 ]
 
 

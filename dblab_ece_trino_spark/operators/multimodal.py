@@ -68,7 +68,7 @@ FEATURE_SCHEMA = T.StructType(
 
 # ----------------------------------------------------------- decoder seam
 def decode_image(payload: bytes) -> "object":
-    """Generic image seam: PPM / BMP / PNG / GIF / baseline JPEG decode
+    """Generic image seam: PPM / BMP / TIFF / PNG / GIF / baseline JPEG decode
     NATIVELY (zero external deps — PNG needs only stdlib zlib, GIF
     ships a real LZW, JPEG a real Huffman+IDCT pipeline); formats that
     genuinely require an external library (WebP/AVIF/progressive
@@ -86,6 +86,8 @@ def decode_image(payload: bytes) -> "object":
         return decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(payload)
     raise NotImplementedError(
         "WebP/AVIF-class image decoding requires an image library (e.g. PIL)"
     )
@@ -3693,3 +3695,352 @@ _AUDIO_E_ORACLE = "SELECT " + ", ".join(
 ) + ") ORDER BY media_id"
 
 register("multimodal_audio_energy", _q_audio_energy, oracle=_AUDIO_E_ORACLE)
+
+
+# ------------------------------------------------------- baseline TIFF codec
+# Tenth native codec: baseline TIFF 6.0 RGB (the archival/scan format
+# of the image column).  Both byte orders (II little- / MM big-endian),
+# IFD entry walk with inline-vs-offset value resolution, multi-strip
+# assembly, Compression 1 (none) and 32773 (PackBits RLE — the spec's
+# own §9 algorithm).  Progressive feature axes TIFF allows but baseline
+# RGB forbids (tiles, planar config 2, palette, LZW/JPEG-in-TIFF,
+# non-8-bit samples) reject loudly by name.
+
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    """TIFF 6.0 §9 PackBits: n in 0..127 -> copy n+1 literal bytes;
+    n in -127..-1 (two's complement) -> repeat next byte 1-n times;
+    -128 -> no-op.  Output length must land exactly on `expected`."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and len(out) < expected:
+        n = data[pos]
+        pos += 1
+        if n == 128:
+            continue
+        if n < 128:
+            if pos + n + 1 > len(data):
+                raise ValueError("truncated PackBits literal run")
+            out.extend(data[pos : pos + n + 1])
+            pos += n + 1
+        else:
+            if pos >= len(data):
+                raise ValueError("truncated PackBits repeat run")
+            out.extend(bytes([data[pos]]) * (257 - n))
+            pos += 1
+    if len(out) != expected:
+        raise ValueError(
+            f"PackBits decoded {len(out)} bytes, strip expects {expected}"
+        )
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Greedy PackBits encoder (runs >= 3 become repeat packets) — the
+    usual formulation; any spec-conforming stream decodes identically,
+    and tests pin the spec's own worked example against the decoder."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        # literal packet: extend until a run of >= 3 starts or 128 bytes
+        j = i
+        while j < n and j - i < 128:
+            r = 1
+            while j + r < n and data[j + r] == data[j] and r < 3:
+                r += 1
+            if r >= 3:
+                break
+            j += r
+        j = min(j, i + 128)
+        out.append(j - i - 1)
+        out.extend(data[i:j])
+        i = j
+    return bytes(out)
+
+
+def encode_tiff(rgb, packbits: bool = False, rows_per_strip: int = 5) -> bytes:
+    """Build a real baseline little-endian RGB TIFF from an HxWx3 uint8
+    array: header + strip data + out-of-line value arrays + IFD, tags
+    ascending per spec, strips of rows_per_strip rows (final strip may
+    be partial), Compression 1 or 32773."""
+    import struct
+
+    import numpy as np
+
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        raw = rgb[r0 : r0 + rows_per_strip].tobytes()
+        strips.append(packbits_encode(raw) if packbits else raw)
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 0))
+    offsets, counts = [], []
+    for s in strips:
+        offsets.append(len(out))
+        counts.append(len(s))
+        out.extend(s)
+    if len(out) % 2:
+        out.append(0)  # word-align value arrays
+
+    def out_of_line(fmt: str, values) -> int:
+        off = len(out)
+        out.extend(struct.pack(f"<{len(values)}{fmt}", *values))
+        if len(out) % 2:
+            out.append(0)
+        return off
+
+    bps_off = out_of_line("H", (8, 8, 8))
+    n = len(strips)
+    so_val = offsets[0] if n == 1 else out_of_line("I", offsets)
+    sc_val = counts[0] if n == 1 else out_of_line("I", counts)
+    entries = [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (258, 3, 3, bps_off),
+        (259, 3, 1, 32773 if packbits else 1),
+        (262, 3, 1, 2),
+        (273, 4, n, so_val),
+        (277, 3, 1, 3),
+        (278, 4, 1, rows_per_strip),
+        (279, 4, n, sc_val),
+    ]
+    ifd_off = len(out)
+    out.extend(struct.pack("<H", len(entries)))
+    for tag, typ, cnt, val in entries:
+        if typ == 3 and cnt == 1:
+            out.extend(struct.pack("<HHIHH", tag, typ, cnt, val, 0))
+        else:
+            out.extend(struct.pack("<HHII", tag, typ, cnt, val))
+    out.extend(struct.pack("<I", 0))
+    struct.pack_into("<I", out, 4, ifd_off)
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes):
+    """Baseline TIFF 6.0 RGB decoder: returns (width, height, HxWx3
+    uint8 RGB).  Handles II and MM byte orders, inline and out-of-line
+    IFD values, multi-strip assembly with a partial final strip, and
+    Compression 1 / 32773 (PackBits); tiles, planar 2, palette,
+    LZW/JPEG compression and non-8-bit samples reject by name.  Every
+    read is bounds-checked — truncation raises ValueError."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload")
+    e = "<" if payload[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack(f"{e}HI", payload[2:8])
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
+
+    def read(fmt: str, off: int, size: int):
+        if off + size > len(payload):
+            raise ValueError("truncated TIFF: read past end")
+        return struct.unpack(f"{e}{fmt}", payload[off : off + size])
+
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF: IFD offset past end")
+    (n_entries,) = read("H", ifd_off, 2)
+    tags: dict = {}
+    for k in range(n_entries):
+        off = ifd_off + 2 + 12 * k
+        tag, typ, cnt = read("HHI", off, 8)
+        if typ not in _TIFF_TYPE_SIZE:
+            continue  # RATIONAL etc. — not needed for baseline RGB
+        size = _TIFF_TYPE_SIZE[typ] * cnt
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        if size <= 4:
+            vals = read(f"{cnt}{fmt}", off + 8, size)
+        else:
+            (voff,) = read("I", off + 8, 4)
+            vals = read(f"{cnt}{fmt}", voff, size)
+        tags[tag] = vals
+    for required in (256, 257, 273, 279):
+        if required not in tags:
+            raise ValueError(f"missing required TIFF tag {required}")
+    if 322 in tags or 323 in tags:
+        raise ValueError("tiled TIFF is not baseline")
+    w, h = tags[256][0], tags[257][0]
+    comp = tags.get(259, (1,))[0]
+    if comp not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp} (LZW/JPEG-class)")
+    if tags.get(262, (2,))[0] != 2:
+        raise ValueError("only PhotometricInterpretation=2 (RGB) supported")
+    if tags.get(277, (3,))[0] != 3 or tuple(tags.get(258, (8, 8, 8))) != (8, 8, 8):
+        raise ValueError("only 8-bit 3-sample RGB supported")
+    if tags.get(284, (1,))[0] != 1:
+        raise ValueError("planar configuration 2 is not baseline chunky")
+    rps = tags.get(278, (h,))[0]
+    offsets, counts = tags[273], tags[279]
+    if len(offsets) != len(counts):
+        raise ValueError("StripOffsets/StripByteCounts length mismatch")
+    raw = bytearray()
+    for si, (so, sc) in enumerate(zip(offsets, counts)):
+        if so + sc > len(payload):
+            raise ValueError(f"truncated TIFF: strip {si} past end")
+        body = payload[so : so + sc]
+        rows = min(rps, h - si * rps)
+        if rows <= 0:
+            raise ValueError("more strips than image rows")
+        if comp == 32773:
+            raw.extend(packbits_decode(body, rows * w * 3))
+        else:
+            if sc != rows * w * 3:
+                raise ValueError(
+                    f"strip {si} byte count {sc} != {rows * w * 3}"
+                )
+            raw.extend(body)
+    if len(raw) != h * w * 3:
+        raise ValueError(f"assembled {len(raw)} bytes, image needs {h * w * 3}")
+    return w, h, np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, 3)
+
+
+_N_TIFF = 12
+
+# (w, h, packbits, rows_per_strip) — byte counts cycle the word-align
+# paths, strips cover exact/partial finals and single-strip, both
+# compressions interleave.
+_TIFF_PARAMS = (
+    (16, 12, False, 5), (15, 10, True, 5), (20, 15, True, 15),
+    (9, 9, False, 2), (24, 10, True, 3), (7, 11, False, 11),
+    (18, 12, True, 5), (13, 7, False, 3), (32, 8, True, 8),
+    (11, 13, True, 6), (16, 16, False, 7), (21, 9, True, 2),
+)
+
+
+def _tiff_pixel(i: int, x: int, y: int, c: int) -> int:
+    """Deterministic pixel formula with planted horizontal RUNS (the
+    left third of every row is flat) so PackBits exercises both repeat
+    and literal packets on every strip."""
+    w = _TIFF_PARAMS[i][0]
+    if x < w // 3:
+        return (40 * c + 31 * i + y) % 256
+    return (x * 3 + y * 5 + c * 7 + 11 * i) % 256
+
+
+def _tiff_payloads(spark: SparkSession, n: int = _N_TIFF) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h, pb, rps = _TIFF_PARAMS[i]
+                img = np.empty((h, w, 3), dtype=np.uint8)
+                for y in range(h):
+                    for x in range(w):
+                        for c in range(3):
+                            img[y, x, c] = _tiff_pixel(i, x, y, c)
+                rows.append((i, encode_tiff(img, packbits=pb, rows_per_strip=rps)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+
+
+_TIFF_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("compressed", T.IntegerType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("ysum_g", T.LongType(), True),
+        T.StructField("xsum_b", T.LongType(), True),
+    ]
+)
+
+
+def tiff_pixel_stats(media: DataFrame) -> DataFrame:
+    """Decode TIFF payloads via the generic image seam; exact integer
+    channel sums plus y-weighted green / x-weighted blue (the
+    established anti-cancellation pair: plain sums are invariant under
+    raster order and strip permutation, the weighted sums are not)."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                i = int(mid)
+                w, h, rgb = decode_image(bytes(payload))
+                a = rgb.astype(np.int64)
+                yw = np.arange(h, dtype=np.int64)[:, None]
+                xw = np.arange(w, dtype=np.int64)[None, :]
+                out.append(
+                    (
+                        i, w, h, int(_TIFF_PARAMS[i][2]),
+                        int(a[:, :, 0].sum()), int(a[:, :, 1].sum()),
+                        int(a[:, :, 2].sum()),
+                        int((a[:, :, 1] * yw).sum()),
+                        int((a[:, :, 2] * xw).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "compressed",
+                    "sum_r", "sum_g", "sum_b", "ysum_g", "xsum_b",
+                ],
+            )
+
+    return media.mapInPandas(stats, _TIFF_STATS_SCHEMA)
+
+
+def _q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tiff_pixel_stats(_tiff_payloads(spark)).orderBy("media_id")
+
+
+# Closed-form oracle: the pixel formula is shared with the oracle SQL
+# (the PPM/BMP discipline — the oracle derives every sum from the
+# formula and never sees a byte, so encoder+decoder bugs cannot cancel
+# through it).  The piecewise run region makes the sums 2-segment.
+def _tiff_oracle() -> str:
+    rows = ", ".join(
+        f"({i}, {w}, {h}, {int(pb)}, {rps})"
+        for i, (w, h, pb, rps) in enumerate(_TIFF_PARAMS)
+    )
+    return f"""
+    WITH params(media_id, w, h, compressed, rps) AS (VALUES {rows}),
+    px AS (
+      SELECT media_id, w, h, compressed, x, y, c,
+             CASE WHEN x < w // 3
+                  THEN (40 * c + 31 * media_id + y) % 256
+                  ELSE (x * 3 + y * 5 + c * 7 + 11 * media_id) % 256
+             END AS v
+      FROM params,
+           unnest(generate_series(0, w - 1)) AS gx(x),
+           unnest(generate_series(0, h - 1)) AS gy(y),
+           unnest(generate_series(0, 2)) AS gc(c)
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(any_value(w) AS INT) AS width,
+           CAST(any_value(h) AS INT) AS height,
+           CAST(any_value(compressed) AS INT) AS compressed,
+           CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+           CAST(sum(CASE WHEN c = 1 THEN y * v ELSE 0 END) AS BIGINT)
+             AS ysum_g,
+           CAST(sum(CASE WHEN c = 2 THEN x * v ELSE 0 END) AS BIGINT)
+             AS xsum_b
+    FROM px
+    GROUP BY media_id
+    ORDER BY media_id
+    """
+
+
+register("multimodal_tiff_decode", _q_tiff_decode, oracle=_tiff_oracle())

@@ -14,7 +14,7 @@ expressing the same semantics in its own dialect).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dblab_ece_trino_spark.operators.registry import register
@@ -891,3 +891,168 @@ def _bpe_oracle(merges=None) -> str:
 
 
 register("llm_bpe_encode", _q_bpe_encode, oracle=_bpe_oracle())
+
+
+# --------------------------------------------------- winnowing fingerprints
+WIN_K = 4          # word k-gram length
+WIN_W = 4          # winnowing window (hashes per selection window)
+WIN_DF_CAP = 100   # fingerprint document-frequency cap for the pair join
+WIN_MIN_SHARED = 2
+_WIN_POS = 1 << 20  # position packing radix (docs up to 2^20 grams)
+
+
+def winnowing_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WIN_K,
+    w: int = WIN_W,
+    df_cap: int = WIN_DF_CAP,
+    min_shared: int = WIN_MIN_SHARED,
+) -> DataFrame:
+    """Winnowing fingerprint candidate pairs (Schleimer, Wilkerson,
+    Aiken 2003 — the MOSS local fingerprinting algorithm): per document,
+    hash every word k-gram, slide a window of w consecutive hashes, and
+    select each window's MINIMUM hash (rightmost position on ties, per
+    the paper); the guarantee is that any verbatim match of at least
+    w + k - 1 tokens shares a selected fingerprint, at an expected
+    density of 2/(w+1) — robust dedup candidates WITHOUT hashing every
+    gram into the join.  Documents sharing >= min_shared fingerprints
+    (document frequency capped at df_cap, the same hot-bucket economics
+    as the MinHash bands) are reported with their shared count.
+
+    Determinism + single-window argmin: (hash, position) is packed into
+    ONE BIGINT key = h * 2^20 + (2^20 - 1 - pos), so a plain window MIN
+    is exactly "min hash, rightmost tie" — no nested window functions
+    (neither engine allows them) and no engine-arbitrary min_by ties.
+    The 40-bit gram hash keeps the packed key < 2^60; corpus-rare
+    40-bit collisions merge two grams deterministically on BOTH engines
+    (fidelity, not correctness — widen to 44 bits and 2^16 positions if
+    a corpus needs it).
+
+    100 TB shape: the gram stream is one row per corpus token carrying
+    an 8-byte key; the per-document window is bounded by document
+    length; the fingerprint frame (expected 2/(w+1) of the gram count)
+    is materialized ONCE for its three consumers (df branch + both join
+    sides); the pair join is df-capped so no hot fingerprint explodes.
+    """
+    from dblab_ece_trino_spark.operators.sketches import hexint_col
+    from dblab_ece_trino_spark.session import materialize
+
+    toks = docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("arr")
+    ).select(id_col, "arr", F.size("arr").cast("long").alias("n_tokens"))
+    g = (
+        toks.filter(F.col("n_tokens") >= k)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(0), (F.col("n_tokens") - k).cast("int"))
+            ).alias("pos"),
+            "arr",
+            (F.col("n_tokens") - k + 1).alias("n_grams"),
+        )
+        .select(
+            id_col,
+            "pos",
+            "n_grams",
+            (
+                hexint_col(
+                    F.concat(
+                        F.lit("win:"),
+                        F.concat_ws(
+                            " ", F.slice(F.col("arr"), F.col("pos") + 1, k)
+                        ),
+                    ),
+                    10,
+                )
+                * F.lit(_WIN_POS)
+                + (F.lit(_WIN_POS - 1) - F.col("pos"))
+            ).alias("key"),
+        )
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = g.withColumn("selkey", F.min("key").over(win))
+    fp = materialize(
+        sel.filter(F.col("pos") <= F.col("n_grams") - w)
+        .select(id_col, F.expr(f"selkey div {_WIN_POS}").alias("h"))
+        .distinct()
+    )
+    good = (
+        fp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter((F.col("c") >= 2) & (F.col("c") <= df_cap))
+        .select("h")
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(good, "h")
+        .join(b, "h")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+        .orderBy(F.desc("shared_fps"), "doc_a", "doc_b")
+    )
+
+
+def _q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.operators.llmprep import _docs as _ldocs
+
+    return winnowing_pairs(_ldocs(spark, sf_dir))
+
+
+def _winnowing_oracle() -> str:
+    from dblab_ece_trino_spark.operators.sketches import hexint_digits_sql
+
+    fold = hexint_digits_sql("md5('win:' || gram)", 10)
+    return rf"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+      FROM documents
+    ),
+    g AS MATERIALIZED (
+      SELECT doc_id, i AS pos,
+             ({fold}) * {_WIN_POS} + ({_WIN_POS - 1} - i) AS key,
+             len(arr) - {WIN_K - 1} AS n_grams
+      FROM (
+        SELECT doc_id, arr, i,
+               array_to_string(list_slice(arr, i + 1, i + {WIN_K}), ' ')
+                 AS gram
+        FROM toks, unnest(generate_series(0, len(arr) - {WIN_K})) AS r(i)
+        WHERE len(arr) >= {WIN_K}
+      ) t
+    ),
+    sel AS (
+      SELECT doc_id, pos, n_grams,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING)
+               AS selkey
+      FROM g
+    ),
+    fp AS MATERIALIZED (
+      SELECT DISTINCT doc_id, CAST(selkey // {_WIN_POS} AS BIGINT) AS h
+      FROM sel WHERE pos <= n_grams - {WIN_W}
+    ),
+    good AS (
+      SELECT h FROM fp GROUP BY h
+      HAVING count(*) BETWEEN 2 AND {WIN_DF_CAP}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM fp a JOIN good USING (h) JOIN fp b USING (h)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {WIN_MIN_SHARED}
+    ORDER BY shared_fps DESC, doc_a, doc_b
+    """
+
+
+register("text_winnowing", _q_winnowing, oracle=_winnowing_oracle())

@@ -948,3 +948,254 @@ def test_audio_energy_ground_truth_silence_layout():
     assert _AUDIO_E_EXPECTED[7][4] == _AUDIO_E_EXPECTED[7][3]  # all silent
     assert _AUDIO_E_EXPECTED[7][8] == -1
     assert _AUDIO_E_EXPECTED[8][3] == 0  # no full window
+
+
+# ------------------------------------------------------------- winnowing
+def _win_fold_py(gram: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(("win:" + gram).encode()).hexdigest()[:10], 16)
+
+
+def test_winnowing_oracle_matches_pure_python():
+    """The winnowing oracle must equal an independent pure-Python
+    implementation that selects window minima EXPLICITLY (scan the w
+    hashes, keep the smallest, rightmost on ties) — validating the
+    (h, -pos) BIGINT packing trick against the paper's stated rule,
+    plus the density guarantee (fingerprints <= window starts, >= 1
+    per w consecutive starts)."""
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+    from dblab_ece_trino_spark.operators.text import (
+        WIN_DF_CAP,
+        WIN_K,
+        WIN_MIN_SHARED,
+        WIN_W,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    got = con.execute(oracle_queries()["text_winnowing"]).fetchall()
+
+    fps: dict = {}
+    for doc_id, text in con.execute(
+        "SELECT doc_id, text FROM documents"
+    ).fetchall():
+        words = text.strip().split()
+        if len(words) < WIN_K:
+            continue
+        hashes = [
+            _win_fold_py(" ".join(words[i : i + WIN_K]))
+            for i in range(len(words) - WIN_K + 1)
+        ]
+        sel = set()
+        n_starts = len(hashes) - WIN_W + 1
+        for s in range(max(n_starts, 0)):
+            best, bestpos = None, None
+            for j in range(s, s + WIN_W):  # rightmost minimal: <= keeps later j
+                if best is None or hashes[j] <= best:
+                    best, bestpos = hashes[j], j
+            sel.add((best, bestpos))
+        fp_set = {h for h, _p in sel}
+        if fp_set:
+            fps[doc_id] = fp_set
+            if n_starts > 0:
+                assert len(sel) <= n_starts
+                # coverage: every w consecutive starts contribute >= 1
+                assert len(sel) >= (n_starts + WIN_W - 1) // WIN_W
+    df: dict = {}
+    for s in fps.values():
+        for h in s:
+            df[h] = df.get(h, 0) + 1
+    good = {h for h, c in df.items() if 2 <= c <= WIN_DF_CAP}
+    pair_counts: dict = {}
+    docs_sorted = sorted(fps)
+    for ai, da in enumerate(docs_sorted):
+        for db in docs_sorted[ai + 1 :]:
+            n = len(fps[da] & fps[db] & good)
+            if n >= WIN_MIN_SHARED:
+                pair_counts[(da, db)] = n
+    want = sorted(
+        ((a, b, n) for (a, b), n in pair_counts.items()),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )
+    assert [tuple(map(int, r)) for r in got] == want
+    assert len(want) > 0  # fixture corpus must keep producing candidates
+
+
+# ------------------------------------------------------------ TIFF codec
+def _ref_packbits(data: bytes) -> bytes:
+    """Independent PackBits decompressor (recursive-structure-free
+    reformulation written for this test: branch order and arithmetic
+    differ from the engine's)."""
+    out = []
+    it = iter(range(len(data)))
+    i = 0
+    while i < len(data):
+        ctrl = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if ctrl == -128:
+            continue
+        if ctrl >= 0:
+            out.append(data[i : i + ctrl + 1])
+            i += ctrl + 1
+        else:
+            out.append(data[i : i + 1] * (1 - ctrl))
+            i += 1
+    return b"".join(out)
+
+
+def test_tiff_packbits_spec_vector_pins_both_decoders():
+    """The worked example from the TIFF 6.0 specification §9 pins the
+    engine decoder AND the independent signed-control reformulation:
+    FE AA | 02 80 00 2A | FD AA | 03 80 00 2A 22 | F7 AA
+    -> AA*3, 80 00 2A, AA*4, 80 00 2A 22, AA*10 (24 bytes)."""
+    from dblab_ece_trino_spark.operators.multimodal import (
+        packbits_decode,
+        packbits_encode,
+    )
+
+    enc = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    want = bytes(
+        [0xAA] * 3 + [0x80, 0x00, 0x2A] + [0xAA] * 4
+        + [0x80, 0x00, 0x2A, 0x22] + [0xAA] * 10
+    )
+    assert packbits_decode(enc, len(want)) == want
+    assert _ref_packbits(enc) == want
+    # engine encoder output must satisfy BOTH decoders on adversarial
+    # buffers (long runs, 128-byte literals, run-at-end, empty)
+    for buf in (
+        b"", b"Q", b"QR", b"Q" * 129, bytes(range(256)), b"AAB" * 90,
+        b"xyyyyyyyx" * 31, b"Z" * 3,
+    ):
+        e = packbits_encode(buf)
+        assert packbits_decode(e, len(buf)) == buf
+        assert _ref_packbits(e) == buf
+
+
+def test_tiff_engine_decoder_matches_formula_and_reference():
+    """decode_tiff (through the generic image seam) must reproduce the
+    shared pixel formula exactly on every fixture, and the strip
+    assembly must be insensitive to rows_per_strip choice."""
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _N_TIFF,
+        _TIFF_PARAMS,
+        _tiff_pixel,
+        decode_image,
+        encode_tiff,
+    )
+
+    for i in range(_N_TIFF):
+        w, h, pb, rps = _TIFF_PARAMS[i]
+        img = np.empty((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    img[y, x, c] = _tiff_pixel(i, x, y, c)
+        gw, gh, got = decode_image(encode_tiff(img, packbits=pb, rows_per_strip=rps))
+        assert (gw, gh) == (w, h) and np.array_equal(got, img), i
+        # alternate strip geometry must decode identically
+        _w2, _h2, again = decode_image(
+            encode_tiff(img, packbits=pb, rows_per_strip=max(1, rps - 1))
+        )
+        assert np.array_equal(again, img), i
+
+
+def test_tiff_big_endian_and_fixture_coverage():
+    """A hand-built minimal MM (big-endian) file must decode (the
+    decoder claims both byte orders), and the fixture family must keep
+    covering: both compressions, single-strip, partial-final-strip, and
+    exact-multiple strip layouts."""
+    import struct
+
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _TIFF_PARAMS,
+        decode_tiff,
+    )
+
+    # 2x1 RGB, one uncompressed strip: pixel data at offset 8, IFD after
+    pix = bytes([10, 20, 30, 40, 50, 60])
+    bps_off = 8 + len(pix)  # 14
+    ifd_off = bps_off + 6  # 20
+    out = struct.pack(">2sHI", b"MM", 42, ifd_off) + pix
+    out += struct.pack(">3H", 8, 8, 8)
+    entries = [
+        (256, 4, 1, 2), (257, 4, 1, 1), (258, 3, 3, bps_off),
+        (259, 3, 1, 1), (262, 3, 1, 2), (273, 4, 1, 8),
+        (277, 3, 1, 3), (278, 4, 1, 1), (279, 4, 1, 6),
+    ]
+    out += struct.pack(">H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if typ == 3 and cnt == 1:
+            out += struct.pack(">HHIHH", tag, typ, cnt, val, 0)
+        else:
+            out += struct.pack(">HHII", tag, typ, cnt, val)
+    out += struct.pack(">I", 0)
+    w, h, rgb = decode_tiff(out)
+    assert (w, h) == (2, 1)
+    assert np.array_equal(rgb, np.array([[[10, 20, 30], [40, 50, 60]]]))
+
+    shapes = set()
+    comps = set()
+    for w, h, pb, rps in _TIFF_PARAMS:
+        comps.add(pb)
+        if rps >= h:
+            shapes.add("single")
+        elif h % rps == 0:
+            shapes.add("exact")
+        else:
+            shapes.add("partial")
+    assert comps == {True, False}
+    assert shapes == {"single", "exact", "partial"}
+
+
+def test_tiff_rejection_classes():
+    """Each non-baseline feature and corruption class raises the
+    documented ValueError by name."""
+    import struct
+
+    import numpy as np
+
+    import pytest
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    img = np.fromfunction(
+        lambda y, x, c: (x + y + c) % 256, (6, 8, 3)
+    ).astype(np.uint8)
+    good = bytearray(encode_tiff(img, packbits=False, rows_per_strip=3))
+    (ifd_off,) = struct.unpack("<I", good[4:8])
+
+    def entry_off(tag: int) -> int:
+        (n,) = struct.unpack("<H", good[ifd_off : ifd_off + 2])
+        for k in range(n):
+            off = ifd_off + 2 + 12 * k
+            if struct.unpack("<H", good[off : off + 2])[0] == tag:
+                return off
+        raise AssertionError(tag)
+
+    lzw = bytearray(good)
+    struct.pack_into("<H", lzw, entry_off(259) + 8, 5)
+    with pytest.raises(ValueError, match="compression 5"):
+        decode_tiff(bytes(lzw))
+    pal = bytearray(good)
+    struct.pack_into("<H", pal, entry_off(262) + 8, 3)
+    with pytest.raises(ValueError, match="RGB"):
+        decode_tiff(bytes(pal))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_tiff(bytes(good[:-10]))
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"XX\x2a\x00" + bytes(good[4:]))
+    with pytest.raises(ValueError, match="bad TIFF magic"):
+        decode_tiff(b"II\x2b\x00" + bytes(good[4:]))
