@@ -152,6 +152,9 @@ HEADLINE = [
     # baseline TIFF/PackBits codec (tenth native codec)
     "text_winnowing",
     "multimodal_tiff_decode",
+    # ... and the Hampel median/MAD despiking filter (bounded centered
+    # ROWS frame, integer element selections)
+    "ts_hampel_filter",
 ]
 
 

@@ -116,38 +116,40 @@ def oracle_queries() -> dict[str, str]:
 # sample_neyman_alloc — Neyman/Hamilton stratified allocation;
 # multimodal_audio_energy — windowed VAD-style energy/zero-crossing
 # analysis; text_winnowing — MOSS winnowing fingerprint candidate
-# pairs; multimodal_tiff_decode — the baseline TIFF/PackBits codec) +
-# all 8 entries whose latest green is r3 + the alphabetically-first 29
-# of the 44 r4-latest entries; 13 NEW + 8 + 29 = 50.
-# Displacement tail (last 15 r4 alphabetically) heads the ROUND-10
-# QUEUE, pre-derived: op_width_bucket_hist, op_window_navigation,
-# pipeline_curate_corpus, sample_importance, sample_weighted_topk,
-# sim_search_ivf, sim_search_lsh, text_bm25_score, tpch_q8, ts_ewma,
-# ts_expanding_anomaly, ts_gap_fill, ts_interp_fill, ts_ohlc_bars,
-# ts_zscore_anomaly, then the alphabetically-first 35 of the 44
-# r5-latest entries — 15 + 35 = exactly 50 (absent new r10 ops, which
-# displace from that tail oldest-cohort-last; the remaining 9 r5
-# entries + r6 cohort follow in round 11).
+# pairs; multimodal_tiff_decode — the baseline TIFF/PackBits codec;
+# ts_hampel_filter — robust median/MAD despiking) + all 8 entries
+# whose latest green is r3 + the alphabetically-first 28 of the 44
+# r4-latest entries; 14 NEW + 8 + 28 = 50.
+# Displacement tail (last 16 r4 alphabetically) heads the ROUND-10
+# QUEUE, pre-derived: op_try_arithmetic, op_width_bucket_hist,
+# op_window_navigation, pipeline_curate_corpus, sample_importance,
+# sample_weighted_topk, sim_search_ivf, sim_search_lsh,
+# text_bm25_score, tpch_q8, ts_ewma, ts_expanding_anomaly,
+# ts_gap_fill, ts_interp_fill, ts_ohlc_bars, ts_zscore_anomaly, then
+# the alphabetically-first 34 of the 44 r5-latest entries — 16 + 34 =
+# exactly 50 (absent new r10 ops, which displace from that tail
+# oldest-cohort-last; the remaining 10 r5 entries + r6 cohort follow
+# in round 11).
 GRADED_PRIORITY: list[str] = [
     # NEW round 9 (never graded): IMA-ADPCM codec, non-zero-AC JPEG
     # family, GPT-style concat-then-chunk sequence packing, the
     # integer-exact HyperLogLog sketch, duplicated-span coverage, the
     # G.711 mu-law/A-law codec, bipartite HITS, the padding-waste
     # audit, Y4M scene-cut detection, Neyman stratified allocation,
-    # windowed audio energy/VAD, winnowing fingerprints, and the
-    # baseline TIFF/PackBits codec (each new op displaced one r4-tail
-    # entry to the round-10 queue)
+    # windowed audio energy/VAD, winnowing fingerprints, the baseline
+    # TIFF/PackBits codec, and the Hampel filter (each new op
+    # displaced one r4-tail entry to the round-10 queue)
     "multimodal_adpcm_decode", "multimodal_jpeg_ac_decode",
     "llm_sequence_pack", "op_hll_distinct", "llm_dup_span_coverage",
     "multimodal_g711_decode", "graph_hits", "llm_pad_waste",
     "multimodal_scene_cut", "sample_neyman_alloc",
     "multimodal_audio_energy", "text_winnowing",
-    "multimodal_tiff_decode",
+    "multimodal_tiff_decode", "ts_hampel_filter",
     # latest green = round 3 (all 8)
     "op_null_safe_join", "op_scd2_intervals", "op_snapshot_diff",
     "op_upsert_latest", "sample_split", "sample_stratified",
     "text_length_histogram", "text_rolling_fingerprint",
-    # latest green = round 4 (alphabetically-first 29 of 44)
+    # latest green = round 4 (alphabetically-first 28 of 44)
     "audit_orphans", "audit_skew", "dedup_clusters", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_semantic", "dedup_simhash",
     "gen_fact_dim_join_invariants", "join_asof_forward",
@@ -157,7 +159,7 @@ GRADED_PRIORITY: list[str] = [
     "op_event_transitions", "op_funnel_conversion", "op_grouping_marks",
     "op_json_schema_read", "op_median_mode", "op_min_max_by",
     "op_new_vs_returning", "op_stats_regression", "op_string_agg",
-    "op_token_cooccurrence", "op_try_arithmetic",
+    "op_token_cooccurrence",
 ]
 
 

@@ -935,3 +935,92 @@ def _register_kendall_tau() -> None:
 
 
 _register_kendall_tau()
+
+
+def _register_hampel_filter() -> None:
+    """Hampel filter (Hampel 1974; the standard robust time-series
+    despiking method): per key, an 11-row CENTERED window's median and
+    MAD (median absolute deviation from that median), flagging points
+    with |x - med| > 3 * MAD.  Median/MAD beat the z-score pack's
+    mean/sigma exactly where despiking matters — a spike inflates the
+    mean AND the stddev, masking itself; the median and MAD ignore it.
+
+    Determinism: values fold to cents (BIGINT) at the scan, so median =
+    element 5 of the sorted 11-array and MAD = element 5 of the sorted
+    absolute-deviation array are pure integer selections — no float
+    order sensitivity anywhere.  The 3*MAD threshold is the classic
+    Pearson rule on the raw MAD (the 1.4826 Gaussian consistency factor
+    folded in: 3*MAD ~ 2.02 sigma for normal data).
+
+    100 TB shape: one hash shuffle on the key; the window frame is
+    ROWS-bounded (11 elements), so executor state is O(frame) per row
+    regardless of partition size — the sorted-list trick is safe
+    exactly because the frame is a small constant (it would be wrong
+    for an unbounded frame).  Full windows only (warm-up/cool-down
+    edges dropped).  Entry bounded to a key slice for a constant-size
+    graded result; the shape is key-count-invariant.
+
+    Spark and DuckDB templates differ only in list dialect: sort_array/
+    collect_list/transform + 0-based indexing vs list_sort/list/
+    comprehension + 1-based indexing.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    spark_tpl = """
+        WITH w AS (
+          SELECT user_id, ts, event_id,
+                 CAST(round(value * 100, 0) AS BIGINT) AS v_cents,
+                 sort_array(collect_list(
+                   CAST(round(value * 100, 0) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)) AS win
+          FROM {events}
+          WHERE user_id < 30
+        ),
+        m AS (
+          SELECT user_id, ts, event_id, v_cents,
+                 win[5] AS med_cents,
+                 array_sort(transform(win, x -> abs(x - win[5])))[5]
+                   AS mad_cents
+          FROM w
+          WHERE size(win) = 11
+        )
+        SELECT user_id, ts, event_id, v_cents, med_cents, mad_cents,
+               CAST(abs(v_cents - med_cents) > 3 * mad_cents AS BOOLEAN)
+                 AS is_outlier
+        FROM m
+        ORDER BY user_id, ts, event_id
+    """
+    oracle_tpl = """
+        WITH w AS (
+          SELECT user_id, ts, event_id,
+                 CAST(round(value * 100, 0) AS BIGINT) AS v_cents,
+                 list_sort(list(
+                   CAST(round(value * 100, 0) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)) AS win
+          FROM {events}
+          WHERE user_id < 30
+        ),
+        m AS (
+          SELECT user_id, ts, event_id, v_cents,
+                 win[6] AS med_cents,
+                 list_sort([abs(x - win[6]) for x in win])[6] AS mad_cents
+          FROM w
+          WHERE len(win) = 11
+        )
+        SELECT user_id, ts, event_id, v_cents, med_cents, mad_cents,
+               CAST(abs(v_cents - med_cents) > 3 * mad_cents AS BOOLEAN)
+                 AS is_outlier
+        FROM m
+        ORDER BY user_id, ts, event_id
+    """
+    register_sql(
+        "ts_hampel_filter",
+        spark_tpl.format(**_SPARK_TABLES),
+        oracle_tpl.format(**_ORACLE_TABLES),
+    )
+
+
+_register_hampel_filter()

@@ -1199,3 +1199,48 @@ def test_tiff_rejection_classes():
         decode_tiff(b"XX\x2a\x00" + bytes(good[4:]))
     with pytest.raises(ValueError, match="bad TIFF magic"):
         decode_tiff(b"II\x2b\x00" + bytes(good[4:]))
+
+
+# ------------------------------------------------------- Hampel filter
+def test_hampel_oracle_matches_pure_python():
+    """The Hampel oracle must equal an independent pure-Python
+    implementation (statistics.median over explicit centered slices)
+    at sf0.001, including the integer cents fold, full-window edge
+    drops, and the 3*MAD verdicts."""
+    import duckdb
+    from statistics import median
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    got = con.execute(oracle_queries()["ts_hampel_filter"]).fetchall()
+
+    rows = con.execute(
+        "SELECT user_id, ts, event_id, CAST(round(value * 100, 0) AS BIGINT)"
+        " FROM events WHERE user_id < 30 ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    series: dict = {}
+    for u, ts, eid, v in rows:
+        series.setdefault(u, []).append((ts, eid, v))
+    want = []
+    for u in sorted(series):
+        s = series[u]
+        vals = [v for _t, _e, v in s]
+        for i in range(5, len(s) - 5):
+            win = vals[i - 5 : i + 6]
+            med = int(median(win))  # 11 values -> exact middle element
+            mad = int(median([abs(x - med) for x in win]))
+            want.append(
+                (
+                    u, s[i][0], s[i][1], vals[i], med, mad,
+                    abs(vals[i] - med) > 3 * mad,
+                )
+            )
+    want.sort(key=lambda r: (r[0], r[1], r[2]))
+    assert [tuple(r) for r in got] == want
+    assert len(want) > 100  # fixture keeps the entry non-trivial
+    assert any(r[6] for r in want) and not all(r[6] for r in want)
