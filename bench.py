@@ -153,8 +153,11 @@ HEADLINE = [
     "text_winnowing",
     "multimodal_tiff_decode",
     # ... and the Hampel median/MAD despiking filter (bounded centered
-    # ROWS frame, integer element selections)
+    # ROWS frame, integer element selections), quantile-breakpoint RFM
+    # segmentation, and integer-ppm market-basket association rules
     "ts_hampel_filter",
+    "op_rfm_segments",
+    "op_assoc_rules",
 ]
 
 

@@ -869,3 +869,293 @@ register(
     FROM run GROUP BY day ORDER BY day
     """,
 )
+
+
+# ----------------------------------------------------------- RFM segmentation
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """Classic RFM customer segmentation (recency / frequency /
+    monetary quintiles — direct-marketing canon since Hughes 1994):
+    each customer scores 1..5 per dimension by QUANTILE-BREAKPOINT
+    bucketing (score = 1 + number of quintile thresholds the metric
+    exceeds; ties share a score, the standard value-based RFM
+    semantics), and the output is the segment-level rollup.
+
+    Scale design: quintile thresholds come from
+    ``analytics.grouped_disc_thresholds`` — the weighted-histogram +
+    two-level sharded cumulative rank machinery that backs
+    op_winsorize/op_mad_outliers — NOT from a global ntile window (a
+    single-partition sort over every customer) and NOT from native
+    percentile aggregates (per-group value sets pinned in one task,
+    the measured 4x x30 cliff documented in analytics.py).  The
+    customer frame is materialized once and feeds the three metric
+    histograms plus the final scoring pass; thresholds come back as
+    three 1-row frames broadcast into the scoring projection.  All
+    scoring arithmetic is integer (cents, days, counts), bit-identical
+    to DuckDB's percentile_disc.
+
+    recency_days is measured against the corpus max order date (one
+    1-row aggregate broadcast in), so the entry replays identically on
+    any engine and any wall-clock date.
+    """
+    from dblab_ece_trino_spark.operators.analytics import (
+        grouped_disc_thresholds,
+    )
+    from dblab_ece_trino_spark.session import materialize
+
+    from pyspark.sql import functions as F
+
+    cust = materialize(
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_dt"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(
+                F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+            ).alias("mon_cents"),
+        )
+        .crossJoin(
+            F.broadcast(orders.agg(F.max("o_orderdate").alias("max_dt")))
+        )
+        .select(
+            "o_custkey",
+            F.datediff("max_dt", "last_dt").cast("long").alias("rec_days"),
+            "freq",
+            "mon_cents",
+        )
+    )
+    fracs = {
+        "t20": (1, 5), "t40": (2, 5), "t60": (3, 5), "t80": (4, 5),
+    }
+
+    def thresholds(col: str) -> DataFrame:
+        vf = cust.groupBy(F.lit(1).alias("g"), F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        t = grouped_disc_thresholds(vf, "g", "v", fracs)
+        return t.select(
+            *[F.col(n).alias(f"{col}_{n}") for n in fracs]
+        )
+
+    scored = (
+        cust.crossJoin(F.broadcast(thresholds("rec_days")))
+        .crossJoin(F.broadcast(thresholds("freq")))
+        .crossJoin(F.broadcast(thresholds("mon_cents")))
+    )
+
+    def score(col: str):
+        return (
+            F.lit(1)
+            + sum(
+                F.when(F.col(col) > F.col(f"{col}_{n}"), 1).otherwise(0)
+                for n in fracs
+            )
+        ).cast("int")
+
+    return (
+        scored.select(
+            score("rec_days").alias("r_score"),
+            score("freq").alias("f_score"),
+            score("mon_cents").alias("m_score"),
+            "mon_cents",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("mon_cents").cast("long").alias("monetary_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def _q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    return rfm_segments(
+        engine_for(spark, sf_dir).catalogs.table("mongodb.tpch.orders")
+    )
+
+
+_RFM_ORACLE = """
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', max(o_orderdate),
+                  (SELECT max(o_orderdate) FROM orders)) AS BIGINT)
+               AS rec_days,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+               AS BIGINT) AS mon_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    t AS (
+      SELECT
+        percentile_disc(0.2) WITHIN GROUP (ORDER BY rec_days) AS r20,
+        percentile_disc(0.4) WITHIN GROUP (ORDER BY rec_days) AS r40,
+        percentile_disc(0.6) WITHIN GROUP (ORDER BY rec_days) AS r60,
+        percentile_disc(0.8) WITHIN GROUP (ORDER BY rec_days) AS r80,
+        percentile_disc(0.2) WITHIN GROUP (ORDER BY freq) AS f20,
+        percentile_disc(0.4) WITHIN GROUP (ORDER BY freq) AS f40,
+        percentile_disc(0.6) WITHIN GROUP (ORDER BY freq) AS f60,
+        percentile_disc(0.8) WITHIN GROUP (ORDER BY freq) AS f80,
+        percentile_disc(0.2) WITHIN GROUP (ORDER BY mon_cents) AS m20,
+        percentile_disc(0.4) WITHIN GROUP (ORDER BY mon_cents) AS m40,
+        percentile_disc(0.6) WITHIN GROUP (ORDER BY mon_cents) AS m60,
+        percentile_disc(0.8) WITHIN GROUP (ORDER BY mon_cents) AS m80
+      FROM cust
+    )
+    SELECT CAST(1 + (rec_days > r20)::int + (rec_days > r40)::int
+                  + (rec_days > r60)::int + (rec_days > r80)::int AS INT)
+             AS r_score,
+           CAST(1 + (freq > f20)::int + (freq > f40)::int
+                  + (freq > f60)::int + (freq > f80)::int AS INT)
+             AS f_score,
+           CAST(1 + (mon_cents > m20)::int + (mon_cents > m40)::int
+                  + (mon_cents > m60)::int + (mon_cents > m80)::int AS INT)
+             AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(mon_cents) AS BIGINT) AS monetary_cents
+    FROM cust, t
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""
+
+register("op_rfm_segments", _q_rfm, oracle=_RFM_ORACLE)
+
+
+# -------------------------------------------------------- association rules
+ASSOC_MIN_SUP = 3
+ASSOC_TOP = 50
+
+
+def assoc_rules(
+    li: DataFrame, min_sup: int = ASSOC_MIN_SUP, top: int = ASSOC_TOP
+) -> DataFrame:
+    """Market-basket association rules (Agrawal/Srikant a-priori
+    framing): for part pairs co-occurring in >= min_sup ORDERS, both
+    directed rules a->b with exact order-level support, confidence and
+    lift.  ALL metrics are integers — confidence and lift are reported
+    in parts-per-million via integer floor division (conf_ppm =
+    n_ab*1e6 div n_a; lift_ppm = N*n_ab*1e6 div (n_a*n_b)), so the
+    driver value-hash replays exactly and no float summation order can
+    flip a ranking tie.
+
+    Shape: ONE lineitem scan into a per-order distinct-part collect
+    (bounded by order size), map-side C(k,2) pair explode — the
+    coorder_pairs economics from graph.py, but order-level distinct so
+    supports are true basket counts — then the pair support aggregation
+    and a broadcast join of the |parts|-scale item-support frame onto
+    both rule directions.  The basket frame is materialized once for
+    the pair branch and the item-support branch.  BIGINT bound:
+    N * n_ab * 1e6 needs N*n_ab < 9.2e12 — fine through ~3e6 orders
+    with the graded min_sup; at larger N move the two ppm numerators
+    to DECIMAL(38,0), same plan.
+    """
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.session import materialize
+
+    baskets = materialize(
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+        ).distinct()
+    )
+    n_orders = baskets.select(F.countDistinct("ok").alias("n")).withColumn(
+        "__j", F.lit(1)
+    )
+    items = baskets.groupBy("p").agg(F.count(F.lit(1)).alias("n_item"))
+    per_order = baskets.groupBy("ok").agg(
+        F.sort_array(F.collect_set("p")).alias("parts")
+    )
+    pairs = (
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("pr")
+        )
+        .select(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_sup)
+    )
+    both_dirs = pairs.unionAll(
+        pairs.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "n_ab"
+        )
+    )
+    scored = (
+        both_dirs.join(
+            F.broadcast(items.select(F.col("p").alias("a"),
+                                     F.col("n_item").alias("n_a"))), "a"
+        )
+        .join(
+            F.broadcast(items.select(F.col("p").alias("b"),
+                                     F.col("n_item").alias("n_b"))), "b"
+        )
+        .withColumn("__j", F.lit(1))
+        .join(F.broadcast(n_orders), "__j")
+        .select(
+            F.col("a").cast("long").alias("antecedent"),
+            F.col("b").cast("long").alias("consequent"),
+            "n_ab",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n").cast("long").alias("n_orders"),
+            F.expr("(n_ab * 1000000) div n_a").cast("long").alias("conf_ppm"),
+            F.expr("(n * n_ab * 1000000) div (n_a * n_b)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("n_ab"), F.desc("lift_ppm"), "antecedent", "consequent"
+    ).limit(top)
+
+
+def _q_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    return assoc_rules(
+        engine_for(spark, sf_dir).catalogs.table("psql.tpch.lineitem")
+    )
+
+
+_ASSOC_ORACLE = f"""
+    WITH baskets AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    ),
+    items AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS n_item FROM baskets GROUP BY p
+    ),
+    pairs AS (
+      SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM baskets x JOIN baskets y ON x.ok = y.ok AND x.p < y.p
+      GROUP BY 1, 2
+      HAVING count(*) >= {ASSOC_MIN_SUP}
+    ),
+    dirs AS (
+      SELECT a, b, n_ab FROM pairs
+      UNION ALL
+      SELECT b, a, n_ab FROM pairs
+    )
+    SELECT CAST(d.a AS BIGINT) AS antecedent,
+           CAST(d.b AS BIGINT) AS consequent,
+           d.n_ab,
+           ia.n_item AS n_a,
+           ib.n_item AS n_b,
+           CAST((SELECT count(DISTINCT ok) FROM baskets) AS BIGINT)
+             AS n_orders,
+           CAST((d.n_ab * 1000000) // ia.n_item AS BIGINT) AS conf_ppm,
+           CAST(((SELECT count(DISTINCT ok) FROM baskets)
+                 * d.n_ab * 1000000) // (ia.n_item * ib.n_item) AS BIGINT)
+             AS lift_ppm
+    FROM dirs d
+    JOIN items ia ON ia.p = d.a
+    JOIN items ib ON ib.p = d.b
+    ORDER BY d.n_ab DESC, lift_ppm DESC, antecedent, consequent
+    LIMIT {ASSOC_TOP}
+"""
+
+register("op_assoc_rules", _q_assoc, oracle=_ASSOC_ORACLE)

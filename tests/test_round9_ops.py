@@ -1244,3 +1244,107 @@ def test_hampel_oracle_matches_pure_python():
     assert [tuple(r) for r in got] == want
     assert len(want) > 100  # fixture keeps the entry non-trivial
     assert any(r[6] for r in want) and not all(r[6] for r in want)
+
+
+# ------------------------------------------------------ RFM segmentation
+def test_rfm_oracle_matches_pure_python():
+    """The RFM oracle must equal an independent pure-Python scorer
+    (sorted-list indexing at rank ceil(q*n) — percentile_disc
+    semantics) at sf0.001, and scores must cover a non-trivial range."""
+    import duckdb
+    from math import ceil
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    got = con.execute(oracle_queries()["op_rfm_segments"]).fetchall()
+
+    rows = con.execute(
+        "SELECT o_custkey, CAST(date_diff('day', max(o_orderdate),"
+        " (SELECT max(o_orderdate) FROM orders)) AS BIGINT),"
+        " count(*), sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))"
+        " FROM orders GROUP BY 1"
+    ).fetchall()
+
+    def disc(vals, q_num, q_den):
+        s = sorted(vals)
+        return s[ceil(q_num * len(s) / q_den) - 1]
+
+    recs = [r[1] for r in rows]
+    freqs = [r[2] for r in rows]
+    mons = [r[3] for r in rows]
+    tr = [disc(recs, k, 5) for k in (1, 2, 3, 4)]
+    tf = [disc(freqs, k, 5) for k in (1, 2, 3, 4)]
+    tm = [disc(mons, k, 5) for k in (1, 2, 3, 4)]
+    seg: dict = {}
+    for _c, rec, fq, mon in rows:
+        key = (
+            1 + sum(rec > t for t in tr),
+            1 + sum(fq > t for t in tf),
+            1 + sum(mon > t for t in tm),
+        )
+        n, m = seg.get(key, (0, 0))
+        seg[key] = (n + 1, m + mon)
+    want = [
+        (r, f, m, n, mc) for (r, f, m), (n, mc) in sorted(seg.items())
+    ]
+    assert [tuple(map(int, r)) for r in got] == want
+    rset = {r for r, _f, _m, _n, _mc in want}
+    assert len(rset) >= 4  # quintiles genuinely spread
+
+
+# ----------------------------------------------------- association rules
+def test_assoc_rules_oracle_matches_pure_python():
+    """The rules oracle must equal an independent pure-Python basket
+    miner (itertools.combinations over set-built baskets) at sf0.001,
+    including the integer ppm metrics and the deterministic top-50
+    ordering; sanity: confidence <= 1e6 and every rule's support
+    respects min_sup."""
+    import duckdb
+    from itertools import combinations
+
+    from dblab_ece_trino_spark.operators.behavior import (
+        ASSOC_MIN_SUP,
+        ASSOC_TOP,
+    )
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf}/lineitem.parquet')"
+    )
+    got = con.execute(oracle_queries()["op_assoc_rules"]).fetchall()
+
+    baskets: dict = {}
+    for ok, p in con.execute(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+    ).fetchall():
+        baskets.setdefault(ok, set()).add(p)
+    n_orders = len(baskets)
+    item: dict = {}
+    pair: dict = {}
+    for parts in baskets.values():
+        for p in parts:
+            item[p] = item.get(p, 0) + 1
+        for a, b in combinations(sorted(parts), 2):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+    rules = []
+    for (a, b), n_ab in pair.items():
+        if n_ab < ASSOC_MIN_SUP:
+            continue
+        for x, y in ((a, b), (b, a)):
+            conf = (n_ab * 1_000_000) // item[x]
+            lift = (n_orders * n_ab * 1_000_000) // (item[x] * item[y])
+            rules.append(
+                (x, y, n_ab, item[x], item[y], n_orders, conf, lift)
+            )
+    rules.sort(key=lambda r: (-r[2], -r[7], r[0], r[1]))
+    want = rules[:ASSOC_TOP]
+    assert [tuple(map(int, r)) for r in got] == want
+    for _a, _b, n_ab, _na, _nb, _n, conf, _lift in want:
+        assert n_ab >= ASSOC_MIN_SUP and conf <= 1_000_000
