@@ -158,6 +158,9 @@ HEADLINE = [
     "ts_hampel_filter",
     "op_rfm_segments",
     "op_assoc_rules",
+    # ... and SAX series symbolization (single-scan PAA + window-total
+    # z-moments over the 8-row segment frame)
+    "ts_sax_words",
 ]
 
 

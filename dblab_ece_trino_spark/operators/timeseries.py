@@ -1024,3 +1024,109 @@ def _register_hampel_filter() -> None:
 
 
 _register_hampel_filter()
+
+
+def _register_sax() -> None:
+    """SAX symbolization (Lin, Keogh, Wei, Lonardi 2003/2007 —
+    "Experiencing SAX"): each per-user value series is z-normalized,
+    reduced by Piecewise Aggregate Approximation (8 equal segments, the
+    mean per segment) and each segment mean mapped to a 4-letter
+    alphabet via the standard N(0,1) breakpoints (-0.6745, 0, 0.6745 —
+    the Gaussian quartiles from the published breakpoint table), giving
+    one 8-character word per series — the representation behind
+    SAX-family motif discovery, discord detection and series indexing.
+
+    Determinism layering (the zscore-idiom discipline): every
+    accumulated quantity is EXACT — per-segment sums in cents (BIGINT),
+    per-series moments as DECIMAL sums — and the ONLY float arithmetic
+    is one per-row expression (segment mean, series mean/sigma, one
+    subtraction/division chain) evaluated identically on both engines
+    from identical integers, so the CASE comparisons against the
+    breakpoint literals land on the same branch everywhere.  PAA
+    segment ids come from integer division of the per-series row index
+    ((idx-1)*8 div n), so segment assignment is float-free.
+
+    100 TB shape: ONE event scan — the per-series z-moments are
+    re-aggregated FROM the 8-rows-per-series segment frame (each
+    segment carries its exact square sum), not from a second pass over
+    base (Spark inlines CTEs, so a mom-from-base formulation scans the
+    event log twice).  One hash shuffle on the key, a per-key ROWS
+    window for the index (partition bounded by series length), one
+    keyed agg to 8 rows per series, per-series z-moment totals as
+    whole-partition window sums over that 8-row frame (so seg has ONE
+    consumer — a mom-CTE self-join would inline seg twice under Spark),
+    and a final per-series collect of 8 structs.  Series shorter than 8
+    points are dropped (PAA needs >= 1 point per segment).
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    common = """
+        WITH base AS (
+          SELECT user_id,
+                 CAST(round(value * 100, 0) AS BIGINT) AS v_cents,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS idx,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM {events}
+          WHERE user_id < 30
+        ),
+        seg AS (
+          SELECT user_id, n,
+                 CAST(((idx - 1) * 8) {div} n AS BIGINT) AS seg_id,
+                 CAST(sum(v_cents) AS BIGINT) AS s_cents,
+                 CAST(sum(CAST(v_cents AS DECIMAL(18, 0))
+                          * CAST(v_cents AS DECIMAL(18, 0)))
+                   AS DECIMAL(38, 0)) AS ssq,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM base
+          WHERE n >= 8
+          GROUP BY user_id, n, CAST(((idx - 1) * 8) {div} n AS BIGINT)
+        ),
+        sym AS (
+          SELECT user_id, seg_id,
+                 CASE WHEN z < -0.6745 THEN 'a'
+                      WHEN z < 0.0 THEN 'b'
+                      WHEN z < 0.6745 THEN 'c'
+                      ELSE 'd' END AS symbol
+          FROM (
+            SELECT user_id, seg_id,
+                   (CAST(s_cents AS DOUBLE) / c - sxd / nn)
+                   / sqrt(greatest((sxxd - sxd * sxd / nn) / nn,
+                                   0.000001)) AS z
+            FROM (
+              SELECT user_id, seg_id, s_cents, c,
+                     CAST(CAST(sum(s_cents) OVER
+                          (PARTITION BY user_id) AS DECIMAL(38, 0))
+                       AS DOUBLE) AS sxd,
+                     CAST(sum(ssq) OVER (PARTITION BY user_id)
+                       AS DOUBLE) AS sxxd,
+                     CAST(sum(c) OVER (PARTITION BY user_id)
+                       AS DOUBLE) AS nn
+              FROM seg
+            ) t
+          ) z
+        )
+        SELECT user_id,
+               {word_expr} AS sax_word,
+               CAST(count(*) AS BIGINT) AS n_segs
+        FROM sym
+        GROUP BY user_id
+        ORDER BY user_id
+    """
+    spark_tpl = common.replace("{div}", "div").replace(
+        "{word_expr}",
+        "array_join(transform(array_sort(collect_list("
+        "struct(seg_id, symbol))), x -> x.symbol), '')",
+    )
+    oracle_tpl = common.replace("{div}", "//").replace(
+        "{word_expr}", "string_agg(symbol, '' ORDER BY seg_id)"
+    )
+    register_sql(
+        "ts_sax_words",
+        spark_tpl.format(**_SPARK_TABLES),
+        oracle_tpl.format(**_ORACLE_TABLES),
+    )
+
+
+_register_sax()

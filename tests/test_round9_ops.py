@@ -1348,3 +1348,59 @@ def test_assoc_rules_oracle_matches_pure_python():
     assert [tuple(map(int, r)) for r in got] == want
     for _a, _b, n_ab, _na, _nb, _n, conf, _lift in want:
         assert n_ab >= ASSOC_MIN_SUP and conf <= 1_000_000
+
+
+# -------------------------------------------------------------- SAX words
+def test_sax_oracle_matches_pure_python():
+    """The SAX oracle must equal an independent pure-Python symbolizer
+    (explicit per-series loop: cents fold, (i*8)//n PAA assignment,
+    population moments, the published 4-letter N(0,1) breakpoints) at
+    sf0.001, and words must use more than one letter overall."""
+    import duckdb
+    from math import sqrt
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    got = con.execute(oracle_queries()["ts_sax_words"]).fetchall()
+
+    rows = con.execute(
+        "SELECT user_id, CAST(round(value * 100, 0) AS BIGINT)"
+        " FROM events WHERE user_id < 30 ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    series: dict = {}
+    for u, v in rows:
+        series.setdefault(u, []).append(v)
+    want = []
+    for u in sorted(series):
+        vals = series[u]
+        n = len(vals)
+        if n < 8:
+            continue
+        segs: dict = {}
+        for i, v in enumerate(vals):
+            sid = (i * 8) // n
+            s_, ssq_, c_ = segs.get(sid, (0, 0, 0))
+            segs[sid] = (s_ + v, ssq_ + v * v, c_ + 1)
+        sx = sum(s for s, _q, _c in segs.values())
+        sxx = sum(q for _s, q, _c in segs.values())
+        word = ""
+        for sid in sorted(segs):
+            s_, _q, c_ = segs[sid]
+            z = (s_ / c_ - sx / n) / sqrt(
+                max((sxx - sx * sx / n) / n, 0.000001)
+            )
+            word += (
+                "a" if z < -0.6745 else
+                "b" if z < 0.0 else
+                "c" if z < 0.6745 else "d"
+            )
+        want.append((u, word, len(segs)))
+    assert [(r[0], r[1], int(r[2])) for r in got] == want
+    letters = set("".join(w for _u, w, _n in want))
+    assert len(letters) >= 3  # the alphabet is genuinely exercised
+    assert all(n == 8 for _u, _w, n in want)
