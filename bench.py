@@ -159,8 +159,10 @@ HEADLINE = [
     "op_rfm_segments",
     "op_assoc_rules",
     # ... and SAX series symbolization (single-scan PAA + window-total
-    # z-moments over the 8-row segment frame)
+    # z-moments over the 8-row segment frame) plus DBSCAN over the
+    # quantized eps-graph (integer cross-multiplied thresholds)
     "ts_sax_words",
+    "sim_dbscan",
 ]
 
 

@@ -119,20 +119,21 @@ def oracle_queries() -> dict[str, str]:
 # pairs; multimodal_tiff_decode — the baseline TIFF/PackBits codec;
 # ts_hampel_filter — robust median/MAD despiking; op_rfm_segments —
 # quantile-breakpoint RFM rollup; op_assoc_rules — integer-ppm
-# market-basket rules; ts_sax_words — SAX symbolization) + all 8
-# entries whose latest green is r3 + the alphabetically-first 25 of
-# the 44 r4-latest entries; 17 NEW + 8 + 25 = 50.
-# Displacement tail (last 19 r4 alphabetically) heads the ROUND-10
-# QUEUE, pre-derived: op_stats_regression, op_string_agg,
-# op_token_cooccurrence, op_try_arithmetic, op_width_bucket_hist,
-# op_window_navigation, pipeline_curate_corpus, sample_importance,
-# sample_weighted_topk, sim_search_ivf, sim_search_lsh,
-# text_bm25_score, tpch_q8, ts_ewma, ts_expanding_anomaly,
-# ts_gap_fill, ts_interp_fill, ts_ohlc_bars, ts_zscore_anomaly, then
-# the alphabetically-first 31 of the 44 r5-latest entries — 19 + 31 =
-# exactly 50 (absent new r10 ops, which displace from that tail
-# oldest-cohort-last; the remaining 13 r5 entries + r6 cohort follow
-# in round 11).
+# market-basket rules; ts_sax_words — SAX symbolization; sim_dbscan —
+# density clustering over the quantized eps-graph) + all 8 entries
+# whose latest green is r3 + the alphabetically-first 24 of the 44
+# r4-latest entries; 18 NEW + 8 + 24 = 50.
+# Displacement tail (last 20 r4 alphabetically) heads the ROUND-10
+# QUEUE, pre-derived: op_new_vs_returning, op_stats_regression,
+# op_string_agg, op_token_cooccurrence, op_try_arithmetic,
+# op_width_bucket_hist, op_window_navigation, pipeline_curate_corpus,
+# sample_importance, sample_weighted_topk, sim_search_ivf,
+# sim_search_lsh, text_bm25_score, tpch_q8, ts_ewma,
+# ts_expanding_anomaly, ts_gap_fill, ts_interp_fill, ts_ohlc_bars,
+# ts_zscore_anomaly, then the alphabetically-first 30 of the 44
+# r5-latest entries — 20 + 30 = exactly 50 (absent new r10 ops, which
+# displace from that tail oldest-cohort-last; the remaining 14 r5
+# entries + r6 cohort follow in round 11).
 GRADED_PRIORITY: list[str] = [
     # NEW round 9 (never graded): IMA-ADPCM codec, non-zero-AC JPEG
     # family, GPT-style concat-then-chunk sequence packing, the
@@ -148,12 +149,12 @@ GRADED_PRIORITY: list[str] = [
     "multimodal_scene_cut", "sample_neyman_alloc",
     "multimodal_audio_energy", "text_winnowing",
     "multimodal_tiff_decode", "ts_hampel_filter",
-    "op_rfm_segments", "op_assoc_rules", "ts_sax_words",
+    "op_rfm_segments", "op_assoc_rules", "ts_sax_words", "sim_dbscan",
     # latest green = round 3 (all 8)
     "op_null_safe_join", "op_scd2_intervals", "op_snapshot_diff",
     "op_upsert_latest", "sample_split", "sample_stratified",
     "text_length_histogram", "text_rolling_fingerprint",
-    # latest green = round 4 (alphabetically-first 25 of 44)
+    # latest green = round 4 (alphabetically-first 24 of 44)
     "audit_orphans", "audit_skew", "dedup_clusters", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_semantic", "dedup_simhash",
     "gen_fact_dim_join_invariants", "join_asof_forward",
@@ -162,7 +163,6 @@ GRADED_PRIORITY: list[str] = [
     "op_bit_aggregates", "op_cohort_retention", "op_equidepth_hist",
     "op_event_transitions", "op_funnel_conversion", "op_grouping_marks",
     "op_json_schema_read", "op_median_mode", "op_min_max_by",
-    "op_new_vs_returning",
 ]
 
 

@@ -867,3 +867,243 @@ register(
     ORDER BY p.qid, p.cid
     """,
 )
+
+
+# ------------------------------------------------------------------- DBSCAN
+DBSCAN_T_NUM = 3
+DBSCAN_T_DEN = 8
+DBSCAN_MIN_DEG = 3  # core = at least this many eps-neighbors (excl. self)
+DBSCAN_SLICE = 2000
+
+
+def dbscan(
+    emb: DataFrame,
+    t_num: int = DBSCAN_T_NUM,
+    t_den: int = DBSCAN_T_DEN,
+    min_deg: int = DBSCAN_MIN_DEG,
+    levels: int = 255,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester/Kriegel/Sander/Xu 1996)
+    over the embedding column: eps-neighbors by quantized cosine
+    (|cos| >= t_num/t_den with cos > 0), CORE points with >= min_deg
+    neighbors, clusters = connected components of the core-core
+    eps-graph (reusing dedup.dedup_clusters' min-label-propagation
+    loop), BORDER points adopt the smallest cluster among their core
+    neighbors, everything else is NOISE (cluster -1).
+
+    Determinism (the epsilon-ball discipline, symmetrized): vectors
+    quantize to centered integer codes, and the eps decision is pure
+    integer cross-multiplication — s_ab > 0 AND t_den^2 * s_ab^2 >=
+    t_num^2 * s_aa * s_bb — so the neighbor graph is bit-identical on
+    both engines and the cluster labels (min reachable core id) follow.
+    Code bound: |code| <= 128, dim 64 -> s_ab <= ~1.05e6, squared
+    ~1.1e12, x t_den^2 = 64 -> ~7e13 << 2^63.
+
+    Scale bounding (the dedup_embedding precedent): the REGISTERED form
+    runs exact all-pairs over a bounded id-slice (vec_id < 2000 ->
+    <= ~2M candidate pairs at ANY corpus scale, a constant plan cost);
+    at production scale the pair generation is the LSH/IVF blocking the
+    ANN entries already ship (SemDeDup runs the same shape within IVF
+    cells), with this exact form as the within-block kernel.  Two
+    bounded driver scalars (the slice min/max for quantization).
+    """
+    from dblab_ece_trino_spark.operators.dedup import dedup_clusters
+    from dblab_ece_trino_spark.session import ensure_parallelism, materialize
+
+    emb = ensure_parallelism(emb)
+    row = (
+        emb.select(_as_double(F.col(vec_col)).alias("v"))
+        .agg(
+            F.min(F.array_min("v")).alias("mn"),
+            F.max(F.array_max("v")).alias("mx"),
+        )
+        .collect()[0]
+    )
+    mn, mx = float(row["mn"]), float(row["mx"])
+    mid, s_unit = (mn + mx) / 2.0, (mx - mn) / float(levels)
+    codes = F.transform(
+        _as_double(F.col(vec_col)),
+        lambda x: F.floor((x - F.lit(mid)) / F.lit(s_unit) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    c = materialize(
+        emb.select(F.col(id_col).alias("cid"), codes.alias("cc")).withColumn(
+            "scc",
+            F.aggregate(
+                F.zip_with(F.col("cc"), F.col("cc"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda a, v: a + v,
+            ),
+        )
+    )
+    a = c.select(
+        F.col("cid").alias("ia"), F.col("cc").alias("ca"),
+        F.col("scc").alias("saa"),
+    )
+    b = c.select(
+        F.col("cid").alias("ib"), F.col("cc").alias("cb"),
+        F.col("scc").alias("sbb"),
+    )
+    sab = F.aggregate(
+        F.zip_with(F.col("ca"), F.col("cb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    half = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .withColumn("s", sab)
+        .filter(
+            (F.col("s") > 0)
+            & (
+                F.lit(t_den * t_den) * F.col("s") * F.col("s")
+                >= F.lit(t_num * t_num) * F.col("saa") * F.col("sbb")
+            )
+        )
+        .select("ia", "ib")
+    )
+    nbrs = materialize(
+        half.unionAll(
+            half.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
+        )
+    )
+    deg = nbrs.groupBy(F.col("ia").alias("nid")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    cores = materialize(
+        deg.filter(F.col("deg") >= min_deg).select(F.col("nid").alias("core_id"))
+    )
+    core_edges = (
+        nbrs.join(cores, nbrs.ia == cores.core_id)
+        .drop("core_id")
+        .join(cores, nbrs.ib == cores.core_id)
+        .filter(F.col("ia") < F.col("ib"))
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"))
+    )
+    cc = dedup_clusters(core_edges, max_iter=16).select(
+        F.col("sid").alias("core_id"), "cluster"
+    )
+    core_lab = materialize(
+        cores.join(cc, "core_id", "left").select(
+            "core_id",
+            F.coalesce("cluster", F.col("core_id")).alias("cluster"),
+        )
+    )
+    border = (
+        nbrs.join(
+            core_lab.select(
+                F.col("core_id").alias("ib"), F.col("cluster").alias("nbc")
+            ),
+            "ib",
+        )
+        .join(cores, nbrs.ia == cores.core_id, "left_anti")
+        .groupBy(F.col("ia").alias(id_col))
+        .agg(F.min("nbc").alias("cluster"))
+        .withColumn("role", F.lit("border"))
+    )
+    core_out = core_lab.select(
+        F.col("core_id").alias(id_col), "cluster", F.lit("core").alias("role")
+    )
+    assigned = core_out.unionByName(border)
+    return (
+        c.select(F.col("cid").alias(id_col))
+        .join(assigned, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("role", F.lit("noise")).alias("role"),
+            F.coalesce("cluster", F.lit(-1)).cast("long").alias("cluster"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def _q_sim_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return dbscan(emb.filter(F.col("vec_id") < DBSCAN_SLICE))
+
+
+def _dbscan_oracle() -> str:
+    tn2 = DBSCAN_T_NUM * DBSCAN_T_NUM
+    td2 = DBSCAN_T_DEN * DBSCAN_T_DEN
+    return f"""
+    WITH RECURSIVE dims AS MATERIALIZED (
+      SELECT vec_id, t.i AS dim, CAST(embedding[t.i + 1] AS DOUBLE) AS val
+      FROM embeddings, range(64) t(i)
+      WHERE vec_id < {DBSCAN_SLICE}
+    ),
+    mm AS (SELECT min(val) AS mn, max(val) AS mx FROM dims),
+    codes AS MATERIALIZED (
+      SELECT vec_id, dim,
+             CAST(floor((val - (mn + mx) / 2.0) / ((mx - mn) / 255.0)
+                  + 0.5) AS BIGINT) AS cde
+      FROM dims, mm
+    ),
+    selfp AS MATERIALIZED (
+      SELECT vec_id, CAST(sum(cde * cde) AS BIGINT) AS s2
+      FROM codes GROUP BY vec_id
+    ),
+    half AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib, CAST(sum(a.cde * b.cde) AS BIGINT) AS s
+      FROM codes a JOIN codes b ON a.dim = b.dim AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+      HAVING sum(a.cde * b.cde) > 0
+    ),
+    nbrs AS MATERIALIZED (
+      SELECT ia, ib FROM (
+        SELECT h.ia, h.ib FROM half h
+        JOIN selfp pa ON pa.vec_id = h.ia
+        JOIN selfp pb ON pb.vec_id = h.ib
+        WHERE {td2} * h.s * h.s >= {tn2} * pa.s2 * pb.s2
+      )
+      UNION ALL
+      SELECT ib, ia FROM (
+        SELECT h.ia, h.ib FROM half h
+        JOIN selfp pa ON pa.vec_id = h.ia
+        JOIN selfp pb ON pb.vec_id = h.ib
+        WHERE {td2} * h.s * h.s >= {tn2} * pa.s2 * pb.s2
+      )
+    ),
+    cores AS MATERIALIZED (
+      SELECT ia AS core_id FROM nbrs GROUP BY ia
+      HAVING count(*) >= {DBSCAN_MIN_DEG}
+    ),
+    core_edges AS MATERIALIZED (
+      SELECT n.ia AS a, n.ib AS b FROM nbrs n
+      JOIN cores x ON x.core_id = n.ia
+      JOIN cores y ON y.core_id = n.ib
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM core_edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN core_edges e ON r.b = e.a
+    ),
+    core_lab AS MATERIALIZED (
+      SELECT c.core_id,
+             coalesce(least(c.core_id, r.mb), c.core_id) AS cluster
+      FROM cores c
+      LEFT JOIN (SELECT a, min(b) AS mb FROM reach GROUP BY a) r
+        ON r.a = c.core_id
+    ),
+    border AS (
+      SELECT n.ia AS vec_id, min(cl.cluster) AS cluster
+      FROM nbrs n
+      JOIN core_lab cl ON cl.core_id = n.ib
+      WHERE n.ia NOT IN (SELECT core_id FROM cores)
+      GROUP BY n.ia
+    )
+    SELECT s.vec_id,
+           CASE WHEN c.core_id IS NOT NULL THEN 'core'
+                WHEN b.vec_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(coalesce(c2.cluster, b.cluster, -1) AS BIGINT) AS cluster
+    FROM selfp s
+    LEFT JOIN cores c ON c.core_id = s.vec_id
+    LEFT JOIN core_lab c2 ON c2.core_id = s.vec_id
+    LEFT JOIN border b ON b.vec_id = s.vec_id
+    ORDER BY s.vec_id
+    """
+
+
+register("sim_dbscan", _q_sim_dbscan, oracle=_dbscan_oracle())

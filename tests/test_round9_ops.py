@@ -1404,3 +1404,87 @@ def test_sax_oracle_matches_pure_python():
     letters = set("".join(w for _u, w, _n in want))
     assert len(letters) >= 3  # the alphabet is genuinely exercised
     assert all(n == 8 for _u, _w, n in want)
+
+
+# ---------------------------------------------------------------- DBSCAN
+def test_dbscan_oracle_matches_pure_python():
+    """The DBSCAN oracle must equal an independent numpy implementation
+    (dense adjacency, explicit BFS components, border = min core
+    neighbor's cluster) at sf0.001, and the three roles must all be
+    present with textbook invariants: every border point has a core
+    eps-neighbor, no noise point does, and cluster ids are the minimum
+    core id of their component."""
+    import duckdb
+
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+    from dblab_ece_trino_spark.operators.similarity import (
+        DBSCAN_MIN_DEG,
+        DBSCAN_SLICE,
+        DBSCAN_T_DEN,
+        DBSCAN_T_NUM,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    got = con.execute(oracle_queries()["sim_dbscan"]).fetchall()
+
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM embeddings WHERE vec_id < {DBSCAN_SLICE}"
+        " ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    mn, mx = V.min(), V.max()
+    Q = np.floor((V - (mn + mx) / 2.0) / ((mx - mn) / 255.0) + 0.5).astype(
+        np.int64
+    )
+    G = Q @ Q.T
+    d = np.diag(G).copy()
+    adj = (G > 0) & (
+        DBSCAN_T_DEN * DBSCAN_T_DEN * G * G
+        >= DBSCAN_T_NUM * DBSCAN_T_NUM * np.outer(d, d)
+    )
+    np.fill_diagonal(adj, False)
+    core = adj.sum(1) >= DBSCAN_MIN_DEG
+    # BFS components over core-core edges
+    cluster = {int(ids[i]): -1 for i in range(len(ids))}
+    seen = set()
+    for i in np.nonzero(core)[0]:
+        if int(ids[i]) in seen:
+            continue
+        comp, stack = [], [i]
+        while stack:
+            j = stack.pop()
+            if int(ids[j]) in seen:
+                continue
+            seen.add(int(ids[j]))
+            comp.append(j)
+            for nb in np.nonzero(adj[j] & core)[0]:
+                stack.append(nb)
+        lab = int(min(ids[j] for j in comp))
+        for j in comp:
+            cluster[int(ids[j])] = lab
+    want = []
+    for i, vid in enumerate(ids):
+        vid = int(vid)
+        if core[i]:
+            want.append((vid, "core", cluster[vid]))
+        else:
+            core_nbrs = np.nonzero(adj[i] & core)[0]
+            if len(core_nbrs):
+                want.append(
+                    (vid, "border",
+                     min(cluster[int(ids[j])] for j in core_nbrs))
+                )
+            else:
+                want.append((vid, "noise", -1))
+    assert [(r[0], r[1], int(r[2])) for r in got] == want
+    roles = {r for _v, r, _c in want}
+    assert roles == {"core", "border", "noise"}
+    for _v, role, c in want:
+        assert (c == -1) == (role == "noise")
