@@ -752,7 +752,7 @@ def decode_bmp(payload: bytes):
     hdr_size, width, height = struct.unpack("<Iii", payload[14:26])
     if hdr_size < 40:
         raise ValueError(f"unsupported DIB header size {hdr_size}")
-    planes, bpp = struct.unpack("<HH", payload[26:30])
+    _planes, bpp = struct.unpack("<HH", payload[26:30])
     (compression,) = struct.unpack("<I", payload[30:34])
     if bpp != 24 or compression != 0:
         raise ValueError(f"only uncompressed 24-bit supported, got {bpp}bpp/c{compression}")

@@ -169,7 +169,7 @@ def test_jpeg_ac_fixtures_exercise_the_ac_path():
     for plane, ((u1, v1), (u2, v2)) in _JPEG_AC_BASIS.items():
         assert u1 >= 1 and v1 >= 1 and u2 >= 1 and v2 >= 1
         for i in range(_N_JPEG_AC):
-            base, a1, a2 = _jpeg_ac_block_coeffs(i, plane, 0, 0)
+            _base, a1, a2 = _jpeg_ac_block_coeffs(i, plane, 0, 0)
             assert a1 >= 2 and a2 >= 2  # both AC coeffs nonzero (4*a)
     z1 = inv[_JPEG_AC_BASIS["cr"][0][0] + 8 * _JPEG_AC_BASIS["cr"][0][1]]
     z2 = inv[_JPEG_AC_BASIS["cr"][1][0] + 8 * _JPEG_AC_BASIS["cr"][1][1]]
@@ -1033,7 +1033,6 @@ def _ref_packbits(data: bytes) -> bytes:
     reformulation written for this test: branch order and arithmetic
     differ from the engine's)."""
     out = []
-    it = iter(range(len(data)))
     i = 0
     while i < len(data):
         ctrl = data[i] - 256 if data[i] > 127 else data[i]
