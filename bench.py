@@ -163,6 +163,9 @@ HEADLINE = [
     # quantized eps-graph (integer cross-multiplied thresholds)
     "ts_sax_words",
     "sim_dbscan",
+    # ... and EXIF metadata extraction (APP1/TIFF IFD walk shared with
+    # the TIFF codec)
+    "multimodal_exif_parse",
 ]
 
 

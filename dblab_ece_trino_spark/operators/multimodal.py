@@ -3706,9 +3706,6 @@ register("multimodal_audio_energy", _q_audio_energy, oracle=_AUDIO_E_ORACLE)
 # RGB forbids (tiles, planar config 2, palette, LZW/JPEG-in-TIFF,
 # non-8-bit samples) reject loudly by name.
 
-_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
-
-
 def packbits_decode(data: bytes, expected: int) -> bytes:
     """TIFF 6.0 §9 PackBits: n in 0..127 -> copy n+1 literal bytes;
     n in -127..-1 (two's complement) -> repeat next byte 1-n times;
@@ -3844,28 +3841,10 @@ def decode_tiff(payload: bytes):
     if magic != 42:
         raise ValueError(f"bad TIFF magic {magic}")
 
-    def read(fmt: str, off: int, size: int):
-        if off + size > len(payload):
-            raise ValueError("truncated TIFF: read past end")
-        return struct.unpack(f"{e}{fmt}", payload[off : off + size])
-
     if ifd_off + 2 > len(payload):
         raise ValueError("truncated TIFF: IFD offset past end")
-    (n_entries,) = read("H", ifd_off, 2)
-    tags: dict = {}
-    for k in range(n_entries):
-        off = ifd_off + 2 + 12 * k
-        tag, typ, cnt = read("HHI", off, 8)
-        if typ not in _TIFF_TYPE_SIZE:
-            continue  # RATIONAL etc. — not needed for baseline RGB
-        size = _TIFF_TYPE_SIZE[typ] * cnt
-        fmt = {1: "B", 3: "H", 4: "I"}[typ]
-        if size <= 4:
-            vals = read(f"{cnt}{fmt}", off + 8, size)
-        else:
-            (voff,) = read("I", off + 8, 4)
-            vals = read(f"{cnt}{fmt}", voff, size)
-        tags[tag] = vals
+    # shared IFD machinery with parse_exif (tiff_ifd_tags below)
+    tags = tiff_ifd_tags(payload, e, ifd_off)
     for required in (256, 257, 273, 279):
         if required not in tags:
             raise ValueError(f"missing required TIFF tag {required}")
@@ -4044,3 +4023,265 @@ def _tiff_oracle() -> str:
 
 
 register("multimodal_tiff_decode", _q_tiff_decode, oracle=_tiff_oracle())
+
+
+# --------------------------------------------------------------- EXIF parse
+# Image metadata extraction — the curation input upstream of any pixel
+# work (orientation normalization, capture-time filtering, device
+# dedup/attribution all read EXIF before anything decodes).  EXIF is a
+# TIFF structure embedded in a JPEG APP1 segment, so the parser reuses
+# the codec stack this file already ships: the generic IFD tag walker
+# below serves both decode_tiff and parse_exif.
+
+_EXIF_TYPE = {1: ("B", 1), 2: (None, 1), 3: ("H", 2), 4: ("I", 4)}
+
+
+def tiff_ifd_tags(payload: bytes, e: str, ifd_off: int) -> dict:
+    """Walk one TIFF IFD: tag -> tuple of values (BYTE/SHORT/LONG) or a
+    NUL-stripped ASCII string (type 2), values inline or at offset per
+    spec; unknown value types are skipped; every read bounds-checked."""
+    import struct
+
+    def read(fmt: str, off: int, size: int):
+        if off + size > len(payload):
+            raise ValueError("truncated TIFF/EXIF: read past end")
+        return struct.unpack(f"{e}{fmt}", payload[off : off + size])
+
+    (n_entries,) = read("H", ifd_off, 2)
+    tags: dict = {}
+    for k in range(n_entries):
+        off = ifd_off + 2 + 12 * k
+        tag, typ, cnt = read("HHI", off, 8)
+        if typ not in _EXIF_TYPE:
+            continue  # RATIONAL/SRATIONAL etc.: not needed here
+        fmt, unit = _EXIF_TYPE[typ]
+        size = unit * cnt
+        voff = off + 8
+        if size > 4:
+            (voff,) = read("I", off + 8, 4)
+        if typ == 2:
+            if voff + cnt > len(payload):
+                raise ValueError("truncated TIFF/EXIF: ASCII past end")
+            tags[tag] = (
+                payload[voff : voff + cnt].split(b"\x00")[0].decode("ascii")
+            )
+        else:
+            tags[tag] = read(f"{cnt}{fmt}", voff, size)
+    return tags
+
+
+def build_exif_app1(
+    make: str,
+    datetime_s: str,
+    orientation: int,
+    pixel_w: int,
+    pixel_h: int,
+    iso: int,
+) -> bytes:
+    """A real APP1 Exif segment: little-endian TIFF header, IFD0 with
+    Make(271)/Orientation(274)/DateTime(306)/ExifIFDPointer(34665), and
+    the Exif sub-IFD with PixelXDimension(40962)/PixelYDimension(40963)
+    /ISOSpeedRatings(34855) — the layout every camera writes."""
+    import struct
+
+    make_b = make.encode("ascii") + b"\x00"
+    dt_b = datetime_s.encode("ascii") + b"\x00"
+    # TIFF block layout: header(8) | IFD0 | subIFD | make | datetime
+    ifd0_off = 8
+    ifd0_sz = 2 + 4 * 12 + 4
+    sub_off = ifd0_off + ifd0_sz
+    sub_sz = 2 + 3 * 12 + 4
+    make_off = sub_off + sub_sz
+    dt_off = make_off + len(make_b)
+
+    def entry(tag, typ, cnt, val, inline_fmt=None):
+        if inline_fmt:  # value packed into the 4-byte field
+            pad = {"H": struct.pack("<HH", val, 0), "I": struct.pack("<I", val)}
+            return struct.pack("<HHI", tag, typ, cnt) + pad[inline_fmt]
+        return struct.pack("<HHII", tag, typ, cnt, val)
+
+    ifd0 = struct.pack("<H", 4)
+    ifd0 += entry(271, 2, len(make_b), make_off)
+    ifd0 += entry(274, 3, 1, orientation, inline_fmt="H")
+    ifd0 += entry(306, 2, len(dt_b), dt_off)
+    ifd0 += entry(34665, 4, 1, sub_off, inline_fmt="I")
+    ifd0 += struct.pack("<I", 0)
+    sub = struct.pack("<H", 3)
+    sub += entry(34855, 3, 1, iso, inline_fmt="H")
+    sub += entry(40962, 4, 1, pixel_w, inline_fmt="I")
+    sub += entry(40963, 4, 1, pixel_h, inline_fmt="I")
+    sub += struct.pack("<I", 0)
+    tiff = struct.pack("<2sHI", b"II", 42, ifd0_off) + ifd0 + sub + make_b + dt_b
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def parse_exif(payload: bytes) -> dict:
+    """Extract EXIF metadata from a JPEG payload: walks the marker
+    stream (fill bytes and standalone markers skipped per T.81, the
+    decode_jpeg discipline), finds the APP1 "Exif" segment, and parses
+    its embedded TIFF block (II or MM).  Returns {make, datetime,
+    orientation, pixel_w, pixel_h, iso} with None for absent tags;
+    raises ValueError on corrupt structures, or if no EXIF is present."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    body = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker desync in JPEG stream")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS: no EXIF ahead of scan
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if seglen < 2 or pos + 2 + seglen > len(payload):
+            raise ValueError("truncated JPEG segment while scanning for EXIF")
+        if marker == 0xE1 and payload[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            body = payload[pos + 10 : pos + 2 + seglen]
+            break
+        pos += 2 + seglen
+    if body is None:
+        raise ValueError("no EXIF APP1 segment")
+    if len(body) < 8 or body[:2] not in (b"II", b"MM"):
+        raise ValueError("bad EXIF TIFF header")
+    e = "<" if body[:2] == b"II" else ">"
+    magic, ifd0_off = struct.unpack(f"{e}HI", body[2:8])
+    if magic != 42:
+        raise ValueError(f"bad EXIF TIFF magic {magic}")
+    tags = tiff_ifd_tags(body, e, ifd0_off)
+    out = {
+        "make": tags.get(271),
+        "datetime": tags.get(306),
+        "orientation": tags[274][0] if 274 in tags else None,
+        "pixel_w": None,
+        "pixel_h": None,
+        "iso": None,
+    }
+    if 34665 in tags:
+        sub = tiff_ifd_tags(body, e, tags[34665][0])
+        out["pixel_w"] = sub[40962][0] if 40962 in sub else None
+        out["pixel_h"] = sub[40963][0] if 40963 in sub else None
+        out["iso"] = sub[34855][0] if 34855 in sub else None
+    return out
+
+
+def _exif_meta(i: int) -> dict:
+    """Planted metadata for fixture i (pure formula — shared by the
+    builder, the pinned oracle constants, and the tests)."""
+    return {
+        "make": f"CAM{i % 4}",
+        "datetime": f"20{10 + i % 10}:{1 + i % 9:02d}:{1 + i % 27:02d} "
+                    f"{i % 24:02d}:{(7 * i) % 60:02d}:{(11 * i) % 60:02d}",
+        "orientation": 1 + i % 8,
+        "iso": 100 * (1 + i % 6),
+    }
+
+
+def _exif_payloads(spark: SparkSession, n: int = _N_JPEG) -> DataFrame:
+    """The block-constant JPEG fixture family with a REAL APP1 Exif
+    segment spliced in after SOI — pixel dimensions in the Exif sub-IFD
+    are set to the true image dims, so the graded row cross-checks the
+    metadata against the image geometry."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                p = _jpeg_params(i)
+                payload = encode_jpeg(
+                    p["w"], p["h"],
+                    lambda x, y, i=i: ((x // 8) * 29 + (y // 8) * 17 + 16 * i) % 256,
+                    lambda x, y, i=i: ((x // 8) * 13 + (y // 8) * 31 + 8 * i) % 256,
+                    lambda x, y, i=i: ((x // 8) * 23 + (y // 8) * 11 + 24 * i) % 256,
+                    subsample=p["sub"], q_dc=p["q_dc"],
+                    restart_interval=p["ri"],
+                )
+                m = _exif_meta(i)
+                app1 = build_exif_app1(
+                    m["make"], m["datetime"], m["orientation"],
+                    p["w"], p["h"], m["iso"],
+                )
+                rows.append((i, payload[:2] + app1 + payload[2:]))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+
+
+def exif_stats(media: DataFrame) -> DataFrame:
+    """Parse EXIF from each payload; year/month split out of the EXIF
+    datetime string so the graded columns are integers + short strings."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                x = parse_exif(bytes(payload))
+                out.append(
+                    (
+                        int(mid), x["make"], x["orientation"],
+                        x["pixel_w"], x["pixel_h"], x["iso"],
+                        int(x["datetime"][0:4]), int(x["datetime"][5:7]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "make", "orientation", "pixel_w",
+                    "pixel_h", "iso", "year", "month",
+                ],
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("make", T.StringType(), True),
+            T.StructField("orientation", T.IntegerType(), True),
+            T.StructField("pixel_w", T.IntegerType(), True),
+            T.StructField("pixel_h", T.IntegerType(), True),
+            T.StructField("iso", T.IntegerType(), True),
+            T.StructField("year", T.IntegerType(), True),
+            T.StructField("month", T.IntegerType(), True),
+        ]
+    )
+    return media.mapInPandas(stats, schema)
+
+
+def _q_exif_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exif_stats(_exif_payloads(spark)).orderBy("media_id")
+
+
+def _exif_oracle() -> str:
+    rows = []
+    for i in range(_N_JPEG):
+        p = _jpeg_params(i)
+        m = _exif_meta(i)
+        rows.append(
+            (i, m["make"], m["orientation"], p["w"], p["h"], m["iso"],
+             int(m["datetime"][0:4]), int(m["datetime"][5:7]))
+        )
+    return "SELECT " + ", ".join(
+        [
+            "CAST(col0 AS BIGINT) AS media_id",
+            "col1 AS make",
+            "CAST(col2 AS INT) AS orientation",
+            "CAST(col3 AS INT) AS pixel_w",
+            "CAST(col4 AS INT) AS pixel_h",
+            "CAST(col5 AS INT) AS iso",
+            "CAST(col6 AS INT) AS year",
+            "CAST(col7 AS INT) AS month",
+        ]
+    ) + " FROM (VALUES " + ", ".join(
+        str(r) for r in rows
+    ) + ") ORDER BY media_id"
+
+
+register("multimodal_exif_parse", _q_exif_parse, oracle=_exif_oracle())

@@ -1487,3 +1487,89 @@ def test_dbscan_oracle_matches_pure_python():
     assert roles == {"core", "border", "noise"}
     for _v, role, c in want:
         assert (c == -1) == (role == "noise")
+
+
+# ------------------------------------------------------------- EXIF parse
+def test_exif_parse_roundtrip_and_jpeg_transparency():
+    """parse_exif must recover every planted tag from the spliced APP1
+    segment on all fixtures, the Exif pixel dims must equal the true
+    image geometry, and decode_jpeg must decode the APP1-carrying
+    payload PIXEL-IDENTICALLY to the clean one (the marker walk skips
+    APPn — metadata must never perturb pixels)."""
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _N_JPEG,
+        _exif_meta,
+        _jpeg_params,
+        build_exif_app1,
+        decode_jpeg,
+        encode_jpeg,
+        parse_exif,
+    )
+
+    for i in range(_N_JPEG):
+        p = _jpeg_params(i)
+        clean = encode_jpeg(
+            p["w"], p["h"],
+            lambda x, y, i=i: ((x // 8) * 29 + (y // 8) * 17 + 16 * i) % 256,
+            lambda x, y, i=i: ((x // 8) * 13 + (y // 8) * 31 + 8 * i) % 256,
+            lambda x, y, i=i: ((x // 8) * 23 + (y // 8) * 11 + 24 * i) % 256,
+            subsample=p["sub"], q_dc=p["q_dc"], restart_interval=p["ri"],
+        )
+        m = _exif_meta(i)
+        app1 = build_exif_app1(
+            m["make"], m["datetime"], m["orientation"], p["w"], p["h"], m["iso"]
+        )
+        tagged = clean[:2] + app1 + clean[2:]
+        x = parse_exif(tagged)
+        assert x["make"] == m["make"] and x["datetime"] == m["datetime"]
+        assert x["orientation"] == m["orientation"] and x["iso"] == m["iso"]
+        assert (x["pixel_w"], x["pixel_h"]) == (p["w"], p["h"])
+        _w1, _h1, rgb_clean = decode_jpeg(clean)
+        _w2, _h2, rgb_tagged = decode_jpeg(tagged)
+        assert np.array_equal(rgb_clean, rgb_tagged), i
+
+
+def test_exif_big_endian_and_rejections():
+    """A hand-built big-endian (MM) EXIF block must parse (pins the
+    endian dispatch against the little-endian builder), and each
+    corruption class raises the documented ValueError."""
+    import struct
+
+    import pytest
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        build_exif_app1,
+        parse_exif,
+        tiff_ifd_tags,
+    )
+
+    # minimal MM TIFF block: one IFD with Orientation=6
+    tiff = struct.pack(">2sHI", b"MM", 42, 8)
+    tiff += struct.pack(">H", 1)
+    tiff += struct.pack(">HHIHH", 274, 3, 1, 6, 0)
+    tiff += struct.pack(">I", 0)
+    body = b"Exif\x00\x00" + tiff
+    jpeg = (
+        b"\xff\xd8" + b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+        + b"\xff\xd9"
+    )
+    x = parse_exif(jpeg)
+    assert x["orientation"] == 6 and x["make"] is None
+
+    app1 = build_exif_app1("CAM", "2020:01:02 03:04:05", 1, 10, 8, 200)
+    good = b"\xff\xd8" + app1 + b"\xff\xd9"
+    assert parse_exif(good)["iso"] == 200
+    with pytest.raises(ValueError, match="not a JPEG"):
+        parse_exif(b"II*\x00" + good)
+    with pytest.raises(ValueError, match="no EXIF"):
+        parse_exif(b"\xff\xd8\xff\xd9")
+    with pytest.raises(ValueError, match="truncated JPEG segment"):
+        parse_exif(good[:-6])  # APP1 length now exceeds the payload
+    bad_magic = bytearray(good)
+    bad_magic[good.index(b"II*") + 2] = 0x2B
+    with pytest.raises(ValueError, match="magic"):
+        parse_exif(bytes(bad_magic))
+    with pytest.raises(ValueError, match="read past end"):
+        tiff_ifd_tags(tiff[:12], ">", 8)
