@@ -47,7 +47,7 @@ def test_cohort_retention_bounds(spark):
             r.n_active,
             r.n_cohort,
         )
-    for cohort, offsets in by_cohort.items():
+    for _cohort, offsets in by_cohort.items():
         # offset 0 exists and is complete: a user's first event is in
         # their cohort week by definition
         assert offsets[0][0] == offsets[0][1]

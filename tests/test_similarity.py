@@ -42,7 +42,7 @@ def test_bruteforce_self_excluded_and_ranked(spark):
     for r in out:
         assert r.qid != r.cid
         by_q.setdefault(r.qid, []).append(r)
-    for qid, rows in by_q.items():
+    for _qid, rows in by_q.items():
         rows.sort(key=lambda r: r.rank)
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
         scores = [r.cos for r in rows]

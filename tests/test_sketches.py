@@ -133,7 +133,7 @@ def test_kmv_merge_identity_error_bound_and_exact_branch():
     sql = entry.oracle_sql()["op_kmv_distinct"]
 
     cur = duck_for(duckdb.connect(), SF_MED)
-    k, k_got, kth, est, exact, merged_ok = cur.execute(sql).fetchone()
+    k, k_got, _kth, est, exact, merged_ok = cur.execute(sql).fetchone()
     assert (k, k_got, merged_ok) == (KMV_K, KMV_K, 1)
     assert abs(est - exact) / exact <= 4 / math.sqrt(KMV_K), (est, exact)
 

@@ -546,7 +546,7 @@ def test_pattern_match_stream_matches_batch_entry(spark, events_dir):
     pdf = pdf.sort_values(["user_id", "ts", "event_id"])
     want_hist = Counter()
     want_pathsum = Counter()
-    for uid, g in pdf.groupby("user_id"):
+    for _uid, g in pdf.groupby("user_id"):
         saw_v, n = False, 0
         for et in g["event_type"]:
             if et == "view":

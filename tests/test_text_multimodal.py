@@ -251,7 +251,7 @@ def test_bmp_roundtrip_padding_flip_and_rejection():
     (off,) = struct.unpack("<I", payload[10:14])
     moved = bytearray(payload[:off] + b"\xab\xcd" + payload[off:])
     moved[10:14] = struct.pack("<I", off + 2)
-    w2, h2, arr2 = decode_bmp(bytes(moved))
+    _w2, _h2, arr2 = decode_bmp(bytes(moved))
     assert np.array_equal(arr, arr2)
     # top-down variant (negative height) decodes to the same array
     td = bytearray(payload)
@@ -260,7 +260,7 @@ def test_bmp_roundtrip_padding_flip_and_rejection():
     body = payload[off:]
     rows = [body[i * stride:(i + 1) * stride] for i in range(4)]
     td_payload = bytes(td[:off]) + b"".join(reversed(rows))
-    w3, h3, arr3 = decode_bmp(td_payload)
+    _w3, _h3, arr3 = decode_bmp(td_payload)
     assert np.array_equal(arr, arr3)
     with _pytest.raises(ValueError, match="truncated"):
         decode_bmp(payload[:-3])
@@ -562,7 +562,6 @@ def test_gif_lzw_against_independent_decoder():
 
     def independent_decompress(data, mcs, expect):
         clear, end = 1 << mcs, (1 << mcs) + 1
-        codes = []
         buf = nb = pos = 0
         width = mcs + 1
         table = {i: bytes([i]) for i in range(clear)}
@@ -658,7 +657,7 @@ def test_gif_full_metadata_survives_extension_before_descriptor():
     gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
     spliced = plain[:split] + gce + plain[split:]
     for payload in (plain, spliced):
-        w, h, arr, n_colors, interlaced = decode_gif_full(payload)
+        w, h, _arr, n_colors, interlaced = decode_gif_full(payload)
         assert (w, h, n_colors, interlaced) == (9, 7, 8, 1)
     import numpy as np
 
@@ -791,7 +790,7 @@ def test_jpeg_roundtrip_tolerance_and_rejection():
     crf = lambda x, y: (x + 11 * y) % 256
     for sub in (False, True):
         payload = encode_jpeg(w, h, yf, cbf, crf, subsample=sub)
-        W, H, arr = decode_jpeg(payload)
+        _W, _H, arr = decode_jpeg(payload)
         s = 2 if sub else 1
         xs, ys = np.arange(w), np.arange(h)
         yv = (3 * xs[None, :] + 5 * ys[:, None]) % 256
