@@ -164,8 +164,9 @@ HEADLINE = [
     "ts_sax_words",
     "sim_dbscan",
     # ... and EXIF metadata extraction (APP1/TIFF IFD walk shared with
-    # the TIFF codec)
+    # the TIFF codec) plus the MASE forecast backtest
     "multimodal_exif_parse",
+    "ts_mase_eval",
 ]
 
 

@@ -104,7 +104,7 @@ def oracle_queries() -> dict[str, str]:
 # 50-slot window the full board re-grades every ~5 rounds, which is the
 # staleness ceiling this policy guarantees.
 #
-# ROUND-9 WINDOW: 19 NEW r9 ops (multimodal_adpcm_decode — the IMA-ADPCM
+# ROUND-9 WINDOW: 20 NEW r9 ops (multimodal_adpcm_decode — the IMA-ADPCM
 # codec; multimodal_jpeg_ac_decode — the non-zero-AC JPEG family that
 # puts Huffman-AC + IDCT under the driver gate; llm_sequence_pack —
 # concat-then-chunk packing; op_hll_distinct — integer-exact HLL
@@ -121,19 +121,20 @@ def oracle_queries() -> dict[str, str]:
 # quantile-breakpoint RFM rollup; op_assoc_rules — integer-ppm
 # market-basket rules; ts_sax_words — SAX symbolization; sim_dbscan —
 # density clustering over the quantized eps-graph;
-# multimodal_exif_parse — APP1/TIFF metadata extraction) + all 8
-# entries whose latest green is r3 + the alphabetically-first 23 of
-# the 44 r4-latest entries; 19 NEW + 8 + 23 = 50.
-# Displacement tail (last 21 r4 alphabetically) heads the ROUND-10
-# QUEUE, pre-derived: op_min_max_by, op_new_vs_returning,
+# multimodal_exif_parse — APP1/TIFF metadata extraction;
+# ts_mase_eval — naive-vs-seasonal-naive MASE forecast backtest) + all
+# 8 entries whose latest green is r3 + the alphabetically-first 22 of
+# the 44 r4-latest entries; 20 NEW + 8 + 22 = 50.
+# Displacement tail (last 22 r4 alphabetically) heads the ROUND-10
+# QUEUE, pre-derived: op_median_mode, op_min_max_by, op_new_vs_returning,
 # op_stats_regression, op_string_agg, op_token_cooccurrence,
 # op_try_arithmetic, op_width_bucket_hist, op_window_navigation,
 # pipeline_curate_corpus, sample_importance, sample_weighted_topk,
 # sim_search_ivf, sim_search_lsh, text_bm25_score, tpch_q8, ts_ewma,
 # ts_expanding_anomaly, ts_gap_fill, ts_interp_fill, ts_ohlc_bars,
-# ts_zscore_anomaly, then the alphabetically-first 29 of the 44
-# r5-latest entries — 21 + 29 = exactly 50 (absent new r10 ops, which
-# displace from that tail oldest-cohort-last; the remaining 15 r5
+# ts_zscore_anomaly, then the alphabetically-first 28 of the 44
+# r5-latest entries — 22 + 28 = exactly 50 (absent new r10 ops, which
+# displace from that tail oldest-cohort-last; the remaining 16 r5
 # entries + r6 cohort follow in round 11).
 # Verify any window rewrite mechanically:
 #   PYTHONPATH=. python3 scripts/window_check.py
@@ -145,8 +146,9 @@ GRADED_PRIORITY: list[str] = [
     # audit, Y4M scene-cut detection, Neyman stratified allocation,
     # windowed audio energy/VAD, winnowing fingerprints, the baseline
     # TIFF/PackBits codec, the Hampel filter, RFM segmentation,
-    # association rules, SAX words, DBSCAN, and EXIF parsing (each new
-    # op displaced one r4-tail entry to the round-10 queue)
+    # association rules, SAX words, DBSCAN, EXIF parsing, and the MASE
+    # forecast backtest (each new op displaced one r4-tail entry to
+    # the round-10 queue)
     "multimodal_adpcm_decode", "multimodal_jpeg_ac_decode",
     "llm_sequence_pack", "op_hll_distinct", "llm_dup_span_coverage",
     "multimodal_g711_decode", "graph_hits", "llm_pad_waste",
@@ -154,12 +156,12 @@ GRADED_PRIORITY: list[str] = [
     "multimodal_audio_energy", "text_winnowing",
     "multimodal_tiff_decode", "ts_hampel_filter",
     "op_rfm_segments", "op_assoc_rules", "ts_sax_words", "sim_dbscan",
-    "multimodal_exif_parse",
+    "multimodal_exif_parse", "ts_mase_eval",
     # latest green = round 3 (all 8)
     "op_null_safe_join", "op_scd2_intervals", "op_snapshot_diff",
     "op_upsert_latest", "sample_split", "sample_stratified",
     "text_length_histogram", "text_rolling_fingerprint",
-    # latest green = round 4 (alphabetically-first 23 of 44)
+    # latest green = round 4 (alphabetically-first 22 of 44)
     "audit_orphans", "audit_skew", "dedup_clusters", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_semantic", "dedup_simhash",
     "gen_fact_dim_join_invariants", "join_asof_forward",
@@ -167,7 +169,7 @@ GRADED_PRIORITY: list[str] = [
     "llm_ngram_novelty", "llm_quality_floor", "op_approx_percentile_tol",
     "op_bit_aggregates", "op_cohort_retention", "op_equidepth_hist",
     "op_event_transitions", "op_funnel_conversion", "op_grouping_marks",
-    "op_json_schema_read", "op_median_mode",
+    "op_json_schema_read",
 ]
 
 

@@ -1130,3 +1130,73 @@ def _register_sax() -> None:
 
 
 _register_sax()
+
+
+def _register_mase_eval() -> None:
+    """Forecast backtest with MASE (Hyndman & Koehler 2006, "Another
+    look at measures of forecast accuracy"): per event-type daily
+    revenue series, one-step NAIVE (v[t-1]) and SEASONAL-NAIVE (v[t-7])
+    forecasts are evaluated against each other's scaling — snaive's MAE
+    scaled by naive's answers "is the weekly cycle worth modeling?"
+    (mase < 1e6 ppm means yes), and naive scaled by snaive answers the
+    converse.  The standard pre-modeling artifact before fitting
+    anything heavier.
+
+    Determinism: the series is exact daily cents, errors are integer
+    absolute differences, and MASE is ONE integer cross-multiplied
+    floor division in ppm — (sum_err_a * n_b * 1e6) div (sum_err_b *
+    n_a) — no float anywhere (the op_assoc_rules ppm idiom).  Each
+    forecast only scores days where BOTH lags exist, so the two error
+    sets are aligned and n_a = n_b by construction (kept as separate
+    counts in the output for auditability).
+
+    100 TB shape: one scan to the (type, day) daily frame (map-side
+    combinable; the wide event payload never shuffles), two lag windows
+    per tiny per-type partition (~30 rows per series here, ~years of
+    days in production — still thousands, never corpus-scale), one
+    5-row aggregate.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    tpl = """
+        WITH daily AS (
+          SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                   AS BIGINT) AS v
+          FROM {events}
+          GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+        ),
+        lagged AS (
+          SELECT event_type, d, v,
+                 lag(v, 1) OVER (PARTITION BY event_type ORDER BY d)
+                   AS v1,
+                 lag(v, 7) OVER (PARTITION BY event_type ORDER BY d)
+                   AS v7
+          FROM daily
+        ),
+        err AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(sum(abs(v - v1)) AS BIGINT) AS err_naive,
+                 CAST(sum(abs(v - v7)) AS BIGINT) AS err_snaive
+          FROM lagged
+          WHERE v1 IS NOT NULL AND v7 IS NOT NULL
+          GROUP BY event_type
+        )
+        SELECT event_type, n_days, err_naive, err_snaive,
+               CAST((err_snaive * 1000000) {div} greatest(err_naive, 1)
+                 AS BIGINT) AS mase_snaive_ppm,
+               CAST((err_naive * 1000000) {div} greatest(err_snaive, 1)
+                 AS BIGINT) AS mase_naive_ppm
+        FROM err
+        ORDER BY event_type
+    """
+    register_sql(
+        "ts_mase_eval",
+        tpl.replace("{div}", "div").format(**_SPARK_TABLES),
+        tpl.replace("{div}", "//").format(**_ORACLE_TABLES),
+    )
+
+
+_register_mase_eval()

@@ -1573,3 +1573,49 @@ def test_exif_big_endian_and_rejections():
         parse_exif(bytes(bad_magic))
     with pytest.raises(ValueError, match="read past end"):
         tiff_ifd_tags(tiff[:12], ">", 8)
+
+
+# -------------------------------------------------------------- MASE eval
+def test_mase_oracle_matches_pure_python():
+    """The MASE backtest oracle must equal an independent pure-Python
+    evaluator (dict series, explicit lag alignment) at sf0.001, with
+    the cross-scaling identity mase_a * mase_b ~ 1e12 (floor-division
+    loss < one ppm each way) holding per series."""
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    got = con.execute(oracle_queries()["ts_mase_eval"]).fetchall()
+
+    rows = con.execute(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE),"
+        " sum(CAST(round(value * 100, 0) AS BIGINT))"
+        " FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series: dict = {}
+    for et, d, v in rows:
+        series.setdefault(et, []).append(int(v))
+    want = []
+    for et in sorted(series):
+        vs = series[et]
+        n = e1 = e7 = 0
+        for t in range(7, len(vs)):
+            n += 1
+            e1 += abs(vs[t] - vs[t - 1])
+            e7 += abs(vs[t] - vs[t - 7])
+        want.append(
+            (et, n, e1, e7,
+             (e7 * 1_000_000) // max(e1, 1),
+             (e1 * 1_000_000) // max(e7, 1))
+        )
+    assert [tuple(map(lambda x: x if isinstance(x, str) else int(x), r))
+            for r in got] == want
+    for _et, _n, e1, e7, ms, mn in want:
+        assert e1 > 0 and e7 > 0
+        # cross-scaling identity up to the two floor losses
+        assert abs(ms * mn - 10**12) <= (ms + mn)
