@@ -1055,12 +1055,19 @@ def assoc_rules(
     (bounded by order size), map-side C(k,2) pair explode — the
     coorder_pairs economics from graph.py, but order-level distinct so
     supports are true basket counts — then the pair support aggregation
-    and a broadcast join of the |parts|-scale item-support frame onto
-    both rule directions.  The basket frame is materialized once for
-    the pair branch and the item-support branch.  BIGINT bound:
-    N * n_ab * 1e6 needs N*n_ab < 9.2e12 — fine through ~3e6 orders
-    with the graded min_sup; at larger N move the two ppm numerators
-    to DECIMAL(38,0), same plan.
+    and a broadcast join of the item-support frame onto both rule
+    directions.  The basket frame is materialized once for the pair
+    branch and the item-support branch; the min-sup-surviving pair
+    frame is materialized once and PRUNES the |parts|-scale
+    item-support frame via a broadcast semi-join before it is itself
+    broadcast — so the forced broadcast is bounded by the survivors
+    (tiny by construction at any |parts|), never the full part
+    dimension.  Overflow-safe at any N: the lift numerator
+    N * n_ab * 1e6 and denominator n_a * n_b are computed in
+    DECIMAL(38,0) (Spark ``div`` divides decimals exactly and only
+    casts the already-small quotient to BIGINT) / HUGEINT (DuckDB), so
+    both engines stay exact where BIGINT would wrap (Spark, non-ANSI)
+    or error (DuckDB) past ~3e6 orders.
     """
     from pyspark.sql import functions as F
 
@@ -1078,7 +1085,7 @@ def assoc_rules(
     per_order = baskets.groupBy("ok").agg(
         F.sort_array(F.collect_set("p")).alias("parts")
     )
-    pairs = (
+    pairs = materialize(
         per_order.select(
             F.explode(
                 F.expr(
@@ -1098,14 +1105,22 @@ def assoc_rules(
             F.col("b").alias("a"), F.col("a").alias("b"), "n_ab"
         )
     )
+    # parts surviving min-sup — tiny by construction; semi-join-prune
+    # the |parts|-scale item-support frame against it (broadcasting the
+    # survivors, not the dimension) so the forced broadcast below is
+    # bounded at any part-dimension scale
+    surviving = pairs.select(F.col("a").alias("p")).unionAll(
+        pairs.select(F.col("b").alias("p"))
+    ).distinct()
+    items_p = materialize(items.join(F.broadcast(surviving), "p", "left_semi"))
     scored = (
         both_dirs.join(
-            F.broadcast(items.select(F.col("p").alias("a"),
-                                     F.col("n_item").alias("n_a"))), "a"
+            F.broadcast(items_p.select(F.col("p").alias("a"),
+                                       F.col("n_item").alias("n_a"))), "a"
         )
         .join(
-            F.broadcast(items.select(F.col("p").alias("b"),
-                                     F.col("n_item").alias("n_b"))), "b"
+            F.broadcast(items_p.select(F.col("p").alias("b"),
+                                       F.col("n_item").alias("n_b"))), "b"
         )
         .withColumn("__j", F.lit(1))
         .join(F.broadcast(n_orders), "__j")
@@ -1117,7 +1132,10 @@ def assoc_rules(
             F.col("n_b").cast("long").alias("n_b"),
             F.col("n").cast("long").alias("n_orders"),
             F.expr("(n_ab * 1000000) div n_a").cast("long").alias("conf_ppm"),
-            F.expr("(n * n_ab * 1000000) div (n_a * n_b)")
+            F.expr(
+                "(CAST(n AS DECIMAL(38,0)) * n_ab * 1000000) div "
+                "(CAST(n_a AS DECIMAL(38,0)) * n_b)"
+            )
             .cast("long")
             .alias("lift_ppm"),
         )
@@ -1161,8 +1179,9 @@ _ASSOC_ORACLE = f"""
            CAST((SELECT count(DISTINCT ok) FROM baskets) AS BIGINT)
              AS n_orders,
            CAST((d.n_ab * 1000000) // ia.n_item AS BIGINT) AS conf_ppm,
-           CAST(((SELECT count(DISTINCT ok) FROM baskets)
-                 * d.n_ab * 1000000) // (ia.n_item * ib.n_item) AS BIGINT)
+           CAST((CAST((SELECT count(DISTINCT ok) FROM baskets) AS HUGEINT)
+                 * d.n_ab * 1000000)
+                // (CAST(ia.n_item AS HUGEINT) * ib.n_item) AS BIGINT)
              AS lift_ppm
     FROM dirs d
     JOIN items ia ON ia.p = d.a

@@ -93,11 +93,16 @@ def decode_image(payload: bytes) -> "object":
     )
 
 
-def decode_audio(payload: bytes) -> "object":
+def decode_audio(payload: bytes) -> "tuple":
     """Generic audio seam: RIFF/WAVE decodes NATIVELY — PCM (format 1,
     ``decode_wav``), G.711 A-law/mu-law (formats 6/7,
     ``decode_g711_wav``) and IMA-ADPCM (format 17, ``decode_adpcm_wav``)
-    are dispatched on the fmt chunk's wFormatTag.  Perceptual-codec
+    are dispatched on the fmt chunk's wFormatTag.  ALWAYS returns the
+    uniform 2-tuple ``(sample_rate, int16 samples)`` regardless of
+    codec — the G.711 law byte is a codec detail; callers that need it
+    call ``decode_g711_wav`` directly.  Truncation anywhere (including
+    inside the fmt chunk during the tag peek) raises ValueError, the
+    same contract the dedicated decoders uphold.  Perceptual-codec
     formats (MP3/AAC/Opus) genuinely require an external library and
     raise behind this clearly-marked stub; in production the fallback
     would be soundfile/ffmpeg — the mapInPandas plumbing is identical."""
@@ -109,11 +114,17 @@ def decode_audio(payload: bytes) -> "object":
             cid = payload[pos : pos + 4]
             (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
             if cid == b"fmt " and size >= 2:
+                if pos + 10 > len(payload) or pos + 8 + size > len(payload):
+                    raise ValueError(
+                        "truncated WAV fmt chunk: declared size "
+                        f"{size} exceeds remaining {len(payload) - pos - 8} bytes"
+                    )
                 (tag,) = struct.unpack("<H", payload[pos + 8 : pos + 10])
                 if tag == 17:
                     return decode_adpcm_wav(payload)
                 if tag in (6, 7):
-                    return decode_g711_wav(payload)
+                    rate, _law, samples = decode_g711_wav(payload)
+                    return rate, samples
                 return decode_wav(payload)
             pos += 8 + size + (size % 2)
         raise ValueError("RIFF/WAVE payload with no fmt chunk")

@@ -104,72 +104,40 @@ def oracle_queries() -> dict[str, str]:
 # 50-slot window the full board re-grades every ~5 rounds, which is the
 # staleness ceiling this policy guarantees.
 #
-# ROUND-9 WINDOW: 20 NEW r9 ops (multimodal_adpcm_decode — the IMA-ADPCM
-# codec; multimodal_jpeg_ac_decode — the non-zero-AC JPEG family that
-# puts Huffman-AC + IDCT under the driver gate; llm_sequence_pack —
-# concat-then-chunk packing; op_hll_distinct — integer-exact HLL
-# register fold; llm_dup_span_coverage — duplicated n-gram span
-# coverage; multimodal_g711_decode — the G.711 mu-law/A-law telephony
-# codec; graph_hits — fixed-point integer hubs/authorities on the
-# bipartite purchase graph; llm_pad_waste — length-bucketed batching
-# padding audit; multimodal_scene_cut — Y4M shot-boundary detection;
-# sample_neyman_alloc — Neyman/Hamilton stratified allocation;
-# multimodal_audio_energy — windowed VAD-style energy/zero-crossing
-# analysis; text_winnowing — MOSS winnowing fingerprint candidate
-# pairs; multimodal_tiff_decode — the baseline TIFF/PackBits codec;
-# ts_hampel_filter — robust median/MAD despiking; op_rfm_segments —
-# quantile-breakpoint RFM rollup; op_assoc_rules — integer-ppm
-# market-basket rules; ts_sax_words — SAX symbolization; sim_dbscan —
-# density clustering over the quantized eps-graph;
-# multimodal_exif_parse — APP1/TIFF metadata extraction;
-# ts_mase_eval — naive-vs-seasonal-naive MASE forecast backtest) + all
-# 8 entries whose latest green is r3 + the alphabetically-first 22 of
-# the 44 r4-latest entries; 20 NEW + 8 + 22 = 50.
-# Displacement tail (last 22 r4 alphabetically) heads the ROUND-10
-# QUEUE, pre-derived: op_median_mode, op_min_max_by, op_new_vs_returning,
-# op_stats_regression, op_string_agg, op_token_cooccurrence,
-# op_try_arithmetic, op_width_bucket_hist, op_window_navigation,
-# pipeline_curate_corpus, sample_importance, sample_weighted_topk,
-# sim_search_ivf, sim_search_lsh, text_bm25_score, tpch_q8, ts_ewma,
-# ts_expanding_anomaly, ts_gap_fill, ts_interp_fill, ts_ohlc_bars,
-# ts_zscore_anomaly, then the alphabetically-first 28 of the 44
-# r5-latest entries — 22 + 28 = exactly 50 (absent new r10 ops, which
-# displace from that tail oldest-cohort-last; the remaining 16 r5
-# entries + r6 cohort follow in round 11).
+# ROUND-10 WINDOW (pure staleness round — no never-graded debt after
+# r9): the 22 r4-latest entries displaced from the r9 window + the
+# alphabetically-first 28 of the 44 r5-latest entries = 50.  New r10
+# ops are inserted at the head as they land, each displacing one entry
+# from the r5 tail (oldest-cohort-last), exactly as r9 did.
+# Displacement tail for the ROUND-11 QUEUE, pre-derived (absent new
+# r11 ops): whatever r5 entries the r10 insertions pushed out, then
+# the remaining r5-latest entries alphabetically, then the r6 cohort.
 # Verify any window rewrite mechanically:
 #   PYTHONPATH=. python3 scripts/window_check.py
 GRADED_PRIORITY: list[str] = [
-    # NEW round 9 (never graded): IMA-ADPCM codec, non-zero-AC JPEG
-    # family, GPT-style concat-then-chunk sequence packing, the
-    # integer-exact HyperLogLog sketch, duplicated-span coverage, the
-    # G.711 mu-law/A-law codec, bipartite HITS, the padding-waste
-    # audit, Y4M scene-cut detection, Neyman stratified allocation,
-    # windowed audio energy/VAD, winnowing fingerprints, the baseline
-    # TIFF/PackBits codec, the Hampel filter, RFM segmentation,
-    # association rules, SAX words, DBSCAN, EXIF parsing, and the MASE
-    # forecast backtest (each new op displaced one r4-tail entry to
-    # the round-10 queue)
-    "multimodal_adpcm_decode", "multimodal_jpeg_ac_decode",
-    "llm_sequence_pack", "op_hll_distinct", "llm_dup_span_coverage",
-    "multimodal_g711_decode", "graph_hits", "llm_pad_waste",
-    "multimodal_scene_cut", "sample_neyman_alloc",
-    "multimodal_audio_energy", "text_winnowing",
-    "multimodal_tiff_decode", "ts_hampel_filter",
-    "op_rfm_segments", "op_assoc_rules", "ts_sax_words", "sim_dbscan",
-    "multimodal_exif_parse", "ts_mase_eval",
-    # latest green = round 3 (all 8)
-    "op_null_safe_join", "op_scd2_intervals", "op_snapshot_diff",
-    "op_upsert_latest", "sample_split", "sample_stratified",
-    "text_length_histogram", "text_rolling_fingerprint",
-    # latest green = round 4 (alphabetically-first 22 of 44)
-    "audit_orphans", "audit_skew", "dedup_clusters", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_semantic", "dedup_simhash",
-    "gen_fact_dim_join_invariants", "join_asof_forward",
-    "llm_budget_select", "llm_dataset_profile", "llm_incremental_dedup",
-    "llm_ngram_novelty", "llm_quality_floor", "op_approx_percentile_tol",
-    "op_bit_aggregates", "op_cohort_retention", "op_equidepth_hist",
-    "op_event_transitions", "op_funnel_conversion", "op_grouping_marks",
-    "op_json_schema_read",
+    # NEW round 10 ops are inserted here as they land, each displacing
+    # one entry from the r5 tail below (displaced entries head the
+    # round-11 queue).
+    # latest green = round 4 (the 22 displaced from the r9 window)
+    "op_median_mode", "op_min_max_by", "op_new_vs_returning",
+    "op_stats_regression", "op_string_agg", "op_token_cooccurrence",
+    "op_try_arithmetic", "op_width_bucket_hist", "op_window_navigation",
+    "pipeline_curate_corpus", "sample_importance", "sample_weighted_topk",
+    "sim_search_ivf", "sim_search_lsh", "text_bm25_score", "tpch_q8",
+    "ts_ewma", "ts_expanding_anomaly", "ts_gap_fill", "ts_interp_fill",
+    "ts_ohlc_bars", "ts_zscore_anomaly",
+    # latest green = round 5 (alphabetically-first 28 of 44; the
+    # remaining 16 r5 entries + the r6 cohort follow in round 11)
+    "dedup_prefix_filter", "graph_label_prop", "graph_neighbor_jaccard",
+    "graph_pagerank", "graph_shortest_path", "graph_triangles",
+    "llm_bpe_merges", "llm_curriculum_order", "llm_oov_rate",
+    "llm_span_corruption", "llm_temperature_mix", "multimodal_ppm_decode",
+    "multimodal_wav_decode", "op_agg_filter_clause", "op_bloom_membership",
+    "op_conversion_latency", "op_count_min_heavy_hitters",
+    "op_event_trigrams", "op_hll_rollup", "op_rate_limit",
+    "op_ratio_to_report", "op_rolling_dau", "op_rolling_revenue_28d",
+    "op_sequence_match", "op_skyline_2d", "op_trending_hours",
+    "op_winsorize", "sample_poisson_bootstrap",
 ]
 
 

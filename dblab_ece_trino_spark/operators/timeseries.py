@@ -1150,29 +1150,41 @@ def _register_mase_eval() -> None:
     sets are aligned and n_a = n_b by construction (kept as separate
     counts in the output for auditability).
 
+    The lags are CALENDAR-exact, not row-offset: each day is mapped to
+    an integer day number and v[t-1]/v[t-7] are singleton
+    ``RANGE BETWEEN k PRECEDING AND k PRECEDING`` window frames over
+    that number, so a series with a missing day compares each day
+    against the true same-weekday value (NULL — excluded from scoring
+    — when the calendar day is absent), never the 7th prior *observed*
+    day.  No gap-fill scan, no self-join: RANGE frames keep it one
+    window pass, identical in both engines.
+
     100 TB shape: one scan to the (type, day) daily frame (map-side
-    combinable; the wide event payload never shuffles), two lag windows
-    per tiny per-type partition (~30 rows per series here, ~years of
-    days in production — still thousands, never corpus-scale), one
-    5-row aggregate.
+    combinable; the wide event payload never shuffles), two range
+    windows per tiny per-type partition (~30 rows per series here,
+    ~years of days in production — still thousands, never
+    corpus-scale), one 5-row aggregate.
     """
     from dblab_ece_trino_spark.operators.registry import register_sql
     from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
 
+    # {dnum}: integer days since a fixed epoch — Spark datediff() is
+    # 2-arg (end, start); DuckDB date subtraction yields integer days.
     tpl = """
         WITH daily AS (
-          SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+          SELECT event_type,
+                 {dnum} AS dn,
                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
                    AS BIGINT) AS v
           FROM {events}
-          GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+          GROUP BY event_type, {dnum}
         ),
         lagged AS (
-          SELECT event_type, d, v,
-                 lag(v, 1) OVER (PARTITION BY event_type ORDER BY d)
-                   AS v1,
-                 lag(v, 7) OVER (PARTITION BY event_type ORDER BY d)
-                   AS v7
+          SELECT event_type, dn, v,
+                 max(v) OVER (PARTITION BY event_type ORDER BY dn
+                   RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS v1,
+                 max(v) OVER (PARTITION BY event_type ORDER BY dn
+                   RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS v7
           FROM daily
         ),
         err AS (
@@ -1194,8 +1206,16 @@ def _register_mase_eval() -> None:
     """
     register_sql(
         "ts_mase_eval",
-        tpl.replace("{div}", "div").format(**_SPARK_TABLES),
-        tpl.replace("{div}", "//").format(**_ORACLE_TABLES),
+        tpl.replace("{div}", "div")
+        .replace("{dnum}",
+                 "CAST(datediff(CAST(date_trunc('day', ts) AS DATE),"
+                 " DATE '1992-01-01') AS BIGINT)")
+        .format(**_SPARK_TABLES),
+        tpl.replace("{div}", "//")
+        .replace("{dnum}",
+                 "CAST(CAST(date_trunc('day', ts) AS DATE)"
+                 " - DATE '1992-01-01' AS BIGINT)")
+        .format(**_ORACLE_TABLES),
     )
 
 

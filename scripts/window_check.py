@@ -41,7 +41,12 @@ def latest_grades(repo: str) -> dict:
     return latest
 
 
-def main() -> None:
+def violations() -> list[str]:
+    """Recompute the rotation-policy checks; return violation strings.
+
+    Empty list == policy holds.  Imported by tests/test_engine.py so a
+    rotation violation fails the local suite before the driver grades.
+    """
     from dblab_ece_trino_spark.operators.registry import (
         GRADED_PRIORITY,
         oracle_queries,
@@ -59,23 +64,45 @@ def main() -> None:
     # them — they are exempt from the never-graded-first rule.
     exempt = {n for n in all_entries if n not in oracles}
     never = [n for n in all_entries if n not in grades and n not in exempt]
+    out: list[str] = []
+    out += [f"never-graded entry outside the window: {n}"
+            for n in never if n not in window]
+    out += [f"window duplicate: {n}"
+            for n in sorted({n for n in window if window.count(n) > 1})]
+    out += [f"window names an unregistered entry: {n}"
+            for n in window if n not in all_entries]
+    if len(GRADED_PRIORITY) > 50:
+        out.append(f"GRADED_PRIORITY has {len(GRADED_PRIORITY)} entries; "
+                   "only the first 50 are graded — trim the overflow")
+    return out
+
+
+def main() -> None:
+    from dblab_ece_trino_spark.operators.registry import (
+        GRADED_PRIORITY,
+        oracle_queries,
+        spark_queries,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    grades = latest_grades(repo)
+    all_entries = list(spark_queries())
+    oracles = oracle_queries()
+    window = GRADED_PRIORITY[:50]
+    exempt = {n for n in all_entries if n not in oracles}
+    never = [n for n in all_entries if n not in grades and n not in exempt]
     if exempt:
         print(f"oracle-less (rows-only / by-design exempt): {sorted(exempt)}")
 
     print(f"entries: {len(all_entries)}  window: {len(window)}  "
           f"never-graded: {len(never)}")
-    missing_new = [n for n in never if n not in window]
-    if missing_new:
-        print("POLICY VIOLATION — never-graded entries outside the window:")
-        for n in missing_new:
-            print("  ", n)
+    probs = violations()
+    if probs:
+        print("POLICY VIOLATIONS:")
+        for p in probs:
+            print("  ", p)
     else:
         print("policy ok: every never-graded entry holds a window slot")
-
-    dup = [n for n in window if window.count(n) > 1]
-    unknown = [n for n in window if n not in all_entries]
-    if dup or unknown:
-        print(f"WINDOW ERRORS — duplicates: {dup}  unregistered: {unknown}")
 
     cohorts: dict = {}
     for n in window:
@@ -88,6 +115,8 @@ def main() -> None:
     print("next-round queue head (oldest-first, alphabetical in cohort):")
     for n in rest[:20]:
         print(f"   r{grades.get(n, 0):>2}  {n}")
+    if probs:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -276,3 +276,20 @@ def test_connector_options_reach_reader(spark):
 
     with pytest.raises(NotImplementedError, match="not a bundled format"):
         reg.load(TableSpec("v", "d", "t", "no_such_format"))
+
+
+def test_rotation_window_policy():
+    """The 50-slot grading window must satisfy the rotation policy
+    (scripts/window_check.py): every never-graded oracle-backed entry
+    holds a window slot, no duplicates, no unregistered names, and
+    GRADED_PRIORITY holds at most the 50 graded slots."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    try:
+        from window_check import violations
+    finally:
+        sys.path.pop(0)
+    assert violations() == []

@@ -544,10 +544,17 @@ def test_g711_engine_decoder_matches_independent_reference():
     for i in range(_N_G711):
         n_samp, rate, law = _G711_PARAMS[i]
         payload = encode_g711_wav(_g711_signal(i, n_samp), rate, law)
-        er, elaw, es = decode_audio(payload)
+        # the generic seam is uniform (rate, samples) for every codec;
+        # the law byte is exposed only by the dedicated decoder
+        er, es = decode_audio(payload)
+        from dblab_ece_trino_spark.operators.multimodal import decode_g711_wav
+
+        dr, dlaw, ds = decode_g711_wav(payload)
         rr, rlaw, rs = ref_decode(payload)
-        assert (er, elaw) == (rr, rlaw) == (rate, law)
-        assert list(map(int, es)) == rs, f"clip {i} diverges"
+        assert (dr, dlaw) == (rr, rlaw) == (rate, law)
+        assert er == rr and list(map(int, es)) == list(map(int, ds)) == rs, (
+            f"clip {i} diverges"
+        )
 
 
 def test_g711_expected_constants_rederive():
@@ -1597,17 +1604,20 @@ def test_mase_oracle_matches_pure_python():
         " sum(CAST(round(value * 100, 0) AS BIGINT))"
         " FROM events GROUP BY 1, 2 ORDER BY 1, 2"
     ).fetchall()
+    # keyed by CALENDAR day: a day scores only when d-1 and d-7 both
+    # exist as calendar days, never against the prior *observed* row
     series: dict = {}
     for et, d, v in rows:
-        series.setdefault(et, []).append(int(v))
+        series.setdefault(et, {})[d.toordinal()] = int(v)
     want = []
     for et in sorted(series):
         vs = series[et]
         n = e1 = e7 = 0
-        for t in range(7, len(vs)):
-            n += 1
-            e1 += abs(vs[t] - vs[t - 1])
-            e7 += abs(vs[t] - vs[t - 7])
+        for t in sorted(vs):
+            if (t - 1) in vs and (t - 7) in vs:
+                n += 1
+                e1 += abs(vs[t] - vs[t - 1])
+                e7 += abs(vs[t] - vs[t - 7])
         want.append(
             (et, n, e1, e7,
              (e7 * 1_000_000) // max(e1, 1),

@@ -63,6 +63,26 @@ def test_multimodal_decoder_stubs_marked():
         multimodal.decode_audio(b"RIFF")
 
 
+def test_decode_audio_truncated_fmt_raises_value_error():
+    """A RIFF payload truncated INSIDE the fmt chunk must raise the
+    ValueError contract, not struct.error, during the tag peek."""
+    import struct
+
+    from dblab_ece_trino_spark.operators import multimodal
+
+    # declared fmt size 16 but the payload ends 1 byte into the body
+    trunc = b"RIFF" + struct.pack("<I", 40) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + b"\x01"
+    with pytest.raises(ValueError, match="truncated WAV fmt"):
+        multimodal.decode_audio(trunc)
+    # declared size larger than the remaining bytes (tag bytes present)
+    trunc2 = (
+        b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 64) + b"\x01\x00\x01\x00"
+    )
+    with pytest.raises(ValueError, match="truncated WAV fmt"):
+        multimodal.decode_audio(trunc2)
+
+
 def test_frame_sample_expands_by_duration(spark):
     from dblab_ece_trino_spark.operators.multimodal import frame_sample
 
