@@ -167,6 +167,9 @@ HEADLINE = [
     # the TIFF codec) plus the MASE forecast backtest
     "multimodal_exif_parse",
     "ts_mase_eval",
+    # round-10 additions: the ANN recall@k scoreboard (exact integer
+    # hit counts of LSH/IVF against brute force, floors in ppm)
+    "sim_recall_at_k",
 ]
 
 

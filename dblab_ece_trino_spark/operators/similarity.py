@@ -416,6 +416,97 @@ def _q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("sim_search_ivf", _q_sim_ivf, oracle=_ANN_INVARIANT_ORACLE)
 
 
+# ------------------------------------------------- ANN recall measurement
+def recall_at_k(
+    ann: DataFrame, bf: DataFrame, queries: DataFrame, k: int,
+    method: str, floor_ppm: int,
+) -> DataFrame:
+    """Exact recall@k of an ANN result against the in-engine exact
+    brute-force top-k: one integer hit count (|ann ∩ bf| joined on
+    (qid, cid)) over k x n_queries, compared against a ppm floor with
+    integer cross-multiplication (hits * 1e6 >= floor_ppm * k * n) —
+    no float division anywhere, so the decision replays exactly.
+
+    Queries with an empty ANN candidate set (a real LSH failure mode —
+    all neighbors hashed away) contribute 0 hits by construction: the
+    denominator is k x |queries|, not k x |matched queries|.
+
+    Scale shape: three 1-row aggregates broadcast-joined — the ANN and
+    brute-force frames carry their own economics (queries broadcast,
+    candidates gated before exact scoring); the measurement adds one
+    equi-join on (qid, cid) and constant-size frames after that.
+    """
+    hits = (
+        ann.join(bf.select("qid", "cid"), ["qid", "cid"])
+        .agg(F.count("*").cast("long").alias("h"))
+        .withColumn("__j", F.lit(1))
+    )
+    nq = (
+        queries.agg(F.count("*").cast("long").alias("n_queries"))
+        .withColumn("__j", F.lit(1))
+    )
+    return (
+        nq.join(F.broadcast(hits), "__j")
+        .select(
+            F.lit(method).alias("method"),
+            "n_queries",
+            F.lit(k).cast("long").alias("k"),
+            F.lit(floor_ppm).cast("long").alias("floor_ppm"),
+            (
+                F.col("h") * F.lit(1_000_000)
+                >= F.lit(floor_ppm) * F.lit(k) * F.col("n_queries")
+            ).alias("recall_ok"),
+        )
+    )
+
+
+def _q_sim_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded recall@5 scoreboard for the ANN surface: knn_lsh and
+    knn_ivf measured against knn_bruteforce (floors set with wide
+    margin under the measured values — pinned tighter in
+    tests/test_similarity.py), plus the brute-force-vs-itself row whose
+    floor is EXACTLY 1e6 ppm — it passes only when the hit join
+    recovers every one of the k x n_queries pairs, anchoring the
+    measurement mechanics themselves."""
+    from dblab_ece_trino_spark.session import materialize
+
+    emb = _emb(spark, sf_dir)
+    # tiny query frame consumed by all three methods AND the three
+    # n_queries aggregates — one checkpoint instead of six scans
+    queries = materialize(emb.filter(F.col("vec_id") < 10))
+    k = 5
+    bf = materialize(knn_bruteforce(emb, queries, k=k))
+    lsh = knn_lsh(emb, queries, k=k, nbits=8)
+    ivf = knn_ivf(emb, queries, k=k, n_clusters=16, nprobe=4)
+    out = (
+        recall_at_k(bf, bf, queries, k, "bruteforce", 1_000_000)
+        .unionByName(recall_at_k(ivf, bf, queries, k, "ivf", 500_000))
+        .unionByName(recall_at_k(lsh, bf, queries, k, "lsh", 100_000))
+    )
+    return out.orderBy("method")
+
+
+register(
+    "sim_recall_at_k",
+    _q_sim_recall_at_k,
+    # The measured recalls are data constants (no RNG anywhere:
+    # seeded hyperplanes, deterministic k-means), so the oracle pins
+    # the floor verdicts; n_queries is derived from the data, not a
+    # literal.
+    oracle="""
+    WITH nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries
+                FROM embeddings WHERE vec_id < 10)
+    SELECT m.method, nq.n_queries, CAST(5 AS BIGINT) AS k,
+           m.floor_ppm, true AS recall_ok
+    FROM (VALUES ('bruteforce', CAST(1000000 AS BIGINT)),
+                 ('ivf', CAST(500000 AS BIGINT)),
+                 ('lsh', CAST(100000 AS BIGINT)))
+         AS m(method, floor_ppm), nq
+    ORDER BY m.method
+    """,
+)
+
+
 # ------------------------------------------------------- semantic dedup
 def semantic_dedup(
     corpus: DataFrame,
@@ -876,6 +967,98 @@ DBSCAN_MIN_DEG = 3  # core = at least this many eps-neighbors (excl. self)
 DBSCAN_SLICE = 2000
 
 
+def _eps_pairs_exact(c: DataFrame, t_num: int, t_den: int) -> DataFrame:
+    """Exact quantized-cosine eps-graph edges (ia, ib) with ia < ib over
+    a code frame (cid, cc: array<long>, scc: long): the integer eps
+    decision s_ab > 0 AND t_den^2*s_ab^2 >= t_num^2*s_aa*s_bb evaluated
+    for ALL pairs by an Arrow-batched int64 matrix multiply — each
+    mapInPandas batch multiplies its code block against the full
+    broadcast code matrix (one numpy matmul per batch, exact int64, so
+    the edge set is bit-identical to the per-pair SQL evaluation the
+    DuckDB oracle runs).
+
+    The code matrix reaches the workers through a driver round-trip —
+    the same collect-then-broadcast a broadcast hash join performs —
+    which is bounded BY CONSTRUCTION: this exact all-pairs kernel is
+    only ever invoked slice-/block-scoped (dbscan's registered form is
+    the vec_id < 2000 slice; at production scale the pair source is
+    the LSH/IVF blocking and this kernel runs within a block/cell).
+    Replaces a BroadcastNestedLoopJoin + per-pair zip_with/aggregate
+    lambda that spent ~1.3 us/pair in HOF interpretation (2.5 s for the
+    2M-pair slice; the matmul form is ~10x faster wall).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = c.select("cid", "cc", "scc").collect()
+    ids = np.fromiter((r["cid"] for r in rows), dtype=np.int64, count=len(rows))
+    mat = np.array([r["cc"] for r in rows], dtype=np.int64)
+    sq = np.fromiter((r["scc"] for r in rows), dtype=np.int64, count=len(rows))
+    bc = c.sparkSession.sparkContext.broadcast((ids, mat, sq))
+    tn2, td2 = t_num * t_num, t_den * t_den
+
+    def gen(batches):
+        b_ids, b_mat, b_sq = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            block = np.stack(pdf["cc"].to_numpy()).astype(np.int64)
+            a_id = pdf["cid"].to_numpy().astype(np.int64)
+            a_sq = pdf["scc"].to_numpy().astype(np.int64)
+            s = block @ b_mat.T
+            ok = (
+                (s > 0)
+                & (td2 * s * s >= tn2 * a_sq[:, None] * b_sq[None, :])
+                & (a_id[:, None] < b_ids[None, :])
+            )
+            ii, jj = np.nonzero(ok)
+            yield pd.DataFrame({"ia": a_id[ii], "ib": b_ids[jj]})
+
+    return c.mapInPandas(gen, schema="ia long, ib long")
+
+
+def _cc_min_label_bounded(edges: DataFrame) -> DataFrame:
+    """Connected components of a BOUNDED edge set -> (sid, cluster)
+    where cluster is the minimum node id in the component — the same
+    contract as dedup.dedup_clusters, computed by one union-find pass
+    (path halving) instead of the distributed label-propagation loop.
+
+    Scope discipline: this is the within-block/slice kernel companion
+    to _eps_pairs_exact — the input is only ever the eps-graph of a
+    bounded code block, so the single edge collect is the same bounded
+    driver round-trip the broadcast code matrix already makes (and the
+    per-round job overhead of the distributed loop — ~0.4 s x
+    O(eccentricity) rounds — disappears for a graph that fits in one
+    task anyway).  Unbounded-scale CC remains dedup.dedup_clusters
+    (the hash-partitioned label table); equivalence of the two on the
+    same edge set is pinned in tests/test_similarity.py.
+    """
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so the root IS the component minimum
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    out = [(n, find(n)) for n in parent]
+    return edges.sparkSession.createDataFrame(
+        out or [], schema="sid long, cluster long"
+    )
+
+
 def dbscan(
     emb: DataFrame,
     t_num: int = DBSCAN_T_NUM,
@@ -889,9 +1072,11 @@ def dbscan(
     over the embedding column: eps-neighbors by quantized cosine
     (|cos| >= t_num/t_den with cos > 0), CORE points with >= min_deg
     neighbors, clusters = connected components of the core-core
-    eps-graph (reusing dedup.dedup_clusters' min-label-propagation
-    loop), BORDER points adopt the smallest cluster among their core
-    neighbors, everything else is NOISE (cluster -1).
+    eps-graph (_cc_min_label_bounded — the bounded within-block
+    union-find; the distributed dedup.dedup_clusters loop is the
+    unbounded-scale path, equivalence pinned in tests), BORDER points
+    adopt the smallest cluster among their core neighbors, everything
+    else is NOISE (cluster -1).
 
     Determinism (the epsilon-ball discipline, symmetrized): vectors
     quantize to centered integer codes, and the eps decision is pure
@@ -909,7 +1094,6 @@ def dbscan(
     cells), with this exact form as the within-block kernel.  Two
     bounded driver scalars (the slice min/max for quantization).
     """
-    from dblab_ece_trino_spark.operators.dedup import dedup_clusters
     from dblab_ece_trino_spark.session import ensure_parallelism, materialize
 
     emb = ensure_parallelism(emb)
@@ -939,31 +1123,7 @@ def dbscan(
             ),
         )
     )
-    a = c.select(
-        F.col("cid").alias("ia"), F.col("cc").alias("ca"),
-        F.col("scc").alias("saa"),
-    )
-    b = c.select(
-        F.col("cid").alias("ib"), F.col("cc").alias("cb"),
-        F.col("scc").alias("sbb"),
-    )
-    sab = F.aggregate(
-        F.zip_with(F.col("ca"), F.col("cb"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    half = (
-        a.join(b, F.col("ia") < F.col("ib"))
-        .withColumn("s", sab)
-        .filter(
-            (F.col("s") > 0)
-            & (
-                F.lit(t_den * t_den) * F.col("s") * F.col("s")
-                >= F.lit(t_num * t_num) * F.col("saa") * F.col("sbb")
-            )
-        )
-        .select("ia", "ib")
-    )
+    half = _eps_pairs_exact(c, t_num, t_den)
     nbrs = materialize(
         half.unionAll(
             half.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
@@ -982,7 +1142,7 @@ def dbscan(
         .filter(F.col("ia") < F.col("ib"))
         .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"))
     )
-    cc = dedup_clusters(core_edges, max_iter=16).select(
+    cc = _cc_min_label_bounded(core_edges).select(
         F.col("sid").alias("core_id"), "cluster"
     )
     core_lab = materialize(

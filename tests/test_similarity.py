@@ -177,3 +177,89 @@ def test_quantized_mips_recall(spark):
     quant = {(r.qid, r.cid) for r in quantized_mips_topk(emb, q, k=5).collect()}
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_cc_bounded_union_find_equals_distributed_loop(spark):
+    """dbscan's within-block union-find must produce exactly the
+    labels of the distributed dedup_clusters loop on the same edges
+    (min node id per component), including chain, clique, and
+    singleton-edge shapes."""
+    from dblab_ece_trino_spark.operators.dedup import dedup_clusters
+    from dblab_ece_trino_spark.operators.similarity import _cc_min_label_bounded
+
+    edges = spark.createDataFrame(
+        # chain 0-4, clique {10,11,12}, pair {20,21}, cross-link 4-12
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
+         (20, 21), (4, 12)],
+        "id_a long, id_b long",
+    )
+    a = sorted(map(tuple, _cc_min_label_bounded(edges).collect()))
+    b = sorted(map(tuple, dedup_clusters(edges, max_iter=20).collect()))
+    assert a == b
+    assert all(c == 0 for _, c in a if _ not in (20, 21))
+
+
+def test_eps_pairs_exact_matches_sql_pairing(spark):
+    """The Arrow matmul eps-kernel must emit exactly the pairs the
+    per-pair integer decision admits (bit-identical int64 math)."""
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.operators.similarity import _eps_pairs_exact
+
+    rows = [
+        (1, [2, 0, 0], 4), (2, [2, 1, 0], 5), (3, [-2, 0, 0], 4),
+        (4, [0, 3, 0], 9), (5, [1, 1, 1], 3),
+    ]
+    c = spark.createDataFrame(rows, "cid long, cc array<long>, scc long")
+    got = sorted(map(tuple, _eps_pairs_exact(c, 3, 8).collect()))
+    want = []
+    for i, (ia, ca, saa) in enumerate(rows):
+        for ib, cb, sbb in rows[i + 1:]:
+            s = sum(x * y for x, y in zip(ca, cb))
+            if s > 0 and 64 * s * s >= 9 * saa * sbb:
+                want.append((ia, ib))
+    assert got == sorted(want) and len(want) > 0
+
+
+def test_recall_at_k_floors_and_exact_anchor(spark):
+    """Pin the measured recall@5 values (data constants — no RNG in the
+    LSH planes or k-means init) well above the graded floors, and the
+    brute-force self-recall at EXACTLY k x n_queries hits."""
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.operators.similarity import (
+        _emb,
+        knn_bruteforce,
+        knn_ivf,
+        knn_lsh,
+    )
+
+    emb = _emb(spark, "/root/testdata/sf0.001")
+    q = emb.filter(F.col("vec_id") < 10)
+    bf = knn_bruteforce(emb, q, k=5)
+    bfs = {(r.qid, r.cid) for r in bf.collect()}
+    assert len(bfs) == 50
+    lsh_hits = {(r.qid, r.cid) for r in knn_lsh(emb, q, k=5, nbits=8).collect()}
+    ivf_hits = {
+        (r.qid, r.cid)
+        for r in knn_ivf(emb, q, k=5, n_clusters=16, nprobe=4).collect()
+    }
+    # measured: lsh 16/50 (sf0.001), 11/50 (sf0.01); ivf 44/50 at both.
+    # graded floors are 5/50 (lsh) and 25/50 (ivf) — wide margin.
+    assert len(lsh_hits & bfs) >= 10
+    assert len(ivf_hits & bfs) >= 35
+    assert len(bfs & bfs) == 50  # the exact self-recall anchor
+
+
+def test_sim_recall_entry_verdicts(spark, duck):
+    from tests.conftest import SF_MED, assert_matches_oracle, duck_for
+
+    import __spark_entry__ as e
+
+    df = e.queries()["sim_recall_at_k"](spark, SF_MED)
+    rows = {r.method: r for r in df.collect()}
+    assert set(rows) == {"bruteforce", "ivf", "lsh"}
+    assert all(r.recall_ok for r in rows.values())
+    assert rows["bruteforce"].floor_ppm == 1_000_000
+    assert_matches_oracle(df, duck_for(duck, SF_MED),
+                          e.oracle_sql()["sim_recall_at_k"])
