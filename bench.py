@@ -168,8 +168,10 @@ HEADLINE = [
     "multimodal_exif_parse",
     "ts_mase_eval",
     # round-10 additions: the ANN recall@k scoreboard (exact integer
-    # hit counts of LSH/IVF against brute force, floors in ppm)
+    # hit counts of LSH/IVF against brute force, floors in ppm) and the
+    # batch twin of the custom stateful sessionizer (Arrow applyInPandas)
     "sim_recall_at_k",
+    "op_sessionize_batch",
 ]
 
 

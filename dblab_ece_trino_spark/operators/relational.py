@@ -350,6 +350,44 @@ GROUP BY user_id, sess
 register("op_session_window", _op_session_window, _SESSION_ORACLE)
 
 
+# Batch twin of the CUSTOM stateful sessionizer (streaming form:
+# streaming/events.sessionize via applyInPandasWithState) — same Arrow
+# accumulator seam through applyInPandas, session_end = last event ts
+# (vs session_window's last + gap).  Gives the custom-stateful
+# streaming surface a driver-visible graded row; the oracle is the
+# gaps-and-islands rewrite with the same >= gap split.
+def _op_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.streaming.events import sessionize_batch
+
+    cat = engine_for(spark, sf_dir).catalogs
+    return sessionize_batch(cat.table("elastic.default.events"))
+
+
+_SESSIONIZE_BATCH_ORACLE = """
+WITH m AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+g AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM m)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM g
+GROUP BY user_id, sess
+"""
+
+register("op_sessionize_batch", _op_sessionize_batch, _SESSIONIZE_BATCH_ORACLE)
+
+
 # Stream-stream interval join, batch analog (streaming form:
 # streaming/events.attribute_clicks — same code path; batch/stream
 # equality is pinned in tests/test_streaming.py).

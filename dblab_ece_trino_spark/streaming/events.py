@@ -250,6 +250,60 @@ def session_window_counts(
     )
 
 
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch twin of the custom stateful ``sessionize``: identical
+    output shape (SESSION_SCHEMA — user_id, session_start,
+    session_end = LAST EVENT ts, n_events) computed with
+    ``applyInPandas`` over user groups — the same Arrow-batched
+    accumulator seam, minus the watermark/timeout machinery.
+
+    This form defines the CANONICAL event-time semantics: a new session
+    starts when the gap to the previous event is >= gap_minutes (the
+    exclusive-boundary discipline session_window documents).  The
+    streaming operator approximates it under batch granularity — a
+    user's events that land in one micro-batch merge before any timeout
+    can split them — which is why the stream≡batch contract for
+    sessionization is 'batch is the spec, streaming converges to it as
+    batches shrink', not row equality (tests/test_streaming.py pins the
+    batch form on hand-built sessions instead).
+
+    100 TB shape: ONE hash shuffle on user_id, then per-user
+    vectorized numpy work (sort + diff + cumsum — no Python loop); the
+    per-task working set is one user's events, the standard
+    sessionization bound (skewed power-users are the known caveat,
+    shared with every keyed-state sessionizer including the streaming
+    form and the built-in session_window).
+    """
+    gap_ms = gap_minutes * 60 * 1000
+
+    def split(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        ts_ms = (
+            pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
+        )
+        d = ts_ms.diff()
+        sess = (d.isna() | (d >= gap_ms)).cumsum()
+        out = (
+            pdf.assign(__s=sess.values)
+            .groupby("__s", sort=True)
+            .agg(
+                user_id=("user_id", "first"),
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+                n_events=("ts", "size"),
+            )
+            .reset_index(drop=True)
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "session_start", "session_end", "n_events"]]
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandas(split, schema=SESSION_SCHEMA)
+    )
+
+
 def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static join: enrich each event with dimension attributes.
 

@@ -592,3 +592,37 @@ def test_hopping_counts_match_registered_batch_entry(spark, events_dir):
     assert len(got) > 0
     # every event contributes to exactly 6 windows
     assert sum(n for n, _ in got.values()) == 6 * ev.count()
+
+
+def test_sessionize_batch_hand_built_sessions(spark):
+    """The batch twin must split exactly at the >= gap boundary
+    (exclusive-end discipline) and keep sub-gap chains together."""
+    import datetime as dt
+
+    from dblab_ece_trino_spark.streaming.events import sessionize_batch
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: chain 0,29,58 (gaps 29 < 30: one session), then a
+        # boundary event at exactly +30 after 58 -> NEW session
+        (1, m(0)), (1, m(29)), (1, m(58)), (1, m(88)),
+        # user 2: single event
+        (2, m(5)),
+        # user 3: two sessions split by a 31-min gap
+        (3, m(0)), (3, m(10)), (3, m(41)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize_batch(df, gap_minutes=30).collect()
+    )
+    want = sorted([
+        (1, m(0), m(58), 3), (1, m(88), m(88), 1),
+        (2, m(5), m(5), 1),
+        (3, m(0), m(10), 2), (3, m(41), m(41), 1),
+    ])
+    assert got == want
