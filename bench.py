@@ -172,6 +172,9 @@ HEADLINE = [
     # batch twin of the custom stateful sessionizer (Arrow applyInPandas)
     "sim_recall_at_k",
     "op_sessionize_batch",
+    # ... and the Gopher character-coverage repetition filters (one
+    # explode over the n in 2..6 gram stream, integer ppm coverage)
+    "llm_gopher_repetition",
 ]
 
 

@@ -373,6 +373,150 @@ register(
 )
 
 
+def gopher_repetition(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The Gopher/MassiveText intra-document repetition filters (Rae et
+    al. 2021, "Scaling Language Models: ... Gopher", Table A1): per
+    document, the fraction of CHARACTERS covered by (a) the most
+    frequent word n-gram for n in {2,3,4} and (b) duplicated word
+    n-grams (count >= 2, characters counted with multiplicity) for n in
+    {5,6} — the standard boilerplate/degenerate-text gate that
+    complements llm_repetition_profile's count-based ratios with the
+    paper's character-coverage form.  ``gopher_clean`` applies the
+    paper's thresholds (0.20/0.18/0.16 top, 0.15/0.14 dup).
+
+    Determinism: coverage is count x length(gram) in BIGINT, fractions
+    are integer ppm floor divisions by length(text), and the top gram
+    tie-break is a lexicographic struct max on (count, coverage) —
+    identical semantics in both engines, no float anywhere.
+
+    100 TB shape: ONE scan, one explode producing the n in {2..6} gram
+    stream tagged by n (token-linear, x5), one map-side-combinable
+    (doc, n, gram) count, a (doc, n) fold, a 5-way conditional pivot to
+    one row per document.  Nothing leaves the doc's hash partition
+    after the first shuffle.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def gram_structs(n: int) -> Column:
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
+        )
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(n).cast("int").alias("n"),
+                F.concat_ws(" ", F.slice(toks, i, n)).alias("g"),
+            ),
+        )
+
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).cast("long").alias("doc_chars"),
+        F.explode(
+            F.concat(*[gram_structs(n) for n in (2, 3, 4, 5, 6)])
+        ).alias("x"),
+    ).select("doc_id", "doc_chars", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
+    per_gram = g.groupBy("doc_id", "doc_chars", "n", "g").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    per_n = per_gram.groupBy("doc_id", "doc_chars", "n").agg(
+        F.max(
+            F.struct(
+                F.col("c"),
+                (F.col("c") * F.length("g")).cast("long").alias("cov"),
+            )
+        ).alias("top"),
+        F.sum(
+            F.when(F.col("c") >= 2, F.col("c") * F.length("g")).otherwise(0)
+        ).cast("long").alias("dupcov"),
+    )
+
+    def ppm(col: str) -> Column:
+        return F.expr(f"({col} * 1000000) div doc_chars").cast("long")
+
+    pivoted = per_n.select(
+        "doc_id",
+        "doc_chars",
+        "n",
+        ppm("top.cov").alias("top_ppm"),
+        ppm("dupcov").alias("dup_ppm"),
+    )
+    out = pivoted.groupBy("doc_id").agg(
+        F.max("doc_chars").alias("n_chars"),
+        F.max(F.when(F.col("n") == 2, F.col("top_ppm"))).alias("top2_ppm"),
+        F.max(F.when(F.col("n") == 3, F.col("top_ppm"))).alias("top3_ppm"),
+        F.max(F.when(F.col("n") == 4, F.col("top_ppm"))).alias("top4_ppm"),
+        F.max(F.when(F.col("n") == 5, F.col("dup_ppm"))).alias("dup5_ppm"),
+        F.max(F.when(F.col("n") == 6, F.col("dup_ppm"))).alias("dup6_ppm"),
+    )
+    return out.withColumn(
+        "gopher_clean",
+        (F.col("top2_ppm") <= 200000)
+        & (F.col("top3_ppm") <= 180000)
+        & (F.col("top4_ppm") <= 160000)
+        & (F.col("dup5_ppm") <= 150000)
+        & (F.col("dup6_ppm") <= 140000),
+    )
+
+
+def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_repetition(_docs(spark, sf_dir))
+
+
+register(
+    "llm_gopher_repetition",
+    _q_gopher_repetition,
+    oracle=r"""
+    WITH g AS (
+      SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS doc_chars, nr.n,
+             array_to_string(
+               list_slice(regexp_split_to_array(trim(d.text), '\s+'),
+                          u.i, u.i + nr.n - 1), ' ') AS gg
+      FROM documents d,
+           (VALUES (2),(3),(4),(5),(6)) nr(n),
+           unnest(generate_series(
+             1, greatest(len(regexp_split_to_array(trim(d.text), '\s+'))
+                         - nr.n + 1, 1))) AS u(i)
+    ),
+    pg AS (
+      SELECT doc_id, doc_chars, n, gg, CAST(count(*) AS BIGINT) AS c
+      FROM g GROUP BY doc_id, doc_chars, n, gg
+    ),
+    pn AS (
+      SELECT doc_id, doc_chars, n,
+             (max({'c': c, 'cov': CAST(c * length(gg) AS BIGINT)})).cov
+               AS topcov,
+             CAST(sum(CASE WHEN c >= 2 THEN c * length(gg) ELSE 0 END)
+               AS BIGINT) AS dupcov
+      FROM pg GROUP BY doc_id, doc_chars, n
+    ),
+    piv AS (
+      SELECT doc_id,
+             max(doc_chars) AS n_chars,
+             max(CASE WHEN n = 2 THEN (topcov * 1000000) // doc_chars END)
+               AS top2_ppm,
+             max(CASE WHEN n = 3 THEN (topcov * 1000000) // doc_chars END)
+               AS top3_ppm,
+             max(CASE WHEN n = 4 THEN (topcov * 1000000) // doc_chars END)
+               AS top4_ppm,
+             max(CASE WHEN n = 5 THEN (dupcov * 1000000) // doc_chars END)
+               AS dup5_ppm,
+             max(CASE WHEN n = 6 THEN (dupcov * 1000000) // doc_chars END)
+               AS dup6_ppm
+      FROM pn GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars, top2_ppm, top3_ppm, top4_ppm, dup5_ppm,
+           dup6_ppm,
+           (top2_ppm <= 200000 AND top3_ppm <= 180000
+            AND top4_ppm <= 160000 AND dup5_ppm <= 150000
+            AND dup6_ppm <= 140000) AS gopher_clean
+    FROM piv
+    """,
+)
+
+
 def _q_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded id-slice (like dedup_embedding): constant-cost plan at any
     # corpus scale; the unbounded form is the production operator with a
