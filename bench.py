@@ -175,6 +175,9 @@ HEADLINE = [
     # ... and the Gopher character-coverage repetition filters (one
     # explode over the n in 2..6 gram stream, integer ppm coverage)
     "llm_gopher_repetition",
+    # ... and the QOI codec (eleventh native format: stateful
+    # hash-index byte stream, all six chunk ops under the gate)
+    "multimodal_qoi_decode",
 ]
 
 

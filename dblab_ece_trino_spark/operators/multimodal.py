@@ -88,6 +88,11 @@ def decode_image(payload: bytes) -> "object":
         return decode_jpeg(payload)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return decode_tiff(payload)
+    if payload[:4] == b"qoif":
+        w, h, _channels, arr = decode_qoi(payload)
+        # seam contract is (w, h, rgb); alpha-aware callers use
+        # decode_qoi directly
+        return w, h, arr[:, :, :3]
     raise NotImplementedError(
         "WebP/AVIF-class image decoding requires an image library (e.g. PIL)"
     )
@@ -4034,6 +4039,338 @@ def _tiff_oracle() -> str:
 
 
 register("multimodal_tiff_decode", _q_tiff_decode, oracle=_tiff_oracle())
+
+
+# ---------------------------------------------------------------- QOI codec
+# The "Quite OK Image" format (Dominic Szablewski, qoiformat.org spec
+# 1.0, 2022) — a single-pass byte-oriented codec whose six chunk ops
+# (RGB/RGBA literals, 64-slot hash INDEX, 2-bit DIFF, LUMA, RUN) make
+# it the cleanest public test of stateful byte-stream decoding: every
+# pixel depends on the previous pixel AND a running hash table, so any
+# drift corrupts everything after it — strong error amplification for
+# the anti-symmetry discipline.  Eleventh native codec behind the
+# decode_image seam.  (The reference is a data-loading pipeline
+# [loader.py]; image decode is beyond-parity surface for multimodal
+# curation, like PPM/BMP/TIFF/PNG/GIF/JPEG before it.)
+
+_QOI_MAGIC = b"qoif"
+_QOI_END = b"\x00\x00\x00\x00\x00\x00\x00\x01"
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def encode_qoi(img, colorspace: int = 0) -> bytes:
+    """Spec-faithful QOI encoder for an (h, w, 3|4) uint8 array, using
+    the canonical op priority (RUN > INDEX > DIFF > LUMA > RGB/RGBA)
+    so streams exercise every chunk type the pixel data admits."""
+    import struct
+
+    h, w, channels = img.shape
+    if channels not in (3, 4):
+        raise ValueError(f"QOI encodes 3 or 4 channels, got {channels}")
+    out = bytearray()
+    out += _QOI_MAGIC + struct.pack(">II", w, h) + bytes([channels, colorspace])
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa = 0, 0, 0, 255
+    run = 0
+    flat = img.reshape(h * w, channels)
+    n = h * w
+    for k in range(n):
+        px = flat[k]
+        r, g, b = int(px[0]), int(px[1]), int(px[2])
+        a = int(px[3]) if channels == 4 else pa
+        if (r, g, b, a) == (pr, pg, pb, pa):
+            run += 1
+            if run == 62 or k == n - 1:
+                out.append(0xC0 | (run - 1))
+                run = 0
+        else:
+            if run > 0:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            idx = _qoi_hash(r, g, b, a)
+            if index[idx] == (r, g, b, a):
+                out.append(idx)
+            else:
+                index[idx] = (r, g, b, a)
+                if a == pa:
+                    # signed wrap diffs (int8 semantics)
+                    vr = ((r - pr + 128) % 256) - 128
+                    vg = ((g - pg + 128) % 256) - 128
+                    vb = ((b - pb + 128) % 256) - 128
+                    if -2 <= vr <= 1 and -2 <= vg <= 1 and -2 <= vb <= 1:
+                        out.append(0x40 | ((vr + 2) << 4) | ((vg + 2) << 2)
+                                   | (vb + 2))
+                    elif (-32 <= vg <= 31 and -8 <= vr - vg <= 7
+                          and -8 <= vb - vg <= 7):
+                        out.append(0x80 | (vg + 32))
+                        out.append(((vr - vg + 8) << 4) | (vb - vg + 8))
+                    else:
+                        out += bytes([0xFE, r, g, b])
+                else:
+                    out += bytes([0xFF, r, g, b, a])
+        pr, pg, pb, pa = r, g, b, a
+    out += _QOI_END
+    return bytes(out)
+
+
+def decode_qoi(payload: bytes):
+    """Parse + decode a QOI payload: returns (width, height, channels,
+    (h, w, channels) uint8 numpy array).  Truncation, a bad magic, a
+    pixel-count overrun/underrun, or a missing end marker all raise
+    ValueError — never garbage pixels (the TIFF/ADPCM contract)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 14 + len(_QOI_END):
+        raise ValueError("QOI payload shorter than header + end marker")
+    if payload[:4] != _QOI_MAGIC:
+        raise ValueError("not a QOI payload (bad magic)")
+    w, h = struct.unpack(">II", payload[4:12])
+    channels, colorspace = payload[12], payload[13]
+    if channels not in (3, 4):
+        raise ValueError(f"QOI channels must be 3 or 4, got {channels}")
+    if colorspace not in (0, 1):
+        raise ValueError(f"QOI colorspace must be 0 or 1, got {colorspace}")
+    if w == 0 or h == 0 or w * h > 50_000_000:
+        raise ValueError(f"implausible QOI dimensions {w}x{h}")
+    if payload[-len(_QOI_END):] != _QOI_END:
+        raise ValueError("QOI end marker missing")
+    data = payload[14:-len(_QOI_END)]
+    n = w * h
+    out = np.empty((n, 4), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    pos, k = 0, 0
+    dlen = len(data)
+    while k < n:
+        if pos >= dlen:
+            raise ValueError(
+                f"QOI stream exhausted at pixel {k} of {n} (truncated)"
+            )
+        byte = data[pos]
+        pos += 1
+        if byte == 0xFE:  # RGB
+            if pos + 3 > dlen:
+                raise ValueError("truncated QOI_OP_RGB chunk")
+            r, g, b = data[pos], data[pos + 1], data[pos + 2]
+            pos += 3
+        elif byte == 0xFF:  # RGBA
+            if pos + 4 > dlen:
+                raise ValueError("truncated QOI_OP_RGBA chunk")
+            r, g, b, a = (
+                data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
+            )
+            pos += 4
+        else:
+            tag = byte >> 6
+            if tag == 0:  # INDEX
+                r, g, b, a = index[byte & 0x3F]
+            elif tag == 1:  # DIFF
+                r = (r + ((byte >> 4) & 3) - 2) % 256
+                g = (g + ((byte >> 2) & 3) - 2) % 256
+                b = (b + (byte & 3) - 2) % 256
+            elif tag == 2:  # LUMA
+                if pos + 1 > dlen:
+                    raise ValueError("truncated QOI_OP_LUMA chunk")
+                dg = (byte & 0x3F) - 32
+                b2 = data[pos]
+                pos += 1
+                r = (r + dg + ((b2 >> 4) & 0xF) - 8) % 256
+                g = (g + dg) % 256
+                b = (b + dg + (b2 & 0xF) - 8) % 256
+            else:  # RUN
+                run = (byte & 0x3F) + 1
+                if k + run > n:
+                    raise ValueError(
+                        f"QOI run overruns image: pixel {k} + run {run} > {n}"
+                    )
+                out[k : k + run] = (r, g, b, a)
+                k += run
+                index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
+                continue
+        index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
+        out[k] = (r, g, b, a)
+        k += 1
+    if pos != dlen:
+        raise ValueError(
+            f"QOI stream has {dlen - pos} trailing bytes after last pixel"
+        )
+    arr = out.reshape(h, w, 4)
+    if channels == 3:
+        arr = arr[:, :, :3]
+    return int(w), int(h), int(channels), arr
+
+
+# Fixture family: piecewise column bands plant every chunk type —
+# band 0 flat (RUN), band 1 two-color alternation (INDEX), band 2 +1
+# steps (DIFF), band 3 +8 green steps (LUMA), band/row seams (RGB),
+# and per-row alpha sweeps on the 4-channel images (RGBA).  The pixel
+# formula is shared verbatim with the oracle SQL (the TIFF/PPM
+# discipline: the oracle derives every sum from the formula and never
+# sees a byte, so encoder+decoder bugs cannot cancel through it).
+_QOI_PARAMS = [
+    # (width, height, channels)
+    (48, 20, 3),
+    (33, 17, 3),
+    (24, 24, 4),
+    (57, 9, 3),
+    (16, 31, 4),
+    (40, 12, 3),
+]
+_N_QOI = len(_QOI_PARAMS)
+
+
+def _qoi_pixel(i: int, x: int, y: int, c: int) -> int:
+    w = _QOI_PARAMS[i][0]
+    if c == 3:
+        return (y * 16 + 13 * i) % 256
+    band = (4 * x) // w
+    if band == 0:
+        return (37 * i + 3 * c) % 256
+    if band == 1:
+        return ((x % 2) * 60 + 10 * c + 7 * i) % 256
+    if band == 2:
+        return (x + y + 30 * c + 5 * i) % 256
+    return (8 * x + 20 * c + 11 * i) % 256
+
+
+def _qoi_payloads(spark: SparkSession, n: int = _N_QOI) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h, ch = _QOI_PARAMS[i]
+                yy, xx = np.mgrid[0:h, 0:w]
+                band = (4 * xx) // w
+                img = np.empty((h, w, ch), dtype=np.uint8)
+                for c in range(min(ch, 3)):
+                    v = np.select(
+                        [band == 0, band == 1, band == 2],
+                        [
+                            np.full((h, w), (37 * i + 3 * c) % 256),
+                            (xx % 2) * 60 + 10 * c + 7 * i,
+                            xx + yy + 30 * c + 5 * i,
+                        ],
+                        default=8 * xx + 20 * c + 11 * i,
+                    )
+                    img[:, :, c] = (v % 256).astype(np.uint8)
+                if ch == 4:
+                    img[:, :, 3] = ((yy * 16 + 13 * i) % 256).astype(np.uint8)
+                rows.append((i, encode_qoi(img)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+
+
+_QOI_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("sum_a", T.LongType(), True),
+        T.StructField("ysum_g", T.LongType(), True),
+        T.StructField("xsum_b", T.LongType(), True),
+    ]
+)
+
+
+def qoi_pixel_stats(media: DataFrame) -> DataFrame:
+    """Decode QOI payloads (decode_qoi — alpha-aware, unlike the
+    3-channel image seam); exact integer channel sums plus the
+    y-weighted green / x-weighted blue anti-cancellation pair.  For
+    3-channel images sum_a is the implicit opaque 255 * w * h."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, arr = decode_qoi(bytes(payload))
+                a = arr.astype(np.int64)
+                yw = np.arange(h, dtype=np.int64)[:, None]
+                xw = np.arange(w, dtype=np.int64)[None, :]
+                sum_a = (
+                    int(a[:, :, 3].sum()) if ch == 4 else 255 * w * h
+                )
+                out.append(
+                    (
+                        int(mid), w, h, ch,
+                        int(a[:, :, 0].sum()), int(a[:, :, 1].sum()),
+                        int(a[:, :, 2].sum()), sum_a,
+                        int((a[:, :, 1] * yw).sum()),
+                        int((a[:, :, 2] * xw).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "channels",
+                    "sum_r", "sum_g", "sum_b", "sum_a", "ysum_g", "xsum_b",
+                ],
+            )
+
+    return media.mapInPandas(stats, _QOI_STATS_SCHEMA)
+
+
+def _q_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return qoi_pixel_stats(_qoi_payloads(spark)).orderBy("media_id")
+
+
+def _qoi_oracle() -> str:
+    rows = ", ".join(
+        f"({i}, {w}, {h}, {ch})" for i, (w, h, ch) in enumerate(_QOI_PARAMS)
+    )
+    return f"""
+    WITH params(media_id, w, h, ch) AS (VALUES {rows}),
+    px AS (
+      SELECT media_id, w, h, ch, x, y, c,
+             CASE
+               WHEN c = 3 THEN (y * 16 + 13 * media_id) % 256
+               WHEN (4 * x) // w = 0 THEN (37 * media_id + 3 * c) % 256
+               WHEN (4 * x) // w = 1
+                 THEN ((x % 2) * 60 + 10 * c + 7 * media_id) % 256
+               WHEN (4 * x) // w = 2
+                 THEN (x + y + 30 * c + 5 * media_id) % 256
+               ELSE (8 * x + 20 * c + 11 * media_id) % 256
+             END AS v
+      FROM params,
+           unnest(generate_series(0, w - 1)) AS gx(x),
+           unnest(generate_series(0, h - 1)) AS gy(y),
+           unnest(generate_series(0, ch - 1)) AS gc(c)
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(any_value(w) AS INT) AS width,
+           CAST(any_value(h) AS INT) AS height,
+           CAST(any_value(ch) AS INT) AS channels,
+           CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+           CAST(sum(CASE WHEN c = 3 THEN v ELSE 0 END)
+                + CASE WHEN any_value(ch) = 3
+                       THEN 255 * any_value(w) * any_value(h)
+                       ELSE 0 END AS BIGINT) AS sum_a,
+           CAST(sum(CASE WHEN c = 1 THEN y * v ELSE 0 END) AS BIGINT)
+             AS ysum_g,
+           CAST(sum(CASE WHEN c = 2 THEN x * v ELSE 0 END) AS BIGINT)
+             AS xsum_b
+    FROM px
+    GROUP BY media_id
+    ORDER BY media_id
+    """
+
+
+register("multimodal_qoi_decode", _q_qoi_decode, oracle=_qoi_oracle())
 
 
 # --------------------------------------------------------------- EXIF parse

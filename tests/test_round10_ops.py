@@ -68,3 +68,132 @@ def test_gopher_repetition_flags_degenerate_doc(spark):
     out = {r.doc_id: r for r in gopher_repetition(df).collect()}
     assert not out[1].gopher_clean and out[1].top2_ppm > 800000
     assert out[2].gopher_clean and out[2].dup5_ppm == 0
+
+
+# ------------------------------------------------------------- QOI codec
+def test_qoi_hand_computed_byte_vector():
+    """Hand-derived encoder output for a 2x2 RGB image exercising
+    LUMA, RUN, and INDEX (derived on paper from the spec 1.0 chunk
+    layouts — the byte-level anti-symmetry vector)."""
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import encode_qoi
+
+    img = np.array(
+        [[[10, 10, 10], [10, 10, 10]], [[12, 11, 9], [10, 10, 10]]],
+        dtype=np.uint8,
+    )
+    # P0 (10,10,10): vs (0,0,0): vg=10 -> LUMA 0x80|42=0xAA, (0+8)<<4|(0+8)=0x88
+    # P1 == P0: run starts
+    # P2 (12,11,9): flush RUN(1)=0xC0; vr=2,vg=1,vb=-1 -> LUMA 0x80|33=0xA1,
+    #   (1+8)<<4 | (-2+8) = 0x96
+    # P3 (10,10,10): hash(10,10,10,255)=2955%64=11, in index -> INDEX 0x0B
+    want = (
+        b"qoif" + (2).to_bytes(4, "big") * 2 + bytes([3, 0])
+        + bytes([0xAA, 0x88, 0xC0, 0xA1, 0x96, 0x0B])
+        + b"\x00" * 7 + b"\x01"
+    )
+    assert encode_qoi(img) == want
+
+
+def test_qoi_hand_written_stream_decodes():
+    """Decode a hand-WRITTEN stream (DIFF, RGB, RGBA, RUN ops composed
+    by hand) — pins the decoder independently of the encoder."""
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import decode_qoi
+
+    # 3x2 RGBA image: P0 via DIFF from (0,0,0,255): (+0,+0,+1) -> 0x6B
+    # P1 via RGB literal (200,5,90) -> FE C8 05 5A
+    # P2 via RGBA literal (1,2,3,128) -> FF 01 02 03 80
+    # P3..P5 via RUN(3) of P2 -> 0xC2
+    stream = (
+        b"qoif" + (3).to_bytes(4, "big") + (2).to_bytes(4, "big")
+        + bytes([4, 0])
+        + bytes([0x6B, 0xFE, 0xC8, 0x05, 0x5A, 0xFF, 0x01, 0x02, 0x03, 0x80,
+                 0xC2])
+        + b"\x00" * 7 + b"\x01"
+    )
+    w, h, ch, arr = decode_qoi(stream)
+    assert (w, h, ch) == (3, 2, 4)
+    want = np.array(
+        [[[0, 0, 1, 255], [200, 5, 90, 255], [1, 2, 3, 128]],
+         [[1, 2, 3, 128]] * 3],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(arr, want)
+
+
+def test_qoi_fixtures_match_independent_decoder(spark):
+    """Every fixture payload must decode identically through the
+    independent spec reimplementation (scripts/gen_qoi_expected.py)."""
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _qoi_payloads,
+        decode_qoi,
+    )
+    from scripts.gen_qoi_expected import ref_decode
+
+    for r in _qoi_payloads(spark).collect():
+        payload = bytes(r.payload)
+        w, h, ch, arr = decode_qoi(payload)
+        rw, rh, rch, pix = ref_decode(payload)
+        assert (w, h, ch) == (rw, rh, rch)
+        full = arr if ch == 4 else np.dstack(
+            [arr, np.full(arr.shape[:2], 255, dtype="uint8")]
+        )
+        assert full.reshape(-1, 4).tolist() == [list(p) for p in pix]
+
+
+def test_qoi_fixture_family_exercises_every_op(spark):
+    """The graded family must collectively contain all six chunk
+    types (RGB, RGBA, INDEX, DIFF, LUMA, RUN) — otherwise the fixtures
+    under-test the decoder."""
+    from dblab_ece_trino_spark.operators.multimodal import _qoi_payloads
+
+    seen = set()
+    for r in _qoi_payloads(spark).collect():
+        body = bytes(r.payload)[14:-8]
+        i = 0
+        while i < len(body):
+            op = body[i]
+            if op == 0xFE:
+                seen.add("rgb"); i += 4
+            elif op == 0xFF:
+                seen.add("rgba"); i += 5
+            else:
+                tag = op >> 6
+                if tag == 0:
+                    seen.add("index"); i += 1
+                elif tag == 1:
+                    seen.add("diff"); i += 1
+                elif tag == 2:
+                    seen.add("luma"); i += 2
+                else:
+                    seen.add("run"); i += 1
+    assert seen == {"rgb", "rgba", "index", "diff", "luma", "run"}
+
+
+def test_qoi_error_contracts():
+    import numpy as np
+    import pytest
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_qoi,
+        encode_qoi,
+    )
+
+    enc = encode_qoi(
+        np.arange(75, dtype=np.uint8).reshape(5, 5, 3) % 256
+    )
+    with pytest.raises(ValueError, match="magic"):
+        decode_qoi(b"nope" + enc[4:])
+    with pytest.raises(ValueError, match="end marker"):
+        decode_qoi(enc[:-1])
+    with pytest.raises(ValueError, match="truncated|exhausted"):
+        decode_qoi(enc[:20] + b"\x00" * 7 + b"\x01")
+    with pytest.raises(ValueError, match="channels"):
+        decode_qoi(enc[:12] + bytes([5]) + enc[13:])
+    with pytest.raises(ValueError, match="shorter"):
+        decode_qoi(b"qoif")
