@@ -178,6 +178,9 @@ HEADLINE = [
     # ... and the QOI codec (eleventh native format: stateful
     # hash-index byte stream, all six chunk ops under the gate)
     "multimodal_qoi_decode",
+    # ... and the nearest-direction as-of join (both directional fills
+    # over one exchange, backward-wins-ties distance pick)
+    "join_asof_nearest",
 ]
 
 

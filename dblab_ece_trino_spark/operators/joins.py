@@ -40,18 +40,25 @@ def asof_join(
     ``by`` key — ``direction="backward"`` (default) takes the latest
     right row with ``right.on <= left.on``; ``direction="forward"`` the
     earliest right row with ``right.on >= left.on`` (both inclusive,
-    matching DuckDB/pandas ``merge_asof`` semantics).
+    matching DuckDB/pandas ``merge_asof`` semantics);
+    ``direction="nearest"`` the candidate minimizing |left.on -
+    right.on|, backward winning distance ties (pandas merge_asof
+    nearest semantics made deterministic).
 
     Union-sort-fill: right rows are tagged 0, left rows 1; within each
     ``by`` partition ordered by ``on``, a running last_value (backward)
     or first_value over the following frame (forward) fills the tagged
     right payload onto each left row.  Either direction is ONE exchange
-    and one window — no point-in-range explosion.  Among right rows
-    sharing one timestamp the fill picks the sort-adjacent one —
-    callers needing a specific winner should pre-dedupe the right side.
+    and one window — no point-in-range explosion; ``nearest`` runs both
+    fills over the SAME exchange (two window sorts, one shuffle) and
+    picks per-row by distance.  Among right rows sharing one timestamp
+    the fill picks the sort-adjacent one — callers needing a specific
+    winner should pre-dedupe the right side.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction}"
+        )
     right_cols = right_cols or [c for c in right.columns if c not in (on, by)]
     l_tagged = left.withColumn("__tag", F.lit(1))
     for c in right_cols:
@@ -74,40 +81,73 @@ def asof_join(
     ]
     unioned = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
 
-    if direction == "backward":
+    wb = (
+        Window.partitionBy(by)
         # right (tag 0) sorts before left at timestamp ties -> inclusive
-        w = (
-            Window.partitionBy(by)
-            .orderBy(F.col(on).asc(), F.col("__tag").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-
-        def pick(col):
-            return F.last(col, ignorenulls=True).over(w)
-
-    else:
+        .orderBy(F.col(on).asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(by)
         # left sorts before right at ties so the same-timestamp right row
         # lands inside the [current, +inf) frame -> inclusive forward
-        w = (
-            Window.partitionBy(by)
-            .orderBy(F.col(on).asc(), F.col("__tag").desc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        )
+        .orderBy(F.col(on).asc(), F.col("__tag").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
 
-        def pick(col):
-            return F.first(col, ignorenulls=True).over(w)
+    def pick_b(col):
+        return F.last(col, ignorenulls=True).over(wb)
+
+    def pick_f(col):
+        return F.first(col, ignorenulls=True).over(wf)
+
+    if direction == "backward":
+        picks = {"": pick_b}
+    elif direction == "forward":
+        picks = {"": pick_f}
+    else:
+        picks = {"__b": pick_b, "__f": pick_f}
 
     filled = unioned.select(
-        *[c for c in cols if not c.startswith("__r_") ],
+        *[c for c in cols if not c.startswith("__r_")],
         *[
-            pick(F.when(F.col("__tag") == 0, F.col(f"__r_{c}")))
+            pk(F.when(F.col("__tag") == 0, F.col(f"__r_{c}")))
+            .alias(f"{c}{suffix}{tag}")
+            for c in right_cols
+            for tag, pk in picks.items()
+        ],
+        *[
+            pk(F.when(F.col("__tag") == 0, F.col("__r_on")))
+            .alias(f"{on}{suffix}{tag}")
+            for tag, pk in picks.items()
+        ],
+    )
+    out = filled.filter(F.col("__tag") == 1).drop("__tag")
+    if direction != "nearest":
+        return out
+    # distance pick: backward wins ties and missing-side cases resolve
+    # to the present side; subtraction works uniformly for numeric
+    # (numeric delta) and timestamp (day-time interval — comparable)
+    # `on` columns
+    b_on, f_on = f"{on}{suffix}__b", f"{on}{suffix}__f"
+    take_b = F.col(f_on).isNull() | (
+        F.col(b_on).isNotNull()
+        & ((F.col(on) - F.col(b_on)) <= (F.col(f_on) - F.col(on)))
+    )
+    proj = [c for c in out.columns
+            if not c.endswith("__b") and not c.endswith("__f")]
+    return out.select(
+        *proj,
+        *[
+            F.when(take_b, F.col(f"{c}{suffix}__b"))
+            .otherwise(F.col(f"{c}{suffix}__f"))
             .alias(f"{c}{suffix}")
             for c in right_cols
         ],
-        pick(F.when(F.col("__tag") == 0, F.col("__r_on")))
-        .alias(f"{on}{suffix}"),
+        F.when(take_b, F.col(b_on)).otherwise(F.col(f_on)).alias(
+            f"{on}{suffix}"
+        ),
     )
-    return filled.filter(F.col("__tag") == 1).drop("__tag")
 
 
 def range_join(
@@ -278,5 +318,72 @@ register(
     FROM events e
     ASOF LEFT JOIN purchases p
       ON e.user_id = p.user_id AND e.ts <= p.ts
+    """,
+)
+
+
+def _q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join: each purchase matched to the view
+    event of the same user minimizing |Δts|, backward winning ties —
+    the attribution shape when causality direction is unknown (e.g.
+    matching sensor readings to the closest calibration)."""
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    events = engine_for(spark, sf_dir).catalogs.table("elastic.default.events")
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select("user_id", "ts", F.col("event_id").alias("view_id"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("view_id").alias("view_id"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases, views, on="ts", by="user_id",
+        right_cols=["view_id"], direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("view_id_matched").alias("nearest_view_id"),
+        F.col("ts_matched").alias("nearest_view_ts"),
+    )
+
+
+register(
+    "join_asof_nearest",
+    _q_asof_nearest,
+    # DuckDB has no nearest ASOF — the oracle composes the two native
+    # directions and replays the backward-wins-ties distance pick.
+    oracle="""
+    WITH views AS (
+      SELECT user_id, ts, max(event_id) AS view_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    b AS (
+      SELECT p.event_id, v.view_id AS b_id, v.ts AS b_ts
+      FROM purchases p
+      ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+    ),
+    f AS (
+      SELECT p.event_id, v.view_id AS f_id, v.ts AS f_ts
+      FROM purchases p
+      ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts <= v.ts
+    )
+    SELECT p.event_id, p.user_id,
+           CASE WHEN f.f_ts IS NULL
+                  OR (b.b_ts IS NOT NULL AND p.ts - b.b_ts <= f.f_ts - p.ts)
+                THEN b.b_id ELSE f.f_id END AS nearest_view_id,
+           CASE WHEN f.f_ts IS NULL
+                  OR (b.b_ts IS NOT NULL AND p.ts - b.b_ts <= f.f_ts - p.ts)
+                THEN b.b_ts ELSE f.f_ts END AS nearest_view_ts
+    FROM purchases p
+    JOIN b ON b.event_id = p.event_id
+    JOIN f ON f.event_id = p.event_id
     """,
 )

@@ -197,3 +197,34 @@ def test_qoi_error_contracts():
         decode_qoi(enc[:12] + bytes([5]) + enc[13:])
     with pytest.raises(ValueError, match="shorter"):
         decode_qoi(b"qoif")
+
+
+# -------------------------------------------------------- nearest as-of
+def test_asof_nearest_hand_built(spark):
+    """Hand-built boundary cases: exact tie (backward wins), left-only,
+    right-only, both-missing, and a forward win."""
+    from dblab_ece_trino_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "L1"), (1, 205, "L2"), (2, 50, "L3"), (3, 10, "L4")],
+        "k long, t long, lbl string",
+    )
+    right = spark.createDataFrame(
+        # k=1: candidates at 90 and 110 vs t=100 -> tie, backward (90)
+        #      wins; t=205 -> nearest is 210 (forward, d=5 < 95)
+        # k=2: only a later candidate (80) -> forward
+        # k=3: no candidates -> nulls
+        [(1, 90, "A"), (1, 110, "B"), (1, 210, "C"), (2, 80, "D")],
+        "k long, t long, r string",
+    )
+    out = {
+        (r.k, r.t): (r.r_matched, r.t_matched)
+        for r in asof_join(
+            left, right, on="t", by="k", right_cols=["r"],
+            direction="nearest",
+        ).collect()
+    }
+    assert out[(1, 100)] == ("A", 90)   # tie -> backward
+    assert out[(1, 205)] == ("C", 210)  # forward closer
+    assert out[(2, 50)] == ("D", 80)    # only forward exists
+    assert out[(3, 10)] == (None, None)
