@@ -181,6 +181,9 @@ HEADLINE = [
     # ... and the nearest-direction as-of join (both directional fills
     # over one exchange, backward-wins-ties distance pick)
     "join_asof_nearest",
+    # ... and the Western Electric SPC rule flags (integer sigma
+    # tests via DECIMAL(38,0)/HUGEINT cross-multiplication)
+    "ts_spc_rules",
 ]
 
 

@@ -1220,3 +1220,112 @@ def _register_mase_eval() -> None:
 
 
 _register_mase_eval()
+
+
+def _register_spc_rules() -> None:
+    """Western Electric SPC control-chart rules (Western Electric
+    Statistical Quality Control Handbook 1956; the standard
+    anomaly-triage layer over any metric series): per event-type daily
+    revenue, flag each day under the four classic zone rules —
+
+      R1: the point is beyond 3 sigma;
+      R2: 2 of the last 3 points beyond 2 sigma on the SAME side;
+      R3: 4 of the last 5 points beyond 1 sigma on the same side;
+      R4: 8 consecutive points on one side of the center line.
+
+    ALL-INTEGER sigma tests — no sqrt, no float: with per-type count n,
+    sum S and sum-of-squares Q over exact daily cents,
+
+      |x - mu| > k*sigma  <=>  (x*n - S)^2 > k^2 * (n*Q - S^2),
+
+    both sides held in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) since
+    dev^2 reaches ~1e21 at realistic cents.  Side = sign(x*n - S).
+    Rule windows are plain ROWS frames over observed days per type —
+    SPC operates on consecutive SAMPLES, so row offsets are the
+    textbook semantics (unlike ts_mase_eval's calendar lags).
+
+    100 TB shape: one events scan to the (type, day) frame (map-side
+    combinable), per-type totals as whole-partition window aggregates over the
+    tiny daily frame (no stats self-join — the CTE-inlining trap would
+    scan events twice), four ROWS windows per tiny per-type partition.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    tpl = """
+        WITH daily AS (
+          SELECT event_type, {dnum} AS dn,
+                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                   AS BIGINT) AS v
+          FROM {events}
+          GROUP BY event_type, {dnum}
+        ),
+        totals AS (
+          SELECT event_type, dn, v,
+                 CAST(count(*) OVER wt AS BIGINT) AS n,
+                 CAST(sum(v) OVER wt AS BIGINT) AS s,
+                 CAST(sum(CAST(v AS {big}) * v) OVER wt AS {big}) AS q
+          FROM daily
+          WINDOW wt AS (PARTITION BY event_type)
+        ),
+        dev AS (
+          SELECT event_type, dn, v,
+                 CAST(v AS {big}) * n - s AS dv,
+                 n * q - CAST(s AS {big}) * s AS nvar
+          FROM totals
+        ),
+        zones AS (
+          SELECT event_type, dn, v,
+                 CASE WHEN dv > 0 THEN 1 WHEN dv < 0 THEN -1 ELSE 0 END
+                   AS side,
+                 CASE WHEN dv * dv > 9 * nvar THEN 1 ELSE 0 END AS z3,
+                 CASE WHEN dv * dv > 4 * nvar THEN 1 ELSE 0 END AS z2,
+                 CASE WHEN dv * dv > 1 * nvar THEN 1 ELSE 0 END AS z1
+          FROM dev
+        ),
+        flagged AS (
+          SELECT event_type, dn, v, side,
+                 z3 = 1 AS r1_beyond_3s,
+                 (sum(CASE WHEN z2 = 1 AND side = 1 THEN 1 ELSE 0 END)
+                    OVER w3 >= 2
+                  OR sum(CASE WHEN z2 = 1 AND side = -1 THEN 1 ELSE 0 END)
+                    OVER w3 >= 2) AS r2_two_of_three_2s,
+                 (sum(CASE WHEN z1 = 1 AND side = 1 THEN 1 ELSE 0 END)
+                    OVER w5 >= 4
+                  OR sum(CASE WHEN z1 = 1 AND side = -1 THEN 1 ELSE 0 END)
+                    OVER w5 >= 4) AS r3_four_of_five_1s,
+                 (count(*) OVER w8 = 8
+                  AND abs(sum(side) OVER w8) = 8) AS r4_eight_one_side
+          FROM zones
+          WINDOW
+            w3 AS (PARTITION BY event_type ORDER BY dn
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+            w5 AS (PARTITION BY event_type ORDER BY dn
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+            w8 AS (PARTITION BY event_type ORDER BY dn
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, dn, v, CAST(side AS INT) AS side,
+               r1_beyond_3s, r2_two_of_three_2s, r3_four_of_five_1s,
+               r4_eight_one_side
+        FROM flagged
+        WHERE r1_beyond_3s OR r2_two_of_three_2s OR r3_four_of_five_1s
+           OR r4_eight_one_side
+        ORDER BY event_type, dn
+    """
+    register_sql(
+        "ts_spc_rules",
+        tpl.replace("{big}", "DECIMAL(38,0)")
+        .replace("{dnum}",
+                 "CAST(datediff(CAST(date_trunc('day', ts) AS DATE),"
+                 " DATE '1992-01-01') AS BIGINT)")
+        .format(**_SPARK_TABLES),
+        tpl.replace("{big}", "HUGEINT")
+        .replace("{dnum}",
+                 "CAST(CAST(date_trunc('day', ts) AS DATE)"
+                 " - DATE '1992-01-01' AS BIGINT)")
+        .format(**_ORACLE_TABLES),
+    )
+
+
+_register_spc_rules()

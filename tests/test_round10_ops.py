@@ -228,3 +228,57 @@ def test_asof_nearest_hand_built(spark):
     assert out[(1, 205)] == ("C", 210)  # forward closer
     assert out[(2, 50)] == ("D", 80)    # only forward exists
     assert out[(3, 10)] == (None, None)
+
+
+# ---------------------------------------------------------- SPC rules
+def test_spc_rules_matches_pure_python():
+    """Western Electric flags re-derived independently: dict series,
+    float-free integer sigma tests, explicit rule windows."""
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    got = con.execute(oracle_queries()["ts_spc_rules"]).fetchall()
+
+    rows = con.execute(
+        "SELECT event_type,"
+        " CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1992-01-01'"
+        "   AS BIGINT),"
+        " sum(CAST(round(value * 100, 0) AS BIGINT))"
+        " FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series: dict = {}
+    for et, dn, v in rows:
+        series.setdefault(et, []).append((int(dn), int(v)))
+    want = []
+    for et in sorted(series):
+        pts = series[et]
+        n = len(pts)
+        s = sum(v for _, v in pts)
+        q = sum(v * v for _, v in pts)
+        nvar = n * q - s * s
+        z = []
+        for dn, v in pts:
+            dv = v * n - s
+            side = 1 if dv > 0 else (-1 if dv < 0 else 0)
+            z.append((dn, v, side, dv * dv > 9 * nvar,
+                      dv * dv > 4 * nvar, dv * dv > nvar))
+        for i, (dn, v, side, z3, z2, z1) in enumerate(z):
+            w3 = z[max(0, i - 2): i + 1]
+            w5 = z[max(0, i - 4): i + 1]
+            w8 = z[max(0, i - 7): i + 1]
+            r1 = z3
+            r2 = (sum(1 for p in w3 if p[4] and p[2] == 1) >= 2
+                  or sum(1 for p in w3 if p[4] and p[2] == -1) >= 2)
+            r3 = (sum(1 for p in w5 if p[5] and p[2] == 1) >= 4
+                  or sum(1 for p in w5 if p[5] and p[2] == -1) >= 4)
+            r4 = len(w8) == 8 and abs(sum(p[2] for p in w8)) == 8
+            if r1 or r2 or r3 or r4:
+                want.append((et, dn, v, side, r1, r2, r3, r4))
+    assert [tuple(r) for r in got] == want
+    assert len(want) > 0
