@@ -379,6 +379,113 @@ register(
 )
 
 
+HC_SEEDS = 4
+
+
+def harmonic_centrality(
+    pairs: DataFrame, n_seeds: int = HC_SEEDS, max_hops: int = MAX_HOPS
+) -> DataFrame:
+    """Harmonic centrality (Boldi & Vigna 2014, "Axioms for
+    centrality": sum over reachable v of 1/d(s,v) — the closeness
+    variant that handles disconnected graphs) from the ``n_seeds``
+    smallest node ids, depth-bounded at ``max_hops`` (the standard
+    truncated/sampled estimator at graph scale; exact within the
+    horizon).
+
+    MULTI-SOURCE level-synchronous BFS: one loop over hop depth with
+    the frontier keyed by (seed, node) — K sources ride one join per
+    level instead of K separate traversals, the same per-level
+    join+DISTINCT economics as bfs_hops (each level materialized once,
+    consumed twice).  Integer output: 1/d is ppm floor division
+    (1000000 div d), summed as BIGINT — replays exactly.
+
+    Driver scalars: the seed id list (n_seeds values, bounded like
+    bfs_hops' single source id).
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    p = materialize(pairs.select("u", "v"))
+    edges = p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    seeds = [
+        int(r["u"])
+        for r in p.select("u")
+        .unionAll(p.select(F.col("v").alias("u")))
+        .distinct()
+        .orderBy("u")
+        .limit(n_seeds)
+        .collect()
+    ]
+    spark = pairs.sparkSession
+    if not seeds:
+        return spark.createDataFrame(
+            [], "seed long, n_reached long, harmonic_ppm long"
+        )
+    cur = spark.createDataFrame([(s, s) for s in seeds], "seed long, node long")
+    levels = [cur.select("seed", "node", F.lit(0).alias("hop"))]
+    for d in range(1, max_hops + 1):
+        cur = materialize(
+            cur.join(edges, cur.node == edges.u)
+            .select("seed", F.col("v").alias("node"))
+            .distinct()
+        )
+        levels.append(cur.select("seed", "node", F.lit(d).alias("hop")))
+    walk = levels[0]
+    for lv in levels[1:]:
+        walk = walk.unionAll(lv)
+    dist = walk.groupBy("seed", "node").agg(F.min("hop").alias("hop"))
+    return (
+        dist.filter(F.col("hop") > 0)
+        .groupBy("seed")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum(F.expr("1000000 div hop")).cast("long").alias(
+                "harmonic_ppm"
+            ),
+        )
+        .orderBy("seed")
+    )
+
+
+def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return harmonic_centrality(coorder_pairs(_li(spark, sf_dir)))
+
+
+register(
+    "graph_harmonic_centrality",
+    _q_harmonic,
+    # DuckDB replays the multi-source BFS as one depth-bounded
+    # recursive CTE seeded with the K smallest node ids; the recursive
+    # UNION keeps each (seed, node, d) once so the walk is
+    # K x |V| x depth bounded.
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    seeds AS (
+      SELECT u AS s FROM (
+        SELECT DISTINCT u FROM (
+          SELECT u FROM pairs UNION ALL SELECT v FROM pairs
+        ) ORDER BY u LIMIT {HC_SEEDS}
+      )
+    ),
+    walk(seed, node, d) AS (
+      SELECT s, s, 0 FROM seeds
+      UNION
+      SELECT walk.seed, e.v, walk.d + 1
+      FROM walk JOIN edges e ON e.u = walk.node
+      WHERE walk.d < {MAX_HOPS}
+    ),
+    dist AS (
+      SELECT seed, node, min(d) AS hop FROM walk GROUP BY seed, node
+    )
+    SELECT seed,
+           CAST(count(*) AS BIGINT) AS n_reached,
+           CAST(sum(1000000 // hop) AS BIGINT) AS harmonic_ppm
+    FROM dist WHERE hop > 0
+    GROUP BY seed ORDER BY seed
+    """,
+)
+
+
 # --------------------------------------------------- neighbor-set Jaccard
 def neighbor_jaccard(
     pairs: DataFrame,

@@ -282,3 +282,30 @@ def test_spc_rules_matches_pure_python():
                 want.append((et, dn, v, side, r1, r2, r3, r4))
     assert [tuple(r) for r in got] == want
     assert len(want) > 0
+
+
+# ------------------------------------------------- harmonic centrality
+def test_harmonic_centrality_hand_graph(spark):
+    """Closed-form check on a path graph 1-2-3-4-5 with seeds {1,2,3,4}
+    and max_hops=4: harmonic_ppm(s) = sum over v != s of
+    1e6 // d(s,v) along the line."""
+    from dblab_ece_trino_spark.operators.graph import harmonic_centrality
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "u long, v long"
+    )
+    got = {
+        r.seed: (r.n_reached, r.harmonic_ppm)
+        for r in harmonic_centrality(pairs, n_seeds=4, max_hops=4).collect()
+    }
+    M = 1_000_000
+
+    def h(dists):
+        return (len(dists), sum(M // d for d in dists))
+
+    assert got == {
+        1: h([1, 2, 3, 4]),
+        2: h([1, 1, 2, 3]),
+        3: h([1, 2, 1, 2]),
+        4: h([1, 2, 3, 1]),
+    }
