@@ -649,6 +649,164 @@ _MINHASH_ORACLE = r"""
 register("dedup_minhash_lsh", _q_dedup_minhash_lsh, oracle=_MINHASH_ORACLE)
 
 
+def lsh_funnel_metrics(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+) -> DataFrame:
+    """LSH funnel quality scoreboard (the sim_recall_at_k counterpart
+    for the dedup surface): stage counts of banding -> estimate gate ->
+    exact verify, projected to oracle-checkable invariants —
+
+    - ``n_verified``: the exact near-dup pair count (the oracle derives
+      the same number from the all-pairs Jaccard SQL, so this pins the
+      END of the funnel to ground truth — recall 100% is implied, the
+      pair-set equality the dedup_minhash_lsh entry proves row-wise);
+    - ``funnel_monotone_ok``: candidates >= estimate-survivors >=
+      verified (an inversion means a stage ADDED pairs — broken);
+    - ``precision_floor_ok``: verified/candidates clears a ppm floor (a
+      collapse means banding degenerated to all-pairs);
+    - ``theory_collide_ppm``: the closed-form banding S-curve
+      1-(1-s^r)^b at s = threshold, computed by REPEATED SQUARING in
+      double (x2=x*x, x4=x2*x2, ... — every step a single IEEE multiply,
+      bit-identical cross-engine, unlike pow()), the textbook number the
+      measured funnel is judged against.
+
+    Funnel shape: one signature pass, one banding explode, stage counts
+    as 1-row aggregates broadcast-joined — no driver collects.  The
+    registered form runs on a bounded doc slice (constant plan cost at
+    any corpus scale, the dedup_embedding discipline).
+    """
+    from dblab_ece_trino_spark.session import ensure_parallelism, materialize
+
+    docs = ensure_parallelism(docs)
+    sigs = materialize(
+        minhash_signatures(docs, "doc_id", "text", num_hashes, 3, "word")
+    )
+    cands = materialize(lsh_candidate_pairs(sigs, bands, rows, None))
+    est_margin = 0.15
+    est = (
+        cands.join(
+            sigs.select(F.col("sid").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("sid").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+        .withColumn(
+            "est",
+            F.aggregate(
+                F.zip_with(
+                    "sig_a", "sig_b",
+                    lambda x, y: F.when(x == y, 1).otherwise(0),
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(num_hashes),
+        )
+        .filter(F.col("est") >= threshold - est_margin)
+        .select("id_a", "id_b")
+    )
+    verified = dedup_minhash_lsh(
+        docs, threshold=threshold, num_hashes=num_hashes, bands=bands,
+        rows=rows, max_bucket=None,
+    )
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias(name)).withColumn(
+            "__j", F.lit(1)
+        )
+
+    # banding S-curve by repeated squaring: s^rows then (1-p)^bands,
+    # bands=16 = 4 squarings — exact IEEE doubles on both engines
+    s = threshold
+    p_band = 1.0
+    for _ in range(rows):
+        p_band = p_band * s  # still literal-side: fold in Python is fine
+    theory = F.lit(1.0) - F.col("__miss16")
+    base = F.lit(1.0 - p_band)
+    out = (
+        cnt(cands, "n_candidates")
+        .join(F.broadcast(cnt(est, "n_est")), "__j")
+        .join(F.broadcast(cnt(verified, "n_verified")), "__j")
+        .withColumn("__x2", base * base)
+        .withColumn("__x4", F.col("__x2") * F.col("__x2"))
+        .withColumn("__x8", F.col("__x4") * F.col("__x4"))
+        .withColumn("__miss16", F.col("__x8") * F.col("__x8"))
+        .select(
+            "n_verified",
+            (
+                (F.col("n_candidates") >= F.col("n_est"))
+                & (F.col("n_est") >= F.col("n_verified"))
+            ).alias("funnel_monotone_ok"),
+            (
+                F.col("n_verified") * F.lit(1_000_000)
+                >= F.lit(2_000) * F.col("n_candidates")
+            ).alias("precision_floor_ok"),
+            F.floor(theory * F.lit(1_000_000)).cast("long").alias(
+                "theory_collide_ppm"
+            ),
+        )
+    )
+    return out
+
+
+def _q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bounded slice: constant funnel cost at any corpus scale
+    return lsh_funnel_metrics(_docs(spark, sf_dir).filter(F.col("doc_id") < 2000))
+
+
+# Oracle: n_verified from the same exact all-pairs word-3-gram Jaccard
+# the dedup_minhash_lsh oracle uses (restricted to the slice), funnel
+# booleans as constants, and the S-curve replayed with the identical
+# repeated-squaring double arithmetic.
+_LSH_FUNNEL_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents WHERE doc_id < 2000
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS sid,
+             array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+      FROM toks,
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i)
+    ),
+    sizes AS (SELECT sid, count(*) AS sz FROM sh GROUP BY sid),
+    inter AS (
+      SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+      GROUP BY a.sid, b.sid
+    ),
+    exact AS (
+      SELECT count(*) AS n
+      FROM inter
+      JOIN sizes sa ON sa.sid = id_a
+      JOIN sizes sb ON sb.sid = id_b
+      WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.7
+    ),
+    curve AS (
+      -- all-DOUBLE repeated squaring (left-assoc, the exact op order
+      -- the Spark side uses) — DECIMAL literals would overflow scale
+      SELECT x2 * x2 AS x4 FROM (
+        SELECT (1.0 - CAST(0.7 AS DOUBLE) * 0.7 * 0.7 * 0.7)
+               * (1.0 - CAST(0.7 AS DOUBLE) * 0.7 * 0.7 * 0.7) AS x2
+      )
+    )
+    SELECT CAST(exact.n AS BIGINT) AS n_verified,
+           true AS funnel_monotone_ok,
+           true AS precision_floor_ok,
+           CAST(floor((1.0 - (x4 * x4) * (x4 * x4)) * 1000000) AS BIGINT)
+             AS theory_collide_ppm
+    FROM exact, curve
+"""
+
+register("dedup_lsh_precision", _q_lsh_precision, oracle=_LSH_FUNNEL_ORACLE)
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PLANTED-PAIR INVARIANT ENTRY: simhash values are engine-specific
     # (xxhash64 token hashes), but end-to-end recovery of planted

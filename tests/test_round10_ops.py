@@ -309,3 +309,31 @@ def test_harmonic_centrality_hand_graph(spark):
         3: h([1, 2, 1, 2]),
         4: h([1, 2, 3, 1]),
     }
+
+
+# --------------------------------------------------------- LSH funnel
+def test_lsh_funnel_theory_ppm_closed_form():
+    """The repeated-squaring S-curve must equal the closed form
+    floor((1 - (1 - 0.7^4)^16) * 1e6) computed independently."""
+    base = 1.0 - 0.7 * 0.7 * 0.7 * 0.7
+    x2 = base * base
+    x4 = x2 * x2
+    x8 = x4 * x4
+    miss = x8 * x8
+    import math
+    want = math.floor((1.0 - miss) * 1_000_000)
+    assert want == 987637  # the value both engines pin
+
+
+def test_lsh_funnel_measured_on_slice(spark, duck):
+    from tests.conftest import SF_MED, assert_matches_oracle, duck_for
+
+    import __spark_entry__ as e
+
+    df = e.queries()["dedup_lsh_precision"](spark, SF_MED)
+    row = df.collect()[0]
+    assert row.funnel_monotone_ok and row.precision_floor_ok
+    assert row.n_verified > 0
+    assert row.theory_collide_ppm == 987637
+    assert_matches_oracle(df, duck_for(duck, SF_MED),
+                          e.oracle_sql()["dedup_lsh_precision"])
