@@ -190,6 +190,9 @@ HEADLINE = [
     # ... and the LSH banding-funnel scoreboard (stage monotonicity,
     # precision floor, repeated-squaring S-curve vs ground truth)
     "dedup_lsh_precision",
+    # ... and the per-(lang, source) tokenizer fertility audit riding
+    # the exact BPE encoder (integer ppm tokens/word, chars/token)
+    "llm_tokenizer_fertility",
 ]
 
 

@@ -893,6 +893,79 @@ def _bpe_oracle(merges=None) -> str:
 register("llm_bpe_encode", _q_bpe_encode, oracle=_bpe_oracle())
 
 
+def tokenizer_fertility(docs: DataFrame) -> DataFrame:
+    """Tokenizer fertility audit per (lang, source) bucket — the
+    standard multilingual vocabulary-fit diagnostic (XLM-R/mBART
+    methodology: fertility = subword tokens per word; a bucket whose
+    fertility is far above the corpus norm is under-served by the
+    vocabulary and will train/infer at a token-cost penalty).  Rides
+    the exact BPE encoder (bpe_encode_counts): per bucket, exact BPE
+    tokens per word and characters per BPE token as integer ppm floor
+    divisions — replay-exact, no float ratios.
+
+    100 TB shape: the encoder's own economics (|V|-scale merge
+    application, one fact scan, two keyed shuffles) plus ONE broadcast
+    join of the tiny (doc -> lang, source) dimension and a
+    |buckets|-row rollup.
+    """
+    per_doc = bpe_encode_counts(docs)
+    dims = docs.select("doc_id", "lang", "source")
+    return (
+        per_doc.join(dims, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.expr("(sum(n_bpe_tokens) * 1000000) div sum(n_words)")
+            .cast("long")
+            .alias("fertility_ppm"),
+            F.expr("(sum(n_chars) * 1000000) div sum(n_bpe_tokens)")
+            .cast("long")
+            .alias("chars_per_token_ppm"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tokenizer_fertility(_docs(spark, sf_dir))
+
+
+def _fertility_oracle(merges=None) -> str:
+    """Same unrolled merge chain as _bpe_oracle, rolled up per
+    (lang, source) with integer ppm divisions."""
+    base = _bpe_oracle(merges)
+    n = len(merges or BPE_MERGES)
+    head, _tail = base.split(f"vt AS (SELECT w, count(*) AS n_tok FROM s{n}")
+    return head + f"""vt AS (SELECT w, count(*) AS n_tok FROM s{n} GROUP BY w),
+    perdoc AS (
+      SELECT dw.doc_id,
+             CAST(sum(cnt) AS BIGINT) AS nw,
+             CAST(sum(cnt * len(w)) AS BIGINT) AS nc,
+             CAST(sum(cnt * n_tok) AS BIGINT) AS nt
+      FROM dw JOIN vt USING (w)
+      GROUP BY dw.doc_id
+    )
+    SELECT d.lang, d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nw) AS BIGINT) AS n_words,
+           CAST(sum(nt) AS BIGINT) AS n_bpe_tokens,
+           CAST((sum(nt) * 1000000) // sum(nw) AS BIGINT) AS fertility_ppm,
+           CAST((sum(nc) * 1000000) // sum(nt) AS BIGINT)
+             AS chars_per_token_ppm
+    FROM perdoc p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.lang, d.source
+    ORDER BY d.lang, d.source"""
+
+
+register(
+    "llm_tokenizer_fertility",
+    _q_tokenizer_fertility,
+    oracle=_fertility_oracle(),
+)
+
+
 # --------------------------------------------------- winnowing fingerprints
 WIN_K = 4          # word k-gram length
 WIN_W = 4          # winnowing window (hashes per selection window)

@@ -337,3 +337,39 @@ def test_lsh_funnel_measured_on_slice(spark, duck):
     assert row.theory_collide_ppm == 987637
     assert_matches_oracle(df, duck_for(duck, SF_MED),
                           e.oracle_sql()["dedup_lsh_precision"])
+
+
+# ------------------------------------------------- tokenizer fertility
+def test_tokenizer_fertility_identities(spark):
+    """Bucket sums must reconcile with the per-doc encoder output, and
+    the ppm ratios must be exact floor divisions of those sums."""
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.operators.text import (
+        _docs,
+        bpe_encode_counts,
+        tokenizer_fertility,
+    )
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    per_doc = {
+        r.doc_id: r for r in bpe_encode_counts(docs).collect()
+    }
+    dims = {r.doc_id: (r.lang, r.source)
+            for r in docs.select("doc_id", "lang", "source").collect()}
+    agg: dict = {}
+    for did, r in per_doc.items():
+        k = dims[did]
+        nd, nw, nc, nt = agg.get(k, (0, 0, 0, 0))
+        agg[k] = (nd + 1, nw + r.n_words, nc + r.n_chars,
+                  nt + r.n_bpe_tokens)
+    got = {(r.lang, r.source): r
+           for r in tokenizer_fertility(docs).collect()}
+    assert set(got) == set(agg)
+    for k, (nd, nw, nc, nt) in agg.items():
+        g = got[k]
+        assert (g.n_docs, g.n_words, g.n_bpe_tokens) == (nd, nw, nt)
+        assert g.fertility_ppm == nt * 1_000_000 // nw
+        assert g.chars_per_token_ppm == nc * 1_000_000 // nt
+        # BPE merges only ever shrink: fertility within (0, chars/word]
+        assert 0 < g.fertility_ppm <= nc * 1_000_000 // nw
