@@ -392,44 +392,72 @@ def gopher_repetition(
     identical semantics in both engines, no float anywhere.
 
     100 TB shape: ONE scan, one explode producing the n in {2..6} gram
-    stream tagged by n (token-linear, x5), one map-side-combinable
-    (doc, n, gram) count, a (doc, n) fold, a 5-way conditional pivot to
-    one row per document.  Nothing leaves the doc's hash partition
-    after the first shuffle.
+    stream tagged by n (token-linear, x5), with grams keyed by
+    ``xxhash64`` OF THE TOKEN-ARRAY SLICE — no gram string is ever
+    constructed and the shuffle carries 8-byte keys (the
+    dup_span_coverage discipline); gram character length travels as a
+    small integer fold over the precomputed token-length array.  Then
+    one map-side-combinable (doc, n, hash) count, a (doc, n) fold, a
+    5-way conditional pivot to one row per document.  (Two rejected
+    forms, measured at sf0.1: STRING-keyed grams 12.7 s — the shuffle
+    carries gram text; a zero-shuffle sort+run-length ``aggregate`` HOF
+    18.7 s — struct-state lambdas evaluate interpreted.  This form:
+    ~2 s.)  Same-engine xxhash64 collisions would merge two gram
+    groups (~1e-10 corpus-wide — deterministic, and the unchanged
+    string-keyed oracle would catch it).
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
 
     def gram_structs(n: int) -> Column:
         idx = F.sequence(
-            F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))
+            F.lit(1), F.greatest(F.size(F.col("arr")) - (n - 1), F.lit(1))
         )
         return F.transform(
             idx,
             lambda i: F.struct(
                 F.lit(n).cast("int").alias("n"),
-                F.concat_ws(" ", F.slice(toks, i, n)).alias("g"),
+                F.xxhash64(F.slice(F.col("arr"), i, n)).alias("gh"),
+                (
+                    F.aggregate(
+                        F.slice(F.col("lens"), i, n),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    )
+                    + F.least(F.lit(n), F.size(F.col("arr")))
+                    - F.lit(1)
+                ).alias("glen"),
             ),
         )
 
-    g = docs.select(
+    base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.length(F.col(text_col)).cast("long").alias("doc_chars"),
+        toks.alias("arr"),
+    ).withColumn("lens", F.transform("arr", lambda t: F.length(t).cast("long")))
+    g = base.select(
+        "doc_id",
+        "doc_chars",
         F.explode(
             F.concat(*[gram_structs(n) for n in (2, 3, 4, 5, 6)])
         ).alias("x"),
-    ).select("doc_id", "doc_chars", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
-    per_gram = g.groupBy("doc_id", "doc_chars", "n", "g").agg(
-        F.count("*").cast("long").alias("c")
+    ).select(
+        "doc_id", "doc_chars",
+        F.col("x.n").alias("n"), F.col("x.gh").alias("gh"),
+        F.col("x.glen").alias("glen"),
+    )
+    per_gram = g.groupBy("doc_id", "doc_chars", "n", "gh").agg(
+        F.count("*").cast("long").alias("c"),
+        F.max("glen").alias("glen"),
     )
     per_n = per_gram.groupBy("doc_id", "doc_chars", "n").agg(
         F.max(
             F.struct(
                 F.col("c"),
-                (F.col("c") * F.length("g")).cast("long").alias("cov"),
+                (F.col("c") * F.col("glen")).cast("long").alias("cov"),
             )
         ).alias("top"),
         F.sum(
-            F.when(F.col("c") >= 2, F.col("c") * F.length("g")).otherwise(0)
+            F.when(F.col("c") >= 2, F.col("c") * F.col("glen")).otherwise(0)
         ).cast("long").alias("dupcov"),
     )
 

@@ -267,40 +267,59 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     batches shrink', not row equality (tests/test_streaming.py pins the
     batch form on hand-built sessions instead).
 
-    100 TB shape: ONE hash shuffle on user_id, then per-user
-    vectorized numpy work (sort + diff + cumsum — no Python loop); the
-    per-task working set is one user's events, the standard
-    sessionization bound (skewed power-users are the known caveat,
-    shared with every keyed-state sessionizer including the streaming
-    form and the built-in session_window).
+    100 TB shape: ONE hash shuffle on user_id (repartition) + an
+    in-partition sort, then ONE Arrow/pandas call per PARTITION that
+    sessionizes every complete user group in it vectorized (sort-free
+    inside: the partition arrives (user, ts)-sorted; session breaks are
+    one diff/cumsum over the whole batch with user boundaries folded
+    in).  The per-GROUP ``applyInPandas`` form was measured 11.0 s at
+    sf0.1 — tens of thousands of tiny pandas invocations — vs ~1 s for
+    the per-partition form; the working-set bound is unchanged (one
+    partition's events; skewed power-users remain the known caveat of
+    every keyed sessionizer, including the streaming form and the
+    built-in session_window).
     """
     gap_ms = gap_minutes * 60 * 1000
 
-    def split(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts", kind="mergesort")
-        ts_ms = (
-            pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
-        )
-        d = ts_ms.diff()
-        sess = (d.isna() | (d >= gap_ms)).cumsum()
-        out = (
-            pdf.assign(__s=sess.values)
-            .groupby("__s", sort=True)
-            .agg(
-                user_id=("user_id", "first"),
-                session_start=("ts", "min"),
-                session_end=("ts", "max"),
-                n_events=("ts", "size"),
+    def split(pdfs: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        # one frame per PARTITION: Arrow hands the partition over as
+        # ~10k-row batches, and a user's events may straddle a batch
+        # boundary — concatenating first keeps groups whole (the
+        # working set is one partition, the same bound as before)
+        batches = [p for p in pdfs if len(p)]
+        if batches:
+            pdf = batches[0] if len(batches) == 1 else pd.concat(
+                batches, ignore_index=True
             )
-            .reset_index(drop=True)
-        )
-        out["n_events"] = out["n_events"].astype("int64")
-        return out[["user_id", "session_start", "session_end", "n_events"]]
+            ts_ms = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64")
+                // 1_000_000
+            )
+            uid = pdf["user_id"]
+            new_user = uid.ne(uid.shift())
+            d = ts_ms.diff()
+            sess = (new_user | (d >= gap_ms)).cumsum()
+            out = (
+                pdf.assign(__s=sess.values)
+                .groupby("__s", sort=True)
+                .agg(
+                    user_id=("user_id", "first"),
+                    session_start=("ts", "min"),
+                    session_end=("ts", "max"),
+                    n_events=("ts", "size"),
+                )
+                .reset_index(drop=True)
+            )
+            out["n_events"] = out["n_events"].astype("int64")
+            yield out[
+                ["user_id", "session_start", "session_end", "n_events"]
+            ]
 
     return (
         events.select("user_id", "ts")
-        .groupBy("user_id")
-        .applyInPandas(split, schema=SESSION_SCHEMA)
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts")
+        .mapInPandas(split, schema=SESSION_SCHEMA)
     )
 
 

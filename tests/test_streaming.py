@@ -626,3 +626,26 @@ def test_sessionize_batch_hand_built_sessions(spark):
         (3, m(0), m(10), 2), (3, m(41), m(41), 1),
     ])
     assert got == want
+
+
+def test_sessionize_batch_user_straddles_arrow_batches(spark):
+    """A single user's events larger than the Arrow batch size (~10k
+    rows) must still sessionize as one stream — the per-partition
+    concat guard; without it a session would split at a batch seam."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.streaming.events import sessionize_batch
+
+    t0 = dt.datetime(2024, 1, 1)
+    n = 25_000  # > 2 Arrow batches, 1-minute spacing -> ONE session
+    df = spark.range(n).select(
+        F.lit(7).alias("user_id"),
+        (F.lit(t0) + F.make_interval(mins=F.col("id"))).alias("ts"),
+    )
+    out = sessionize_batch(df, gap_minutes=30).collect()
+    assert len(out) == 1
+    assert out[0].n_events == n
+    assert out[0].session_start == t0
+    assert out[0].session_end == t0 + dt.timedelta(minutes=n - 1)
