@@ -184,6 +184,7 @@ HEADLINE = [
     # ... and the Western Electric SPC rule flags (integer sigma
     # tests via DECIMAL(38,0)/HUGEINT cross-multiplication)
     "ts_spc_rules",
+    "ts_ordinal_patterns",
     # ... and truncated harmonic centrality (multi-source BFS — K
     # seeds ride one join per level, integer ppm reciprocal distances)
     "graph_harmonic_centrality",

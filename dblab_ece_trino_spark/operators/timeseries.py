@@ -1329,3 +1329,97 @@ def _register_spc_rules() -> None:
 
 
 _register_spc_rules()
+
+
+def _register_ordinal_patterns() -> None:
+    """Ordinal-pattern histogram (Bandt & Pompe 2002, "Permutation
+    Entropy: A Natural Complexity Measure for Time Series") — the fact
+    table behind permutation entropy, ordinal-network analysis and
+    series-complexity triage: per event-type daily revenue, every
+    length-3 sliding window is mapped to its rank permutation and the
+    per-type pattern distribution is reported in exact ppm.
+
+    Ties broken by temporal order (the published convention: on equal
+    values the EARLIER sample ranks lower), so with window (a, b, c) at
+    positions (0, 1, 2):
+
+      rank(a) = (b < a) + (c < a)
+      rank(b) = (a <= b) + (c < b)
+      rank(c) = (a <= c) + (b <= c)
+
+    and the pattern code is the 3-digit decimal rank vector (012 =
+    monotone up, 210 = monotone down, ...).  ALL-INTEGER: values fold
+    to exact daily cents at the scan, ranks are comparison sums, shares
+    are one nonnegative integer floor division (cnt * 1e6 div
+    n_windows) — no float anywhere, so both engines agree bit-exactly.
+    Permutation entropy itself needs ln and is deliberately left to the
+    pytest layer (the HLL linear-counting precedent); the histogram IS
+    the sufficient statistic.
+
+    100 TB shape: one events scan to the (type, day) frame (map-side
+    combinable), two lag references over one per-type ORDER BY dn
+    window, a keyed histogram aggregation, and a per-type total as a
+    whole-partition window over the <= 6-row pattern frame.  Matches
+    the reference's query-over-facts surface (queries/*.sql aggregate
+    shapes); complexity measurement itself is beyond-parity surface.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    tpl = """
+        WITH daily AS (
+          SELECT event_type, {dnum} AS dn,
+                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                   AS BIGINT) AS v
+          FROM {events}
+          GROUP BY event_type, {dnum}
+        ),
+        lagged AS (
+          SELECT event_type,
+                 lag(v, 2) OVER w AS a,
+                 lag(v, 1) OVER w AS b,
+                 v AS c
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY dn)
+        ),
+        pat AS (
+          SELECT event_type,
+                 100 * ((CASE WHEN b < a THEN 1 ELSE 0 END)
+                        + (CASE WHEN c < a THEN 1 ELSE 0 END))
+                 + 10 * ((CASE WHEN a <= b THEN 1 ELSE 0 END)
+                         + (CASE WHEN c < b THEN 1 ELSE 0 END))
+                 + ((CASE WHEN a <= c THEN 1 ELSE 0 END)
+                    + (CASE WHEN b <= c THEN 1 ELSE 0 END)) AS pattern
+          FROM lagged
+          WHERE a IS NOT NULL
+        ),
+        hist AS (
+          SELECT event_type, pattern, CAST(count(*) AS BIGINT) AS cnt
+          FROM pat
+          GROUP BY event_type, pattern
+        )
+        SELECT event_type, CAST(pattern AS INT) AS pattern, cnt,
+               CAST((cnt * 1000000) {fd}
+                    sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+                 AS share_ppm,
+               CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+                 AS n_windows
+        FROM hist
+        ORDER BY event_type, pattern
+    """
+    register_sql(
+        "ts_ordinal_patterns",
+        tpl.replace("{fd}", "div")
+        .replace("{dnum}",
+                 "CAST(datediff(CAST(date_trunc('day', ts) AS DATE),"
+                 " DATE '1992-01-01') AS BIGINT)")
+        .format(**_SPARK_TABLES),
+        tpl.replace("{fd}", "//")
+        .replace("{dnum}",
+                 "CAST(CAST(date_trunc('day', ts) AS DATE)"
+                 " - DATE '1992-01-01' AS BIGINT)")
+        .format(**_ORACLE_TABLES),
+    )
+
+
+_register_ordinal_patterns()

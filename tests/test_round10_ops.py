@@ -373,3 +373,52 @@ def test_tokenizer_fertility_identities(spark):
         assert g.chars_per_token_ppm == nc * 1_000_000 // nt
         # BPE merges only ever shrink: fertility within (0, chars/word]
         assert 0 < g.fertility_ppm <= nc * 1_000_000 // nw
+
+
+def test_ordinal_patterns_matches_pure_python():
+    """The ordinal-pattern oracle must equal an independent pure-Python
+    evaluator (explicit rank comparisons, dict histogram) at sf0.001,
+    and the histogram must support the permutation-entropy bound
+    0 <= PE <= ln(6) (the ln left out of the engine by design)."""
+    import math
+
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    got = [tuple(r) for r in
+           con.execute(oracle_queries()["ts_ordinal_patterns"]).fetchall()]
+    assert got, "oracle returned no rows"
+
+    daily = con.execute(
+        "SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d, "
+        "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series: dict = {}
+    for et, _, v in daily:
+        series.setdefault(et, []).append(v)
+
+    want = []
+    for et in sorted(series):
+        vs = series[et]
+        hist: dict = {}
+        for i in range(2, len(vs)):
+            a, b, c = vs[i - 2], vs[i - 1], vs[i]
+            ra = (b < a) + (c < a)
+            rb = (a <= b) + (c < b)
+            rc = (a <= c) + (b <= c)
+            assert sorted((ra, rb, rc)) == [0, 1, 2]
+            hist[100 * ra + 10 * rb + rc] = hist.get(100 * ra + 10 * rb + rc, 0) + 1
+        n = sum(hist.values())
+        for pat in sorted(hist):
+            want.append((et, pat, hist[pat], hist[pat] * 1_000_000 // n, n))
+        pe = -sum((c / n) * math.log(c / n) for c in hist.values())
+        assert 0.0 <= pe <= math.log(6) + 1e-12
+    assert got == want
