@@ -188,6 +188,9 @@ HEADLINE = [
     # ... and truncated harmonic centrality (multi-source BFS — K
     # seeds ride one join per level, integer ppm reciprocal distances)
     "graph_harmonic_centrality",
+    # ... and Newman-Girvan modularity of the brand partition
+    # (exact-integer ppm, sign-guarded floor division)
+    "graph_modularity",
     # ... and the LSH banding-funnel scoreboard (stage monotonicity,
     # precision floor, repeated-squaring S-curve vs ground truth)
     "dedup_lsh_precision",

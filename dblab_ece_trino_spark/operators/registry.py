@@ -121,7 +121,7 @@ GRADED_PRIORITY: list[str] = [
     "sim_recall_at_k", "op_sessionize_batch", "llm_gopher_repetition",
     "multimodal_qoi_decode", "join_asof_nearest", "ts_spc_rules",
     "graph_harmonic_centrality", "dedup_lsh_precision",
-    "llm_tokenizer_fertility", "ts_ordinal_patterns",
+    "llm_tokenizer_fertility", "ts_ordinal_patterns", "graph_modularity",
     # latest green = round 4 (the 22 displaced from the r9 window)
     "op_median_mode", "op_min_max_by", "op_new_vs_returning",
     "op_stats_regression", "op_string_agg", "op_token_cooccurrence",
@@ -138,7 +138,6 @@ GRADED_PRIORITY: list[str] = [
     "llm_span_corruption", "llm_temperature_mix", "multimodal_ppm_decode",
     "multimodal_wav_decode", "op_agg_filter_clause", "op_bloom_membership",
     "op_conversion_latency", "op_count_min_heavy_hitters",
-    "op_event_trigrams",
 ]
 
 

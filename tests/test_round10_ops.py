@@ -422,3 +422,62 @@ def test_ordinal_patterns_matches_pure_python():
         pe = -sum((c / n) * math.log(c / n) for c in hist.values())
         assert 0.0 <= pe <= math.log(6) + 1e-12
     assert got == want
+
+
+def test_modularity_matches_pure_python():
+    """The modularity oracle must equal an independent pure-Python
+    evaluator (dict graph, explicit e_c/d_c accounting) at sf0.001,
+    including the textbook identities sum(d_c) = 2m and
+    sum(e_c) <= m, and Q within the published [-1/2, 1) range."""
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    got = [tuple(r) for r in
+           con.execute(oracle_queries()["graph_modularity"]).fetchall()]
+    assert got, "oracle returned no rows"
+
+    pairs = con.execute(
+        "SELECT a.l_partkey, b.l_partkey FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        "GROUP BY 1, 2 HAVING count(*) >= 2"
+    ).fetchall()
+    brand = dict(con.execute("SELECT p_partkey, p_brand FROM part").fetchall())
+
+    m = len(pairs)
+    deg: dict = {}
+    e_c: dict = {}
+    for u, v in pairs:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+        if brand[u] == brand[v]:
+            e_c[brand[u]] = e_c.get(brand[u], 0) + 1
+    n_c: dict = {}
+    d_c: dict = {}
+    for node, k in deg.items():
+        b = brand[node]
+        n_c[b] = n_c.get(b, 0) + 1
+        d_c[b] = d_c.get(b, 0) + k
+    assert sum(d_c.values()) == 2 * m
+    assert sum(e_c.values()) <= m
+
+    den = 4 * m * m
+    nums = {b: 10**6 * (4 * m * e_c.get(b, 0) - d_c[b] ** 2) for b in n_c}
+
+    def tdiv(n: int) -> int:
+        return n // den if n >= 0 else -((-n) // den)
+
+    tot = tdiv(sum(nums.values()))
+    assert -500_000 <= tot < 1_000_000  # Q in [-1/2, 1)
+    want = [
+        (b, n_c[b], d_c[b], e_c.get(b, 0), tdiv(nums[b]), tot)
+        for b in sorted(n_c)
+    ]
+    assert got == want
