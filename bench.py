@@ -191,6 +191,9 @@ HEADLINE = [
     # ... and Newman-Girvan modularity of the brand partition
     # (exact-integer ppm, sign-guarded floor division)
     "graph_modularity",
+    # ... and the Kaplan-Meier / Nelson-Aalen time-to-second-purchase
+    # life table (right-censored, all-integer hazards)
+    "op_survival_hazard",
     # ... and the LSH banding-funnel scoreboard (stage monotonicity,
     # precision floor, repeated-squaring S-curve vs ground truth)
     "dedup_lsh_precision",

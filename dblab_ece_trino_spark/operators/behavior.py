@@ -1191,3 +1191,92 @@ _ASSOC_ORACLE = f"""
 """
 
 register("op_assoc_rules", _q_assoc, oracle=_ASSOC_ORACLE)
+
+
+def _register_survival_hazard() -> None:
+    """Kaplan-Meier / Nelson-Aalen life table for time-to-second-
+    purchase (Kaplan & Meier 1958; Aalen 1978) — the standard
+    right-censored retention analysis: per customer, the duration from
+    first to second order is an EVENT; customers who never reorder are
+    CENSORED at the observation horizon (the corpus max order date).
+    For every distinct duration t the table reports the risk set
+    n_risk = |{durations >= t}|, events d_t, censorings c_t, the
+    discrete hazard d_t/n_risk in exact ppm, and the Nelson-Aalen
+    cumulative hazard as the running sum of those integer hazards.
+    The K-M convention that events at t precede censorings at t is
+    inherited exactly by the >= t risk-set definition.
+
+    ALL-INTEGER: durations are whole days, the hazard is one
+    nonnegative floor division, the cumulative hazard sums already-
+    floored ppm terms (deterministic on both engines; the float
+    survival product S(t) = prod(1 - d/n) is left to the pytest layer,
+    the permutation-entropy/HLL precedent).
+
+    100 TB shape: one orders scan; the per-customer rank window keys on
+    o_custkey (perfectly parallel); everything after the GROUP BY t
+    operates on the |distinct durations|-row life table (~2.4k rows at
+    any corpus scale — durations are bounded by the date span), where
+    the two unpartitioned cumulative windows are constant-cost by
+    construction.
+    """
+    tpl = """
+        WITH ranked AS (
+          SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM {orders}
+        ),
+        horizon AS (
+          SELECT max(CAST(o_orderdate AS DATE)) AS dmax FROM {orders}
+        ),
+        firsts AS (
+          SELECT o_custkey,
+                 min(CASE WHEN rn = 1 THEN d END) AS d1,
+                 min(CASE WHEN rn = 2 THEN d END) AS d2
+          FROM ranked WHERE rn <= 2 GROUP BY o_custkey
+        ),
+        obs AS (
+          SELECT f.o_custkey,
+                 CAST(CASE WHEN f.d2 IS NOT NULL THEN {diff_sd}
+                      ELSE {diff_hd} END AS BIGINT) AS t,
+                 CASE WHEN f.d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+          FROM firsts f
+          CROSS JOIN horizon
+        ),
+        bytime AS (
+          SELECT t, CAST(sum(ev) AS BIGINT) AS d_events,
+                 CAST(sum(1 - ev) AS BIGINT) AS n_censored
+          FROM obs GROUP BY t
+        ),
+        risk AS (
+          SELECT t, d_events, n_censored,
+                 CAST(sum(d_events + n_censored)
+                      OVER (ORDER BY t DESC) AS BIGINT) AS n_risk
+          FROM bytime
+        ),
+        haz AS (
+          SELECT t, n_risk, d_events, n_censored,
+                 CAST((d_events * 1000000) {fd} n_risk AS BIGINT)
+                   AS hazard_ppm
+          FROM risk
+        )
+        SELECT t AS t_days, n_risk, d_events, n_censored, hazard_ppm,
+               CAST(sum(hazard_ppm) OVER (ORDER BY t) AS BIGINT)
+                 AS cumhaz_ppm
+        FROM haz
+        ORDER BY t_days
+    """
+    register_sql(
+        "op_survival_hazard",
+        tpl.replace("{fd}", "div")
+        .replace("{diff_sd}", "datediff(f.d2, f.d1)")
+        .replace("{diff_hd}", "datediff(dmax, f.d1)")
+        .format(**_SPARK_TABLES),
+        tpl.replace("{fd}", "//")
+        .replace("{diff_sd}", "f.d2 - f.d1")
+        .replace("{diff_hd}", "dmax - f.d1")
+        .format(**_ORACLE_TABLES),
+    )
+
+
+_register_survival_hazard()

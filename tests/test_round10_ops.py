@@ -481,3 +481,55 @@ def test_modularity_matches_pure_python():
         for b in sorted(n_c)
     ]
     assert got == want
+
+
+def test_survival_hazard_matches_pure_python():
+    """The life-table oracle must equal an independent pure-Python
+    Kaplan-Meier evaluator (explicit per-customer durations, dict risk
+    sets) at sf0.001; the float K-M survival product left out of the
+    engine must be monotone non-increasing in [0, 1]."""
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf}/orders.parquet')"
+    )
+    got = [tuple(r) for r in
+           con.execute(oracle_queries()["op_survival_hazard"]).fetchall()]
+    assert got, "oracle returned no rows"
+
+    rows = con.execute(
+        "SELECT o_custkey, CAST(o_orderdate AS DATE), o_orderkey "
+        "FROM orders ORDER BY o_custkey, 2, 3"
+    ).fetchall()
+    dmax = max(r[1] for r in rows)
+    per: dict = {}
+    for ck, d, _ in rows:
+        per.setdefault(ck, []).append(d)
+    obs = []
+    for ck, ds in per.items():
+        if len(ds) >= 2:
+            obs.append(((ds[1] - ds[0]).days, 1))
+        else:
+            obs.append(((dmax - ds[0]).days, 0))
+
+    times = sorted({t for t, _ in obs})
+    want = []
+    cum = 0
+    surv = 1.0
+    prev_surv = 1.0
+    for t in times:
+        n_risk = sum(1 for tt, _ in obs if tt >= t)
+        d_ev = sum(1 for tt, ev in obs if tt == t and ev == 1)
+        n_cen = sum(1 for tt, ev in obs if tt == t and ev == 0)
+        hz = d_ev * 1_000_000 // n_risk
+        cum += hz
+        want.append((t, n_risk, d_ev, n_cen, hz, cum))
+        surv *= 1.0 - d_ev / n_risk
+        assert 0.0 <= surv <= prev_surv  # K-M monotonicity
+        prev_surv = surv
+    assert got == want
