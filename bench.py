@@ -194,6 +194,9 @@ HEADLINE = [
     # ... and the Kaplan-Meier / Nelson-Aalen time-to-second-purchase
     # life table (right-censored, all-integer hazards)
     "op_survival_hazard",
+    # ... and RAKE keyphrase extraction (degree/frequency word scores
+    # in exact ppm over the materialized phrase frame)
+    "text_rake_keyphrases",
     # ... and the LSH banding-funnel scoreboard (stage monotonicity,
     # precision floor, repeated-squaring S-curve vs ground truth)
     "dedup_lsh_precision",

@@ -1129,3 +1129,131 @@ def _winnowing_oracle() -> str:
 
 
 register("text_winnowing", _q_winnowing, oracle=_winnowing_oracle())
+
+
+# --------------------------------------------------- RAKE keyphrases
+RAKE_STOPWORDS = ("the", "a")
+RAKE_MAX_WORDS = 4
+RAKE_TOP = 25
+
+
+def rake_keyphrases(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley 2010,
+    "Automatic Keyword Extraction from Individual Documents") over the
+    whole corpus: candidate phrases are maximal stopword-free word
+    runs (the synthetic corpus has no punctuation, so stopwords are
+    the only delimiters — RAKE_STOPWORDS mirrors the corpus-tuned
+    GOPHER_STOPWORDS discipline), capped at RAKE_MAX_WORDS words (the
+    standard implementation limit, and what bounds the phrase frame).
+    Word scores are degree/frequency — degree(w) = sum of the lengths
+    of every candidate occurrence containing w, freq(w) = number of
+    such occurrences — and a phrase scores the SUM of its member word
+    scores; top RAKE_TOP distinct phrases win.
+
+    ALL-INTEGER: word scores are one nonnegative floor division
+    (degree * 1e6 div freq) and phrase scores sum those already-floored
+    ppm terms, so both engines agree bit-exactly (the paper's float
+    ratios differ only in the truncation).
+
+    100 TB shape: the phrase-occurrence frame (narrow: phrase text +
+    width) is materialized ONCE and feeds both the word-stats branch
+    and the distinct-phrase branch — documents parses exactly once;
+    word stats are a map-side-combinable keyed agg; the scoring join
+    keys on bounded-length phrases.
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    phrases = materialize(
+        docs.selectExpr(
+            "explode(filter(transform(split(regexp_replace({t},"
+            " '\\\\b({sw})\\\\b', '|'), '\\\\|'),"
+            " x -> trim(x)), x -> x != '')) AS phrase".format(
+                t=text_col, sw="|".join(RAKE_STOPWORDS)
+            )
+        )
+        .selectExpr(
+            "phrase", "size(split(phrase, ' +')) AS n_words"
+        )
+        .filter(F.col("n_words") <= RAKE_MAX_WORDS)
+    )
+    wstats = (
+        phrases.selectExpr("explode(split(phrase, ' +')) AS w", "n_words")
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("n_words").cast("long").alias("deg"),
+        )
+        .selectExpr("w", "CAST((deg * 1000000) div freq AS BIGINT) AS wscore")
+    )
+    dp = phrases.groupBy("phrase", "n_words").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    scored = (
+        dp.selectExpr(
+            "phrase", "n_words", "n_occurrences",
+            "explode(split(phrase, ' +')) AS w",
+        )
+        .join(wstats, "w")
+        .groupBy("phrase", "n_words", "n_occurrences")
+        .agg(F.sum("wscore").cast("long").alias("score_ppm"))
+    )
+    return (
+        scored.orderBy(F.desc("score_ppm"), F.asc("phrase"))
+        .limit(RAKE_TOP)
+        .select(
+            "phrase",
+            F.col("n_words").cast("long").alias("n_words"),
+            "n_occurrences",
+            "score_ppm",
+        )
+    )
+
+
+def _q_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.operators.llmprep import _docs as _ldocs
+
+    return rake_keyphrases(_ldocs(spark, sf_dir))
+
+
+def _rake_oracle() -> str:
+    sw = "|".join(RAKE_STOPWORDS)
+    return f"""
+    WITH phr AS (
+      SELECT trim(p) AS phrase,
+             CAST(len(string_split_regex(trim(p), ' +')) AS BIGINT)
+               AS n_words
+      FROM documents,
+           unnest(string_split_regex(
+             regexp_replace(text, '\\b({sw})\\b', '|', 'g'), '\\|'))
+             AS t(p)
+      WHERE trim(p) <> ''
+        AND len(string_split_regex(trim(p), ' +')) <= {RAKE_MAX_WORDS}
+    ),
+    wstats AS (
+      SELECT w, CAST((sum(n_words) * 1000000) // count(*) AS BIGINT)
+               AS wscore
+      FROM (SELECT unnest(string_split_regex(phrase, ' +')) AS w, n_words
+            FROM phr)
+      GROUP BY w
+    ),
+    dp AS (
+      SELECT phrase, n_words, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM phr GROUP BY phrase, n_words
+    ),
+    scored AS (
+      SELECT d.phrase, d.n_words, d.n_occurrences,
+             CAST(sum(s.wscore) AS BIGINT) AS score_ppm
+      FROM (SELECT phrase, n_words, n_occurrences,
+                   unnest(string_split_regex(phrase, ' +')) AS w
+            FROM dp) d
+      JOIN wstats s ON s.w = d.w
+      GROUP BY d.phrase, d.n_words, d.n_occurrences
+    )
+    SELECT phrase, n_words, n_occurrences, score_ppm
+    FROM scored
+    ORDER BY score_ppm DESC, phrase
+    LIMIT {RAKE_TOP}
+    """
+
+
+register("text_rake_keyphrases", _q_rake, oracle=_rake_oracle())

@@ -533,3 +533,54 @@ def test_survival_hazard_matches_pure_python():
         assert 0.0 <= surv <= prev_surv  # K-M monotonicity
         prev_surv = surv
     assert got == want
+
+
+def test_rake_matches_pure_python():
+    """The RAKE oracle must equal an independent pure-Python extractor
+    (explicit phrase splitting, dict degree/frequency accounting) at
+    sf0.001."""
+    import re
+
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.text import (
+        RAKE_MAX_WORDS,
+        RAKE_STOPWORDS,
+        RAKE_TOP,
+    )
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    got = [tuple(r) for r in
+           con.execute(oracle_queries()["text_rake_keyphrases"]).fetchall()]
+    assert len(got) == RAKE_TOP
+
+    docs = con.execute("SELECT text FROM documents").fetchall()
+    sw_re = re.compile(r"\b(" + "|".join(RAKE_STOPWORDS) + r")\b")
+    occurrences = []
+    for (text,) in docs:
+        for chunk in sw_re.sub("|", text).split("|"):
+            phrase = " ".join(chunk.split())
+            if phrase and len(phrase.split()) <= RAKE_MAX_WORDS:
+                occurrences.append(phrase)
+    freq: dict = {}
+    deg: dict = {}
+    occ: dict = {}
+    for phrase in occurrences:
+        ws = phrase.split()
+        occ[phrase] = occ.get(phrase, 0) + 1
+        for w in ws:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(ws)
+    wscore = {w: deg[w] * 1_000_000 // freq[w] for w in freq}
+    scored = [
+        (p, len(p.split()), occ[p], sum(wscore[w] for w in p.split()))
+        for p in occ
+    ]
+    scored.sort(key=lambda r: (-r[3], r[0]))
+    assert got == scored[:RAKE_TOP]
