@@ -197,6 +197,8 @@ HEADLINE = [
     # ... and RAKE keyphrase extraction (degree/frequency word scores
     # in exact ppm over the materialized phrase frame)
     "text_rake_keyphrases",
+    # ... and maximum drawdown (running-peak windows, packed argmax)
+    "ts_max_drawdown",
     # ... and the LSH banding-funnel scoreboard (stage monotonicity,
     # precision floor, repeated-squaring S-curve vs ground truth)
     "dedup_lsh_precision",

@@ -1423,3 +1423,81 @@ def _register_ordinal_patterns() -> None:
 
 
 _register_ordinal_patterns()
+
+
+def _register_max_drawdown() -> None:
+    """Maximum drawdown + underwater profile (the standard risk/health
+    measure for any monitored level series — Magdon-Ismail & Atiya 2004
+    analyze its distribution): per event-type, over the DAILY REVENUE
+    level series, each day's drawdown is
+
+        dd_t = max_{s <= t}(v_s) - v_t        (exact cents)
+
+    and the summary row reports the maximum drawdown, its trough day,
+    the peak day it measures from, and the drawdown in ppm of that
+    peak.  ALL-INTEGER: the running peak is a window MAX over cents;
+    the peak DAY is recovered argmax-style by packing (v, -dn) into one
+    BIGINT (v * 2^20 - dn, safe while dn < 2^20 and v < 2^43 cents —
+    the winnowing packing precedent) so the EARLIEST day wins value
+    ties, the textbook convention; the trough picks the max dd with the
+    earliest day on ties via one more MAX over packed (dd, -dn); the
+    ppm is one nonnegative floor division.
+
+    100 TB shape: one events scan to the (type, day) frame (map-side
+    combinable), two running-max window references per tiny per-type
+    partition, one 5-row keyed aggregate.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    tpl = """
+        WITH daily AS (
+          SELECT event_type, {dnum} AS dn,
+                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                   AS BIGINT) AS v
+          FROM {events}
+          GROUP BY event_type, {dnum}
+        ),
+        peaks AS (
+          SELECT event_type, dn, v,
+                 max(v) OVER w AS peak,
+                 max(v * 1048576 - dn) OVER w AS peak_packed
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY dn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        dd AS (
+          SELECT event_type, dn, v, peak, peak_packed,
+                 peak - v AS drawdown,
+                 max((peak - v) * 1048576 - dn)
+                   OVER (PARTITION BY event_type) AS best_packed
+          FROM peaks
+        )
+        SELECT d.event_type,
+               CAST(d.drawdown AS BIGINT) AS max_drawdown_cents,
+               CAST(d.peak AS BIGINT) AS peak_cents,
+               CAST(d.peak * 1048576 - d.peak_packed AS BIGINT) AS peak_dn,
+               d.dn AS trough_dn,
+               CAST(CASE WHEN d.peak > 0
+                    THEN (d.drawdown * 1000000) {fd} d.peak
+                    ELSE 0 END AS BIGINT) AS drawdown_ppm
+        FROM dd d
+        WHERE d.drawdown * 1048576 - d.dn = d.best_packed
+        ORDER BY d.event_type
+    """
+    register_sql(
+        "ts_max_drawdown",
+        tpl.replace("{fd}", "div")
+        .replace("{dnum}",
+                 "CAST(datediff(CAST(date_trunc('day', ts) AS DATE),"
+                 " DATE '1992-01-01') AS BIGINT)")
+        .format(**_SPARK_TABLES),
+        tpl.replace("{fd}", "//")
+        .replace("{dnum}",
+                 "CAST(CAST(date_trunc('day', ts) AS DATE)"
+                 " - DATE '1992-01-01' AS BIGINT)")
+        .format(**_ORACLE_TABLES),
+    )
+
+
+_register_max_drawdown()

@@ -584,3 +584,50 @@ def test_rake_matches_pure_python():
     ]
     scored.sort(key=lambda r: (-r[3], r[0]))
     assert got == scored[:RAKE_TOP]
+
+
+def test_max_drawdown_matches_pure_python():
+    """The drawdown oracle must equal an independent pure-Python
+    evaluator (explicit running peak, earliest-tie argmax) at
+    sf0.001."""
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    got = [tuple(r) for r in
+           con.execute(oracle_queries()["ts_max_drawdown"]).fetchall()]
+    assert got, "oracle returned no rows"
+
+    daily = con.execute(
+        "SELECT event_type, "
+        "CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1992-01-01' "
+        "  AS BIGINT) AS dn, "
+        "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series: dict = {}
+    for et, dn, v in daily:
+        series.setdefault(et, []).append((dn, v))
+
+    want = []
+    for et in sorted(series):
+        peak = peak_dn = None
+        best = None  # (drawdown, trough_dn, peak, peak_dn)
+        for dn, v in series[et]:
+            if peak is None or v > peak:
+                peak, peak_dn = v, dn
+            dd = peak - v
+            if best is None or dd > best[0]:
+                best = (dd, dn, peak, peak_dn)
+        dd, trough_dn, pk, pk_dn = best
+        want.append(
+            (et, dd, pk, pk_dn, trough_dn,
+             dd * 1_000_000 // pk if pk > 0 else 0)
+        )
+    assert got == want
