@@ -199,6 +199,9 @@ HEADLINE = [
     "text_rake_keyphrases",
     # ... and maximum drawdown (running-peak windows, packed argmax)
     "ts_max_drawdown",
+    # ... and systematic every-k-th sampling on the hashed order
+    # (two-level sharded global rank)
+    "sample_systematic",
     # ... and the LSH banding-funnel scoreboard (stage monotonicity,
     # precision floor, repeated-squaring S-curve vs ground truth)
     "dedup_lsh_precision",

@@ -667,3 +667,85 @@ register(
     ORDER BY source
     """,
 )
+
+
+# ------------------------------------------------ systematic sampling
+SYS_K = 16
+SYS_START = 7
+SYS_SEED = "sys-v1"
+
+
+def systematic_sample(
+    docs: DataFrame,
+    k: int = SYS_K,
+    start: int = SYS_START,
+    seed: str = SYS_SEED,
+    shards: int = 32,
+) -> DataFrame:
+    """Systematic (every k-th) sampling on a hashed frame (Madow &
+    Madow 1944; the survey-sampling workhorse): rows are totally
+    ordered by md5(seed || id) — a deterministic random permutation, so
+    the systematic pass inherits simple-random-sampling properties
+    without a stored random state — and every row whose 0-based global
+    rank is congruent to ``start`` mod ``k`` is kept.  Exactly
+    floor((N - start - 1)/k) + 1 rows survive, the textbook guarantee
+    that per-stratum Bernoulli sampling cannot give.
+
+    The global rank is the two-level sharded form (range-repartition ->
+    per-shard row_number + broadcast shard offsets — the
+    quantile_normalize / llm_sequence_pack machinery): no
+    single-partition window at any corpus scale.
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    base = docs.select("doc_id", "source", "n_chars").withColumn(
+        "h", F.md5(F.concat(F.lit(seed), F.col("doc_id").cast("string")))
+    )
+    sharded = materialize(
+        base.repartitionByRange(shards, F.col("h"), F.col("doc_id"))
+        .withColumn("__shard", F.spark_partition_id())
+    )
+    counts = sharded.groupBy("__shard").agg(F.count("*").alias("__c"))
+    offs = (
+        counts.alias("a")
+        .join(counts.alias("b"), F.col("b.__shard") < F.col("a.__shard"),
+              "left")
+        .groupBy(F.col("a.__shard").alias("__shard"))
+        .agg(F.coalesce(F.sum("b.__c"), F.lit(0)).alias("__off"))
+    )
+    w = Window.partitionBy("__shard").orderBy("h", "doc_id")
+    return (
+        sharded.withColumn("__lr", F.row_number().over(w))
+        .join(F.broadcast(offs), "__shard")
+        .withColumn("global_rank",
+                    (F.col("__off") + F.col("__lr")).cast("long"))
+        .filter((F.col("global_rank") - 1) % k == start)
+        .select("doc_id", "source", "n_chars", "global_rank")
+        .orderBy("global_rank")
+    )
+
+
+def _q_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return systematic_sample(_docs(spark, sf_dir))
+
+
+register(
+    "sample_systematic",
+    _q_systematic,
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source, n_chars,
+             md5(concat('{SYS_SEED}', CAST(doc_id AS VARCHAR))) AS h
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (ORDER BY h, doc_id) AS gr
+      FROM h
+    )
+    SELECT doc_id, source, n_chars, CAST(gr AS BIGINT) AS global_rank
+    FROM r
+    WHERE (gr - 1) % {SYS_K} = {SYS_START}
+    ORDER BY global_rank
+    """,
+)

@@ -631,3 +631,47 @@ def test_max_drawdown_matches_pure_python():
              dd * 1_000_000 // pk if pk > 0 else 0)
         )
     assert got == want
+
+
+def test_systematic_sample_matches_pure_python():
+    """The systematic-sampling oracle must equal an independent
+    pure-Python evaluator (hashlib order, explicit modulo pass) at
+    sf0.001, and the sample size must hit the textbook count
+    floor((N - start - 1)/k) + 1 exactly."""
+    import hashlib
+
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+    from dblab_ece_trino_spark.operators.sampling import (
+        SYS_K,
+        SYS_SEED,
+        SYS_START,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    got = [tuple(r) for r in
+           con.execute(oracle_queries()["sample_systematic"]).fetchall()]
+    assert got, "oracle returned no rows"
+
+    rows = con.execute(
+        "SELECT doc_id, source, n_chars FROM documents"
+    ).fetchall()
+    hashed = sorted(
+        (hashlib.md5(f"{SYS_SEED}{doc_id}".encode()).hexdigest(),
+         doc_id, source, n_chars)
+        for doc_id, source, n_chars in rows
+    )
+    want = [
+        (doc_id, source, n_chars, gr)
+        for gr, (_, doc_id, source, n_chars) in enumerate(hashed, start=1)
+        if (gr - 1) % SYS_K == SYS_START
+    ]
+    n = len(rows)
+    assert len(want) == (n - SYS_START - 1) // SYS_K + 1
+    assert got == want
