@@ -202,6 +202,9 @@ HEADLINE = [
     # ... and systematic every-k-th sampling on the hashed order
     # (two-level sharded global rank)
     "sample_systematic",
+    # ... and the skewness/kurtosis moment profile (anchored integer
+    # power sums, one IEEE finale)
+    "op_moments_profile",
     # ... and the LSH banding-funnel scoreboard (stage monotonicity,
     # precision floor, repeated-squaring S-curve vs ground truth)
     "dedup_lsh_precision",

@@ -1409,3 +1409,109 @@ def _register_abc_pareto() -> None:
 
 
 _register_abc_pareto()
+
+
+def _register_moments_profile() -> None:
+    """Higher-moment distribution profile — population variance,
+    skewness g1 = m3/m2^1.5 and excess kurtosis g2 = m4/m2^2 - 3
+    (Pearson's moment coefficients; the shape diagnostics every
+    profiling pass reports next to mean/median) — per event-type over
+    the daily revenue series.
+
+    Exactness discipline: all power sums are computed over ANCHORED
+    integers d = v - (S1 div n) (the per-type floor mean, itself an
+    exact integer from a first window pass), so the DECIMAL(38,0)/
+    HUGEINT numerators
+
+      A2 = n*Sd2 - Sd1^2                       (= n^2 * m2)
+      A3 = n^2*Sd3 - 3n*Sd1*Sd2 + 2*Sd1^3      (= n^3 * m3)
+      A4 = n^3*Sd4 - 4n^2*Sd1*Sd3
+           + 6n*Sd1^2*Sd2 - 3*Sd1^4            (= n^4 * m4)
+
+    stay tiny (central moments are translation-invariant, and
+    Sd1 = S1 mod n < n by construction; without anchoring, 3*S1^4
+    alone overflows 38 digits at realistic cents).  Exact while
+    n^3 * Sd4 < 1e38 — per-day deviations to ~$40k over a 2,400-day
+    span; past that, fold d to a coarser fixed unit.  The finale is
+    ONE double expression per tiny row — A3/(A2*sqrt(A2)) and
+    A4/(A2*A2) - 3 use only *, / and IEEE-correctly-rounded sqrt, with
+    identical text on both engines (the assortativity precedent; no
+    libm pow anywhere), NULL on constant series via an exact zero
+    guard.
+
+    100 TB shape: one events scan to the (type, day) frame (map-side
+    combinable), the anchor as a whole-partition window over the tiny
+    per-type daily frame, one keyed aggregation, scalar math on a
+    5-row result.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    tpl = """
+        WITH daily AS (
+          SELECT event_type, {dnum} AS dn,
+                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                   AS BIGINT) AS v
+          FROM {events}
+          GROUP BY event_type, {dnum}
+        ),
+        anchored AS (
+          SELECT event_type, v,
+                 CAST(count(*) OVER wt AS BIGINT) AS n,
+                 CAST(sum(v) OVER wt AS BIGINT) AS s1,
+                 v - CAST(sum(v) OVER wt AS BIGINT)
+                     {fd} count(*) OVER wt AS d
+          FROM daily
+          WINDOW wt AS (PARTITION BY event_type)
+        ),
+        sums AS (
+          SELECT event_type, n, s1,
+                 CAST(sum(CAST(d AS {big})) AS {big}) AS sd1,
+                 CAST(sum(CAST(d AS {big}) * d) AS {big}) AS sd2,
+                 CAST(sum(CAST(d AS {big}) * d * d) AS {big}) AS sd3,
+                 CAST(sum(CAST(d AS {big}) * d * d * d) AS {big}) AS sd4
+          FROM anchored
+          GROUP BY event_type, n, s1
+        ),
+        nums AS (
+          SELECT event_type, n, s1,
+                 n * sd2 - sd1 * sd1 AS a2,
+                 n * n * sd3 - 3 * n * sd1 * sd2
+                   + 2 * sd1 * sd1 * sd1 AS a3,
+                 n * n * n * sd4 - 4 * n * n * sd1 * sd3
+                   + 6 * n * sd1 * sd1 * sd2
+                   - 3 * sd1 * sd1 * sd1 * sd1 AS a4
+          FROM sums
+        )
+        SELECT event_type, n AS n_days, s1 AS sum_cents,
+               CAST(s1 {fd} n AS BIGINT) AS mean_cents,
+               CAST(a2 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                 AS variance_cents2,
+               CAST(a3 AS DOUBLE)
+                 / nullif(CAST(a2 AS DOUBLE)
+                          * sqrt(CAST(a2 AS DOUBLE)), 0.0) AS skewness,
+               CAST(a4 AS DOUBLE)
+                 / nullif(CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE), 0.0)
+                 - 3.0 AS kurtosis_excess
+        FROM nums
+        ORDER BY event_type
+    """
+    register_sql(
+        "op_moments_profile",
+        tpl.replace("{big}", "DECIMAL(38,0)")
+        .replace("{fd}", "div")
+        .replace("{dnum}",
+                 "CAST(datediff(CAST(date_trunc('day', ts) AS DATE),"
+                 " DATE '1992-01-01') AS BIGINT)")
+        .format(**_SPARK_TABLES),
+        tpl.replace("{big}", "HUGEINT")
+        .replace("{fd}", "//")
+        .replace("{dnum}",
+                 "CAST(CAST(date_trunc('day', ts) AS DATE)"
+                 " - DATE '1992-01-01' AS BIGINT)")
+        .format(**_ORACLE_TABLES),
+    )
+
+
+_register_moments_profile()

@@ -675,3 +675,60 @@ def test_systematic_sample_matches_pure_python():
     n = len(rows)
     assert len(want) == (n - SYS_START - 1) // SYS_K + 1
     assert got == want
+
+
+def test_moments_profile_matches_pure_python():
+    """The moments oracle must equal an independent pure-Python
+    evaluator: exact integer numerators via big-int arithmetic, then
+    the identical IEEE finale — and the g1/g2 values must agree with
+    a direct float mean-centered computation to 1e-9 relative."""
+    import math
+
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    got = [tuple(r) for r in
+           con.execute(oracle_queries()["op_moments_profile"]).fetchall()]
+    assert got, "oracle returned no rows"
+
+    daily = con.execute(
+        "SELECT event_type, "
+        "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v "
+        "FROM events GROUP BY event_type, date_trunc('day', ts)"
+    ).fetchall()
+    series: dict = {}
+    for et, v in daily:
+        series.setdefault(et, []).append(v)
+
+    want = []
+    for et in sorted(series):
+        vs = series[et]
+        n, s1 = len(vs), sum(vs)
+        anchor = s1 // n
+        ds = [v - anchor for v in vs]
+        sd1, sd2 = sum(ds), sum(d * d for d in ds)
+        sd3, sd4 = sum(d**3 for d in ds), sum(d**4 for d in ds)
+        a2 = n * sd2 - sd1 * sd1
+        a3 = n * n * sd3 - 3 * n * sd1 * sd2 + 2 * sd1**3
+        a4 = (n**3 * sd4 - 4 * n * n * sd1 * sd3
+              + 6 * n * sd1 * sd1 * sd2 - 3 * sd1**4)
+        var = float(a2) / (float(n) * float(n))
+        g1 = float(a3) / (float(a2) * math.sqrt(float(a2)))
+        g2 = float(a4) / (float(a2) * float(a2)) - 3.0
+        want.append((et, n, s1, s1 // n, var, g1, g2))
+
+        # sanity: agree with the direct mean-centered float formula
+        mu = s1 / n
+        m2 = sum((v - mu) ** 2 for v in vs) / n
+        m3 = sum((v - mu) ** 3 for v in vs) / n
+        m4 = sum((v - mu) ** 4 for v in vs) / n
+        assert math.isclose(g1, m3 / m2**1.5, rel_tol=1e-9)
+        assert math.isclose(g2, m4 / m2**2 - 3.0, rel_tol=1e-9)
+    assert got == want
