@@ -205,6 +205,9 @@ HEADLINE = [
     # ... and the skewness/kurtosis moment profile (anchored integer
     # power sums, one IEEE finale)
     "op_moments_profile",
+    # ... and the TGA codec family (twelfth native format: RLE packets,
+    # BGR order, bottom-up rows, v2 footer detection)
+    "multimodal_tga_decode",
     # ... and the LSH banding-funnel scoreboard (stage monotonicity,
     # precision floor, repeated-squaring S-curve vs ground truth)
     "dedup_lsh_precision",

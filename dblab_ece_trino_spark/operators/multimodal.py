@@ -93,6 +93,11 @@ def decode_image(payload: bytes) -> "object":
         # seam contract is (w, h, rgb); alpha-aware callers use
         # decode_qoi directly
         return w, h, arr[:, :, :3]
+    if len(payload) >= 26 and payload[-18:] == b"TRUEVISION-XFILE.\x00":
+        # TGA has no leading magic; detection rides the v2 footer our
+        # encoder always writes (alpha-aware callers use decode_tga)
+        w, h, _channels, arr = decode_tga(payload)
+        return w, h, arr[:, :, :3]
     raise NotImplementedError(
         "WebP/AVIF-class image decoding requires an image library (e.g. PIL)"
     )
@@ -4633,3 +4638,299 @@ def _exif_oracle() -> str:
 
 
 register("multimodal_exif_parse", _q_exif_parse, oracle=_exif_oracle())
+
+
+# ---------------------------------------------------------------- TGA codec
+# Truevision TGA/TARGA (the 1984 Truevision spec, v2.0 1991) — the
+# classic little-endian raster container: an 18-byte header, BGR(A)
+# pixel data either raw (type 2) or run-length encoded (type 10, 128-
+# pixel packets that never cross a scan line when spec-conformant),
+# bottom-up row order unless descriptor bit 5 is set, and the optional
+# v2 footer ("TRUEVISION-XFILE.\\0") that is the format's only
+# detectable signature.  Twelfth native codec behind the decode_image
+# seam.  (The reference is a data-loading pipeline [loader.py]; image
+# decode is beyond-parity surface for multimodal curation, like
+# PPM/BMP/TIFF/PNG/GIF/JPEG/QOI before it.)
+
+_TGA_FOOTER = b"\x00" * 8 + b"TRUEVISION-XFILE.\x00"
+
+
+def encode_tga(img, rle: bool = False, topdown: bool = False) -> bytes:
+    """Spec-faithful TGA encoder for an (h, w, 3|4) uint8 RGB(A) array:
+    type 2 (raw) or type 10 (RLE, per-scan-line 128-pixel packets),
+    bottom-up unless ``topdown``, BGR(A) byte order, v2 footer."""
+    import struct
+
+    h, w, channels = img.shape
+    if channels not in (3, 4):
+        raise ValueError(f"TGA encodes 3 or 4 channels, got {channels}")
+    bpp = channels * 8
+    descriptor = (0x20 if topdown else 0) | (8 if channels == 4 else 0)
+    out = bytearray()
+    out += struct.pack(
+        "<BBBHHBHHHHBB",
+        0, 0, 10 if rle else 2,  # no id, no colormap, type
+        0, 0, 0,                 # colormap spec (none)
+        0, 0, w, h, bpp, descriptor,
+    )
+    rows = img if topdown else img[::-1]
+    for row in rows:
+        # RGB(A) -> BGR(A)
+        bgr = row[:, [2, 1, 0] + ([3] if channels == 4 else [])]
+        if not rle:
+            out += bgr.tobytes()
+            continue
+        px = [bytes(p) for p in bgr]
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and run < 128 and px[x + run] == px[x]:
+                run += 1
+            if run >= 2:
+                out.append(0x80 | (run - 1))
+                out += px[x]
+                x += run
+            else:
+                lit = 1
+                while (
+                    x + lit < w and lit < 128
+                    and (x + lit + 1 >= w or px[x + lit + 1] != px[x + lit])
+                ):
+                    lit += 1
+                out.append(lit - 1)
+                out += b"".join(px[x : x + lit])
+                x += lit
+    out += _TGA_FOOTER
+    return bytes(out)
+
+
+def decode_tga(payload: bytes):
+    """Parse + decode a TGA payload: returns (width, height, channels,
+    (h, w, channels) uint8 RGB(A) numpy array, rows top-down).  A short
+    header, colormap, unsupported image type / bit depth / right-to-left
+    order, truncated pixel data, an RLE overrun, or trailing garbage all
+    raise ValueError — never garbage pixels (the TIFF/QOI contract)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 18:
+        raise ValueError("TGA payload shorter than the 18-byte header")
+    (idlen, cmap_type, img_type, _cm_first, _cm_len, _cm_bits,
+     _x0, _y0, w, h, bpp, descriptor) = struct.unpack(
+        "<BBBHHBHHHHBB", payload[:18]
+    )
+    if cmap_type != 0:
+        raise ValueError("color-mapped TGA is not supported (cmap_type != 0)")
+    if img_type not in (2, 10):
+        raise ValueError(
+            f"unsupported TGA image type {img_type} (only 2/10 truecolor)"
+        )
+    if bpp not in (24, 32):
+        raise ValueError(f"unsupported TGA bit depth {bpp} (only 24/32)")
+    if w == 0 or h == 0 or w * h > 50_000_000:
+        raise ValueError(f"implausible TGA dimensions {w}x{h}")
+    if descriptor & 0x10:
+        raise ValueError("right-to-left TGA pixel order is not supported")
+    channels = bpp // 8
+    pos = 18 + idlen
+    if pos > len(payload):
+        raise ValueError("TGA id field overruns the payload")
+    body = payload[:-len(_TGA_FOOTER)] if payload.endswith(
+        _TGA_FOOTER
+    ) else payload
+    if pos > len(body):
+        raise ValueError("TGA id field overruns the pixel data")
+    n = w * h
+    if img_type == 2:
+        need = n * channels
+        if pos + need > len(body):
+            raise ValueError(
+                f"truncated TGA pixel data: need {need} bytes,"
+                f" have {len(body) - pos}"
+            )
+        flat = np.frombuffer(
+            body, dtype=np.uint8, count=need, offset=pos
+        ).reshape(n, channels).copy()
+        pos += need
+    else:
+        flat = np.empty((n, channels), dtype=np.uint8)
+        k = 0
+        blen = len(body)
+        while k < n:
+            if pos >= blen:
+                raise ValueError(
+                    f"TGA RLE stream exhausted at pixel {k} of {n}"
+                )
+            hdr = body[pos]
+            pos += 1
+            count = (hdr & 0x7F) + 1
+            if k + count > n:
+                raise ValueError(
+                    f"TGA RLE packet overruns image: {k} + {count} > {n}"
+                )
+            if hdr & 0x80:
+                if pos + channels > blen:
+                    raise ValueError("truncated TGA RLE pixel value")
+                flat[k : k + count] = np.frombuffer(
+                    body, dtype=np.uint8, count=channels, offset=pos
+                )
+                pos += channels
+            else:
+                need = count * channels
+                if pos + need > blen:
+                    raise ValueError("truncated TGA raw packet")
+                flat[k : k + count] = np.frombuffer(
+                    body, dtype=np.uint8, count=need, offset=pos
+                ).reshape(count, channels)
+                pos += need
+            k += count
+    if pos != len(body):
+        raise ValueError(
+            f"TGA stream has {len(body) - pos} trailing bytes"
+        )
+    # BGR(A) -> RGB(A); bottom-up unless descriptor bit 5
+    arr = flat.reshape(h, w, channels)[
+        :, :, [2, 1, 0] + ([3] if channels == 4 else [])
+    ]
+    if not descriptor & 0x20:
+        arr = arr[::-1]
+    return int(w), int(h), int(channels), np.ascontiguousarray(arr)
+
+
+# Fixture family: the piecewise column-band formula (flat band ->
+# long RLE runs, alternation band -> raw packets, gradient bands ->
+# mixed packets), in FINAL top-down image coordinates so orientation
+# handling cannot cancel between encoder and decoder; constants differ
+# from the QOI family so a cross-wired fixture would be caught.  Both
+# image types, both bit depths, and both row orders appear.
+_TGA_PARAMS = [
+    # (width, height, channels, rle, topdown)
+    (44, 18, 3, False, False),
+    (30, 22, 3, True, False),
+    (25, 16, 4, True, True),
+    (52, 11, 3, True, False),
+    (19, 27, 4, False, True),
+    (36, 14, 3, True, True),
+]
+_N_TGA = len(_TGA_PARAMS)
+
+
+def _tga_payloads(spark: SparkSession, n: int = _N_TGA) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h, ch, rle, topdown = _TGA_PARAMS[i]
+                yy, xx = np.mgrid[0:h, 0:w]
+                band = (4 * xx) // w
+                img = np.empty((h, w, ch), dtype=np.uint8)
+                for c in range(min(ch, 3)):
+                    v = np.select(
+                        [band == 0, band == 1, band == 2],
+                        [
+                            np.full((h, w), (23 * i + 9 * c) % 256),
+                            (xx % 2) * 90 + 14 * c + 5 * i,
+                            2 * xx + 3 * yy + 17 * c + 8 * i,
+                        ],
+                        default=7 * xx + 31 * c + 13 * i,
+                    )
+                    img[:, :, c] = (v % 256).astype(np.uint8)
+                if ch == 4:
+                    img[:, :, 3] = (
+                        (9 * xx + 5 * yy + 3 * i) % 256
+                    ).astype(np.uint8)
+                rows.append((i, encode_tga(img, rle=rle, topdown=topdown)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+
+
+def tga_pixel_stats(media: DataFrame) -> DataFrame:
+    """Decode TGA payloads (decode_tga — alpha-aware); exact integer
+    channel sums plus the y-weighted green / x-weighted blue
+    anti-cancellation pair (the QOI stats shape, so a row-order bug —
+    the TGA-specific failure mode — flips ysum_g loudly)."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, arr = decode_tga(bytes(payload))
+                a = arr.astype(np.int64)
+                yw = np.arange(h, dtype=np.int64)[:, None]
+                xw = np.arange(w, dtype=np.int64)[None, :]
+                sum_a = int(a[:, :, 3].sum()) if ch == 4 else 255 * w * h
+                out.append(
+                    (
+                        int(mid), w, h, ch,
+                        int(a[:, :, 0].sum()), int(a[:, :, 1].sum()),
+                        int(a[:, :, 2].sum()), sum_a,
+                        int((a[:, :, 1] * yw).sum()),
+                        int((a[:, :, 2] * xw).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "channels",
+                    "sum_r", "sum_g", "sum_b", "sum_a", "ysum_g", "xsum_b",
+                ],
+            )
+
+    return media.mapInPandas(stats, _QOI_STATS_SCHEMA)
+
+
+def _q_tga_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tga_pixel_stats(_tga_payloads(spark)).orderBy("media_id")
+
+
+def _tga_oracle() -> str:
+    rows = ", ".join(
+        f"({i}, {w}, {h}, {ch})"
+        for i, (w, h, ch, _rle, _td) in enumerate(_TGA_PARAMS)
+    )
+    return f"""
+    WITH params(media_id, w, h, ch) AS (VALUES {rows}),
+    px AS (
+      SELECT media_id, w, h, ch, x, y, c,
+             CASE
+               WHEN c = 3 THEN (9 * x + 5 * y + 3 * media_id) % 256
+               WHEN (4 * x) // w = 0 THEN (23 * media_id + 9 * c) % 256
+               WHEN (4 * x) // w = 1
+                 THEN ((x % 2) * 90 + 14 * c + 5 * media_id) % 256
+               WHEN (4 * x) // w = 2
+                 THEN (2 * x + 3 * y + 17 * c + 8 * media_id) % 256
+               ELSE (7 * x + 31 * c + 13 * media_id) % 256
+             END AS v
+      FROM params,
+           unnest(generate_series(0, w - 1)) AS gx(x),
+           unnest(generate_series(0, h - 1)) AS gy(y),
+           unnest(generate_series(0, ch - 1)) AS gc(c)
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(any_value(w) AS INT) AS width,
+           CAST(any_value(h) AS INT) AS height,
+           CAST(any_value(ch) AS INT) AS channels,
+           CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+           CAST(sum(CASE WHEN c = 3 THEN v ELSE 0 END)
+                + CASE WHEN any_value(ch) = 3
+                       THEN 255 * any_value(w) * any_value(h)
+                       ELSE 0 END AS BIGINT) AS sum_a,
+           CAST(sum(CASE WHEN c = 1 THEN y * v ELSE 0 END) AS BIGINT)
+             AS ysum_g,
+           CAST(sum(CASE WHEN c = 2 THEN x * v ELSE 0 END) AS BIGINT)
+             AS xsum_b
+    FROM px
+    GROUP BY media_id
+    ORDER BY media_id
+    """
+
+
+register("multimodal_tga_decode", _q_tga_decode, oracle=_tga_oracle())

@@ -732,3 +732,153 @@ def test_moments_profile_matches_pure_python():
         assert math.isclose(g1, m3 / m2**1.5, rel_tol=1e-9)
         assert math.isclose(g2, m4 / m2**2 - 3.0, rel_tol=1e-9)
     assert got == want
+
+
+# --------------------------------------------------------------- TGA codec
+def test_tga_hand_built_stream_decodes():
+    """Decode a hand-WRITTEN type-10 stream (RLE + raw packets composed
+    by hand, bottom-up rows, BGR order) — pins the decoder independently
+    of the encoder."""
+    import struct
+
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _TGA_FOOTER,
+        decode_tga,
+    )
+
+    # 3x2, 24bpp, type 10, bottom-up (descriptor 0).
+    # Bottom row first: RLE(2) of BGR(1,2,3) + raw(1) of BGR(9,8,7);
+    # top row: raw(3) of BGR (10,20,30) (40,50,60) (70,80,90).
+    hdr = struct.pack("<BBBHHBHHHHBB", 0, 0, 10, 0, 0, 0, 0, 0, 3, 2, 24, 0)
+    body = bytes(
+        [0x81, 1, 2, 3, 0x00, 9, 8, 7,
+         0x02, 10, 20, 30, 40, 50, 60, 70, 80, 90]
+    )
+    w, h, ch, arr = decode_tga(hdr + body + _TGA_FOOTER)
+    assert (w, h, ch) == (3, 2, 24 // 8)
+    want = np.array(
+        [[[30, 20, 10], [60, 50, 40], [90, 80, 70]],   # top (read last)
+         [[3, 2, 1], [3, 2, 1], [7, 8, 9]]],           # bottom (read first)
+        dtype=np.uint8,
+    )
+    assert np.array_equal(arr, want)
+
+
+def test_tga_roundtrip_both_orientations_and_types():
+    """encode -> decode is the identity for every (rle, topdown)
+    combination on an image with no accidental symmetry."""
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_tga,
+        encode_tga,
+    )
+
+    rng_img = (
+        np.arange(7 * 5 * 4, dtype=np.int64) * 37 % 256
+    ).astype(np.uint8).reshape(5, 7, 4)
+    for rle in (False, True):
+        for topdown in (False, True):
+            w, h, ch, arr = decode_tga(
+                encode_tga(rng_img, rle=rle, topdown=topdown)
+            )
+            assert (w, h, ch) == (7, 5, 4)
+            assert np.array_equal(arr, rng_img), (rle, topdown)
+
+
+def test_tga_fixtures_match_independent_decoder(spark):
+    """Every fixture payload must decode identically through the
+    independent spec reimplementation (scripts/gen_tga_expected.py)."""
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _tga_payloads,
+        decode_tga,
+    )
+    from scripts.gen_tga_expected import ref_decode
+
+    for r in _tga_payloads(spark).collect():
+        payload = bytes(r.payload)
+        w, h, ch, arr = decode_tga(payload)
+        rw, rh, rch, pix = ref_decode(payload)
+        assert (w, h, ch) == (rw, rh, rch)
+        assert arr.reshape(-1, ch).tolist() == [list(p) for p in pix]
+
+
+def test_tga_fixture_family_covers_the_format(spark):
+    """The graded family must collectively contain both image types,
+    both bit depths, both row orders, and (in the RLE members) both
+    packet kinds — otherwise the fixtures under-test the decoder."""
+    import struct
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _TGA_FOOTER,
+        _tga_payloads,
+    )
+
+    seen = set()
+    for r in _tga_payloads(spark).collect():
+        payload = bytes(r.payload)
+        hdr = struct.unpack("<BBBHHBHHHHBB", payload[:18])
+        itype, w, h, bpp, desc = hdr[2], hdr[8], hdr[9], hdr[10], hdr[11]
+        seen.add(("type", itype))
+        seen.add(("bpp", bpp))
+        seen.add(("topdown", bool(desc & 0x20)))
+        if itype == 10:
+            body = payload[18:-len(_TGA_FOOTER)]
+            ch = bpp // 8
+            pos = 0
+            n = 0
+            while n < w * h:
+                p = body[pos]
+                pos += 1
+                count = (p & 0x7F) + 1
+                if p & 0x80:
+                    seen.add(("packet", "rle"))
+                    pos += ch
+                else:
+                    seen.add(("packet", "raw"))
+                    pos += count * ch
+                n += count
+    assert {("type", 2), ("type", 10), ("bpp", 24), ("bpp", 32),
+            ("topdown", True), ("topdown", False),
+            ("packet", "rle"), ("packet", "raw")} <= seen
+
+
+def test_tga_error_contracts():
+    import numpy as np
+    import pytest
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _TGA_FOOTER,
+        decode_image,
+        decode_tga,
+        encode_tga,
+    )
+
+    img = (np.arange(60, dtype=np.int64) * 11 % 256).astype(
+        np.uint8
+    ).reshape(4, 5, 3)
+    raw = encode_tga(img)
+    rle = encode_tga(img, rle=True)
+    with pytest.raises(ValueError, match="header"):
+        decode_tga(raw[:10])
+    with pytest.raises(ValueError, match="color-mapped"):
+        decode_tga(raw[:1] + b"\x01" + raw[2:])
+    with pytest.raises(ValueError, match="image type"):
+        decode_tga(raw[:2] + b"\x03" + raw[3:])
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_tga(raw[:16] + b"\x10" + raw[17:])
+    with pytest.raises(ValueError, match="right-to-left"):
+        decode_tga(raw[:17] + b"\x10" + raw[18:])
+    with pytest.raises(ValueError, match="truncated TGA pixel data"):
+        decode_tga(raw[:30] + _TGA_FOOTER)
+    with pytest.raises(ValueError, match="exhausted|truncated"):
+        decode_tga(rle[:22] + _TGA_FOOTER)
+    with pytest.raises(ValueError, match="trailing"):
+        decode_tga(raw[:-len(_TGA_FOOTER)] + b"\x00" + _TGA_FOOTER)
+    # the image seam detects TGA by the v2 footer and returns RGB
+    w, h, arr = decode_image(raw)
+    assert (w, h) == (5, 4) and arr.shape == (4, 5, 3)
