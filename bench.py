@@ -208,6 +208,9 @@ HEADLINE = [
     # ... and the TGA codec family (twelfth native format: RLE packets,
     # BGR order, bottom-up rows, v2 footer detection)
     "multimodal_tga_decode",
+    # ... and perceptual aHash image near-dup (decode -> 64-bit block
+    # fingerprint -> Hamming pairs)
+    "dedup_image_ahash",
     # ... and the LSH banding-funnel scoreboard (stage monotonicity,
     # precision floor, repeated-squaring S-curve vs ground truth)
     "dedup_lsh_precision",

@@ -4934,3 +4934,149 @@ def _tga_oracle() -> str:
 
 
 register("multimodal_tga_decode", _q_tga_decode, oracle=_tga_oracle())
+
+
+# --------------------------------------------------- perceptual image dedup
+# Average-hash (aHash) near-duplicate detection — the standard cheap
+# perceptual fingerprint (the technique behind pHash-family image
+# dedup, run before any embedding model): downsample to an 8x8 block
+# grid, threshold each block mean against the global mean, pack the 64
+# bits, and compare fingerprints by Hamming distance.  Bridges the
+# codec surface and the dedup surface: payloads decode through
+# decode_tga, hashes ride exact integer cross-multiplication
+# (block_sum * 64 > total_sum — equal-size blocks make the mean of
+# block means the global mean), and the pair frame is |images|^2 over
+# a bounded family (the dedup_embedding slice discipline; production
+# pair source at corpus scale is LSH banding over the hash bytes).
+_AHASH_COEFFS = [
+    # (a, b, invert_first_block): stripe direction/frequency per image;
+    # 4/5 are clones of 0/1 with ONE 4x2 block inverted (Hamming 1)
+    (1, 0, 0), (0, 1, 0), (1, 1, 0), (2, 1, 0),
+    (1, 0, 1), (0, 1, 1), (3, 1, 0), (1, 3, 0),
+]
+_AHASH_W, _AHASH_H = 32, 16
+_AHASH_DUP_BITS = 5
+
+
+def _ahash_gray(i: int):
+    """The closed-form fixture pattern (shared verbatim with the
+    oracle SQL): 255 * (((x*a + y*b) div 8) mod 2), with image i's one
+    inverted block when flagged."""
+    import numpy as np
+
+    a, b, inv = _AHASH_COEFFS[i]
+    yy, xx = np.mgrid[0:_AHASH_H, 0:_AHASH_W]
+    g = 255 * (((xx * a + yy * b) // 8) % 2)
+    if inv:
+        g = np.where((xx < 4) & (yy < 2), 255 - g, g)
+    return g.astype(np.uint8)
+
+
+def _ahash_payloads(spark: SparkSession) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                g = _ahash_gray(i)
+                img = np.repeat(g[:, :, None], 3, axis=2)
+                rows.append(
+                    (i, encode_tga(img, rle=bool(i % 2),
+                                   topdown=bool((i // 2) % 2)))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(len(_AHASH_COEFFS)).mapInPandas(
+        gen, "media_id long, payload binary"
+    )
+
+
+def ahash_fingerprints(media: DataFrame) -> DataFrame:
+    """Decode TGA payloads and compute the 64-bit aHash as two 32-bit
+    BIGINT halves (bits 32..63 stored unshifted so no value touches the
+    int64 sign bit; XOR + bit_count work unchanged on halves)."""
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _w, _h, _ch, arr = decode_tga(bytes(payload))
+                g = arr[:, :, 0].astype(np.int64)  # channels are equal
+                blocks = g.reshape(8, _AHASH_H // 8, 8, _AHASH_W // 8).sum(
+                    axis=(1, 3)
+                )
+                bits = (blocks.flatten() * 64 > g.sum()).astype(np.int64)
+                lo = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+                hi = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+                out.append((int(mid), hi, lo))
+            yield pd.DataFrame(out, columns=["media_id", "hash_hi", "hash_lo"])
+
+    return media.mapInPandas(fp, "media_id long, hash_hi long, hash_lo long")
+
+
+def _q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = ahash_fingerprints(_ahash_payloads(spark))
+    a = fps.selectExpr("media_id AS media_a", "hash_hi AS ha", "hash_lo AS la")
+    b = fps.selectExpr("media_id AS media_b", "hash_hi AS hb", "hash_lo AS lb")
+    return (
+        a.join(b, F.col("media_a") < F.col("media_b"))
+        .selectExpr(
+            "media_a", "media_b",
+            "CAST(bit_count(ha ^ hb) + bit_count(la ^ lb) AS INT)"
+            " AS hamming",
+        )
+        .selectExpr(
+            "media_a", "media_b", "hamming",
+            f"hamming <= {_AHASH_DUP_BITS} AS is_dup",
+        )
+        .orderBy("media_a", "media_b")
+    )
+
+
+def _ahash_oracle() -> str:
+    rows = ", ".join(
+        f"({i}, {a}, {b}, {inv})"
+        for i, (a, b, inv) in enumerate(_AHASH_COEFFS)
+    )
+    return f"""
+    WITH params(i, a, b, inv) AS (VALUES {rows}),
+    px AS (
+      SELECT i, x, y,
+             CASE WHEN inv = 1 AND x < 4 AND y < 2
+                  THEN 255 - 255 * (((x * a + y * b) // 8) % 2)
+                  ELSE 255 * (((x * a + y * b) // 8) % 2) END AS v
+      FROM params,
+           unnest(generate_series(0, {_AHASH_W} - 1)) AS gx(x),
+           unnest(generate_series(0, {_AHASH_H} - 1)) AS gy(y)
+    ),
+    blocks AS (
+      SELECT i, (y // 2) * 8 + (x // 4) AS blk,
+             CAST(sum(v) AS BIGINT) AS bs,
+             CAST(sum(sum(v)) OVER (PARTITION BY i) AS BIGINT) AS total
+      FROM px GROUP BY i, (y // 2) * 8 + (x // 4)
+    ),
+    fp AS (
+      SELECT i AS media_id,
+             CAST(sum(CASE WHEN blk >= 32 AND bs * 64 > total
+                  THEN (CAST(1 AS BIGINT) << (blk - 32)) ELSE 0 END)
+               AS BIGINT) AS hash_hi,
+             CAST(sum(CASE WHEN blk < 32 AND bs * 64 > total
+                  THEN (CAST(1 AS BIGINT) << blk) ELSE 0 END)
+               AS BIGINT) AS hash_lo
+      FROM blocks GROUP BY i
+    )
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+                + bit_count(xor(a.hash_lo, b.hash_lo)) AS INT) AS hamming,
+           (bit_count(xor(a.hash_hi, b.hash_hi))
+            + bit_count(xor(a.hash_lo, b.hash_lo))) <= {_AHASH_DUP_BITS}
+             AS is_dup
+    FROM fp a JOIN fp b ON a.media_id < b.media_id
+    ORDER BY media_a, media_b
+    """
+
+
+register("dedup_image_ahash", _q_image_ahash, oracle=_ahash_oracle())

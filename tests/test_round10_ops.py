@@ -882,3 +882,49 @@ def test_tga_error_contracts():
     # the image seam detects TGA by the v2 footer and returns RGB
     w, h, arr = decode_image(raw)
     assert (w, h) == (5, 4) and arr.shape == (4, 5, 3)
+
+
+# ------------------------------------------------------- image aHash dedup
+def test_image_ahash_matches_pure_python(spark):
+    """Engine fingerprints (decode_tga -> block hash) must equal an
+    independent pure-Python hash of the closed-form pattern, and the
+    pair frame must flag exactly the planted clone pairs (0,4) and
+    (1,5) at Hamming 1 with every other pair >= 24 bits apart."""
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _AHASH_COEFFS,
+        _ahash_gray,
+        _ahash_payloads,
+        _q_image_ahash,
+        ahash_fingerprints,
+    )
+
+    # independent hash: explicit per-block double loop, no reshape
+    def ref_hash(g):
+        total = int(g.sum())
+        bits = []
+        for by in range(8):
+            for bx in range(8):
+                bs = int(g[by * 2:(by + 1) * 2, bx * 4:(bx + 1) * 4].sum())
+                bits.append(1 if bs * 64 > total else 0)
+        lo = sum(bit << k for k, bit in enumerate(bits[:32]))
+        hi = sum(bit << k for k, bit in enumerate(bits[32:]))
+        return hi, lo
+
+    got = {
+        r.media_id: (r.hash_hi, r.hash_lo)
+        for r in ahash_fingerprints(_ahash_payloads(spark)).collect()
+    }
+    want = {i: ref_hash(_ahash_gray(i).astype(np.int64))
+            for i in range(len(_AHASH_COEFFS))}
+    assert got == want
+
+    pairs = {(r.media_a, r.media_b): (r.hamming, r.is_dup)
+             for r in _q_image_ahash(spark, "").collect()}
+    assert len(pairs) == 28
+    for (a, b), (ham, dup) in pairs.items():
+        if (a, b) in ((0, 4), (1, 5)):
+            assert ham == 1 and dup
+        else:
+            assert ham >= 24 and not dup
