@@ -211,6 +211,9 @@ HEADLINE = [
     # ... and perceptual aHash image near-dup (decode -> 64-bit block
     # fingerprint -> Hamming pairs)
     "dedup_image_ahash",
+    # ... and the VACUUM/retention reclaim planner over the shared CDC
+    # log (per-key keep-floor window)
+    "wh_vacuum_planner",
     # ... and the LSH banding-funnel scoreboard (stage monotonicity,
     # precision floor, repeated-squaring S-curve vs ground truth)
     "dedup_lsh_precision",

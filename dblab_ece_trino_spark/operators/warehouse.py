@@ -1043,3 +1043,99 @@ def _register_clustering_depth() -> None:
 
 
 _register_clustering_depth()
+
+
+# --------------------------------------------------------- VACUUM planner
+VACUUM_HORIZON = 2
+
+
+def _q_vacuum_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention / VACUUM reclaim planner (the Delta/Iceberg VACUUM +
+    expire-snapshots decision) over the SAME synthetic change log as
+    wh_cdc_apply / wh_time_travel: with a retention horizon of version
+    ``VACUUM_HORIZON`` (every AS OF >= horizon must stay resolvable), a
+    log row (k, seq) is RECLAIMABLE iff a newer version of k exists at
+    or before the horizon — no retained read can ever resolve to it.
+    Rows past the horizon, and each key's latest row at-or-before it,
+    must be kept (they reconstruct the horizon snapshot and everything
+    after).  The per-(seq, op) report counts retained vs reclaimable
+    rows and the reclaimable price mass — the metadata-scale input a
+    maintenance job turns into file deletes.
+
+    Exactness: the keep floor is one per-key window MAX over the
+    conditional seq; prices ride DECIMAL end to end and the reclaimable
+    mass is an exact integer in 1e-4 units (the _status_rollup
+    discipline).  100 TB shape: the log build's scans (shared with the
+    other CDC entries), ONE keyed window, one tiny grouped report —
+    work proportional to the log, never the table.
+    """
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    o = engine_for(spark, sf_dir).catalogs.table("mongodb.tpch.orders")
+    log = _synthetic_cdc_log(o)
+    w = Window.partitionBy("k")
+    planned = log.withColumn(
+        "keep_floor",
+        F.max(
+            F.when(F.col("seq") <= VACUUM_HORIZON, F.col("seq"))
+        ).over(w),
+    ).withColumn("reclaim", F.col("seq") < F.col("keep_floor"))
+    return (
+        planned.groupBy("seq", "op")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("reclaim").cast("long")).cast("long")
+            .alias("n_reclaimable"),
+            (F.sum(
+                F.when(F.col("reclaim"), F.coalesce(F.col("price"),
+                                                    F.lit(0)))
+            ) * 10000).cast("long").alias("reclaim_price_e4"),
+        )
+        .selectExpr(
+            "CAST(seq AS INT) AS seq", "op", "n_rows", "n_reclaimable",
+            "coalesce(reclaim_price_e4, 0) AS reclaim_price_e4",
+        )
+        .orderBy("seq", "op")
+    )
+
+
+def _vacuum_oracle() -> str:
+    from dblab_ece_trino_spark.operators.sampling import _md5_bucket_sql
+
+    bu = _md5_bucket_sql("o_orderkey", "cdc-u")
+    bd = _md5_bucket_sql("o_orderkey", "cdc-d")
+    return f"""
+    WITH log AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'I' AS op,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(22,4))
+               AS price
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 2, 'U',
+             CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                  * CAST(1.1 AS DECIMAL(3,2)) AS DECIMAL(22,4))
+      FROM orders WHERE {bu} < 128
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', NULL
+      FROM orders WHERE {bd} < 32
+    ),
+    planned AS (
+      SELECT seq, op, price,
+             seq < max(CASE WHEN seq <= {VACUUM_HORIZON} THEN seq END)
+                     OVER (PARTITION BY k) AS reclaim
+      FROM log
+    )
+    SELECT CAST(seq AS INT) AS seq, op,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN reclaim THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_reclaimable,
+           CAST(coalesce(
+             sum(CASE WHEN reclaim THEN coalesce(price, 0) END) * 10000,
+             0) AS BIGINT) AS reclaim_price_e4
+    FROM planned
+    GROUP BY seq, op
+    ORDER BY seq, op
+    """
+
+
+register("wh_vacuum_planner", _q_vacuum_planner, oracle=_vacuum_oracle())

@@ -928,3 +928,65 @@ def test_image_ahash_matches_pure_python(spark):
             assert ham == 1 and dup
         else:
             assert ham >= 24 and not dup
+
+
+def test_vacuum_planner_matches_pure_python():
+    """The vacuum oracle must equal an independent pure-Python
+    evaluator (dict per-key version sets, explicit keep-floor rule) at
+    sf0.001, and the invariants must hold: every seq-2/3 row retained,
+    a seq-1 row reclaimable iff its key was repriced, and retained
+    rows exactly reconstruct every AS OF >= horizon."""
+    import hashlib
+
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+    from dblab_ece_trino_spark.operators.warehouse import VACUUM_HORIZON
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf}/orders.parquet')"
+    )
+    got = [tuple(r) for r in
+           con.execute(oracle_queries()["wh_vacuum_planner"]).fetchall()]
+    assert got, "oracle returned no rows"
+
+    def bucket(key: int, seed: str) -> int:
+        return int(
+            hashlib.md5(f"{seed}{key}".encode()).hexdigest()[:2], 16
+        )
+
+    orders = con.execute(
+        "SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) "
+        "AS DECIMAL(22,4)) FROM orders"
+    ).fetchall()
+    from decimal import Decimal
+
+    stats: dict = {}
+    for k, price in orders:
+        upd = bucket(k, "cdc-u") < 128
+        dele = bucket(k, "cdc-d") < 32
+        versions = [(1, "I", price)]
+        if upd:
+            versions.append(
+                (2, "U", (price * Decimal("1.1")).quantize(
+                    Decimal("0.0001"))))
+        if dele:
+            versions.append((3, "D", None))
+        floor = max(s for s, _, _ in versions if s <= VACUUM_HORIZON)
+        for s, op, p in versions:
+            reclaim = s < floor
+            n, nr, mass = stats.get((s, op), (0, 0, Decimal(0)))
+            stats[(s, op)] = (
+                n + 1, nr + reclaim,
+                mass + ((p or Decimal(0)) if reclaim else Decimal(0)),
+            )
+            # invariant: only superseded-within-horizon rows reclaim
+            assert reclaim == (s == 1 and upd)
+    want = [
+        (s, op, n, nr, int(mass * 10000))
+        for (s, op), (n, nr, mass) in sorted(stats.items())
+    ]
+    assert got == want
