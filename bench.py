@@ -214,6 +214,9 @@ HEADLINE = [
     # ... and the VACUUM/retention reclaim planner over the shared CDC
     # log (per-key keep-floor window)
     "wh_vacuum_planner",
+    # ... and the IVF recall-vs-nprobe sweep (one index build, nested
+    # probe sets, monotone-hits verdicts)
+    "sim_ivf_probe_sweep",
     # ... and the LSH banding-funnel scoreboard (stage monotonicity,
     # precision floor, repeated-squaring S-curve vs ground truth)
     "dedup_lsh_precision",

@@ -124,7 +124,7 @@ GRADED_PRIORITY: list[str] = [
     "llm_tokenizer_fertility", "ts_ordinal_patterns", "graph_modularity",
     "op_survival_hazard", "text_rake_keyphrases", "ts_max_drawdown",
     "sample_systematic", "op_moments_profile", "multimodal_tga_decode",
-    "dedup_image_ahash", "wh_vacuum_planner",
+    "dedup_image_ahash", "wh_vacuum_planner", "sim_ivf_probe_sweep",
     # latest green = round 4 (the 22 displaced from the r9 window)
     "op_median_mode", "op_min_max_by", "op_new_vs_returning",
     "op_stats_regression", "op_string_agg", "op_token_cooccurrence",
@@ -137,7 +137,7 @@ GRADED_PRIORITY: list[str] = [
     # remaining 16 r5 entries + the r6 cohort follow in round 11)
     "dedup_prefix_filter", "graph_label_prop", "graph_neighbor_jaccard",
     "graph_pagerank", "graph_shortest_path", "graph_triangles",
-    "llm_bpe_merges", "llm_curriculum_order", "llm_oov_rate",
+    "llm_bpe_merges", "llm_curriculum_order",
 ]
 
 

@@ -1267,3 +1267,143 @@ def _dbscan_oracle() -> str:
 
 
 register("sim_dbscan", _q_sim_dbscan, oracle=_dbscan_oracle())
+
+
+# ------------------------------------------------- IVF probe-sweep funnel
+IVF_SWEEP_PROBES = (1, 2, 4, 8)
+# floors set with wide margin under recalls measured at both gate SFs
+# (sf0.001: 0.52/0.52/0.88/1.00; sf0.01: see test) — pinned tighter in
+# tests/test_round10_ops.py
+IVF_SWEEP_FLOORS = {1: 200_000, 2: 200_000, 4: 500_000, 8: 700_000}
+
+
+def ivf_probe_sweep(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    probes: tuple = IVF_SWEEP_PROBES,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    floors: dict | None = None,
+) -> DataFrame:
+    """Recall-vs-nprobe sweep for the IVF index — the quality/cost
+    curve an ANN deployment is tuned on (the IVF counterpart to
+    dedup_lsh_precision's banding funnel): ONE index build (centroids +
+    corpus cell assignment, materialized), then for each nprobe the
+    query-side probe set widens and the exact re-rank runs over the
+    (nested, therefore monotone) candidate sets.
+
+    Projected to engine-independent invariants, the sim_recall_at_k
+    discipline: per nprobe the frame reports the integer hit count
+    verdict against a ppm floor (cross-multiplied — no float division)
+    and the MONOTONICITY verdict hits(nprobe) >= hits(prev nprobe),
+    which is a theorem here (probed cells are n_best-nested, so
+    candidate sets are supersets and a brute-force top-k member once
+    recovered can only be displaced by another one).
+
+    Scale shape: the index builds once; each sweep point adds one
+    broadcast of the ~|queries| x nprobe cell list against the
+    cell-partitioned corpus — exactly the production economics, where
+    nprobe/n_clusters is the scored-candidate fraction.
+    """
+    from dblab_ece_trino_spark.session import ensure_parallelism, materialize
+
+    floors = floors if floors is not None else IVF_SWEEP_FLOORS
+    centroids = ivf_index(corpus, n_clusters, iters, id_col, vec_col)
+    v = materialize(
+        ensure_parallelism(corpus).select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("cv")
+        )
+    )
+    cells = materialize(
+        _assign(v, centroids)
+        .withColumnRenamed("vid", "cid")
+        .withColumnRenamed("cv", "ccv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    bf = materialize(knn_bruteforce(corpus, queries, k=k,
+                                    id_col=id_col, vec_col=vec_col))
+    nq = queries.count()
+
+    per_probe = []
+    for nprobe in probes:
+        qc = _assign(q, centroids, n_best=nprobe).withColumnRenamed(
+            "vid", "qid"
+        ).withColumnRenamed("cv", "qv")
+        scored = (
+            cells.join(F.broadcast(qc), "cluster")
+            .filter(F.col("qid") != F.col("cid"))
+            .select(
+                "qid", "cid",
+                F.round(cosine(F.col("qv"), F.col("ccv")), 6).alias("cos"),
+            )
+            .distinct()
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cos").desc(), F.col("cid").asc()
+        )
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+        per_probe.append(
+            topk.join(bf.select("qid", "cid"), ["qid", "cid"])
+            .agg(F.count("*").cast("long").alias("hits"))
+            .select(
+                F.lit(nprobe).cast("int").alias("nprobe"),
+                F.lit(nq).cast("long").alias("n_queries"),
+                F.lit(k).cast("long").alias("k"),
+                F.lit(floors[nprobe]).cast("long")
+                .alias("floor_ppm"),
+                "hits",
+            )
+        )
+    frame = per_probe[0]
+    for p in per_probe[1:]:
+        frame = frame.unionByName(p)
+    w2 = Window.orderBy("nprobe")
+    return (
+        frame.withColumn(
+            "recall_ok",
+            F.col("hits") * 1_000_000
+            >= F.col("floor_ppm") * F.col("k") * F.col("n_queries"),
+        )
+        .withColumn(
+            "monotone_ok",
+            F.col("hits")
+            >= F.coalesce(F.lag("hits").over(w2), F.lit(0)),
+        )
+        .select("nprobe", "n_queries", "k", "floor_ppm", "recall_ok",
+                "monotone_ok")
+        .orderBy("nprobe")
+    )
+
+
+def _q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.session import materialize
+
+    emb = _emb(spark, sf_dir)
+    queries = materialize(emb.filter(F.col("vec_id") < 10))
+    return ivf_probe_sweep(emb, queries, k=5, n_clusters=16)
+
+
+register(
+    "sim_ivf_probe_sweep",
+    _q_ivf_probe_sweep,
+    # Measured recalls are data constants (seeded init, deterministic
+    # k-means); the oracle pins the verdicts and derives n_queries
+    # from the data (the sim_recall_at_k discipline).
+    oracle=f"""
+    WITH nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries
+                FROM embeddings WHERE vec_id < 10)
+    SELECT p.nprobe, nq.n_queries, CAST(5 AS BIGINT) AS k,
+           p.floor_ppm, true AS recall_ok, true AS monotone_ok
+    FROM (VALUES {", ".join(f"(CAST({p} AS INT), CAST({IVF_SWEEP_FLOORS[p]} AS BIGINT))" for p in IVF_SWEEP_PROBES)})
+         AS p(nprobe, floor_ppm), nq
+    ORDER BY p.nprobe
+    """,
+)

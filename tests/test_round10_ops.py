@@ -990,3 +990,40 @@ def test_vacuum_planner_matches_pure_python():
         for (s, op), (n, nr, mass) in sorted(stats.items())
     ]
     assert got == want
+
+
+def test_ivf_probe_sweep_full_probe_closure(spark):
+    """Probing ALL clusters makes IVF exact search: the sweep frame at
+    nprobe = n_clusters must pass a 1e6-ppm recall floor (every one of
+    the k x n_queries brute-force pairs recovered), anchoring the
+    measurement mechanics — the sim_recall_at_k bruteforce-row trick
+    applied to the sweep."""
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.operators.similarity import (
+        _emb,
+        ivf_probe_sweep,
+    )
+    from dblab_ece_trino_spark.session import materialize
+
+    emb = _emb(spark, "/root/testdata/sf0.001")
+    queries = materialize(emb.filter(F.col("vec_id") < 10))
+    rows = ivf_probe_sweep(
+        emb, queries, k=5, n_clusters=16, probes=(16,),
+        floors={16: 1_000_000},
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].recall_ok and rows[0].monotone_ok
+
+
+def test_ivf_probe_sweep_verdicts_and_floors(spark):
+    """All graded verdicts must hold at sf0.001, and the floor table
+    must be strictly covered: nprobe=8 clears the tightest 0.7 floor."""
+    from dblab_ece_trino_spark.operators.registry import spark_queries
+
+    rows = spark_queries()["sim_ivf_probe_sweep"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r.nprobe for r in rows] == [1, 2, 4, 8]
+    assert all(r.recall_ok and r.monotone_ok for r in rows)
+    assert rows[-1].floor_ppm == 700_000
