@@ -217,6 +217,9 @@ HEADLINE = [
     # ... and the IVF recall-vs-nprobe sweep (one index build, nested
     # probe sets, monotone-hits verdicts)
     "sim_ivf_probe_sweep",
+    # ... and histogram equalization (decode + exact integer CDF remap
+    # in one Arrow pass; relational oracle)
+    "multimodal_hist_equalize",
     # ... and the LSH banding-funnel scoreboard (stage monotonicity,
     # precision floor, repeated-squaring S-curve vs ground truth)
     "dedup_lsh_precision",

@@ -5080,3 +5080,117 @@ def _ahash_oracle() -> str:
 
 
 register("dedup_image_ahash", _q_image_ahash, oracle=_ahash_oracle())
+
+
+# ------------------------------------------------ histogram equalization
+def hist_equalize_stats(media: DataFrame) -> DataFrame:
+    """Histogram equalization (the textbook global contrast transform —
+    Gonzalez & Woods ch. 3; the standard normalization pass before
+    classical feature extraction) over decoded TGA payloads, channel 0:
+
+        eq(v) = (cdf(v) - cdf_min) * 255 // (n_px - cdf_min)
+
+    — the integer form of the classic formula, all arithmetic exact so
+    both engines replay it bit-identically.  Emits per-image input/
+    output sums, the equalized min/max (a correct equalization
+    stretches the fixture family to the full [0, 255] range), and the
+    y-weighted output sum (the anti-cancellation column: a row-order
+    bug moves it, plain sums don't).
+
+    100 TB shape: decode + equalize + stats in ONE Arrow mapInPandas
+    pass (per-file work, no shuffle); the oracle replays the transform
+    relationally — histogram GROUP BY, one cumulative window over the
+    <=256-row value frame per image, remap join.
+    """
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _ch, arr = decode_tga(bytes(payload))
+                g = arr[:, :, 0].astype(np.int64)
+                npx = w * h
+                hist = np.bincount(g.flatten(), minlength=256)
+                cdf = hist.cumsum()
+                cdfmin = int(cdf[np.nonzero(hist)[0][0]])
+                eq = (cdf - cdfmin) * 255 // (npx - cdfmin)
+                o = eq[g]
+                yw = np.arange(h, dtype=np.int64)[:, None]
+                out.append(
+                    (int(mid), w, h, int(g.sum()), int(o.sum()),
+                     int(o.min()), int(o.max()), int((o * yw).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "in_sum",
+                         "eq_sum", "eq_min", "eq_max", "eq_ysum"],
+            )
+
+    return media.mapInPandas(
+        stats,
+        "media_id long, width int, height int, in_sum long, eq_sum long,"
+        " eq_min long, eq_max long, eq_ysum long",
+    )
+
+
+def _q_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hist_equalize_stats(_tga_payloads(spark)).orderBy("media_id")
+
+
+def _hist_eq_oracle() -> str:
+    rows = ", ".join(
+        f"({i}, {w}, {h})"
+        for i, (w, h, _ch, _rle, _td) in enumerate(_TGA_PARAMS)
+    )
+    return f"""
+    WITH params(media_id, w, h) AS (VALUES {rows}),
+    px AS (
+      SELECT media_id, w, h, x, y,
+             CASE
+               WHEN (4 * x) // w = 0 THEN (23 * media_id) % 256
+               WHEN (4 * x) // w = 1
+                 THEN ((x % 2) * 90 + 5 * media_id) % 256
+               WHEN (4 * x) // w = 2
+                 THEN (2 * x + 3 * y + 8 * media_id) % 256
+               ELSE (7 * x + 13 * media_id) % 256
+             END AS v
+      FROM params,
+           unnest(generate_series(0, w - 1)) AS gx(x),
+           unnest(generate_series(0, h - 1)) AS gy(y)
+    ),
+    hist AS (
+      SELECT media_id, v, CAST(count(*) AS BIGINT) AS n
+      FROM px GROUP BY media_id, v
+    ),
+    cdf AS (
+      SELECT media_id, v,
+             CAST(sum(n) OVER (PARTITION BY media_id ORDER BY v)
+               AS BIGINT) AS c,
+             CAST(sum(n) OVER (PARTITION BY media_id) AS BIGINT) AS npx
+      FROM hist
+    ),
+    remap AS (
+      -- min of the cumulative counts over present values IS cdf at the
+      -- first present value (windows cannot nest, so second pass)
+      SELECT media_id, v,
+             (c - min(c) OVER (PARTITION BY media_id)) * 255
+               // (npx - min(c) OVER (PARTITION BY media_id)) AS eq
+      FROM cdf
+    )
+    SELECT p.media_id,
+           CAST(any_value(p.w) AS INT) AS width,
+           CAST(any_value(p.h) AS INT) AS height,
+           CAST(sum(p.v) AS BIGINT) AS in_sum,
+           CAST(sum(r.eq) AS BIGINT) AS eq_sum,
+           CAST(min(r.eq) AS BIGINT) AS eq_min,
+           CAST(max(r.eq) AS BIGINT) AS eq_max,
+           CAST(sum(p.y * r.eq) AS BIGINT) AS eq_ysum
+    FROM px p JOIN remap r ON r.media_id = p.media_id AND r.v = p.v
+    GROUP BY p.media_id
+    ORDER BY p.media_id
+    """
+
+
+register("multimodal_hist_equalize", _q_hist_equalize,
+         oracle=_hist_eq_oracle())

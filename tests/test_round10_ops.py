@@ -1027,3 +1027,48 @@ def test_ivf_probe_sweep_verdicts_and_floors(spark):
     assert [r.nprobe for r in rows] == [1, 2, 4, 8]
     assert all(r.recall_ok and r.monotone_ok for r in rows)
     assert rows[-1].floor_ppm == 700_000
+
+
+def test_hist_equalize_matches_pure_python(spark):
+    """Engine histogram equalization (decode_tga -> integer CDF remap)
+    must equal an independent pure-Python evaluator over every fixture,
+    and a correct equalization must stretch each image to the full
+    [0, 255] range."""
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _TGA_PARAMS,
+        _q_hist_equalize,
+    )
+
+    def pixel(i, x, y, w):
+        band = (4 * x) // w
+        if band == 0:
+            return (23 * i) % 256
+        if band == 1:
+            return ((x % 2) * 90 + 5 * i) % 256
+        if band == 2:
+            return (2 * x + 3 * y + 8 * i) % 256
+        return (7 * x + 13 * i) % 256
+
+    want = []
+    for i, (w, h, _ch, _rle, _td) in enumerate(_TGA_PARAMS):
+        g = np.array(
+            [[pixel(i, x, y, w) for x in range(w)] for y in range(h)],
+            dtype=np.int64,
+        )
+        npx = w * h
+        hist = np.bincount(g.flatten(), minlength=256)
+        cdf = hist.cumsum()
+        cdfmin = int(cdf[np.nonzero(hist)[0][0]])
+        eq = (cdf - cdfmin) * 255 // (npx - cdfmin)
+        o = eq[g]
+        yw = np.arange(h, dtype=np.int64)[:, None]
+        want.append(
+            (i, w, h, int(g.sum()), int(o.sum()), int(o.min()),
+             int(o.max()), int((o * yw).sum()))
+        )
+        assert int(o.min()) == 0 and int(o.max()) == 255
+
+    got = [tuple(r) for r in _q_hist_equalize(spark, "").collect()]
+    assert got == want
