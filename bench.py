@@ -220,6 +220,9 @@ HEADLINE = [
     # ... and histogram equalization (decode + exact integer CDF remap
     # in one Arrow pass; relational oracle)
     "multimodal_hist_equalize",
+    # ... and the BPE compression curve (all merge-prefix points in one
+    # |V|-row projection)
+    "llm_bpe_compression_curve",
     # ... and the LSH banding-funnel scoreboard (stage monotonicity,
     # precision floor, repeated-squaring S-curve vs ground truth)
     "dedup_lsh_precision",

@@ -1257,3 +1257,129 @@ def _rake_oracle() -> str:
 
 
 register("text_rake_keyphrases", _q_rake, oracle=_rake_oracle())
+
+
+# --------------------------------------------- BPE compression curve
+BPE_CURVE_KS = (0, 2, 5, 10)
+
+
+def bpe_compression_curve(docs: DataFrame, ks: tuple = BPE_CURVE_KS) -> DataFrame:
+    """Tokenizer compression curve — corpus token counts under PREFIXES
+    of the merge table (the Sennrich/GPT-2 merge-count tuning loop's
+    measurement: each point answers "what does the corpus cost in
+    tokens after the first k merges", and the curve's flattening is
+    where additional vocabulary stops paying).  k = 0 is the
+    character-level baseline (tokens == chars), k = |table| the full
+    vocabulary, so tokens_per_word at the last point reconciles with
+    llm_tokenizer_fertility's corpus total by construction.
+
+    Cost shape: ALL curve points ride ONE |V|-row projection — the
+    distinct-word frame computes every prefix chain side by side
+    (codegen'd array folds, zero shuffles, work |V| x Σk), and the
+    corpus-scale work stays one fact scan + one keyed join regardless
+    of how many points the curve has.  Token counts are exact integers;
+    ratios are ppm floor divisions (replay-exact).
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.length("w") >= 1)
+    dw = materialize(
+        words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # k = 0 must bypass bpe_token_expr: its `merges or BPE_MERGES`
+    # default treats the empty prefix as "use the full table"
+    vt = dw.select("w").distinct().select(
+        "w",
+        *[
+            (
+                F.length("w").cast("long")
+                if k == 0
+                else F.expr(
+                    f"size({bpe_token_expr('w', BPE_MERGES[:k])})"
+                ).cast("long")
+            ).alias(f"t{k}")
+            for k in ks
+        ],
+    )
+    agg = dw.join(vt, "w").agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.sum(F.col("cnt") * F.length("w")).cast("long").alias("n_chars"),
+        *[
+            F.sum(F.col("cnt") * F.col(f"t{k}")).cast("long").alias(f"s{k}")
+            for k in ks
+        ],
+    )
+    stack = ", ".join(f"{k}, s{k}" for k in ks)
+    return (
+        agg.selectExpr(
+            "n_words", "n_chars",
+            f"stack({len(ks)}, {stack}) AS (n_merges, n_tokens)",
+        )
+        .selectExpr(
+            "CAST(n_merges AS INT) AS n_merges",
+            "n_words", "n_chars", "n_tokens",
+            "CAST((n_tokens * 1000000) div n_words AS BIGINT)"
+            " AS tokens_per_word_ppm",
+            "CAST((n_chars * 1000000) div n_tokens AS BIGINT)"
+            " AS chars_per_token_ppm",
+            "CAST((n_tokens * 1000000) div n_chars AS BIGINT)"
+            " AS compression_vs_chars_ppm",
+        )
+        .orderBy("n_merges")
+    )
+
+
+def _q_bpe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_compression_curve(_docs(spark, sf_dir))
+
+
+def _bpe_curve_point_sql(k: int) -> str:
+    """One curve point as a standalone SELECT (n_merges, totals) —
+    the unrolled merge chain of the k-PREFIX, corpus-rolled."""
+    if k == 0:
+        return """
+    SELECT 0 AS n_merges,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(cnt * len(w)) AS BIGINT) AS n_chars,
+           CAST(sum(cnt * len(w)) AS BIGINT) AS n_tokens
+    FROM (
+      SELECT w, count(*) AS cnt
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+              AS w FROM documents)
+      WHERE len(w) >= 1 GROUP BY w
+    )"""
+    base = _bpe_oracle(BPE_MERGES[:k])
+    head, _tail = base.split(f"vt AS (SELECT w, count(*) AS n_tok FROM s{k}")
+    return (
+        head
+        + f"""vt AS (SELECT w, count(*) AS n_tok FROM s{k} GROUP BY w)
+    SELECT {k} AS n_merges,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(cnt * len(w)) AS BIGINT) AS n_chars,
+           CAST(sum(cnt * n_tok) AS BIGINT) AS n_tokens
+    FROM dw JOIN vt USING (w)"""
+    )
+
+
+def _bpe_curve_oracle(ks: tuple = BPE_CURVE_KS) -> str:
+    points = "\n    UNION ALL\n".join(
+        f"SELECT * FROM ({_bpe_curve_point_sql(k)})" for k in ks
+    )
+    return f"""
+    SELECT CAST(n_merges AS INT) AS n_merges, n_words, n_chars, n_tokens,
+           CAST((n_tokens * 1000000) // n_words AS BIGINT)
+             AS tokens_per_word_ppm,
+           CAST((n_chars * 1000000) // n_tokens AS BIGINT)
+             AS chars_per_token_ppm,
+           CAST((n_tokens * 1000000) // n_chars AS BIGINT)
+             AS compression_vs_chars_ppm
+    FROM ({points})
+    ORDER BY n_merges
+    """
+
+
+register("llm_bpe_compression_curve", _q_bpe_curve,
+         oracle=_bpe_curve_oracle())

@@ -1072,3 +1072,74 @@ def test_hist_equalize_matches_pure_python(spark):
 
     got = [tuple(r) for r in _q_hist_equalize(spark, "").collect()]
     assert got == want
+
+
+def test_bpe_compression_curve_matches_pure_python():
+    """The curve oracle must equal an independent pure-Python BPE
+    (explicit left-to-right merge loop per prefix) at sf0.001, be
+    monotone non-increasing in tokens, anchor at tokens == chars for
+    k = 0, and reconcile with the fertility entry's corpus totals at
+    the full table."""
+    import re
+
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+    from dblab_ece_trino_spark.operators.text import (
+        BPE_CURVE_KS,
+        BPE_MERGES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    got = [tuple(r) for r in
+           con.execute(oracle_queries()["llm_bpe_compression_curve"])
+           .fetchall()]
+    assert [r[0] for r in got] == list(BPE_CURVE_KS)
+
+    def encode(word, merges):
+        syms = list(word)
+        for a, b in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    docs = con.execute("SELECT text FROM documents").fetchall()
+    words = []
+    for (text,) in docs:
+        words.extend(w for w in re.split(r"\s+", text.strip().lower()) if w)
+    n_words = len(words)
+    n_chars = sum(len(w) for w in words)
+    from collections import Counter
+
+    vocab = Counter(words)
+    prev_tokens = None
+    for k, row in zip(BPE_CURVE_KS, got):
+        n_tokens = sum(
+            cnt * encode(w, BPE_MERGES[:k]) for w, cnt in vocab.items()
+        )
+        want = (
+            k, n_words, n_chars, n_tokens,
+            n_tokens * 1_000_000 // n_words,
+            n_chars * 1_000_000 // n_tokens,
+            n_tokens * 1_000_000 // n_chars,
+        )
+        assert row == want, f"k={k} diverges"
+        if k == 0:
+            assert n_tokens == n_chars
+        if prev_tokens is not None:
+            assert n_tokens <= prev_tokens  # merges only ever shrink
+        prev_tokens = n_tokens
+
+    # reconciliation with the fertility entry's corpus totals
+    fert = con.execute(oracle_queries()["llm_tokenizer_fertility"]).fetchall()
+    assert sum(r[4] for r in fert) == got[-1][3]  # n_bpe_tokens total
