@@ -223,6 +223,9 @@ HEADLINE = [
     # ... and the BPE compression curve (all merge-prefix points in one
     # |V|-row projection)
     "llm_bpe_compression_curve",
+    # ... and DAU/MAU stickiness (bounded 28-day explode, no range
+    # self-join)
+    "op_user_stickiness",
     # ... and the LSH banding-funnel scoreboard (stage monotonicity,
     # precision floor, repeated-squaring S-curve vs ground truth)
     "dedup_lsh_precision",

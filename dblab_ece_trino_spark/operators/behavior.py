@@ -1280,3 +1280,47 @@ def _register_survival_hazard() -> None:
 
 
 _register_survival_hazard()
+
+
+# DAU/MAU stickiness — the standard product-engagement ratio (what
+# fraction of the monthly audience shows up on a given day).  Same
+# scalable shape as op_rolling_dau: reduce to DISTINCT (day, user)
+# FIRST (the wide event payload never crosses a shuffle again), then a
+# bounded 28-row explode per pair replaces the O(days x pairs) range
+# self-join the oracle is allowed to use (DuckDB materializes; at
+# 100 TB the explode is the only shape that survives).  DAU rides the
+# SAME reduced frame; both aggregates join on the observed day and the
+# ratio is one nonnegative ppm floor division.  Days are reported only
+# where activity exists (dau > 0), windows at the series head are
+# partial by standard convention.
+_STICKINESS_TPL = """
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      FROM {events}
+    ),
+    dau AS (
+      SELECT d AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM du GROUP BY d
+    ),
+    mau AS (
+      SELECT CAST(target_day AS DATE) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM (SELECT user_id, {expand} AS target_day FROM du)
+      WHERE target_day <= (SELECT max(d) FROM du)
+      GROUP BY target_day
+    )
+    SELECT a.day, a.dau, m.mau,
+           CAST((a.dau * 1000000) {fd} m.mau AS BIGINT) AS stickiness_ppm
+    FROM dau a JOIN mau m ON m.day = a.day
+    ORDER BY a.day
+"""
+
+_both(
+    "op_user_stickiness",
+    _STICKINESS_TPL.replace(
+        "{expand}", "explode(sequence(d, date_add(d, 27)))"
+    ).replace("{fd}", "div"),
+    _STICKINESS_TPL.replace(
+        "{expand}", "unnest(generate_series(d, d + 27, INTERVAL 1 DAY))"
+    ).replace("{fd}", "//"),
+)

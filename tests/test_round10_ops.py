@@ -1143,3 +1143,44 @@ def test_bpe_compression_curve_matches_pure_python():
     # reconciliation with the fertility entry's corpus totals
     fert = con.execute(oracle_queries()["llm_tokenizer_fertility"]).fetchall()
     assert sum(r[4] for r in fert) == got[-1][3]  # n_bpe_tokens total
+
+
+def test_user_stickiness_matches_pure_python():
+    """The stickiness oracle must equal an independent pure-Python
+    evaluator (explicit trailing-28-day set union per day) at sf0.001,
+    with DAU <= MAU everywhere and a first-day ratio of exactly 1e6
+    (the head window contains only that day)."""
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    got = [tuple(r) for r in
+           con.execute(oracle_queries()["op_user_stickiness"]).fetchall()]
+    assert got, "oracle returned no rows"
+
+    pairs = con.execute(
+        "SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE), user_id "
+        "FROM events"
+    ).fetchall()
+    by_day: dict = {}
+    for d, u in pairs:
+        by_day.setdefault(d, set()).add(u)
+    days = sorted(by_day)
+    want = []
+    for d in days:
+        dau = len(by_day[d])
+        mau_set: set = set()
+        for d2, us in by_day.items():
+            if 0 <= (d - d2).days <= 27:
+                mau_set |= us
+        mau = len(mau_set)
+        assert dau <= mau
+        want.append((d, dau, mau, dau * 1_000_000 // mau))
+    assert want[0][3] == 1_000_000
+    assert got == want
