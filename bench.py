@@ -226,6 +226,9 @@ HEADLINE = [
     # ... and DAU/MAU stickiness (bounded 28-day explode, no range
     # self-join)
     "op_user_stickiness",
+    # ... and decimate-by-2 audio downsampling (offset-nonnegative
+    # integer boxcar, one Arrow pass)
+    "multimodal_audio_decimate",
     # ... and the LSH banding-funnel scoreboard (stage monotonicity,
     # precision floor, repeated-squaring S-curve vs ground truth)
     "dedup_lsh_precision",

@@ -5194,3 +5194,89 @@ def _hist_eq_oracle() -> str:
 
 register("multimodal_hist_equalize", _q_hist_equalize,
          oracle=_hist_eq_oracle())
+
+
+# --------------------------------------------------- audio decimation
+def audio_decimate_stats(media: DataFrame) -> DataFrame:
+    """Decimate-by-2 with a 2-tap boxcar pre-filter (the standard
+    cheap anti-alias downsampling stage: average each sample pair, halve
+    the rate) over decoded WAV payloads — the audio TRANSFORM entry
+    beyond decode, the hist-equalize analog.
+
+    EXACT-INTEGER output: y_j = (s_2j + s_2j+1 + 4096) div 2 - 2048 —
+    the +4096 offset (samples are bounded by |s| <= 1600 in the fixture
+    family) keeps the numerator nonnegative so truncating and flooring
+    division agree, sidestepping the Spark-div vs DuckDB-// negative
+    semantics divergence entirely.  Emits per-clip output rate/count,
+    exact sum / sum-of-squares / min / max, and the j-weighted sum
+    (anti-cancellation: a pair-alignment bug moves it).
+
+    100 TB shape: decode + decimate + stats in ONE Arrow mapInPandas
+    pass (per-file work, no shuffle); the oracle derives everything
+    from the shared sawtooth closed form and never sees a byte.
+    """
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, s = decode_wav(bytes(payload))
+                s64 = s.astype("int64")
+                m = len(s64) // 2
+                y = (s64[: 2 * m : 2] + s64[1 : 2 * m : 2] + 4096) // 2 - 2048
+                jw = np.arange(m, dtype="int64")
+                out.append(
+                    (int(mid), int(rate) // 2, m, int(y.sum()),
+                     int((y * y).sum()), int(y.min()), int(y.max()),
+                     int((y * jw).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "rate_out", "n_out", "sum_out",
+                         "sumsq_out", "min_out", "max_out", "jsum_out"],
+            )
+
+    return media.mapInPandas(
+        stats,
+        "media_id long, rate_out int, n_out long, sum_out long,"
+        " sumsq_out long, min_out long, max_out long, jsum_out long",
+    )
+
+
+def _q_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_decimate_stats(_wav_payloads(spark)).orderBy("media_id")
+
+
+def _audio_decimate_oracle() -> str:
+    rows = ", ".join(
+        f"({i}, {64 + 16 * (i % 4)}, {50 + 7 * i}, {1000 + 100 * (i % 7)})"
+        for i in range(_N_WAV)
+    )
+    return f"""
+    WITH params(media_id, n_samp, step, amp) AS (VALUES {rows}),
+    y AS (
+      SELECT media_id,
+             jj,
+             (((2 * jj * step) % (2 * amp) - amp)
+              + (((2 * jj + 1) * step) % (2 * amp) - amp)
+              + 4096) // 2 - 2048 AS v
+      FROM params,
+           unnest(generate_series(0, n_samp // 2 - 1)) AS t(jj)
+    )
+    SELECT y.media_id,
+           CAST({_WAV_RATE} // 2 AS INT) AS rate_out,
+           CAST(count(*) AS BIGINT) AS n_out,
+           CAST(sum(v) AS BIGINT) AS sum_out,
+           CAST(sum(v * v) AS BIGINT) AS sumsq_out,
+           CAST(min(v) AS BIGINT) AS min_out,
+           CAST(max(v) AS BIGINT) AS max_out,
+           CAST(sum(jj * v) AS BIGINT) AS jsum_out
+    FROM y
+    GROUP BY y.media_id
+    ORDER BY y.media_id
+    """
+
+
+register("multimodal_audio_decimate", _q_audio_decimate,
+         oracle=_audio_decimate_oracle())

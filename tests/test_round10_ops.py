@@ -1184,3 +1184,37 @@ def test_user_stickiness_matches_pure_python():
         want.append((d, dau, mau, dau * 1_000_000 // mau))
     assert want[0][3] == 1_000_000
     assert got == want
+
+
+def test_audio_decimate_matches_pure_python():
+    """The decimation oracle must equal an independent pure-Python
+    evaluator (explicit sample loop over the shared sawtooth closed
+    form) at every clip, and the offset trick must equal true floor
+    division of the raw pair sum."""
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+    from dblab_ece_trino_spark.operators.multimodal import _N_WAV, _WAV_RATE
+
+    got = [tuple(r) for r in duckdb.connect().execute(
+        oracle_queries()["multimodal_audio_decimate"]).fetchall()]
+    assert len(got) == _N_WAV
+
+    want = []
+    for i in range(_N_WAV):
+        n_samp = 64 + 16 * (i % 4)
+        step = 50 + 7 * i
+        amp = 1000 + 100 * (i % 7)
+        s = [(k * step) % (2 * amp) - amp for k in range(n_samp)]
+        ys = []
+        for j in range(n_samp // 2):
+            a, b = s[2 * j], s[2 * j + 1]
+            y = (a + b + 4096) // 2 - 2048
+            assert y == (a + b) // 2  # offset trick == true floor
+            ys.append(y)
+        want.append(
+            (i, _WAV_RATE // 2, len(ys), sum(ys),
+             sum(v * v for v in ys), min(ys), max(ys),
+             sum(j * v for j, v in enumerate(ys)))
+        )
+    assert got == want
