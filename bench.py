@@ -229,6 +229,8 @@ HEADLINE = [
     # ... and decimate-by-2 audio downsampling (offset-nonnegative
     # integer boxcar, one Arrow pass)
     "multimodal_audio_decimate",
+    # ... and top-k journey paths (one rank window, bounded path frame)
+    "op_top_paths",
     # ... and the LSH banding-funnel scoreboard (stage monotonicity,
     # precision floor, repeated-squaring S-curve vs ground truth)
     "dedup_lsh_precision",

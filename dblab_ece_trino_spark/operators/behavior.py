@@ -1324,3 +1324,47 @@ _both(
         "{expand}", "unnest(generate_series(d, d + 27, INTERVAL 1 DAY))"
     ).replace("{fd}", "//"),
 )
+
+
+# Top-k journey paths — the path-analysis (Sankey) fact table: each
+# user's first PATH_LEN event types in (ts, event_id) order collapse to
+# one path string, and the corpus reports the most common journeys.
+# One keyed rank window over the event stream (hash shuffle on
+# user_id), then a |distinct paths|-row aggregate; the path alphabet is
+# |event types|^PATH_LEN at worst, so the report frame is bounded.
+# Deterministic: the (ts, event_id) tiebreak is a total order.
+PATH_LEN = 4
+PATHS_TOP = 20
+
+_TOP_PATHS_TPL = """
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM {events}
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, ' > ' ORDER BY rn) AS path,
+             CAST(count(*) AS BIGINT) AS path_len
+      FROM ranked WHERE rn <= {plen}
+      GROUP BY user_id
+    )
+    SELECT path, path_len,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM paths
+    GROUP BY path, path_len
+    ORDER BY n_users DESC, path
+    LIMIT {top}
+"""
+
+_both(
+    "op_top_paths",
+    _TOP_PATHS_TPL.replace("{plen}", str(PATH_LEN))
+    .replace("{top}", str(PATHS_TOP))
+    .replace("string_agg(event_type, ' > ' ORDER BY rn)",
+             "array_join(transform(array_sort(collect_list("
+             "struct(rn, event_type))), s -> s.event_type), ' > ')"),
+    _TOP_PATHS_TPL.replace("{plen}", str(PATH_LEN))
+    .replace("{top}", str(PATHS_TOP)),
+)

@@ -1218,3 +1218,42 @@ def test_audio_decimate_matches_pure_python():
              sum(j * v for j, v in enumerate(ys)))
         )
     assert got == want
+
+
+def test_top_paths_matches_pure_python():
+    """The top-paths oracle must equal an independent pure-Python
+    evaluator (explicit per-user sort, dict path counting) at
+    sf0.001."""
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.behavior import PATH_LEN, PATHS_TOP
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    got = [tuple(r) for r in
+           con.execute(oracle_queries()["op_top_paths"]).fetchall()]
+    assert 0 < len(got) <= PATHS_TOP  # sf0.001 has fewer distinct paths
+
+    rows = con.execute(
+        "SELECT user_id, event_type, ts, event_id FROM events "
+        "ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    per: dict = {}
+    for uid, et, _ts, _eid in rows:
+        seq = per.setdefault(uid, [])
+        if len(seq) < PATH_LEN:
+            seq.append(et)
+    counts: dict = {}
+    for seq in per.values():
+        key = (" > ".join(seq), len(seq))
+        counts[key] = counts.get(key, 0) + 1
+    want = sorted(
+        ((p, n, c) for (p, n), c in counts.items()),
+        key=lambda r: (-r[2], r[0]),
+    )[:PATHS_TOP]
+    assert got == want
