@@ -231,6 +231,9 @@ HEADLINE = [
     "multimodal_audio_decimate",
     # ... and top-k journey paths (one rank window, bounded path frame)
     "op_top_paths",
+    # ... and the event-chain stationary distribution (integer power
+    # method on the |types|^2 frame)
+    "op_markov_stationary",
     # ... and the LSH banding-funnel scoreboard (stage monotonicity,
     # precision floor, repeated-squaring S-curve vs ground truth)
     "dedup_lsh_precision",

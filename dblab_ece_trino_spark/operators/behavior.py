@@ -1368,3 +1368,131 @@ _both(
     _TOP_PATHS_TPL.replace("{plen}", str(PATH_LEN))
     .replace("{top}", str(PATHS_TOP)),
 )
+
+
+# Stationary distribution of the event-type Markov chain — the
+# steady-state behavior mix (where the user population spends its time
+# if the observed transition structure persists; the PageRank-family
+# fixed point on the |event types| x |event types| chain).
+MARKOV_ITERS = 10
+MARKOV_SCALE = 10**12
+
+
+def _q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer power method over the lag-window
+    transition counts: pi'(j) = sum_i (pi(i) * n_ij) div n_i, then an
+    L1 renormalization to MARKOV_SCALE each round (the HITS
+    discipline: every term is a nonnegative integer floor division, so
+    the fixed point replays bit-identically on any partitioning and in
+    DuckDB's unrolled-CTE oracle).  Uniform init; MARKOV_ITERS rounds
+    (the chain is tiny and aperiodic in practice — pytest pins the
+    fixed point to an independent float power iteration within 1e-6).
+
+    100 TB shape: ONE event scan builds the transition counts (a keyed
+    lag window); every iteration after that joins |types|^2-row frames
+    — metadata-scale forever, the cheapest fixed point in the repo.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.session import materialize
+
+    eng = engine_for(spark, sf_dir)
+    ev = eng.catalogs.table("elastic.default.events")
+
+    seq = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("prev_type"),
+    )
+    trans = materialize(
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("i"), F.col("event_type").alias("j"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ij"))
+    )
+    outdeg = trans.groupBy("i").agg(F.sum("n_ij").cast("long").alias("n_i"))
+    tm = materialize(trans.join(outdeg, "i"))
+    pi = tm.select(F.col("i").alias("state")).distinct().withColumn(
+        "pi", F.lit(MARKOV_SCALE // 5).cast("long")
+    )
+    for _ in range(MARKOV_ITERS):
+        pi = materialize(pi)
+        raw = (
+            tm.join(pi, tm.i == pi.state)
+            .select(
+                "j",
+                F.expr(
+                    "(CAST(pi AS DECIMAL(38,0)) * n_ij) div n_i"
+                ).alias("c"),
+            )
+            .groupBy(F.col("j").alias("state"))
+            .agg(F.sum("c").cast("long").alias("raw"))
+        )
+        tot = raw.agg(F.sum("raw").alias("t")).withColumn("__k", F.lit(1))
+        pi = (
+            raw.withColumn("__k", F.lit(1))
+            .join(F.broadcast(tot), "__k")
+            .selectExpr(
+                "state",
+                "CAST((CAST(raw AS DECIMAL(38,0)) * {s}) div t AS BIGINT)"
+                " AS pi".format(s=MARKOV_SCALE),
+            )
+        )
+    return pi.select(
+        F.col("state").alias("event_type"),
+        F.col("pi").alias("stationary_scaled"),
+    ).orderBy("event_type")
+
+
+def _markov_oracle(iters: int = MARKOV_ITERS, scale: int = MARKOV_SCALE) -> str:
+    ctes = [
+        """seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )""",
+        """tm AS MATERIALIZED (
+      SELECT t.i, t.j, t.n_ij,
+             CAST(sum(t.n_ij) OVER (PARTITION BY t.i) AS BIGINT) AS n_i
+      FROM (SELECT prev_type AS i, event_type AS j,
+                   CAST(count(*) AS BIGINT) AS n_ij
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type) t
+    )""",
+        f"""pi0 AS (
+      SELECT DISTINCT i AS state, CAST({scale // 5} AS BIGINT) AS pi
+      FROM tm
+    )""",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""raw{k} AS MATERIALIZED (
+      SELECT tm.j AS state,
+             CAST(sum((CAST(p.pi AS HUGEINT) * tm.n_ij) // tm.n_i)
+               AS BIGINT) AS raw
+      FROM pi{k - 1} p JOIN tm ON tm.i = p.state
+      GROUP BY tm.j
+    )"""
+        )
+        ctes.append(
+            f"pi{k} AS (SELECT state,"
+            f" CAST((CAST(raw AS HUGEINT) * {scale})"
+            f" // (SELECT sum(raw) FROM raw{k}) AS BIGINT) AS pi"
+            f" FROM raw{k})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT state AS event_type, pi AS stationary_scaled
+    FROM pi{iters}
+    ORDER BY event_type
+    """
+    )
+
+
+register("op_markov_stationary", _q_markov_stationary,
+         oracle=_markov_oracle())

@@ -127,6 +127,7 @@ GRADED_PRIORITY: list[str] = [
     "dedup_image_ahash", "wh_vacuum_planner", "sim_ivf_probe_sweep",
     "multimodal_hist_equalize", "llm_bpe_compression_curve",
     "op_user_stickiness", "multimodal_audio_decimate", "op_top_paths",
+    "op_markov_stationary",
     # latest green = round 4 (the 22 displaced from the r9 window)
     "op_median_mode", "op_min_max_by", "op_new_vs_returning",
     "op_stats_regression", "op_string_agg", "op_token_cooccurrence",
@@ -137,7 +138,7 @@ GRADED_PRIORITY: list[str] = [
     "ts_ohlc_bars", "ts_zscore_anomaly",
     # latest green = round 5 (alphabetically-first 28 of 44; the
     # remaining 16 r5 entries + the r6 cohort follow in round 11)
-    "dedup_prefix_filter", "graph_label_prop", "graph_neighbor_jaccard",
+    "dedup_prefix_filter", "graph_label_prop",
 ]
 
 

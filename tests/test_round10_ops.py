@@ -1257,3 +1257,64 @@ def test_top_paths_matches_pure_python():
         key=lambda r: (-r[2], r[0]),
     )[:PATHS_TOP]
     assert got == want
+
+
+def test_markov_stationary_matches_pure_python():
+    """The stationary-distribution oracle must equal an independent
+    pure-Python integer power iteration at sf0.001, sum to MARKOV_SCALE
+    within |types| floor losses, and agree with a FLOAT power iteration
+    (the true fixed point) within 1e-6 relative."""
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.behavior import (
+        MARKOV_ITERS,
+        MARKOV_SCALE,
+    )
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    got = dict(
+        con.execute(oracle_queries()["op_markov_stationary"]).fetchall()
+    )
+    assert got, "oracle returned no rows"
+    assert 0 <= MARKOV_SCALE - sum(got.values()) <= len(got) * MARKOV_ITERS
+
+    rows = con.execute(
+        "SELECT user_id, event_type, ts, event_id FROM events "
+        "ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    per: dict = {}
+    for uid, et, _ts, _eid in rows:
+        per.setdefault(uid, []).append(et)
+    n: dict = {}
+    for seq in per.values():
+        for a, b in zip(seq, seq[1:]):
+            n[(a, b)] = n.get((a, b), 0) + 1
+    states = sorted({s for ab in n for s in ab})
+    n_i = {i: sum(c for (a, _b), c in n.items() if a == i) for i in states}
+
+    pi = {s: MARKOV_SCALE // 5 for s in states}
+    for _ in range(MARKOV_ITERS):
+        raw = {
+            j: sum(pi[i] * n.get((i, j), 0) // n_i[i] for i in states)
+            for j in states
+        }
+        t = sum(raw.values())
+        pi = {j: raw[j] * MARKOV_SCALE // t for j in states}
+    assert got == pi
+
+    pf = {s: 1.0 / len(states) for s in states}
+    for _ in range(200):
+        pf = {
+            j: sum(pf[i] * n.get((i, j), 0) / n_i[i] for i in states)
+            for j in states
+        }
+        z = sum(pf.values())
+        pf = {j: v / z for j, v in pf.items()}
+    for s in states:
+        assert abs(got[s] / MARKOV_SCALE - pf[s]) < 1e-6
