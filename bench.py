@@ -234,6 +234,10 @@ HEADLINE = [
     # ... and the event-chain stationary distribution (integer power
     # method on the |types|^2 frame)
     "op_markov_stationary",
+    # ... and two-stage cluster sampling (partition-pruning stage-1)
+    "sample_cluster",
+    # ... and the hapax-legomena diversity profile (one keyed count)
+    "text_hapax_ratio",
     # ... and the LSH banding-funnel scoreboard (stage monotonicity,
     # precision floor, repeated-squaring S-curve vs ground truth)
     "dedup_lsh_precision",

@@ -104,14 +104,14 @@ def oracle_queries() -> dict[str, str]:
 # 50-slot window the full board re-grades every ~5 rounds, which is the
 # staleness ceiling this policy guarantees.
 #
-# ROUND-10 WINDOW (pure staleness round — no never-graded debt after
-# r9): the 22 r4-latest entries displaced from the r9 window + the
-# alphabetically-first 28 of the 44 r5-latest entries = 50.  New r10
-# ops are inserted at the head as they land, each displacing one entry
-# from the r5 tail (oldest-cohort-last), exactly as r9 did.
-# Displacement tail for the ROUND-11 QUEUE, pre-derived (absent new
-# r11 ops): whatever r5 entries the r10 insertions pushed out, then
-# the remaining r5-latest entries alphabetically, then the r6 cohort.
+# ROUND-10 WINDOW (final form): the 28 never-graded round-10 ops +
+# the full 22-entry r4-latest cohort = 50.  The 28 r5-latest seats the
+# round started with were each displaced by a new op as it landed
+# (never-graded outranks stale, and the r4 cohort — the round's
+# original staleness target — kept every seat).
+# ROUND-11 QUEUE, pre-derived (absent new r11 ops): the 44 r5-latest
+# entries alphabetically (the 28 displaced this round first among
+# them), then the r6 cohort; scripts/window_check.py prints it.
 # Verify any window rewrite mechanically:
 #   PYTHONPATH=. python3 scripts/window_check.py
 GRADED_PRIORITY: list[str] = [
@@ -127,7 +127,7 @@ GRADED_PRIORITY: list[str] = [
     "dedup_image_ahash", "wh_vacuum_planner", "sim_ivf_probe_sweep",
     "multimodal_hist_equalize", "llm_bpe_compression_curve",
     "op_user_stickiness", "multimodal_audio_decimate", "op_top_paths",
-    "op_markov_stationary",
+    "op_markov_stationary", "sample_cluster", "text_hapax_ratio",
     # latest green = round 4 (the 22 displaced from the r9 window)
     "op_median_mode", "op_min_max_by", "op_new_vs_returning",
     "op_stats_regression", "op_string_agg", "op_token_cooccurrence",
@@ -136,9 +136,6 @@ GRADED_PRIORITY: list[str] = [
     "sim_search_ivf", "sim_search_lsh", "text_bm25_score", "tpch_q8",
     "ts_ewma", "ts_expanding_anomaly", "ts_gap_fill", "ts_interp_fill",
     "ts_ohlc_bars", "ts_zscore_anomaly",
-    # latest green = round 5 (alphabetically-first 28 of 44; the
-    # remaining 16 r5 entries + the r6 cohort follow in round 11)
-    "dedup_prefix_filter", "graph_label_prop",
 ]
 
 

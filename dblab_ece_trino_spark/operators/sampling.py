@@ -749,3 +749,61 @@ register(
     ORDER BY global_rank
     """,
 )
+
+
+# ------------------------------------------- two-stage cluster sampling
+CLUSTER_KEEP = 128   # stage-1: keep sources with md5 bucket < 128/256
+WITHIN_KEEP = 160    # stage-2: keep docs with md5 bucket < 160/256
+
+
+def _q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage cluster sampling (Cochran ch. 10 — the survey design
+    that maps directly onto a partitioned lake: stage 1 samples whole
+    CLUSTERS so unselected partitions are never read, stage 2
+    subsamples within): sources survive on md5(seed || source) <
+    CLUSTER_KEEP/256, then docs within surviving sources on an
+    independent per-doc draw < WITHIN_KEEP/256.  The per-source report
+    carries both stages (selected flag, population count, sampled
+    count) so the design's self-weighting inverse-probability factor
+    (256/CLUSTER_KEEP) * (256/WITHIN_KEEP) is auditable from the row.
+
+    Scale shape: the stage-1 predicate is a partition-pruning filter at
+    a source-partitioned lake (reads CLUSTER_KEEP/256 of the files);
+    everything else is one keyed count.  All md5 draws are the
+    sampling.py discipline — both engines replay them exactly.
+    """
+    docs = _docs(spark, sf_dir)
+    cb = md5_bucket(F.col("source"), "cluster-v1")
+    db = md5_bucket(F.col("doc_id"), "within-v1")
+    return (
+        docs.withColumn("sel_cluster", cb < CLUSTER_KEEP)
+        .withColumn("sel_doc",
+                    F.col("sel_cluster") & (db < WITHIN_KEEP))
+        .groupBy("source")
+        .agg(
+            F.first("sel_cluster").alias("selected_cluster"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("sel_doc").cast("long")).cast("long")
+            .alias("n_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
+register(
+    "sample_cluster",
+    _q_cluster_sample,
+    oracle=f"""
+    SELECT source,
+           {_md5_bucket_sql("source", "cluster-v1")} < {CLUSTER_KEEP}
+             AS selected_cluster,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN
+                 {_md5_bucket_sql("source", "cluster-v1")} < {CLUSTER_KEEP}
+                 AND {_md5_bucket_sql("doc_id", "within-v1")} < {WITHIN_KEEP}
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)

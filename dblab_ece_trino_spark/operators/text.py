@@ -1383,3 +1383,79 @@ def _bpe_curve_oracle(ks: tuple = BPE_CURVE_KS) -> str:
 
 register("llm_bpe_compression_curve", _q_bpe_curve,
          oracle=_bpe_curve_oracle())
+
+
+# ------------------------------------------------------ hapax ratio
+def hapax_ratio(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hapax-legomena profile per source — the word-level diversity
+    diagnostic (Baayen, "Word Frequency Distributions": the hapax share
+    estimates vocabulary growth rate; boilerplate-heavy or
+    template-generated sources show collapsed hapax ratios long before
+    an exact-dup pass fires): per source, vocabulary size, hapax count
+    (frequency exactly 1 WITHIN the source), token count, and the
+    ratios in exact ppm.
+
+    One scan, one (source, word) keyed count (map-side combinable),
+    one per-source rollup — no windows, no joins; the shuffle carries
+    the (source, word) vocabulary, never raw tokens.
+    """
+    words = docs.select(
+        "source",
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    ).filter(F.length("w") >= 1)
+    wc = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum((F.col("n") == 1).cast("long")).cast("long")
+            .alias("hapax"),
+            F.sum("n").cast("long").alias("tokens"),
+        )
+        .selectExpr(
+            "source", "vocab", "hapax", "tokens",
+            "CAST((hapax * 1000000) div vocab AS BIGINT)"
+            " AS hapax_vocab_ppm",
+            "CAST((vocab * 1000000) div tokens AS BIGINT)"
+            " AS type_token_ppm",
+        )
+        .orderBy("source")
+    )
+
+
+def _q_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.operators.llmprep import _docs as _ldocs
+
+    return hapax_ratio(_ldocs(spark, sf_dir))
+
+
+register(
+    "text_hapax_ratio",
+    _q_hapax,
+    oracle="""
+    WITH wc AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT source,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                     AS w
+            FROM documents)
+      WHERE len(w) >= 1
+      GROUP BY source, w
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(sum(n) AS BIGINT) AS tokens,
+           CAST((sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000)
+                // count(*) AS BIGINT) AS hapax_vocab_ppm,
+           CAST((count(*) * 1000000) // sum(n) AS BIGINT)
+             AS type_token_ppm
+    FROM wc
+    GROUP BY source
+    ORDER BY source
+    """,
+)

@@ -1318,3 +1318,87 @@ def test_markov_stationary_matches_pure_python():
         pf = {j: v / z for j, v in pf.items()}
     for s in states:
         assert abs(got[s] / MARKOV_SCALE - pf[s]) < 1e-6
+
+
+def test_cluster_sample_matches_pure_python():
+    """The cluster-sampling oracle must equal an independent pure-Python
+    evaluator (hashlib two-stage draws) at sf0.001, with the design
+    invariants: a non-selected cluster samples 0 docs; a selected
+    cluster's draw is independent of its docs."""
+    import hashlib
+
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+    from dblab_ece_trino_spark.operators.sampling import (
+        CLUSTER_KEEP,
+        WITHIN_KEEP,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    got = [tuple(r) for r in
+           con.execute(oracle_queries()["sample_cluster"]).fetchall()]
+    assert got, "oracle returned no rows"
+
+    def bucket(key, seed):
+        return int(hashlib.md5(f"{seed}{key}".encode()).hexdigest()[:2], 16)
+
+    docs = con.execute("SELECT source, doc_id FROM documents").fetchall()
+    per: dict = {}
+    for src, did in docs:
+        sel_c = bucket(src, "cluster-v1") < CLUSTER_KEEP
+        sel_d = sel_c and bucket(did, "within-v1") < WITHIN_KEEP
+        n, ns = per.get(src, (0, 0))
+        per[src] = (n + 1, ns + sel_d)
+    want = [
+        (src, bucket(src, "cluster-v1") < CLUSTER_KEEP, n, ns)
+        for src, (n, ns) in sorted(per.items())
+    ]
+    assert got == want
+    for _src, sel, _n, ns in want:
+        if not sel:
+            assert ns == 0
+
+
+def test_hapax_ratio_matches_pure_python():
+    """The hapax oracle must equal an independent pure-Python evaluator
+    (Counter per source) at sf0.001, with hapax <= vocab <= tokens."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    got = [tuple(r) for r in
+           con.execute(oracle_queries()["text_hapax_ratio"]).fetchall()]
+    assert got, "oracle returned no rows"
+
+    docs = con.execute("SELECT source, text FROM documents").fetchall()
+    per: dict = {}
+    for src, text in docs:
+        c = per.setdefault(src, Counter())
+        c.update(w for w in re.split(r"\s+", text.strip().lower()) if w)
+    want = []
+    for src in sorted(per):
+        c = per[src]
+        vocab = len(c)
+        hapax = sum(1 for n in c.values() if n == 1)
+        tokens = sum(c.values())
+        assert hapax <= vocab <= tokens
+        want.append(
+            (src, vocab, hapax, tokens,
+             hapax * 1_000_000 // vocab, vocab * 1_000_000 // tokens)
+        )
+    assert got == want
