@@ -364,3 +364,56 @@ def test_seasonal_decompose_reconstructs_series(spark):
     assert statistics.pvariance([r.trend for r in rows]) < statistics.pvariance(
         [r.v for r in rows]
     )
+
+
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    ch=st.sampled_from([3, 4]),
+    rle=st.booleans(),
+    topdown=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_tga_roundtrip_property(w, h, ch, rle, topdown, seed):
+    """encode_tga -> decode_tga is the identity for EVERY image shape,
+    channel count, compression mode, and row order (the hypothesis
+    upgrade of the fixed-vector roundtrip: random pixel content
+    exercises RLE packet boundaries the fixture family cannot)."""
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_tga,
+        encode_tga,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    rw, rh, rch, arr = decode_tga(encode_tga(img, rle=rle, topdown=topdown))
+    assert (rw, rh, rch) == (w, h, ch)
+    assert np.array_equal(arr, img)
+
+
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 12),
+    ch=st.sampled_from([3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_qoi_roundtrip_property(w, h, ch, seed):
+    """encode_qoi -> decode_qoi is the identity for random content —
+    random pixels stress the 64-slot hash index and LUMA/DIFF range
+    boundaries beyond the band fixtures."""
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_qoi,
+        encode_qoi,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    rw, rh, rch, arr = decode_qoi(encode_qoi(img))
+    assert (rw, rh, rch) == (w, h, ch)
+    assert np.array_equal(arr, img)
