@@ -244,6 +244,9 @@ HEADLINE = [
     # ... and the per-(lang, source) tokenizer fertility audit riding
     # the exact BPE encoder (integer ppm tokens/word, chars/token)
     "llm_tokenizer_fertility",
+    # round-11 additions: the removal half of exact-substring dedup
+    # (coverage's interval union -> JVM-side HOF cut -> reassembled text)
+    "llm_dup_span_removal",
 ]
 
 

@@ -1414,8 +1414,23 @@ def _q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     outdeg = trans.groupBy("i").agg(F.sum("n_ij").cast("long").alias("n_i"))
     tm = materialize(trans.join(outdeg, "i"))
-    pi = tm.select(F.col("i").alias("state")).distinct().withColumn(
-        "pi", F.lit(MARKOV_SCALE // 5).cast("long")
+    # Uniform init derived from the actual state count (SCALE div
+    # |states| in both engines) — the L1 renormalization makes the
+    # magnitude irrelevant beyond floor rounding, but deriving it keeps
+    # the init synchronized with the corpus schema by construction.
+    nstates = (
+        tm.select("i").distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_states"))
+        .withColumn("__k", F.lit(1))
+    )
+    pi = (
+        tm.select(F.col("i").alias("state")).distinct()
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(nstates), "__k")
+        .selectExpr(
+            "state",
+            f"CAST({MARKOV_SCALE} div n_states AS BIGINT) AS pi",
+        )
     )
     for _ in range(MARKOV_ITERS):
         pi = materialize(pi)
@@ -1463,7 +1478,9 @@ def _markov_oracle(iters: int = MARKOV_ITERS, scale: int = MARKOV_SCALE) -> str:
             GROUP BY prev_type, event_type) t
     )""",
         f"""pi0 AS (
-      SELECT DISTINCT i AS state, CAST({scale // 5} AS BIGINT) AS pi
+      SELECT DISTINCT i AS state,
+             CAST({scale} // (SELECT count(DISTINCT i) FROM tm)
+                  AS BIGINT) AS pi
       FROM tm
     )""",
     ]

@@ -2551,6 +2551,205 @@ register(
 )
 
 
+# --------------------------------------- duplicated-span REMOVAL (dedup)
+def dup_span_removal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """The REMOVAL half of exact-substring training-data dedup (Lee et
+    al. 2022): cut every cross-document duplicated span found by
+    ``dup_span_coverage`` and emit the deduped text.  Reuses the exact
+    coverage machinery — position-anchored word n-grams md5-folded to
+    48-bit keys, document-frequency >= 2, gaps-and-islands interval
+    union per document — then drops the covered token positions and
+    reassembles the survivors in order.  ``removed_tokens`` reconciles
+    with coverage's ``dup_tokens`` by construction (pinned in pytest).
+
+    100 TB shape: identical economics to the coverage op (8-byte keys
+    in the shuffle, per-document windows bounded by document length)
+    plus ONE extra per-document step: the merged-interval array joins
+    back to the token array and the cut is a JVM-side higher-order
+    ``filter``/``transform`` over positions — no shuffle carries token
+    strings except the final per-document reassembly, and no Python
+    touches a row.  Islands are disjoint by construction, so the
+    position test scans a bounded interval list per token.
+    """
+    from dblab_ece_trino_spark.operators.sketches import hexint_col
+    from dblab_ece_trino_spark.session import materialize
+
+    toks = docs.select(
+        F.col(id_col), _toks(F.col(text_col)).alias("arr")
+    ).select(
+        id_col, "arr", F.size("arr").cast("long").alias("n_tokens")
+    )
+    grams = materialize(
+        toks.filter(F.col("n_tokens") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(0), (F.col("n_tokens") - n).cast("int"))
+            ).alias("pos"),
+            F.col("arr"),
+        )
+        .select(
+            id_col,
+            "pos",
+            hexint_col(
+                F.concat(
+                    F.lit("dsc:"),
+                    F.concat_ws(" ", F.slice(F.col("arr"), F.col("pos") + 1, n)),
+                ),
+                12,
+            ).alias("h"),
+        )
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    anchors = grams.join(dup, "h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    run = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    isl = (
+        anchors.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > n),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("brk").over(run))
+    )
+    ivs = (
+        isl.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").cast("long").alias("s"),
+            (F.max("pos") + n).cast("long").alias("e"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
+    )
+    cut = (
+        toks.join(ivs, id_col, "left")
+        .withColumn(
+            "ivs",
+            F.coalesce(
+                "ivs",
+                F.expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)"),
+            ),
+        )
+        .withColumn(
+            "kept_pos",
+            F.expr(
+                "filter(sequence(0, size(arr) - 1),"
+                " i -> NOT exists(ivs, v -> i >= v.s AND i < v.e))"
+            ),
+        )
+    )
+    return cut.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.size("kept_pos").cast("long").alias("kept_tokens"),
+        (F.col("n_tokens") - F.size("kept_pos")).cast("long").alias(
+            "removed_tokens"
+        ),
+        F.expr(
+            "concat_ws(' ', transform(kept_pos,"
+            " i -> element_at(arr, CAST(i + 1 AS int))))"
+        ).alias("dedup_text"),
+    ).orderBy(id_col)
+
+
+def _q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_span_removal(_docs(spark, sf_dir))
+
+
+def _dup_span_removal_oracle() -> str:
+    from dblab_ece_trino_spark.operators.sketches import hexint_digits_sql
+
+    fold = hexint_digits_sql("md5('dsc:' || gram)", 12)
+    return rf"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+      FROM documents
+    ),
+    g AS MATERIALIZED (
+      SELECT doc_id, i AS pos, {fold} AS h
+      FROM (
+        SELECT doc_id, i,
+               array_to_string(list_slice(arr, i + 1, i + 8), ' ') AS gram
+        FROM toks, unnest(generate_series(0, len(arr) - 8)) AS r(i)
+        WHERE len(arr) >= 8
+      ) t
+    ),
+    dup AS (
+      SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    anchors AS (
+      SELECT g.doc_id, g.pos FROM g JOIN dup ON dup.h = g.h
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS brk
+      FROM anchors
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ),
+    iv AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos) + 8 AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    covered AS (
+      SELECT doc_id, p AS pos
+      FROM iv, unnest(generate_series(s, e - 1)) AS u(p)
+    ),
+    pos_all AS (
+      SELECT doc_id, i AS pos, arr[i + 1] AS tok
+      FROM toks, unnest(generate_series(0, len(arr) - 1)) AS r(i)
+    ),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.tok
+      FROM pos_all p LEFT JOIN covered c
+        ON c.doc_id = p.doc_id AND c.pos = p.pos
+      WHERE c.pos IS NULL
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS kept_tokens,
+             coalesce(string_agg(tok, ' ' ORDER BY pos), '') AS dedup_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.arr) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           CAST(len(t.arr) - coalesce(a.kept_tokens, 0) AS BIGINT)
+               AS removed_tokens,
+           coalesce(a.dedup_text, '') AS dedup_text
+    FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """
+
+
+register(
+    "llm_dup_span_removal",
+    _q_dup_span_removal,
+    oracle=_dup_span_removal_oracle(),
+)
+
+
 # ------------------------------------------------- padding-waste audit
 def pad_waste(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Length-bucketed batching padding audit: assign every document to

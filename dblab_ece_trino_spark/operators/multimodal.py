@@ -4736,9 +4736,15 @@ def decode_tga(payload: bytes):
     pos = 18 + idlen
     if pos > len(payload):
         raise ValueError("TGA id field overruns the payload")
-    body = payload[:-len(_TGA_FOOTER)] if payload.endswith(
-        _TGA_FOOTER
-    ) else payload
+    # Strip the 26-byte v2 footer whenever the 18-byte XFILE signature
+    # matches — mirroring the format seam's detection (decode_image) —
+    # rather than requiring the extension/developer offsets to be zero;
+    # a spec-valid TGA v2 with nonzero offsets still carries the footer.
+    body = (
+        payload[:-26]
+        if len(payload) >= 26 and payload[-18:] == b"TRUEVISION-XFILE.\x00"
+        else payload
+    )
     if pos > len(body):
         raise ValueError("TGA id field overruns the pixel data")
     n = w * h
@@ -5114,7 +5120,16 @@ def hist_equalize_stats(media: DataFrame) -> DataFrame:
                 hist = np.bincount(g.flatten(), minlength=256)
                 cdf = hist.cumsum()
                 cdfmin = int(cdf[np.nonzero(hist)[0][0]])
-                eq = (cdf - cdfmin) * 255 // (npx - cdfmin)
+                if npx == cdfmin:
+                    # Constant-valued channel: every pixel is one value,
+                    # so cdf_min == n_px and the classic denominator is
+                    # zero.  Equalization of a constant image is the
+                    # identity up to an arbitrary level; emit 0 (the
+                    # same exact-zero-guard discipline as the moments
+                    # profile's constant-series NULLs).
+                    eq = np.zeros(256, dtype=np.int64)
+                else:
+                    eq = (cdf - cdfmin) * 255 // (npx - cdfmin)
                 o = eq[g]
                 yw = np.arange(h, dtype=np.int64)[:, None]
                 out.append(

@@ -104,38 +104,35 @@ def oracle_queries() -> dict[str, str]:
 # 50-slot window the full board re-grades every ~5 rounds, which is the
 # staleness ceiling this policy guarantees.
 #
-# ROUND-10 WINDOW (final form): the 28 never-graded round-10 ops +
-# the full 22-entry r4-latest cohort = 50.  The 28 r5-latest seats the
-# round started with were each displaced by a new op as it landed
-# (never-graded outranks stale, and the r4 cohort — the round's
-# original staleness target — kept every seat).
-# ROUND-11 QUEUE, pre-derived (absent new r11 ops): the 44 r5-latest
-# entries alphabetically (the 28 displaced this round first among
-# them), then the r6 cohort; scripts/window_check.py prints it.
+# ROUND-11 WINDOW: q001-q005 first (flagship-shape freshness pull,
+# r8-latest — the one-line exception the round-10 verdict sanctions
+# ahead of the alphabetical tie-break), then the r5-latest cohort
+# (43 entries) and the head of the r6 cohort to fill 50.  NEW round-11
+# ops are inserted at the head as they land, each displacing one entry
+# from the tail (displaced entries head the round-12 queue).
 # Verify any window rewrite mechanically:
 #   PYTHONPATH=. python3 scripts/window_check.py
 GRADED_PRIORITY: list[str] = [
-    # NEW round 10 ops are inserted here as they land, each displacing
-    # one entry from the r5 tail below (displaced entries head the
-    # round-11 queue).
-    "sim_recall_at_k", "op_sessionize_batch", "llm_gopher_repetition",
-    "multimodal_qoi_decode", "join_asof_nearest", "ts_spc_rules",
-    "graph_harmonic_centrality", "dedup_lsh_precision",
-    "llm_tokenizer_fertility", "ts_ordinal_patterns", "graph_modularity",
-    "op_survival_hazard", "text_rake_keyphrases", "ts_max_drawdown",
-    "sample_systematic", "op_moments_profile", "multimodal_tga_decode",
-    "dedup_image_ahash", "wh_vacuum_planner", "sim_ivf_probe_sweep",
-    "multimodal_hist_equalize", "llm_bpe_compression_curve",
-    "op_user_stickiness", "multimodal_audio_decimate", "op_top_paths",
-    "op_markov_stationary", "sample_cluster", "text_hapax_ratio",
-    # latest green = round 4 (the 22 displaced from the r9 window)
-    "op_median_mode", "op_min_max_by", "op_new_vs_returning",
-    "op_stats_regression", "op_string_agg", "op_token_cooccurrence",
-    "op_try_arithmetic", "op_width_bucket_hist", "op_window_navigation",
-    "pipeline_curate_corpus", "sample_importance", "sample_weighted_topk",
-    "sim_search_ivf", "sim_search_lsh", "text_bm25_score", "tpch_q8",
-    "ts_ewma", "ts_expanding_anomaly", "ts_gap_fill", "ts_interp_fill",
-    "ts_ohlc_bars", "ts_zscore_anomaly",
+    # NEW round 11 ops (never-graded outranks stale).
+    "llm_dup_span_removal",
+    # Flagship reference shapes, last graded r8 (sanctioned pull).
+    "q001", "q002", "q003", "q004", "q005",
+    # latest green = round 5 (alphabetical)
+    "dedup_prefix_filter", "graph_label_prop", "graph_neighbor_jaccard",
+    "graph_pagerank", "graph_shortest_path", "graph_triangles",
+    "llm_bpe_merges", "llm_curriculum_order", "llm_oov_rate",
+    "llm_span_corruption", "llm_temperature_mix", "multimodal_ppm_decode",
+    "multimodal_wav_decode", "op_agg_filter_clause", "op_bloom_membership",
+    "op_conversion_latency", "op_count_min_heavy_hitters",
+    "op_event_trigrams", "op_hll_rollup", "op_rate_limit",
+    "op_ratio_to_report", "op_rolling_dau", "op_rolling_revenue_28d",
+    "op_sequence_match", "op_skyline_2d", "op_trending_hours",
+    "op_winsorize", "sample_poisson_bootstrap", "sim_mips_topk",
+    "sim_quantized_mips", "text_readability", "text_tfidf_topk",
+    "ts_autocorrelation", "ts_cusum_changepoint", "ts_mann_kendall",
+    "ts_mom_yoy_change", "ts_seasonal_decompose", "wh_analyze_stats",
+    "wh_cdc_apply", "wh_compaction_plan", "wh_expectations",
+    "wh_time_travel", "wh_zone_map_pruning", "wh_zorder_layout",
 ]
 
 

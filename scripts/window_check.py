@@ -47,16 +47,13 @@ def violations() -> list[str]:
     Empty list == policy holds.  Imported by tests/test_engine.py so a
     rotation violation fails the local suite before the driver grades.
     """
-    from dblab_ece_trino_spark.operators.registry import (
-        GRADED_PRIORITY,
-        oracle_queries,
-        spark_queries,
-    )
+    from dblab_ece_trino_spark.entrypoints import build_oracles, build_queries
+    from dblab_ece_trino_spark.operators.registry import GRADED_PRIORITY
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     grades = latest_grades(repo)
-    all_entries = list(spark_queries())
-    oracles = oracle_queries()
+    all_entries = list(build_queries())
+    oracles = build_oracles()
     window = GRADED_PRIORITY[:50]
     # oracle-less entries are rows-only checks; the ref_q00N literal
     # runners are additionally covered by the graded
@@ -78,16 +75,13 @@ def violations() -> list[str]:
 
 
 def main() -> None:
-    from dblab_ece_trino_spark.operators.registry import (
-        GRADED_PRIORITY,
-        oracle_queries,
-        spark_queries,
-    )
+    from dblab_ece_trino_spark.entrypoints import build_oracles, build_queries
+    from dblab_ece_trino_spark.operators.registry import GRADED_PRIORITY
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     grades = latest_grades(repo)
-    all_entries = list(spark_queries())
-    oracles = oracle_queries()
+    all_entries = list(build_queries())
+    oracles = build_oracles()
     window = GRADED_PRIORITY[:50]
     exempt = {n for n in all_entries if n not in oracles}
     never = [n for n in all_entries if n not in grades and n not in exempt]

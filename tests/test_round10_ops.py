@@ -1402,3 +1402,60 @@ def test_hapax_ratio_matches_pure_python():
              hapax * 1_000_000 // vocab, vocab * 1_000_000 // tokens)
         )
     assert got == want
+
+
+def test_tga_v2_footer_with_nonzero_offsets_decodes():
+    """Round-11 advisory regression: a spec-valid TGA v2 whose footer
+    carries NONZERO extension/developer-area offsets must still decode
+    — the footer strip keys on the 18-byte XFILE signature (matching
+    the format seam's detection), not on zeroed offset fields."""
+    import struct
+
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_image,
+        decode_tga,
+        encode_tga,
+    )
+
+    img = (
+        np.arange(4 * 3 * 3, dtype=np.int64) * 29 % 256
+    ).astype(np.uint8).reshape(3, 4, 3)
+    payload = encode_tga(img, rle=False, topdown=True)
+    # Replace the zeroed footer with one claiming nonzero offsets.
+    body = payload[:-26]
+    footer = struct.pack("<II", 18 + 4 * 3 * 3, 0) + b"TRUEVISION-XFILE.\x00"
+    assert len(footer) == 26
+    w, h, ch, arr = decode_tga(body + footer)
+    assert (w, h, ch) == (4, 3, 3)
+    assert np.array_equal(arr, img)
+    # The seam routes it to the same decoder (w, h, rgb contract).
+    sw, sh, rgb = decode_image(body + footer)
+    assert (sw, sh) == (4, 3)
+    assert np.array_equal(rgb, img)
+
+
+def test_hist_equalize_constant_image_guard(spark):
+    """Round-11 advisory regression: a constant-valued channel makes
+    cdf_min == n_px; the Arrow pass must emit the documented identity
+    (eq == 0 everywhere) instead of a ZeroDivisionError."""
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        encode_tga,
+        hist_equalize_stats,
+    )
+
+    img = np.full((5, 7, 3), 42, dtype=np.uint8)
+    payload = encode_tga(img, rle=False, topdown=True)
+    df = spark.createDataFrame(
+        [(0, bytearray(payload))], "media_id long, payload binary"
+    )
+    rows = hist_equalize_stats(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.width, r.height) == (7, 5)
+    assert r.in_sum == 42 * 35
+    assert r.eq_sum == 0 and r.eq_min == 0 and r.eq_max == 0
+    assert r.eq_ysum == 0
