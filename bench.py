@@ -247,6 +247,12 @@ HEADLINE = [
     # round-11 additions: the removal half of exact-substring dedup
     # (coverage's interval union -> JVM-side HOF cut -> reassembled text)
     "llm_dup_span_removal",
+    # ... deletion-vector merge-on-read scan (anti join on (file, pos)
+    # + run-length profile of the delete bitmap)
+    "wh_deletion_vectors",
+    # ... resource-allocation link prediction (wedge join + broadcast
+    # degree + anti join vs the edge list, exact integer e6 scores)
+    "graph_link_prediction",
 ]
 
 

@@ -1294,3 +1294,107 @@ register(
     ORDER BY community
     """,
 )
+
+
+# ------------------------------------------ link prediction (RA index)
+def link_prediction_ra(pairs: DataFrame, top_n: int = 15) -> DataFrame:
+    """Resource-allocation-index link prediction (Zhou/Lü/Zhang 2009):
+    for every NON-edge (a, b), RA(a, b) = Σ_{z ∈ N(a)∩N(b)} 1/deg(z) —
+    the common-neighbor score that discounts promiscuous witnesses.
+    The per-witness term rides as the exact integer floor(1e6/deg(z))
+    so the score, ranking and top-n cut replay bit-identically on any
+    partitioning and in the DuckDB oracle (the sibling
+    neighbor_jaccard's discipline, minus its float round).
+
+    Candidate generation is the SAME one wedge self-join on the shared
+    neighbor (Θ(Σ deg(v)²), the triangle-join bound), with the degree
+    frame broadcast onto the witness BEFORE the pair groupBy — the
+    shuffle then carries (a, b, contribution), never neighbor lists.
+    Existing edges leave via ONE left anti join against the oriented
+    pair frame (link prediction scores absent links only) — that anti
+    join is the semantic difference from neighbor_jaccard, and at scale
+    it is a broadcast of the (thresholded) edge list, not a shuffle.
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    p = materialize(pairs.select("u", "v"))
+    adj = p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    wedges = (
+        adj.alias("x")
+        .join(adj.alias("y"), F.col("x.v") == F.col("y.v"))
+        .filter(F.col("x.u") < F.col("y.u"))
+        .select(
+            F.col("x.u").alias("a"),
+            F.col("y.u").alias("b"),
+            F.col("x.v").alias("z"),
+        )
+    )
+    scored = (
+        wedges.join(
+            F.broadcast(deg.withColumnRenamed("node", "z")), "z"
+        )
+        .withColumn("contrib", F.expr("CAST(1000000 div deg AS BIGINT)"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("contrib").cast("long").alias("ra_e6"),
+        )
+    )
+    # exclusion frame normalized to a < b (wedges emit a < b; an input
+    # edge list is not required to be oriented)
+    nonedge = scored.join(
+        F.broadcast(
+            p.select(
+                F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+            )
+        ),
+        ["a", "b"],
+        "left_anti",
+    )
+    w = Window.orderBy(F.desc("ra_e6"), F.asc("a"), F.asc("b"))
+    return (
+        nonedge.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_n)
+        .select("rank", "a", "b", "n_common", "ra_e6")
+        .orderBy("rank")
+    )
+
+
+def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return link_prediction_ra(coorder_pairs(_li(spark, sf_dir)))
+
+
+register(
+    "graph_link_prediction",
+    _q_link_prediction,
+    oracle=f"""
+    WITH {_PAIRS_CTE},
+    adj AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM adj GROUP BY u),
+    wedges AS (
+      SELECT x.u AS a, y.u AS b, x.v AS z
+      FROM adj x JOIN adj y ON x.v = y.v AND x.u < y.u
+    ),
+    scored AS (
+      SELECT w.a, w.b, CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(1000000 // d.deg) AS BIGINT) AS ra_e6
+      FROM wedges w JOIN deg d ON d.node = w.z
+      GROUP BY w.a, w.b
+    ),
+    nonedge AS (
+      SELECT s.a, s.b, s.n_common, s.ra_e6
+      FROM scored s LEFT JOIN pairs p ON p.u = s.a AND p.v = s.b
+      WHERE p.u IS NULL
+    )
+    SELECT CAST(row_number() OVER (ORDER BY ra_e6 DESC, a, b) AS INT)
+             AS rank,
+           a, b, n_common, ra_e6
+    FROM nonedge
+    ORDER BY ra_e6 DESC, a, b
+    LIMIT 15
+    """,
+)

@@ -114,7 +114,8 @@ def oracle_queries() -> dict[str, str]:
 #   PYTHONPATH=. python3 scripts/window_check.py
 GRADED_PRIORITY: list[str] = [
     # NEW round 11 ops (never-graded outranks stale).
-    "llm_dup_span_removal",
+    "llm_dup_span_removal", "wh_deletion_vectors",
+    "graph_link_prediction",
     # Flagship reference shapes, last graded r8 (sanctioned pull).
     "q001", "q002", "q003", "q004", "q005",
     # latest green = round 5 (alphabetical)
@@ -132,7 +133,7 @@ GRADED_PRIORITY: list[str] = [
     "ts_autocorrelation", "ts_cusum_changepoint", "ts_mann_kendall",
     "ts_mom_yoy_change", "ts_seasonal_decompose", "wh_analyze_stats",
     "wh_cdc_apply", "wh_compaction_plan", "wh_expectations",
-    "wh_time_travel", "wh_zone_map_pruning", "wh_zorder_layout",
+    "wh_time_travel",
 ]
 
 

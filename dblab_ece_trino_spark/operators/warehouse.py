@@ -1139,3 +1139,185 @@ def _vacuum_oracle() -> str:
 
 
 register("wh_vacuum_planner", _q_vacuum_planner, oracle=_vacuum_oracle())
+
+
+# ------------------------------------------------ deletion-vector scan
+def apply_deletion_vectors(
+    data: DataFrame, dv: DataFrame, file_col: str = "file_id",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Merge-on-read position-delete application (the Iceberg v2 /
+    Delta deletion-vector scan): drop every data row whose (file,
+    position) appears in the delete-vector frame.  ONE left anti join
+    on the composite key — at a real lake this is a per-file hash
+    semijoin against a bitmap whose size is bounded by the file's row
+    count, which is exactly the economics this frame-level form keeps
+    (the join shuffles on file_id first, so a 1000-executor scan
+    resolves each file's deletes locally)."""
+    return data.join(dv, [file_col, pos_col], "left_anti")
+
+
+def _q_wh_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: synthetic Iceberg-v2-style layout over orders —
+    every order lands in one of 256 md5-bucketed "files" with its
+    row position = rank within the file; a deterministic 1/8th of the
+    rows carry a position delete.  The scan applies the deletion
+    vectors (apply_deletion_vectors) and the output audits, per file:
+    exact row / delete / live counts, the live DECIMAL revenue in
+    integer cents (the anti-cancellation column: an anti-join bug that
+    drops the wrong positions moves it), and the deletion vector's
+    RUN-LENGTH profile (runs of consecutive deleted positions, island
+    count + longest run) — the metric that decides roaring-bitmap vs
+    position-list DV encoding in a real lake.
+
+    100 TB shape: one rank window per file partition (bounded by file
+    row count), one anti join pre-shuffled on file_id, and
+    gaps-and-islands windows over the (much smaller) delete frame; no
+    global sort, every column exact integer/decimal.
+    """
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.operators.sampling import md5_bucket
+    from dblab_ece_trino_spark.session import materialize
+
+    o = engine_for(spark, sf_dir).catalogs.table("mongodb.tpch.orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        md5_bucket(F.col("o_orderkey"), "dv-file").alias("file_id"),
+    )
+    w = Window.partitionBy("file_id").orderBy("k")
+    ranked = materialize(
+        base.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+    )
+    dv = materialize(
+        ranked.filter(md5_bucket(F.col("k"), "dv-del") < 32)
+        .select("file_id", "pos")
+    )
+    live = apply_deletion_vectors(ranked, dv)
+
+    totals = ranked.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    live_agg = live.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_live"),
+        (F.sum("price") * 100).cast("long").alias("live_cents"),
+    )
+    wv = Window.partitionBy("file_id").orderBy("pos")
+    run = Window.partitionBy("file_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    isl = (
+        dv.withColumn("prev", F.lag("pos").over(wv))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > 1),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("brk").over(run))
+    )
+    runs = (
+        isl.groupBy("file_id", "island")
+        .agg(F.count(F.lit(1)).cast("long").alias("run_len"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dv_runs"),
+            F.max("run_len").cast("long").alias("dv_max_run"),
+            F.sum("run_len").cast("long").alias("n_deleted"),
+        )
+    )
+    return (
+        totals.join(runs, "file_id", "left")
+        .join(live_agg, "file_id", "left")
+        .select(
+            "file_id",
+            "n_rows",
+            F.coalesce("n_deleted", F.lit(0)).cast("long").alias("n_deleted"),
+            F.coalesce("n_live", F.lit(0)).cast("long").alias("n_live"),
+            F.coalesce("live_cents", F.lit(0)).cast("long").alias(
+                "live_cents"
+            ),
+            F.coalesce("dv_runs", F.lit(0)).cast("long").alias("dv_runs"),
+            F.coalesce("dv_max_run", F.lit(0)).cast("long").alias(
+                "dv_max_run"
+            ),
+        )
+        .orderBy("file_id")
+    )
+
+
+def _deletion_vectors_oracle() -> str:
+    from dblab_ece_trino_spark.operators.sampling import _md5_bucket_sql
+
+    bf = _md5_bucket_sql("o_orderkey", "dv-file")
+    bd = _md5_bucket_sql("k", "dv-del")
+    return f"""
+    WITH ranked AS (
+      SELECT k, price, file_id,
+             CAST(row_number() OVER (PARTITION BY file_id ORDER BY k) - 1
+                  AS BIGINT) AS pos
+      FROM (
+        SELECT o_orderkey AS k,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               {bf} AS file_id
+        FROM orders
+      ) b
+    ),
+    dv AS (
+      SELECT file_id, pos FROM ranked WHERE {bd} < 32
+    ),
+    live AS (
+      SELECT r.* FROM ranked r LEFT JOIN dv
+        ON dv.file_id = r.file_id AND dv.pos = r.pos
+      WHERE dv.pos IS NULL
+    ),
+    totals AS (
+      SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows
+      FROM ranked GROUP BY file_id
+    ),
+    live_agg AS (
+      SELECT file_id, CAST(count(*) AS BIGINT) AS n_live,
+             CAST(sum(price) * 100 AS BIGINT) AS live_cents
+      FROM live GROUP BY file_id
+    ),
+    marked AS (
+      SELECT file_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos - lag(pos) OVER w > 1 THEN 1 ELSE 0 END AS brk
+      FROM dv WINDOW w AS (PARTITION BY file_id ORDER BY pos)
+    ),
+    isl AS (
+      SELECT file_id, pos,
+             sum(brk) OVER (PARTITION BY file_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ),
+    per_run AS (
+      SELECT file_id, island, CAST(count(*) AS BIGINT) AS run_len
+      FROM isl GROUP BY file_id, island
+    ),
+    runs AS (
+      SELECT file_id, CAST(count(*) AS BIGINT) AS dv_runs,
+             CAST(max(run_len) AS BIGINT) AS dv_max_run,
+             CAST(sum(run_len) AS BIGINT) AS n_deleted
+      FROM per_run GROUP BY file_id
+    )
+    SELECT t.file_id, t.n_rows,
+           CAST(coalesce(r.n_deleted, 0) AS BIGINT) AS n_deleted,
+           CAST(coalesce(l.n_live, 0) AS BIGINT) AS n_live,
+           CAST(coalesce(l.live_cents, 0) AS BIGINT) AS live_cents,
+           CAST(coalesce(r.dv_runs, 0) AS BIGINT) AS dv_runs,
+           CAST(coalesce(r.dv_max_run, 0) AS BIGINT) AS dv_max_run
+    FROM totals t
+    LEFT JOIN runs r ON r.file_id = t.file_id
+    LEFT JOIN live_agg l ON l.file_id = t.file_id
+    ORDER BY t.file_id
+    """
+
+
+register(
+    "wh_deletion_vectors",
+    _q_wh_deletion_vectors,
+    oracle=_deletion_vectors_oracle(),
+)

@@ -104,3 +104,97 @@ def test_dup_span_removal_reconciles_with_coverage(spark):
         # the emitted text really has kept_tokens tokens
         n_words = len(r.dedup_text.split()) if r.dedup_text else 0
         assert n_words == r.kept_tokens
+
+
+def test_deletion_vectors_matches_pure_python():
+    """The wh_deletion_vectors oracle must equal an independent
+    pure-Python evaluator (hashlib md5 bucketing, explicit position
+    ranks, run-length scan) at sf0.001."""
+    import hashlib
+    from decimal import Decimal
+
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf}/orders.parquet')"
+    )
+    got = [
+        tuple(r)
+        for r in con.execute(oracle_queries()["wh_deletion_vectors"]).fetchall()
+    ]
+
+    def bucket(k, seed):
+        h = hashlib.md5((seed + str(k)).encode()).hexdigest()
+        return int(h[:2], 16)
+
+    rows = con.execute(
+        "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) FROM orders"
+    ).fetchall()
+    files: dict = {}
+    for k, price in rows:
+        files.setdefault(bucket(k, "dv-file"), []).append((k, price))
+    want = []
+    for fid in sorted(files):
+        members = sorted(files[fid])
+        dels = [
+            pos for pos, (k, _p) in enumerate(members)
+            if bucket(k, "dv-del") < 32
+        ]
+        live = [
+            p for pos, (k, p) in enumerate(members)
+            if bucket(k, "dv-del") >= 32
+        ]
+        runs = []
+        for pos in dels:
+            if runs and pos == runs[-1][1]:
+                runs[-1] = (runs[-1][0], pos + 1)
+            else:
+                runs.append((pos, pos + 1))
+        cents = int(sum(live, Decimal(0)) * 100)
+        want.append(
+            (fid, len(members), len(dels), len(live), cents,
+             len(runs), max((e - s for s, e in runs), default=0))
+        )
+    assert got == want
+    assert sum(r[2] for r in got) > 0  # deletes actually happened
+
+
+def test_link_prediction_hand_graph(spark):
+    """RA link prediction on a hand graph: path a-b-c-d plus hub h
+    connected to a, c, d.  Non-edges get Σ floor(1e6/deg(z)) over
+    common neighbors; existing edges are excluded."""
+    from dblab_ece_trino_spark.operators.graph import link_prediction_ra
+
+    edges = [(1, 2), (2, 3), (3, 4), (5, 1), (5, 3), (5, 4)]
+    pairs = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        (r.a, r.b): (r.n_common, r.ra_e6)
+        for r in link_prediction_ra(pairs, top_n=100).collect()
+    }
+    # adjacency: 1:{2,5} 2:{1,3} 3:{2,4,5} 4:{3,5} 5:{1,3,4}
+    deg = {1: 2, 2: 2, 3: 3, 4: 2, 5: 3}
+    import itertools
+
+    adj = {n: set() for n in deg}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    want = {}
+    for a, b in itertools.combinations(sorted(deg), 2):
+        if b in adj[a]:
+            continue  # existing edge — excluded
+        common = adj[a] & adj[b]
+        if not common:
+            continue  # no wedge generates the pair
+        want[(a, b)] = (
+            len(common),
+            sum(1_000_000 // deg[z] for z in common),
+        )
+    assert got == want
+    # the excluded-edge property, explicitly
+    assert (1, 2) not in got and (3, 5) not in got
