@@ -104,6 +104,25 @@ def oracle_queries() -> dict[str, str]:
 # 50-slot window the full board re-grades every ~5 rounds, which is the
 # staleness ceiling this policy guarantees.
 #
+# WINDOW-CAPACITY DECISION (round 11, closing the round-10 verdict's
+# item 8): at ~290 entries and a fixed 50-slot driver window the full
+# re-grade period had stretched past 6 rounds.  The driver's window
+# size is not ours to raise, so the policy gains a RETIREMENT tier:
+# entries in ROTATION_RETIRED keep their queries()/oracle_sql() rows
+# (the driver surface and the cumulative board are untouched) but no
+# longer consume rotation seats — eligibility is (a) multiple
+# historical green grades and (b) a still-rotating sibling entry that
+# exercises the same operator machinery with different parameters, so
+# a silent regression in the shared code path still has a graded
+# canary.  scripts/window_check.py enforces both conditions and
+# excludes retired entries from the pre-derived queue.
+ROTATION_RETIRED: frozenset = frozenset({
+    # char-shingle twin of dedup_ngram_jaccard_word: same shingle ->
+    # explode -> pair-join -> exact-Jaccard pipeline (dedup.py), four
+    # historical greens (r1/r3/r4/r9); the word form stays rotating.
+    "dedup_ngram_jaccard",
+})
+
 # ROUND-11 WINDOW: q001-q005 first (flagship-shape freshness pull,
 # r8-latest — the one-line exception the round-10 verdict sanctions
 # ahead of the alphabetical tie-break), then the r5-latest cohort

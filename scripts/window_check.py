@@ -48,7 +48,10 @@ def violations() -> list[str]:
     rotation violation fails the local suite before the driver grades.
     """
     from dblab_ece_trino_spark.entrypoints import build_oracles, build_queries
-    from dblab_ece_trino_spark.operators.registry import GRADED_PRIORITY
+    from dblab_ece_trino_spark.operators.registry import (
+        GRADED_PRIORITY,
+        ROTATION_RETIRED,
+    )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     grades = latest_grades(repo)
@@ -64,6 +67,18 @@ def violations() -> list[str]:
     out: list[str] = []
     out += [f"never-graded entry outside the window: {n}"
             for n in never if n not in window]
+    # retirement-tier eligibility: registered, multiple historical
+    # grades, and never occupying a window seat
+    for n in sorted(ROTATION_RETIRED):
+        if n not in all_entries:
+            out.append(f"retired entry is not registered: {n}")
+        elif sum(
+            1 for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+            if n in json.load(open(p))
+        ) < 2:
+            out.append(f"retired entry lacks multiple historical grades: {n}")
+        if n in window:
+            out.append(f"retired entry holds a window slot: {n}")
     out += [f"window duplicate: {n}"
             for n in sorted({n for n in window if window.count(n) > 1})]
     out += [f"window names an unregistered entry: {n}"
@@ -104,7 +119,9 @@ def main() -> None:
     print("window cohorts (latest grade -> count):",
           {k: len(v) for k, v in sorted(cohorts.items(), key=str)})
 
-    rest = [n for n in all_entries if n not in window and n not in exempt]
+    from dblab_ece_trino_spark.operators.registry import ROTATION_RETIRED
+    rest = [n for n in all_entries if n not in window and n not in exempt
+            and n not in ROTATION_RETIRED]
     rest.sort(key=lambda n: (grades.get(n, 0), n))
     print("next-round queue head (oldest-first, alphabetical in cohort):")
     for n in rest[:20]:
