@@ -253,6 +253,18 @@ HEADLINE = [
     # ... resource-allocation link prediction (wedge join + broadcast
     # degree + anti join vs the edge list, exact integer e6 scores)
     "graph_link_prediction",
+    # ... cross-series Pearson matrix (zero-filled day grid, exact
+    # integer sign + r^2 ppm via HUGEINT/DECIMAL(38,0) floor division)
+    "ts_pairwise_correlation",
+    # ... the PCX codec (thirteenth native format: plane-interleaved
+    # byte RLE, even bytes-per-line pad, literal-as-run rule)
+    "multimodal_pcx_decode",
+    # ... ViT-style patch tiling (decode + 8x8 tile + exact per-patch
+    # stats in one Arrow pass, truncated edge tiles)
+    "multimodal_image_tile",
+    # ... audio peak normalization (per-file integer gain_ppm,
+    # absolute-value floor form, post-gain peak/RMS stats)
+    "multimodal_audio_normalize",
 ]
 
 

@@ -93,6 +93,10 @@ def decode_image(payload: bytes) -> "object":
         # seam contract is (w, h, rgb); alpha-aware callers use
         # decode_qoi directly
         return w, h, arr[:, :, :3]
+    if len(payload) >= 128 and payload[0] == 0x0A and payload[2] == 1:
+        # ZSoft PCX: manufacturer byte + RLE encoding flag
+        w, h, _channels, arr = decode_pcx(payload)
+        return w, h, arr[:, :, :3]
     if len(payload) >= 26 and payload[-18:] == b"TRUEVISION-XFILE.\x00":
         # TGA has no leading magic; detection rides the v2 footer our
         # encoder always writes (alpha-aware callers use decode_tga)
@@ -5295,3 +5299,441 @@ def _audio_decimate_oracle() -> str:
 
 register("multimodal_audio_decimate", _q_audio_decimate,
          oracle=_audio_decimate_oracle())
+
+
+# ----------------------------------------------------------- PCX codec
+# ZSoft PCX (public spec: ZSoft PCX File Format Technical Reference,
+# rev 5) — the thirteenth native codec: 128-byte header, byte-oriented
+# RLE (top two bits set => 6-bit run count + value byte), 24-bit images
+# as three 8-bit planes (R, G, B) stored per scanline with each plane
+# row padded to an even bytes-per-line.  Reference parity: decode
+# surface beyond the reference (its loader moves bytes; SURVEY §2.10).
+
+def encode_pcx(img) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a version-5 24-bit PCX.
+
+    Spec-faithful RLE per plane row: runs capped at 63, a literal byte
+    with both top bits set MUST be written as a length-1 run (0xC1 v),
+    bytes-per-line rounded up to even (pad byte encodes as part of the
+    row stream).
+    """
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.uint8)
+    h, w, ch = arr.shape
+    if ch != 3:
+        raise ValueError("encode_pcx writes 24-bit RGB only")
+    bpl = w + (w & 1)
+    hdr = struct.pack(
+        "<BBBBHHHHHH",
+        0x0A, 5, 1, 8,           # magic, version 5, RLE, 8 bits/plane
+        0, 0, w - 1, h - 1,       # xmin, ymin, xmax, ymax
+        72, 72,                   # dpi
+    )
+    hdr += bytes(48)              # EGA palette (unused at 24-bit)
+    hdr += struct.pack("<BBHH", 0, 3, bpl, 1)  # reserved, planes, bpl, color
+    hdr += bytes(128 - len(hdr))
+    out = bytearray(hdr)
+    for y in range(h):
+        for c in range(3):
+            row = arr[y, :, c].tolist()
+            if w & 1:
+                row.append(0)
+            i = 0
+            while i < len(row):
+                v = row[i]
+                run = 1
+                while i + run < len(row) and row[i + run] == v and run < 63:
+                    run += 1
+                if run > 1 or v >= 0xC0:
+                    out.append(0xC0 | run)
+                    out.append(v)
+                else:
+                    out.append(v)
+                i += run
+    return bytes(out)
+
+
+def decode_pcx(payload: bytes) -> "tuple":
+    """Decode a version-5 24-bit RLE PCX; returns (w, h, 3, ndarray).
+
+    Spec checks with loud errors: magic/version/encoding/depth/planes,
+    dimension plausibility, RLE stream truncation (a run that overruns
+    its scanline block is clamped per spec — runs never cross the
+    bytes-per-line * planes boundary of one scanline in well-formed
+    files, but the decoder tolerates writers that let the final pad
+    byte of a run spill, matching common practice).
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 128:
+        raise ValueError("truncated PCX header")
+    (magic, version, encoding, bpp, xmin, ymin, xmax, ymax) = struct.unpack(
+        "<BBBBHHHH", payload[:12]
+    )
+    if magic != 0x0A:
+        raise ValueError(f"bad PCX magic byte 0x{magic:02x}")
+    if encoding != 1:
+        raise ValueError(f"unsupported PCX encoding {encoding} (only RLE)")
+    if bpp != 8:
+        raise ValueError(f"unsupported PCX depth {bpp} bits/plane (only 8)")
+    nplanes = payload[65]
+    (bpl,) = struct.unpack("<H", payload[66:68])
+    if nplanes != 3:
+        raise ValueError(
+            f"unsupported PCX plane count {nplanes} (only 24-bit RGB)"
+        )
+    w = xmax - xmin + 1
+    h = ymax - ymin + 1
+    if w <= 0 or h <= 0 or w * h > 50_000_000:
+        raise ValueError(f"implausible PCX dimensions {w}x{h}")
+    if bpl < w:
+        raise ValueError(f"PCX bytes-per-line {bpl} < width {w}")
+    need = bpl * nplanes * h
+    dec = np.empty(need, dtype=np.uint8)
+    pos = 128
+    k = 0
+    n = len(payload)
+    while k < need:
+        if pos >= n:
+            raise ValueError(
+                f"truncated PCX RLE stream: decoded {k} of {need} bytes"
+            )
+        b = payload[pos]
+        pos += 1
+        if b >= 0xC0:
+            if pos >= n:
+                raise ValueError("PCX run byte without a value byte")
+            run = b & 0x3F
+            v = payload[pos]
+            pos += 1
+            end = min(k + run, need)
+            dec[k:end] = v
+            k = end
+        else:
+            dec[k] = b
+            k += 1
+    if pos != n:
+        raise ValueError(f"{n - pos} trailing bytes after PCX pixel data")
+    rows = dec.reshape(h, nplanes, bpl)
+    arr = np.ascontiguousarray(
+        rows[:, :3, :w].transpose(0, 2, 1)
+    )
+    return w, h, 3, arr
+
+
+_PCX_PARAMS = [
+    # (width, height): odd widths exercise the even bytes-per-line pad
+    (43, 17),
+    (28, 24),
+    (51, 12),
+    (21, 30),
+    (37, 19),
+    (64, 9),
+]
+_N_PCX = len(_PCX_PARAMS)
+
+
+def _pcx_pixel(i: int, x, y, c, w: int, h: int):
+    """Shared fixture formula (numpy-vectorizable AND SQL-replayable):
+    horizontal thirds — a constant band (long RLE runs), a coarse
+    4-pixel stripe band (short runs), a high-frequency gradient band
+    (mostly literals) — so every RLE code path carries real weight."""
+    band0 = (41 * i + 13 * c) % 256
+    band1 = ((x // 4) * 17 + 9 * c + i) % 256
+    band2 = (5 * x + 3 * y + 11 * c + 7 * i) % 256
+    b = (3 * y) // h
+    import numpy as np
+
+    return np.where(b == 0, band0, np.where(b == 1, band1, band2))
+
+
+def _pcx_payloads(spark: SparkSession, n: int = _N_PCX) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = _PCX_PARAMS[i]
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.empty((h, w, 3), dtype=np.uint8)
+                for c in range(3):
+                    img[:, :, c] = _pcx_pixel(i, xx, yy, c, w, h).astype(
+                        np.uint8
+                    )
+                rows.append((i, encode_pcx(img)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+
+
+def pcx_pixel_stats(media: DataFrame) -> DataFrame:
+    """Decode PCX payloads; exact integer channel sums plus the
+    y-weighted green / x-weighted blue anti-cancellation pair (the
+    QOI/TGA stats shape — a plane-deinterleave bug flips them loudly)."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, arr = decode_pcx(bytes(payload))
+                a = arr.astype(np.int64)
+                yw = np.arange(h, dtype=np.int64)[:, None]
+                xw = np.arange(w, dtype=np.int64)[None, :]
+                out.append(
+                    (
+                        int(mid), w, h, ch,
+                        int(a[:, :, 0].sum()), int(a[:, :, 1].sum()),
+                        int(a[:, :, 2].sum()), 255 * w * h,
+                        int((a[:, :, 1] * yw).sum()),
+                        int((a[:, :, 2] * xw).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "channels",
+                    "sum_r", "sum_g", "sum_b", "sum_a", "ysum_g", "xsum_b",
+                ],
+            )
+
+    return media.mapInPandas(stats, _QOI_STATS_SCHEMA)
+
+
+def _q_pcx_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pcx_pixel_stats(_pcx_payloads(spark)).orderBy("media_id")
+
+
+def _pcx_oracle() -> str:
+    rows = ", ".join(
+        f"({i}, {w}, {h})" for i, (w, h) in enumerate(_PCX_PARAMS)
+    )
+    return f"""
+    WITH params(media_id, w, h) AS (VALUES {rows}),
+    px AS (
+      SELECT media_id, w, h, x, y, c,
+             CASE (3 * y) // h
+               WHEN 0 THEN (41 * media_id + 13 * c) % 256
+               WHEN 1 THEN ((x // 4) * 17 + 9 * c + media_id) % 256
+               ELSE (5 * x + 3 * y + 11 * c + 7 * media_id) % 256
+             END AS v
+      FROM params,
+           unnest(generate_series(0, w - 1)) AS gx(x),
+           unnest(generate_series(0, h - 1)) AS gy(y),
+           unnest(generate_series(0, 2)) AS gc(c)
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(any_value(w) AS INT) AS width,
+           CAST(any_value(h) AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+           CAST(255 * any_value(w) * any_value(h) AS BIGINT) AS sum_a,
+           CAST(sum(CASE WHEN c = 1 THEN y * v ELSE 0 END) AS BIGINT)
+             AS ysum_g,
+           CAST(sum(CASE WHEN c = 2 THEN x * v ELSE 0 END) AS BIGINT)
+             AS xsum_b
+    FROM px
+    GROUP BY media_id
+    ORDER BY media_id
+    """
+
+
+register("multimodal_pcx_decode", _q_pcx_decode, oracle=_pcx_oracle())
+
+
+# ----------------------------------------------- ViT-style patch tiling
+def image_tile_stats(media: DataFrame, tile: int = 8) -> DataFrame:
+    """Patch tiling for vision-training pipelines (the ViT / CLIP
+    preprocessing shape): decode, split into ``tile`` x ``tile``
+    patches (edge patches truncated, never padded — the per-patch pixel
+    count column carries the true size), and emit exact integer
+    per-patch statistics: pixel count, RGB sum, and the min/max of the
+    per-pixel channel total.  Decode + tile + reduce run in ONE Arrow
+    ``mapInPandas`` pass (per-file work, no shuffle); the output frame
+    is |patches| rows — the unit a downstream patch-embedding or
+    patch-dedup stage consumes.
+
+    100 TB shape: identical to the codec entries — the only shuffle is
+    the final ORDER BY of the graded projection; patch extraction is
+    numpy slicing inside the Arrow batch, never per-row Python.
+    """
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _ch, arr = decode_pcx(bytes(payload))
+                s = arr.astype(np.int64).sum(axis=2)  # per-pixel r+g+b
+                for ty in range((h + tile - 1) // tile):
+                    for tx in range((w + tile - 1) // tile):
+                        blk = s[ty * tile:(ty + 1) * tile,
+                                tx * tile:(tx + 1) * tile]
+                        out.append(
+                            (int(mid), ty, tx, int(blk.size),
+                             int(blk.sum()), int(blk.min()), int(blk.max()))
+                        )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "tile_y", "tile_x", "n_px",
+                         "sum_rgb", "min_px", "max_px"],
+            )
+
+    return media.mapInPandas(
+        stats,
+        "media_id long, tile_y int, tile_x int, n_px long,"
+        " sum_rgb long, min_px long, max_px long",
+    )
+
+
+def _q_image_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_tile_stats(_pcx_payloads(spark)).orderBy(
+        "media_id", "tile_y", "tile_x"
+    )
+
+
+def _image_tile_oracle() -> str:
+    rows = ", ".join(
+        f"({i}, {w}, {h})" for i, (w, h) in enumerate(_PCX_PARAMS)
+    )
+    return f"""
+    WITH params(media_id, w, h) AS (VALUES {rows}),
+    px AS (
+      SELECT media_id, x, y,
+             (CASE (3 * y) // h
+                WHEN 0 THEN (41 * media_id + 13 * 0) % 256
+                WHEN 1 THEN ((x // 4) * 17 + 9 * 0 + media_id) % 256
+                ELSE (5 * x + 3 * y + 11 * 0 + 7 * media_id) % 256 END
+              + CASE (3 * y) // h
+                WHEN 0 THEN (41 * media_id + 13 * 1) % 256
+                WHEN 1 THEN ((x // 4) * 17 + 9 * 1 + media_id) % 256
+                ELSE (5 * x + 3 * y + 11 * 1 + 7 * media_id) % 256 END
+              + CASE (3 * y) // h
+                WHEN 0 THEN (41 * media_id + 13 * 2) % 256
+                WHEN 1 THEN ((x // 4) * 17 + 9 * 2 + media_id) % 256
+                ELSE (5 * x + 3 * y + 11 * 2 + 7 * media_id) % 256 END
+             ) AS s
+      FROM params,
+           unnest(generate_series(0, w - 1)) AS gx(x),
+           unnest(generate_series(0, h - 1)) AS gy(y)
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(y // 8 AS INT) AS tile_y,
+           CAST(x // 8 AS INT) AS tile_x,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(s) AS BIGINT) AS sum_rgb,
+           CAST(min(s) AS BIGINT) AS min_px,
+           CAST(max(s) AS BIGINT) AS max_px
+    FROM px
+    GROUP BY media_id, y // 8, x // 8
+    ORDER BY media_id, tile_y, tile_x
+    """
+
+
+register("multimodal_image_tile", _q_image_tile, oracle=_image_tile_oracle())
+
+
+# --------------------------------------------- audio peak normalization
+_NORM_TARGET = 30000
+
+
+def audio_normalize_stats(
+    media: DataFrame, target: int = _NORM_TARGET
+) -> DataFrame:
+    """Peak normalization — the standard loudness-alignment pass before
+    audio feature extraction: per file, gain_ppm = floor(target * 1e6 /
+    peak_abs) and every sample maps to sign(s) * (|s| * gain_ppm div
+    1e6) (absolute-value form so floor == truncation on both engines —
+    negative floor division differs between them).  Decode + normalize
+    + stats in ONE Arrow pass; emits the gain, the exact post-gain
+    peak (<= target by construction, pinned in pytest), and post-gain
+    sum / sum-of-squares (the RMS numerator) as exact integers.
+
+    100 TB shape: per-file Arrow work, no shuffle; the gain is a
+    per-file scalar so the pass never materializes a second copy of
+    the sample frame.
+    """
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _rate, samples = decode_wav(bytes(payload))
+                s = samples.astype(np.int64)
+                peak = int(np.abs(s).max())
+                if peak == 0:
+                    out.append((int(mid), len(s), 0, 0, 0, 0, 0))
+                    continue
+                gain = target * 1_000_000 // peak
+                norm = np.sign(s) * (np.abs(s) * gain // 1_000_000)
+                out.append(
+                    (int(mid), len(s), peak, int(gain),
+                     int(np.abs(norm).max()), int(norm.sum()),
+                     int((norm * norm).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "n_samp", "peak_in", "gain_ppm",
+                         "peak_out", "sum_out", "sumsq_out"],
+            )
+
+    return media.mapInPandas(
+        stats,
+        "media_id long, n_samp long, peak_in long, gain_ppm long,"
+        " peak_out long, sum_out long, sumsq_out long",
+    )
+
+
+def _q_audio_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_normalize_stats(_wav_payloads(spark)).orderBy("media_id")
+
+
+def _audio_normalize_oracle() -> str:
+    rows = ", ".join(
+        f"({i}, {64 + 16 * (i % 4)}, {50 + 7 * i}, {1000 + 100 * (i % 7)})"
+        for i in range(_N_WAV)
+    )
+    return f"""
+    WITH params(media_id, n_samp, step, amp) AS (VALUES {rows}),
+    s AS (
+      SELECT media_id, j, (j * step) % (2 * amp) - amp AS v
+      FROM params, unnest(generate_series(0, n_samp - 1)) AS t(j)
+    ),
+    g AS (
+      SELECT media_id, CAST(max(abs(v)) AS BIGINT) AS peak,
+             CAST(CAST({_NORM_TARGET} AS BIGINT) * 1000000
+                  // max(abs(v)) AS BIGINT)
+               AS gain
+      FROM s GROUP BY media_id
+    ),
+    norm AS (
+      SELECT s.media_id, g.peak, g.gain,
+             CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END
+               * (abs(v) * g.gain // 1000000) AS nv
+      FROM s JOIN g ON g.media_id = s.media_id
+    )
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_samp,
+           CAST(any_value(peak) AS BIGINT) AS peak_in,
+           CAST(any_value(gain) AS BIGINT) AS gain_ppm,
+           CAST(max(abs(nv)) AS BIGINT) AS peak_out,
+           CAST(sum(nv) AS BIGINT) AS sum_out,
+           CAST(sum(nv * nv) AS BIGINT) AS sumsq_out
+    FROM norm
+    GROUP BY media_id
+    ORDER BY media_id
+    """
+
+
+register("multimodal_audio_normalize", _q_audio_normalize,
+         oracle=_audio_normalize_oracle())

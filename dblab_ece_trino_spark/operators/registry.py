@@ -134,7 +134,9 @@ ROTATION_RETIRED: frozenset = frozenset({
 GRADED_PRIORITY: list[str] = [
     # NEW round 11 ops (never-graded outranks stale).
     "llm_dup_span_removal", "wh_deletion_vectors",
-    "graph_link_prediction",
+    "graph_link_prediction", "ts_pairwise_correlation",
+    "multimodal_pcx_decode", "multimodal_image_tile",
+    "multimodal_audio_normalize",
     # Flagship reference shapes, last graded r8 (sanctioned pull).
     "q001", "q002", "q003", "q004", "q005",
     # latest green = round 5 (alphabetical)
@@ -151,8 +153,6 @@ GRADED_PRIORITY: list[str] = [
     "sim_quantized_mips", "text_readability", "text_tfidf_topk",
     "ts_autocorrelation", "ts_cusum_changepoint", "ts_mann_kendall",
     "ts_mom_yoy_change", "ts_seasonal_decompose", "wh_analyze_stats",
-    "wh_cdc_apply", "wh_compaction_plan", "wh_expectations",
-    "wh_time_travel",
 ]
 
 

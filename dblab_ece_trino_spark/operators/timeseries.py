@@ -1501,3 +1501,138 @@ def _register_max_drawdown() -> None:
 
 
 _register_max_drawdown()
+
+
+def _register_pairwise_corr() -> None:
+    """Cross-series Pearson correlation MATRIX over the per-event-type
+    daily-count series — the "which metrics co-move" screening join
+    every observability/feature store runs (ts_rolling_corr is the
+    two-metric trailing window; this is all series pairs over the full
+    aligned grid).
+
+    Exactness discipline: series are aligned on the full day grid with
+    explicit zero fill (types x days cross join, left join of counts —
+    a missing day IS a zero observation for a count series, and
+    dropping it would bias every pair differently), the five moment
+    sums ride DECIMAL(38,0) (Spark) / HUGEINT (oracle — DuckDB's //
+    on DECIMAL routes through DOUBLE, measured off-by-one at 1e25
+    scale, while HUGEINT floor-divides the 1e36 intermediate exactly,
+    matching Spark's exact DECIMAL div), and the result is the SIGN of
+    the covariance plus r^2 in exact ppm by integer cross-multiplied
+    floor division — no sqrt, no IEEE anywhere, so the matrix replays
+    bit-identically.  Zero-variance series pair to NULL (the
+    moments-profile discipline).
+
+    100 TB shape: ONE fact scan into the materialized per-(type, day)
+    aggregate (map-side combinable; the localCheckpoint pins the scan
+    count at one — the SQL-CTE form re-derived the fact scan six times
+    in Spark's plan), then a day-keyed self-join producing
+    C(|types|, 2) x |days| rows.  For dashboards |types| is tens; the
+    matrix frame stays metadata-scale while the scan does all the
+    data-scale work once.
+    """
+    from dblab_ece_trino_spark.operators.registry import register
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dblab_ece_trino_spark.entrypoints import engine_for
+        from dblab_ece_trino_spark.session import materialize
+
+        ev = engine_for(spark, sf_dir).catalogs.table(
+            "elastic.default.events"
+        )
+        daily = materialize(
+            ev.groupBy(
+                "event_type", F.col("ts").cast("date").alias("d")
+            ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        types = daily.select("event_type").distinct()
+        days = daily.select("d").distinct()
+        grid = (
+            types.crossJoin(days)
+            .join(daily, ["event_type", "d"], "left")
+            .select(
+                "event_type",
+                "d",
+                F.coalesce("c", F.lit(0)).cast("decimal(18,0)").alias("c"),
+            )
+        )
+        a, b = grid.alias("a"), grid.alias("b")
+        pairs = (
+            a.join(b, F.col("a.d") == F.col("b.d"))
+            .filter(F.col("a.event_type") < F.col("b.event_type"))
+            .groupBy(
+                F.col("a.event_type").alias("type_a"),
+                F.col("b.event_type").alias("type_b"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+                F.sum("a.c").cast("decimal(38,0)").alias("sx"),
+                F.sum("b.c").cast("decimal(38,0)").alias("sy"),
+                F.sum(F.col("a.c") * F.col("b.c"))
+                .cast("decimal(38,0)").alias("sxy"),
+                F.sum(F.col("a.c") * F.col("a.c"))
+                .cast("decimal(38,0)").alias("sxx"),
+                F.sum(F.col("b.c") * F.col("b.c"))
+                .cast("decimal(38,0)").alias("syy"),
+            )
+        )
+        return pairs.selectExpr(
+            "type_a",
+            "type_b",
+            "CAST(n AS BIGINT) AS n_days",
+            "CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1"
+            "          WHEN n * sxy - sx * sy < 0 THEN -1"
+            "          ELSE 0 END AS INT) AS corr_sign",
+            "CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0"
+            "     THEN NULL"
+            "     ELSE CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy)"
+            "                * 1000000)"
+            "               div ((n * sxx - sx * sx)"
+            "                    * (n * syy - sy * sy)) AS BIGINT)"
+            " END AS r2_ppm",
+        ).orderBy("type_a", "type_b")
+
+    oracle = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM {events}
+      GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    grid AS (
+      SELECT t.event_type, dd.d,
+             CAST(coalesce(daily.c, 0) AS HUGEINT) AS c
+      FROM (SELECT DISTINCT event_type FROM daily) t
+      CROSS JOIN (SELECT DISTINCT d FROM daily) dd
+      LEFT JOIN daily ON daily.event_type = t.event_type AND daily.d = dd.d
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(a.c) AS HUGEINT) AS sx,
+             CAST(sum(b.c) AS HUGEINT) AS sy,
+             CAST(sum(a.c * b.c) AS HUGEINT) AS sxy,
+             CAST(sum(a.c * a.c) AS HUGEINT) AS sxx,
+             CAST(sum(b.c * b.c) AS HUGEINT) AS syy
+      FROM grid a JOIN grid b ON a.d = b.d AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
+           CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                     WHEN n * sxy - sx * sy < 0 THEN -1
+                     ELSE 0 END AS INT) AS corr_sign,
+           CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+                THEN NULL
+                ELSE CAST(((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           * 1000000)
+                          // ((n * sxx - sx * sx)
+                              * (n * syy - sy * sy)) AS BIGINT)
+           END AS r2_ppm
+    FROM pairs
+    ORDER BY type_a, type_b
+    """.format(**_ORACLE_TABLES)
+    register("ts_pairwise_correlation", run, oracle=oracle)
+
+
+_register_pairwise_corr()

@@ -417,3 +417,27 @@ def test_qoi_roundtrip_property(w, h, ch, seed):
     rw, rh, rch, arr = decode_qoi(encode_qoi(img))
     assert (rw, rh, rch) == (w, h, ch)
     assert np.array_equal(arr, img)
+
+
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 14),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_pcx_roundtrip_property(w, h, seed):
+    """encode_pcx -> decode_pcx is the identity for every shape and
+    random content — random bytes >= 0xC0 stress the literal-as-run
+    rule, odd widths stress the even bytes-per-line pad."""
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_pcx,
+        encode_pcx,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    rw, rh, rch, arr = decode_pcx(encode_pcx(img))
+    assert (rw, rh, rch) == (w, h, 3)
+    assert np.array_equal(arr, img)

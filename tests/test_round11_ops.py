@@ -198,3 +198,218 @@ def test_link_prediction_hand_graph(spark):
     assert got == want
     # the excluded-edge property, explicitly
     assert (1, 2) not in got and (3, 5) not in got
+
+
+def test_pcx_hand_built_stream_decodes():
+    """Decode a hand-WRITTEN PCX stream (header + RLE packets composed
+    by hand, including a run crossing into the pad byte and a literal
+    >= 0xC0 written as a length-1 run) — pins the decoder independently
+    of the encoder."""
+    import struct
+
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import decode_pcx
+
+    # 3x2, 24-bit, bytes_per_line = 4 (3 rounded up to even)
+    hdr = struct.pack("<BBBBHHHHHH", 0x0A, 5, 1, 8, 0, 0, 2, 1, 72, 72)
+    hdr += bytes(48) + struct.pack("<BBHH", 0, 3, 4, 1)
+    hdr += bytes(128 - len(hdr))
+    body = bytes([
+        # row 0: R plane = 5 5 5 (+pad) as one run of 4
+        0xC4, 5,
+        # G plane: literals 10 20 30 + pad 0
+        10, 20, 30, 0x00,
+        # B plane: run of 2 of 0xC8 (literal >= 0xC0 must be a run),
+        # then literal 7, pad 0
+        0xC2, 0xC8, 7, 0x00,
+        # row 1: R plane literals 1 2 3, pad
+        1, 2, 3, 0x00,
+        # G plane run of 4 of 9 (covers pad)
+        0xC4, 9,
+        # B plane literals 11 12 13, pad
+        11, 12, 13, 0x00,
+    ])
+    w, h, ch, arr = decode_pcx(hdr + body)
+    assert (w, h, ch) == (3, 2, 3)
+    want = np.array(
+        [[[5, 10, 0xC8], [5, 20, 0xC8], [5, 30, 7]],
+         [[1, 9, 11], [2, 9, 12], [3, 9, 13]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(arr, want)
+
+
+def test_pcx_roundtrip_and_error_contracts():
+    """encode -> decode identity on odd/even widths and adversarial
+    values (bytes >= 0xC0 in pixel data); loud errors on truncation,
+    bad magic, unsupported modes."""
+    import numpy as np
+    import pytest as _pt
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_pcx,
+        encode_pcx,
+    )
+
+    rng = np.random.default_rng(11)
+    for w, h in [(1, 1), (3, 2), (8, 5), (13, 7)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        w2, h2, ch, arr = decode_pcx(encode_pcx(img))
+        assert (w2, h2, ch) == (w, h, 3)
+        assert np.array_equal(arr, img), (w, h)
+    payload = encode_pcx(np.full((4, 4, 3), 0xFF, dtype=np.uint8))
+    with _pt.raises(ValueError, match="magic"):
+        decode_pcx(b"\x00" + payload[1:])
+    with _pt.raises(ValueError, match="truncated PCX RLE"):
+        decode_pcx(payload[:-4])
+    with _pt.raises(ValueError, match="trailing"):
+        decode_pcx(payload + b"\x00")
+    with _pt.raises(ValueError, match="encoding"):
+        decode_pcx(payload[:2] + b"\x00" + payload[3:])
+    with _pt.raises(ValueError, match="header"):
+        decode_pcx(payload[:100])
+
+
+def test_pcx_fixtures_match_independent_decoder(spark):
+    """Every fixture payload decodes identically through an
+    independent pure-Python RLE walker (no numpy slicing tricks)."""
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _PCX_PARAMS,
+        _pcx_payloads,
+    )
+
+    def pure_decode(p):
+        import struct
+
+        xmin, ymin, xmax, ymax = struct.unpack("<HHHH", p[4:12])
+        w, h = xmax - xmin + 1, ymax - ymin + 1
+        nplanes, (bpl,) = p[65], struct.unpack("<H", p[66:68])
+        out, k, pos, need = [], 0, 128, bpl * nplanes * h
+        while k < need:
+            b = p[pos]; pos += 1
+            if b >= 0xC0:
+                v = p[pos]; pos += 1
+                n = min(b & 0x3F, need - k)
+                out.extend([v] * n); k += n
+            else:
+                out.append(b); k += 1
+        img = [[[out[(y * nplanes + c) * bpl + x] for c in range(3)]
+                for x in range(w)] for y in range(h)]
+        return w, h, img
+
+    rows = _pcx_payloads(spark).collect()
+    assert len(rows) == len(_PCX_PARAMS)
+    from dblab_ece_trino_spark.operators.multimodal import decode_pcx
+
+    for r in rows:
+        w, h, img = pure_decode(bytes(r.payload))
+        w2, h2, _ch, arr = decode_pcx(bytes(r.payload))
+        assert (w, h) == (w2, h2)
+        assert np.array_equal(arr, np.array(img, dtype=np.uint8))
+
+
+def test_image_tile_matches_pure_python(spark):
+    """Engine patch tiling must equal an independent evaluator over
+    every fixture, including truncated edge tiles."""
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _PCX_PARAMS,
+        _pcx_pixel,
+        _q_image_tile,
+    )
+
+    got = [tuple(r) for r in _q_image_tile(spark, "").collect()]
+    want = []
+    for i, (w, h) in enumerate(_PCX_PARAMS):
+        yy, xx = np.mgrid[0:h, 0:w]
+        s = sum(
+            _pcx_pixel(i, xx, yy, c, w, h).astype(np.int64) for c in range(3)
+        )
+        for ty in range((h + 7) // 8):
+            for tx in range((w + 7) // 8):
+                blk = s[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8]
+                want.append((i, ty, tx, blk.size, int(blk.sum()),
+                             int(blk.min()), int(blk.max())))
+    assert got == want
+    # edge tiles really are truncated (odd-width fixtures exist)
+    assert any(t[3] < 64 for t in got)
+
+
+def test_audio_normalize_matches_pure_python(spark):
+    """Peak normalization must equal the independent evaluator and
+    satisfy the gain contract: peak_out <= target always, and
+    peak_out == target whenever the gain divides exactly."""
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _N_WAV,
+        _NORM_TARGET,
+        _q_audio_normalize,
+    )
+
+    got = [tuple(r) for r in _q_audio_normalize(spark, "").collect()]
+    assert len(got) == _N_WAV
+    want = []
+    for i in range(_N_WAV):
+        n_samp, step, amp = 64 + 16 * (i % 4), 50 + 7 * i, 1000 + 100 * (i % 7)
+        s = (np.arange(n_samp, dtype=np.int64) * step) % (2 * amp) - amp
+        peak = int(np.abs(s).max())
+        gain = _NORM_TARGET * 1_000_000 // peak
+        norm = np.sign(s) * (np.abs(s) * gain // 1_000_000)
+        want.append((i, n_samp, peak, gain, int(np.abs(norm).max()),
+                     int(norm.sum()), int((norm * norm).sum())))
+    assert got == want
+    for row in got:
+        assert row[4] <= _NORM_TARGET
+    assert any(row[4] == _NORM_TARGET for row in got)
+
+
+def test_pairwise_correlation_matches_pure_python():
+    """The ts_pairwise_correlation oracle must equal an independent
+    pure-Python evaluator (dict day-grid, integer moments, Fraction-
+    free exact floor arithmetic) at sf0.001."""
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    got = [
+        tuple(r)
+        for r in con.execute(
+            oracle_queries()["ts_pairwise_correlation"]
+        ).fetchall()
+    ]
+    daily = con.execute(
+        "SELECT event_type, CAST(ts AS DATE), count(*) FROM events"
+        " GROUP BY 1, 2"
+    ).fetchall()
+    counts = {(t, d): c for t, d, c in daily}
+    types = sorted({t for t, _d, _c in daily})
+    days = sorted({d for _t, d, _c in daily})
+    want = []
+    for ia, ta in enumerate(types):
+        for tb in types[ia + 1:]:
+            xs = [counts.get((ta, d), 0) for d in days]
+            ys = [counts.get((tb, d), 0) for d in days]
+            n = len(days)
+            sx, sy = sum(xs), sum(ys)
+            sxy = sum(x * y for x, y in zip(xs, ys))
+            sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+            cov = n * sxy - sx * sy
+            vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+            sign = 1 if cov > 0 else (-1 if cov < 0 else 0)
+            r2 = None if vx == 0 or vy == 0 else cov * cov * 1_000_000 // (
+                vx * vy
+            )
+            want.append((ta, tb, n, sign, r2))
+    assert got == want
+    assert any(r[4] is not None and r[4] > 0 for r in got)
