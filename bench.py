@@ -265,6 +265,18 @@ HEADLINE = [
     # ... audio peak normalization (per-file integer gain_ppm,
     # absolute-value floor form, post-gain peak/RMS stats)
     "multimodal_audio_normalize",
+    # ... kNN majority-vote classification over the quantized-MIPS
+    # ranking (broadcast labels, one tiny keyed vote)
+    "sim_knn_classify",
+    # ... Zipf rank-frequency profile (WindowGroupLimit top-k over the
+    # materialized vocabulary, exact cumulative ppm shares)
+    "text_rank_frequency",
+    # ... bounded-gap sequential patterns (four leads off one window
+    # pass, inline-exploded combos, |types|^3-bounded output)
+    "op_sequential_patterns",
+    # ... balanced class downsampling (two-level sharded per-class
+    # rank, broadcast n_min, no single-partition window)
+    "sample_balanced",
 ]
 
 

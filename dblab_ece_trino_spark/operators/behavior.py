@@ -1513,3 +1513,78 @@ def _markov_oracle(iters: int = MARKOV_ITERS, scale: int = MARKOV_SCALE) -> str:
 
 register("op_markov_stationary", _q_markov_stationary,
          oracle=_markov_oracle())
+
+
+def _register_sequential_patterns() -> None:
+    """Bounded-gap sequential pattern mining (the PrefixSpan head for
+    order-3 patterns, Pei et al. 2004): per user, count event-type
+    triples occurring IN ORDER with at most one intervening event
+    between consecutive picks (gap <= 2) — the gap tolerance that
+    separates real journey mining from op_event_trigrams' contiguous
+    windows (a noise click between view and purchase must not break
+    the pattern).
+
+    With gaps dj, dk in {1, 2} the four offset combos ride FOUR leads
+    off ONE window pass (one exchange + sort however large the log);
+    Spark explodes the combo structs with ``inline`` so the plan keeps
+    a single window, while the oracle uses the equivalent 4-way UNION
+    ALL (DuckDB CTE re-reads are free; Spark lineage re-derivation is
+    not).  Output is the top-15 by occurrence count over the
+    |types|^3-bounded pattern frame — metadata-scale forever.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    leads = """
+      SELECT user_id, event_type AS e0,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e1,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e2,
+             lead(event_type, 3) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e3,
+             lead(event_type, 4) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e4
+      FROM {events}
+    """
+    finish = """
+    counted AS (
+      SELECT a, b, c, CAST(count(*) AS BIGINT) AS occurrences
+      FROM tri GROUP BY a, b, c
+    )
+    SELECT CAST(row_number() OVER (ORDER BY occurrences DESC, a, b, c)
+                AS INT) AS rank,
+           a, b, c, occurrences
+    FROM counted
+    ORDER BY occurrences DESC, a, b, c
+    LIMIT 15
+    """
+    spark_sql = (
+        "WITH s AS (" + leads + """),
+    x AS (
+      SELECT inline(array(
+        named_struct('a', e0, 'b', e1, 'c', e2),
+        named_struct('a', e0, 'b', e1, 'c', e3),
+        named_struct('a', e0, 'b', e2, 'c', e3),
+        named_struct('a', e0, 'b', e2, 'c', e4))) FROM s
+    ),
+    tri AS (SELECT a, b, c FROM x WHERE c IS NOT NULL),
+    """ + finish
+    ).format(**_SPARK_TABLES)
+    oracle_sql = (
+        "WITH s AS (" + leads + """),
+    tri AS (
+      SELECT e0 AS a, e1 AS b, e2 AS c FROM s WHERE e2 IS NOT NULL
+      UNION ALL
+      SELECT e0, e1, e3 FROM s WHERE e3 IS NOT NULL
+      UNION ALL
+      SELECT e0, e2, e3 FROM s WHERE e3 IS NOT NULL
+      UNION ALL
+      SELECT e0, e2, e4 FROM s WHERE e4 IS NOT NULL
+    ),
+    """ + finish
+    ).format(**_ORACLE_TABLES)
+    register_sql("op_sequential_patterns", spark_sql, oracle_sql)
+
+
+_register_sequential_patterns()

@@ -807,3 +807,132 @@ register(
     ORDER BY source
     """,
 )
+
+
+# ------------------------------------------------ balanced class sampling
+BAL_SEED = "bal-v1"
+BAL_SHARDS = 32
+
+
+def balanced_downsample(
+    df: DataFrame,
+    class_col: str,
+    id_col: str,
+    seed: str = BAL_SEED,
+    shards: int = BAL_SHARDS,
+) -> DataFrame:
+    """Balanced downsampling to the minority class (the class-imbalance
+    fix applied before training a classifier head): every class keeps
+    exactly ``n_min`` rows — the first ``n_min`` in md5(seed || id)
+    order, a deterministic random permutation per class, so the result
+    is a class-balanced simple random sample that replays identically
+    anywhere.
+
+    The per-class rank is the two-level sharded form (range-
+    repartition on (class, hash) -> per-(class, shard) row_number +
+    broadcast offsets — the systematic_sample machinery with the class
+    folded into the shard key): no single-partition window however
+    skewed the majority class is, which is exactly where naive
+    PARTITION BY class collapses at 100 TB.  ``n_min`` arrives by
+    broadcast join, never a driver collect.  Returns the kept rows
+    with their per-class rank.
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    base = df.select(
+        F.col(id_col).alias("k"), F.col(class_col).alias("cls")
+    ).withColumn(
+        "h", F.md5(F.concat(F.lit(seed), F.col("k").cast("string")))
+    )
+    sharded = materialize(
+        base.repartitionByRange(shards, "cls", F.col("h"), F.col("k"))
+        .withColumn("__shard", F.spark_partition_id())
+    )
+    counts = sharded.groupBy("cls", "__shard").agg(
+        F.count("*").alias("__c")
+    )
+    offs = (
+        counts.alias("a")
+        .join(
+            counts.alias("b"),
+            (F.col("b.cls") == F.col("a.cls"))
+            & (F.col("b.__shard") < F.col("a.__shard")),
+            "left",
+        )
+        .groupBy(F.col("a.cls").alias("cls"),
+                 F.col("a.__shard").alias("__shard"))
+        .agg(F.coalesce(F.sum("b.__c"), F.lit(0)).alias("__off"))
+    )
+    nmin = (
+        counts.groupBy("cls").agg(F.sum("__c").alias("__n"))
+        .agg(F.min("__n").cast("long").alias("n_min"))
+        .withColumn("__j", F.lit(1))
+    )
+    w = Window.partitionBy("cls", "__shard").orderBy("h", "k")
+    return (
+        sharded.withColumn("__lr", F.row_number().over(w))
+        .join(F.broadcast(offs), ["cls", "__shard"])
+        .withColumn("cls_rank", (F.col("__off") + F.col("__lr")).cast("long"))
+        .withColumn("__j", F.lit(1))
+        .join(F.broadcast(nmin), "__j")
+        .filter(F.col("cls_rank") <= F.col("n_min"))
+        .select("k", "cls", "cls_rank", "n_min")
+    )
+
+
+def _q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry: balance orders across o_orderstatus (three highly
+    imbalanced classes); per-class audit of input size, kept size
+    (== n_min for every class, the balance invariant) and the kept-key
+    checksum (anti-cancellation: a rank-boundary bug swaps WHICH keys
+    survive even when the count stays right)."""
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    o = engine_for(spark, sf_dir).catalogs.table("mongodb.tpch.orders")
+    kept = balanced_downsample(o, "o_orderstatus", "o_orderkey")
+    n_in = (
+        o.groupBy(F.col("o_orderstatus").alias("cls"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_in"))
+    )
+    return (
+        kept.groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("k").cast("long").alias("key_sum"),
+        )
+        .join(n_in, "cls")
+        .select("cls", "n_in", "n_kept", "key_sum")
+        .orderBy("cls")
+    )
+
+
+def _balanced_oracle() -> str:
+    h = f"md5(concat('{BAL_SEED}', CAST(o_orderkey AS STRING)))"
+    return f"""
+    WITH ranked AS (
+      SELECT o_orderkey AS k, o_orderstatus AS cls,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY {h}, o_orderkey) AS r
+      FROM orders
+    ),
+    nmin AS (
+      SELECT CAST(min(c) AS BIGINT) AS n_min
+      FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderstatus)
+    ),
+    kept AS (
+      SELECT ranked.* FROM ranked, nmin WHERE ranked.r <= nmin.n_min
+    )
+    SELECT g.cls,
+           CAST(t.n_in AS BIGINT) AS n_in,
+           CAST(g.n_kept AS BIGINT) AS n_kept,
+           CAST(g.key_sum AS BIGINT) AS key_sum
+    FROM (SELECT cls, count(*) AS n_kept, sum(k) AS key_sum
+          FROM kept GROUP BY cls) g
+    JOIN (SELECT o_orderstatus AS cls, count(*) AS n_in
+          FROM orders GROUP BY o_orderstatus) t
+      ON t.cls = g.cls
+    ORDER BY g.cls
+    """
+
+
+register("sample_balanced", _q_sample_balanced, oracle=_balanced_oracle())

@@ -845,15 +845,13 @@ def _q_sim_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_mips_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
-register(
-    "sim_quantized_mips",
-    _q_sim_quantized,
-    # DuckDB replays the whole pipeline relationally: range(64) dim
-    # explode (1-based list indexing), global min/max scalars, integer
-    # code sums, and the identical closed-form finish — same exact
-    # integers, same per-row IEEE expression, same rounding.
-    oracle="""
-    WITH dims AS (
+# Shared DuckDB replay of the quantized-MIPS ranking (range(64) dim
+# explode with 1-based list indexing, global min/max scalars, integer
+# code sums, identical closed-form finish — same exact integers, same
+# per-row IEEE expression, same rounding).  Composed by the
+# sim_quantized_mips oracle and the sim_knn_classify oracle so both
+# entries rank by definitionally the SAME pipeline.
+_QUANT_RANKED_CTES = """dims AS (
       SELECT vec_id, t.i AS dim, CAST(embedding[t.i + 1] AS DOUBLE) AS val
       FROM embeddings, range(64) t(i)
     ),
@@ -891,10 +889,119 @@ register(
              CAST(row_number() OVER (
                PARTITION BY qid ORDER BY qip DESC, cid ASC) AS INT) AS rank
       FROM scored
-    )
+    )"""
+
+register(
+    "sim_quantized_mips",
+    _q_sim_quantized,
+    oracle=f"""
+    WITH {_QUANT_RANKED_CTES}
     SELECT qid, cid, qip, rank FROM ranked WHERE rank <= 5
     """,
 )
+
+
+# ------------------------------------------------- kNN classification
+def knn_classify(
+    topk: DataFrame, labels: DataFrame, k: int = 5
+) -> DataFrame:
+    """Majority-vote kNN classification over an already-ranked
+    neighbor frame: join each of the k neighbors to its label, count
+    votes per (query, label), keep the winner (ties to the smallest
+    label — deterministic on both engines).  The retrieval-to-
+    prediction step of every embedding-based labeler (quality tiers,
+    language buckets, topic routing) — downstream of ANY neighbor
+    source (brute force, LSH, IVF, quantized MIPS).
+
+    100 TB shape: the neighbor frame is |queries| x k rows and the
+    label frame broadcasts; the vote is one tiny keyed aggregate —
+    the expensive part stays in the neighbor source's (already
+    measured) economics.
+    """
+    votes = (
+        topk.join(F.broadcast(labels), "cid")
+        .groupBy("qid", "lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("votes"), F.asc("lbl"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid",
+            F.col("lbl").alias("label_pred"),
+            "votes",
+            F.lit(k).cast("long").alias("k"),
+        )
+    )
+
+
+def _q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded entry: quantized-MIPS top-5 neighbors (the exact-integer
+    ranking the green sim_quantized_mips entry pins), md5-derived
+    4-class labels, majority vote with smallest-label ties, plus the
+    query's own label and the self-consistency flag."""
+    from dblab_ece_trino_spark.operators.sampling import md5_bucket
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8)
+    topk = quantized_mips_topk(emb, queries, k=5)
+    labels = emb.select(
+        F.col("vec_id").alias("cid"),
+        (md5_bucket(F.col("vec_id"), "knn-label") % 4).cast("int").alias(
+            "lbl"
+        ),
+    )
+    pred = knn_classify(topk, labels, k=5)
+    truth = queries.select(
+        F.col("vec_id").alias("qid"),
+        (md5_bucket(F.col("vec_id"), "knn-label") % 4).cast("int").alias(
+            "label_true"
+        ),
+    )
+    return (
+        pred.join(truth, "qid")
+        .select(
+            "qid", "label_pred", "votes", "k", "label_true",
+            (F.col("label_pred") == F.col("label_true")).alias("self_match"),
+        )
+        .orderBy("qid")
+    )
+
+
+def _knn_classify_oracle() -> str:
+    from dblab_ece_trino_spark.operators.sampling import _md5_bucket_sql
+
+    lab = _md5_bucket_sql("vec_id", "knn-label")
+    return f"""
+    WITH {_QUANT_RANKED_CTES},
+    topk AS (SELECT qid, cid FROM ranked WHERE rank <= 5),
+    lab AS (
+      SELECT vec_id AS cid, CAST(({lab}) % 4 AS INT) AS lbl
+      FROM embeddings
+    ),
+    votes AS (
+      SELECT t.qid, l.lbl, CAST(count(*) AS BIGINT) AS votes
+      FROM topk t JOIN lab l ON l.cid = t.cid
+      GROUP BY t.qid, l.lbl
+    ),
+    best AS (
+      SELECT qid, lbl, votes,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY votes DESC, lbl ASC) AS rn
+      FROM votes
+    )
+    SELECT b.qid, b.lbl AS label_pred, b.votes, CAST(5 AS BIGINT) AS k,
+           t.lbl AS label_true,
+           b.lbl = t.lbl AS self_match
+    FROM best b JOIN lab t ON t.cid = b.qid
+    WHERE b.rn = 1
+    ORDER BY b.qid
+    """
+
+
+register("sim_knn_classify", _q_sim_knn_classify,
+         oracle=_knn_classify_oracle())
 
 
 # ------------------------------------------------- epsilon-ball search

@@ -1459,3 +1459,105 @@ register(
     ORDER BY source
     """,
 )
+
+
+# ------------------------------------------- rank-frequency (Zipf) profile
+def rank_frequency_profile(
+    docs: DataFrame, text_col: str = "text", top_n: int = 10
+) -> DataFrame:
+    """Zipf rank-frequency profile per source: the top-n word
+    frequency table with the rank-frequency product (constant under an
+    ideal Zipf s=1 law — the drift of ``zipf_fr`` across ranks is the
+    classic template/boilerplate signature) and the cumulative
+    token-share of the top ranks in exact ppm (head concentration: a
+    source where 10 words cover half the tokens is template noise, the
+    same corpus-health axis as text_hapax_ratio from the head end).
+
+    One scan, one (source, word) count (map-side combinable), one
+    per-source rank window whose rank <= n filter compiles to
+    WindowGroupLimit (per-partition top-k pushdown, never a full
+    vocabulary sort materialization), then a cumulative window over
+    the n-row-per-source survivor frame.  All-integer output.
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    words = docs.select(
+        "source",
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    ).filter(F.length("w") >= 1)
+    # materialized: the vocabulary frame feeds both the token total and
+    # the rank window — without the checkpoint the document scan (the
+    # data-scale cost) runs twice
+    wc = materialize(
+        words.groupBy("source", "w").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+    )
+    tot = wc.groupBy("source").agg(F.sum("n").cast("long").alias("toks"))
+    rw = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("w"))
+    top = (
+        wc.withColumn("r", F.row_number().over(rw))
+        .filter(F.col("r") <= top_n)
+    )
+    cw = Window.partitionBy("source").orderBy("r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.withColumn("cn", F.sum("n").over(cw))
+        .join(tot, "source")
+        .selectExpr(
+            "source",
+            "CAST(r AS INT) AS rank",
+            "w AS word",
+            "n AS freq",
+            "CAST(n * r AS BIGINT) AS zipf_fr",
+            "CAST(cn * 1000000 div toks AS BIGINT) AS cum_ppm",
+        )
+        .orderBy("source", "rank")
+    )
+
+
+def _q_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.operators.llmprep import _docs as _ldocs
+
+    return rank_frequency_profile(_ldocs(spark, sf_dir))
+
+
+register(
+    "text_rank_frequency",
+    _q_rank_frequency,
+    oracle="""
+    WITH wc AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT source,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                     AS w
+            FROM documents)
+      WHERE len(w) >= 1
+      GROUP BY source, w
+    ),
+    tot AS (
+      SELECT source, CAST(sum(n) AS BIGINT) AS toks FROM wc GROUP BY source
+    ),
+    ranked AS (
+      SELECT source, w, n,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n DESC, w ASC) AS r
+      FROM wc
+    ),
+    top AS (SELECT * FROM ranked WHERE r <= 10),
+    cum AS (
+      SELECT source, w, n, r,
+             sum(n) OVER (PARTITION BY source ORDER BY r
+                          ROWS UNBOUNDED PRECEDING) AS cn
+      FROM top
+    )
+    SELECT c.source, CAST(c.r AS INT) AS rank, c.w AS word, c.n AS freq,
+           CAST(c.n * c.r AS BIGINT) AS zipf_fr,
+           CAST(c.cn * 1000000 // t.toks AS BIGINT) AS cum_ppm
+    FROM cum c JOIN tot t ON t.source = c.source
+    ORDER BY c.source, rank
+    """,
+)

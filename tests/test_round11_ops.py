@@ -413,3 +413,197 @@ def test_pairwise_correlation_matches_pure_python():
             want.append((ta, tb, n, sign, r2))
     assert got == want
     assert any(r[4] is not None and r[4] > 0 for r in got)
+
+
+def test_knn_classify_hand_built(spark):
+    """Majority vote + smallest-label tiebreak on a hand-built
+    neighbor frame (independent of any neighbor source)."""
+    from dblab_ece_trino_spark.operators.similarity import knn_classify
+
+    topk = spark.createDataFrame(
+        # q1: labels 0,0,1,2,2 -> tie 0 vs 2 at 2 votes -> 0 wins
+        [(1, 10), (1, 11), (1, 12), (1, 13), (1, 14),
+         # q2: labels 1,1,1,0,2 -> 1 wins with 3
+         (2, 12, ), (2, 15), (2, 16), (2, 10), (2, 13)],
+        "qid long, cid long",
+    )
+    labels = spark.createDataFrame(
+        [(10, 0), (11, 0), (12, 1), (13, 2), (14, 2), (15, 1), (16, 1)],
+        "cid long, lbl int",
+    )
+    got = {r.qid: (r.label_pred, r.votes)
+           for r in knn_classify(topk, labels, k=5).collect()}
+    assert got == {1: (0, 2), 2: (1, 3)}
+
+
+def test_rank_frequency_matches_pure_python():
+    """The text_rank_frequency oracle must equal an independent
+    pure-Python evaluator (Counter, explicit rank/tie ordering,
+    integer cumulative shares) at sf0.001."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    got = [
+        tuple(r)
+        for r in con.execute(
+            oracle_queries()["text_rank_frequency"]
+        ).fetchall()
+    ]
+    docs = con.execute("SELECT source, text FROM documents").fetchall()
+    per: dict = {}
+    for src, text in docs:
+        per.setdefault(src, Counter()).update(
+            w for w in re.split(r"\s+", text.strip().lower()) if w
+        )
+    want = []
+    for src in sorted(per):
+        c = per[src]
+        toks = sum(c.values())
+        ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        cum = 0
+        for r, (w, n) in enumerate(ordered, start=1):
+            cum += n
+            want.append((src, r, w, n, n * r, cum * 1_000_000 // toks))
+    assert got == want
+    # cumulative share is monotone within each source
+    by_src: dict = {}
+    for src, r, _w, _n, _fr, cp in got:
+        assert cp >= by_src.get(src, 0)
+        by_src[src] = cp
+
+
+def test_sequential_patterns_matches_pure_python():
+    """The op_sequential_patterns oracle must equal an independent
+    pure-Python enumerator of bounded-gap (<=2) ordered triples at
+    sf0.001 — and contiguous trigrams must be a subset of the counts."""
+    from collections import Counter
+
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    got = [
+        tuple(r)
+        for r in con.execute(
+            oracle_queries()["op_sequential_patterns"]
+        ).fetchall()
+    ]
+    rows = con.execute(
+        "SELECT user_id, event_type FROM events ORDER BY user_id, ts,"
+        " event_id"
+    ).fetchall()
+    seqs: dict = {}
+    for u, t in rows:
+        seqs.setdefault(u, []).append(t)
+    counts: Counter = Counter()
+    for seq in seqs.values():
+        n = len(seq)
+        for i in range(n):
+            for dj in (1, 2):
+                for dk in (1, 2):
+                    j, k = i + dj, i + dj + dk
+                    if k < n:
+                        counts[(seq[i], seq[j], seq[k])] += 1
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    want = [
+        (r, a, b, c, n)
+        for r, ((a, b, c), n) in enumerate(ordered, start=1)
+    ]
+    assert got == want
+
+
+def test_sample_balanced_matches_pure_python():
+    """The sample_balanced oracle must equal an independent pure-Python
+    evaluator (hashlib md5 permutation, explicit per-class cut), and
+    every class must keep exactly n_min rows."""
+    import hashlib
+
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf}/orders.parquet')"
+    )
+    got = [
+        tuple(r)
+        for r in con.execute(oracle_queries()["sample_balanced"]).fetchall()
+    ]
+    rows = con.execute(
+        "SELECT o_orderkey, o_orderstatus FROM orders"
+    ).fetchall()
+    per: dict = {}
+    for k, s in rows:
+        per.setdefault(s, []).append(k)
+    n_min = min(len(v) for v in per.values())
+    want = []
+    for s in sorted(per):
+        keys = sorted(
+            per[s],
+            key=lambda k: (
+                hashlib.md5(f"bal-v1{k}".encode()).hexdigest(), k
+            ),
+        )[:n_min]
+        want.append((s, len(per[s]), n_min, sum(keys)))
+    assert got == want
+    kepts = {r[2] for r in got}
+    assert len(kepts) == 1  # balanced: every class kept the same count
+
+
+def test_balanced_downsample_spark_matches_oracle_frame(spark):
+    """The Spark sharded-rank kept-set equals the oracle's
+    single-window kept-set ROW BY ROW at sf0.001 (the summary entry
+    hashes aggregates; this pins the per-row rank equivalence of the
+    two-level shard form)."""
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.sampling import balanced_downsample
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    kept = balanced_downsample(o, "o_orderstatus", "o_orderkey")
+    got = sorted(
+        (r.cls, r.cls_rank, r.k) for r in kept.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/orders.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute("""
+        WITH ranked AS (
+          SELECT o_orderstatus AS cls, o_orderkey AS k,
+                 row_number() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY md5(concat('bal-v1', CAST(o_orderkey AS
+                                 STRING))), o_orderkey) AS r
+          FROM orders
+        ),
+        nmin AS (
+          SELECT min(c) AS n_min FROM (
+            SELECT count(*) AS c FROM orders GROUP BY o_orderstatus)
+        )
+        SELECT cls, r, k FROM ranked, nmin WHERE r <= n_min
+        """).fetchall()
+    )
+    assert got == want and len(got) > 0
