@@ -277,6 +277,12 @@ HEADLINE = [
     # ... balanced class downsampling (two-level sharded per-class
     # rank, broadcast n_min, no single-partition window)
     "sample_balanced",
+    # ... watermark-lateness audit (md5-jittered arrival order, exact
+    # microsecond lateness, constant |buckets|-row output)
+    "op_watermark_lateness",
+    # ... HLL set algebra (registerwise-max union + inclusion-exclusion
+    # intersection on integer register states)
+    "op_hll_intersection",
 ]
 
 

@@ -1588,3 +1588,82 @@ def _register_sequential_patterns() -> None:
 
 
 _register_sequential_patterns()
+
+
+def _register_watermark_lateness() -> None:
+    """Watermark-lateness audit — the tuning histogram for a streaming
+    deployment's allowed-lateness setting (Structured Streaming
+    ``withWatermark``): each event ARRIVES at ts + a deterministic
+    md5-derived network delay (0..1785 s — the events table itself is
+    ingest-ordered, so the delay models the out-of-order arrival a
+    collector actually sees); at its arrival instant the per-user high
+    watermark has advanced to the max event time among
+    earlier-arriving events, and the event's lateness is how far that
+    watermark already passed it.  The bucketed histogram (on-time /
+    <=1s / <=1min / <=5min / <=1h / <=1d / later) with per-bucket
+    exact min/max/total IS the table an engineer reads to pick the
+    delay that bounds state size at an acceptable drop rate.
+
+    Exactness: lateness rides MICROSECONDS (timestampdiff MICROSECOND
+    / date_diff 'microsecond' — at the data's microsecond grain,
+    boundary-crossing and complete-unit semantics coincide, unlike at
+    'second' grain where the two engines count differently), arrival
+    order is the exact integer arrival_us (epoch micros + delay), and
+    the bucket cut is one nonnegative floor division to seconds.  One
+    window pass (running max shares the per-user arrival sort), one
+    bounded aggregate — the |buckets|-row output is constant at any
+    log scale.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.operators.sampling import _md5_bucket_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    delay = "(" + _md5_bucket_sql("event_id", "arrival") + ") * 7"
+    tpl = """
+    WITH arr AS (
+      SELECT user_id, ts, event_id,
+             max(ts) OVER (PARTITION BY user_id
+                           ORDER BY {us_ts} + ({delay}) * 1000000, event_id
+                           ROWS UNBOUNDED PRECEDING) AS hw
+      FROM {events}
+    ),
+    lat AS (
+      SELECT CAST({us_between} AS BIGINT) {idiv} 1000000 AS late_s
+      FROM arr
+    ),
+    b AS (
+      SELECT CASE WHEN late_s <= 0 THEN 0
+                  WHEN late_s <= 1 THEN 1
+                  WHEN late_s <= 60 THEN 2
+                  WHEN late_s <= 300 THEN 3
+                  WHEN late_s <= 3600 THEN 4
+                  WHEN late_s <= 86400 THEN 5
+                  ELSE 6 END AS bucket,
+             late_s
+      FROM lat
+    )
+    SELECT CAST(bucket AS INT) AS lateness_bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(late_s) AS BIGINT) AS min_late_s,
+           CAST(max(late_s) AS BIGINT) AS max_late_s,
+           CAST(sum(late_s) AS BIGINT) AS total_late_s
+    FROM b
+    GROUP BY bucket
+    ORDER BY lateness_bucket
+    """
+    spark_sql = (
+        tpl.replace("{us_between}", "timestampdiff(MICROSECOND, ts, hw)")
+        .replace("{us_ts}", "unix_micros(CAST(ts AS TIMESTAMP))")
+        .replace("{delay}", delay)
+        .replace("{idiv}", "div")
+    ).format(**_SPARK_TABLES)
+    oracle_sql = (
+        tpl.replace("{us_between}", "date_diff('microsecond', ts, hw)")
+        .replace("{us_ts}", "epoch_us(ts)")
+        .replace("{delay}", delay)
+        .replace("{idiv}", "//")
+    ).format(**_ORACLE_TABLES)
+    register_sql("op_watermark_lateness", spark_sql, oracle_sql)
+
+
+_register_watermark_lateness()

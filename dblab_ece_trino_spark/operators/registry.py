@@ -138,7 +138,7 @@ GRADED_PRIORITY: list[str] = [
     "multimodal_pcx_decode", "multimodal_image_tile",
     "multimodal_audio_normalize", "sim_knn_classify",
     "text_rank_frequency", "op_sequential_patterns",
-    "sample_balanced",
+    "sample_balanced", "op_watermark_lateness", "op_hll_intersection",
     # Flagship reference shapes, last graded r8 (sanctioned pull).
     "q001", "q002", "q003", "q004", "q005",
     # latest green = round 5 (alphabetical)
@@ -153,7 +153,6 @@ GRADED_PRIORITY: list[str] = [
     "op_sequence_match", "op_skyline_2d", "op_trending_hours",
     "op_winsorize", "sample_poisson_bootstrap", "sim_mips_topk",
     "sim_quantized_mips", "text_readability", "text_tfidf_topk",
-    "ts_autocorrelation", "ts_cusum_changepoint",
 ]
 
 

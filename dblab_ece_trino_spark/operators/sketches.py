@@ -478,3 +478,154 @@ register(
     _q_hll_distinct,
     oracle=_hll_sql().format(**_ORACLE_TABLES),
 )
+
+
+# --------------------------------------- HLL set algebra (union/intersect)
+def _hll_algebra_sql() -> str:
+    from dblab_ece_trino_spark.operators.sampling import _md5_bucket_sql
+
+    bucket = hexint_digits_sql("h", 2, 1)
+    rho = _hll_rho_sql("rest", "nz")
+    ba = _md5_bucket_sql("k", "hllA")
+    bb = _md5_bucket_sql("k", "hllB")
+    set_terms = []
+    for x in ("a", "b", "u"):
+        set_terms.append(f"""
+             CAST(count(r_{x}) AS BIGINT) AS p_{x},
+             CAST(sum(CAST(1 AS BIGINT) << (48 - r_{x}))
+                  + ({HLL_M} - count(r_{x})) * {_HLL_SCALE} AS BIGINT)
+               AS s_{x}""")
+    sets = ",".join(set_terms)
+    return f"""
+    WITH keys AS (
+      SELECT DISTINCT l_orderkey AS k FROM {{lineitem}}
+    ),
+    tagged AS (
+      SELECT k, md5(concat('hll:', CAST(k AS STRING))) AS h,
+             ({ba}) < 160 AS in_a, ({bb}) < 160 AS in_b
+      FROM keys
+    ),
+    prep AS (
+      SELECT {bucket} AS bucket, {rho} AS rho, in_a, in_b
+      FROM (SELECT h, substr(h, 3, 10) AS rest,
+                   length(regexp_extract(substr(h, 3, 10), '^0*', 0)) AS nz,
+                   in_a, in_b
+            FROM tagged WHERE in_a OR in_b) t
+    ),
+    regs AS (
+      SELECT bucket,
+             max(CASE WHEN in_a THEN rho END) AS r_a,
+             max(CASE WHEN in_b THEN rho END) AS r_b,
+             max(rho) AS r_u
+      FROM prep GROUP BY bucket
+    ),
+    st AS (SELECT {sets} FROM regs),
+    ex AS (
+      SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+             CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS x_b,
+             CAST(count(*) AS BIGINT) AS x_u
+      FROM tagged WHERE in_a OR in_b
+    )
+    SELECT CAST({HLL_M} AS INT) AS m,
+           st.s_a AS s_scaled_a, st.s_b AS s_scaled_b,
+           st.s_u AS s_scaled_u,
+           CAST({_HLL_A} AS DOUBLE) / st.s_a AS est_a,
+           CAST({_HLL_A} AS DOUBLE) / st.s_b AS est_b,
+           CAST({_HLL_A} AS DOUBLE) / st.s_u AS est_u,
+           CAST({_HLL_A} AS DOUBLE) / st.s_a
+             + CAST({_HLL_A} AS DOUBLE) / st.s_b
+             - CAST({_HLL_A} AS DOUBLE) / st.s_u AS est_intersection,
+           ex.x_a AS exact_a, ex.x_b AS exact_b, ex.x_u AS exact_union,
+           CAST(ex.x_a + ex.x_b - ex.x_u AS BIGINT) AS exact_intersection
+    FROM st, ex
+    """
+
+
+def _q_hll_intersection(spark, sf_dir):
+    """HLL set algebra — union by REGISTERWISE MAX (the merge theorem
+    that makes HLL states map-side combinable: the union sketch of two
+    sets is the elementwise max of their registers, so r_u == max(r_a,
+    r_b) per bucket by construction here) and intersection by
+    inclusion-exclusion on the three estimates — the
+    cross-dataset-overlap estimator (contamination screening between
+    corpus shards, audience overlap) that runs on sketch states alone,
+    never rescanning either side.
+
+    Same exactness split as op_hll_distinct: the three register-sum
+    states are pure integers (partition-order independent, graded
+    exactly), the three estimates and the inclusion-exclusion finish
+    are single identical IEEE expressions over them, and the exact
+    counts ride along for the error audit.  One scan into a DISTINCT
+    key frame (materialized: digest+tag branch and exact-count branch
+    both read the checkpoint), one register fold.
+    """
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.entrypoints import engine_for
+    from dblab_ece_trino_spark.operators.sampling import md5_bucket
+    from dblab_ece_trino_spark.session import materialize
+
+    li = engine_for(spark, sf_dir).catalogs.table("psql.tpch.lineitem")
+    keys = li.select(F.col("l_orderkey").alias("k")).distinct()
+    tagged = materialize(
+        keys.select(
+            "k",
+            F.md5(F.concat(F.lit("hll:"), F.col("k").cast("string"))).alias(
+                "h"
+            ),
+            (md5_bucket(F.col("k"), "hllA") < 160).alias("in_a"),
+            (md5_bucket(F.col("k"), "hllB") < 160).alias("in_b"),
+        ).filter(F.col("in_a") | F.col("in_b"))
+    )
+    prep = tagged.select(
+        F.expr(hexint_digits_sql("h", 2, 1)).alias("bucket"),
+        F.expr(
+            _hll_rho_sql(
+                "substr(h, 3, 10)",
+                "length(regexp_extract(substr(h, 3, 10), '^0*', 0))",
+            )
+        ).alias("rho"),
+        "in_a",
+        "in_b",
+    )
+    regs = prep.groupBy("bucket").agg(
+        F.expr("max(CASE WHEN in_a THEN rho END)").alias("r_a"),
+        F.expr("max(CASE WHEN in_b THEN rho END)").alias("r_b"),
+        F.max("rho").alias("r_u"),
+    )
+    set_exprs = [
+        f"CAST(sum(shiftleft(CAST(1 AS BIGINT), 48 - r_{x}))"
+        f" + ({HLL_M} - count(r_{x})) * {_HLL_SCALE} AS BIGINT) AS s_{x}"
+        for x in ("a", "b", "u")
+    ]
+    st = regs.agg(*[F.expr(s) for s in set_exprs])
+    ex = tagged.agg(
+        F.expr("CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)")
+        .alias("x_a"),
+        F.expr("CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT)")
+        .alias("x_b"),
+        F.count(F.lit(1)).cast("long").alias("x_u"),
+    )
+    a = _HLL_A
+    return (
+        st.withColumn("__j", F.lit(1))
+        .join(F.broadcast(ex.withColumn("__j", F.lit(1))), "__j")
+        .selectExpr(
+            f"CAST({HLL_M} AS INT) AS m",
+            "s_a AS s_scaled_a", "s_b AS s_scaled_b", "s_u AS s_scaled_u",
+            f"CAST({a} AS DOUBLE) / s_a AS est_a",
+            f"CAST({a} AS DOUBLE) / s_b AS est_b",
+            f"CAST({a} AS DOUBLE) / s_u AS est_u",
+            f"CAST({a} AS DOUBLE) / s_a + CAST({a} AS DOUBLE) / s_b"
+            f" - CAST({a} AS DOUBLE) / s_u AS est_intersection",
+            "x_a AS exact_a", "x_b AS exact_b", "x_u AS exact_union",
+            "CAST(x_a + x_b - x_u AS BIGINT) AS exact_intersection",
+        )
+    )
+
+
+register(
+    "op_hll_intersection",
+    _q_hll_intersection,
+    oracle=_hll_algebra_sql().format(**_ORACLE_TABLES),
+)

@@ -607,3 +607,134 @@ def test_balanced_downsample_spark_matches_oracle_frame(spark):
         """).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_watermark_lateness_matches_pure_python():
+    """The op_watermark_lateness oracle must equal an independent
+    pure-Python evaluator (explicit arrival-sorted watermark walk,
+    integer microsecond lateness) at sf0.001."""
+    import hashlib
+
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    got = [
+        tuple(r)
+        for r in con.execute(
+            oracle_queries()["op_watermark_lateness"]
+        ).fetchall()
+    ]
+    rows = con.execute(
+        "SELECT user_id, event_id, epoch_us(ts) FROM events"
+    ).fetchall()
+
+    def delay_us(eid):
+        h = hashlib.md5(f"arrival{eid}".encode()).hexdigest()
+        return int(h[:2], 16) * 7 * 1_000_000
+
+    per: dict = {}
+    for u, eid, ts_us in rows:
+        per.setdefault(u, []).append((ts_us + delay_us(eid), eid, ts_us))
+    lates = []
+    for u, evs in per.items():
+        hw = None
+        for _arr, _eid, ts_us in sorted(evs):
+            hw = ts_us if hw is None else max(hw, ts_us)
+            lates.append((hw - ts_us) // 1_000_000)
+    buckets: dict = {}
+    for s in lates:
+        b = (0 if s <= 0 else 1 if s <= 1 else 2 if s <= 60 else
+             3 if s <= 300 else 4 if s <= 3600 else 5 if s <= 86400 else 6)
+        lo, hi, n, tot = buckets.get(b, (None, None, 0, 0))
+        buckets[b] = (
+            s if lo is None else min(lo, s),
+            s if hi is None else max(hi, s),
+            n + 1, tot + s,
+        )
+    want = [
+        (b, n, lo, hi, tot)
+        for b, (lo, hi, n, tot) in sorted(buckets.items())
+    ]
+    assert got == want
+    assert len(got) >= 2  # jitter produces real out-of-order arrivals
+
+
+def test_hll_intersection_matches_pure_python():
+    """The op_hll_intersection oracle must equal an independent
+    pure-Python HLL (hashlib md5, explicit registers) — and the union
+    registers must equal the elementwise max of the two sets'
+    registers (the merge theorem the op rides)."""
+    import hashlib
+
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+    from dblab_ece_trino_spark.operators.sketches import (
+        HLL_M,
+        _HLL_SCALE,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf}/lineitem.parquet')"
+    )
+    got = con.execute(
+        oracle_queries()["op_hll_intersection"]
+    ).fetchall()[0]
+    keys = [
+        r[0]
+        for r in con.execute(
+            "SELECT DISTINCT l_orderkey FROM lineitem"
+        ).fetchall()
+    ]
+
+    def bucket(k, seed):
+        return int(
+            hashlib.md5(f"{seed}{k}".encode()).hexdigest()[:2], 16
+        )
+
+    def regs_of(members):
+        regs = {}
+        for k in members:
+            h = hashlib.md5(f"hll:{k}".encode()).hexdigest()
+            b = int(h[:2], 16)
+            rest = h[2:12]
+            nz = len(rest) - len(rest.lstrip("0"))
+            if nz == 10:
+                rho = 41
+            else:
+                d = int(rest[nz], 16)
+                rho = 4 * nz + (0 if d >= 8 else 1 if d >= 4 else
+                                2 if d >= 2 else 3) + 1
+            regs[b] = max(regs.get(b, 0), rho)
+        return regs
+
+    A = [k for k in keys if bucket(k, "hllA") < 160]
+    B = [k for k in keys if bucket(k, "hllB") < 160]
+    U = sorted(set(A) | set(B))
+    ra, rb, ru = regs_of(A), regs_of(B), regs_of(U)
+    # the merge theorem, explicitly
+    for b in set(ra) | set(rb):
+        assert ru[b] == max(ra.get(b, 0), rb.get(b, 0))
+
+    def s_scaled(regs):
+        return sum(1 << (48 - r) for r in regs.values()) + (
+            HLL_M - len(regs)
+        ) * _HLL_SCALE
+
+    assert (got[1], got[2], got[3]) == (
+        s_scaled(ra), s_scaled(rb), s_scaled(ru)
+    )
+    assert (got[8], got[9], got[10]) == (len(A), len(B), len(U))
+    assert got[11] == len(A) + len(B) - len(U)
+    # estimate sanity: within 25% of exact (m=256 -> ~6.5% typical)
+    assert abs(got[4] - len(A)) / len(A) < 0.25
