@@ -482,12 +482,14 @@ register(
 
 # --------------------------------------- HLL set algebra (union/intersect)
 def _hll_algebra_sql() -> str:
-    from dblab_ece_trino_spark.operators.sampling import _md5_bucket_sql
-
     bucket = hexint_digits_sql("h", 2, 1)
     rho = _hll_rho_sql("rest", "nz")
-    ba = _md5_bucket_sql("k", "hllA")
-    bb = _md5_bucket_sql("k", "hllB")
+    # set membership from DISJOINT digest spans (the CMS discipline):
+    # hex digits 13-14 / 15-16 of the SAME md5 that feeds bucket+rho
+    # (digits 1-2 and 3-12) — one digest per key instead of three
+    # (the three-seed form measured 12.4 s at the x10 replica, md5-bound)
+    ba = hexint_digits_sql("h", 2, 13)
+    bb = hexint_digits_sql("h", 2, 15)
     set_terms = []
     for x in ("a", "b", "u"):
         set_terms.append(f"""
@@ -501,9 +503,9 @@ def _hll_algebra_sql() -> str:
       SELECT DISTINCT l_orderkey AS k FROM {{lineitem}}
     ),
     tagged AS (
-      SELECT k, md5(concat('hll:', CAST(k AS STRING))) AS h,
-             ({ba}) < 160 AS in_a, ({bb}) < 160 AS in_b
-      FROM keys
+      SELECT h, ({ba}) < 160 AS in_a, ({bb}) < 160 AS in_b
+      FROM (SELECT md5(concat('hll:', CAST(k AS STRING))) AS h
+            FROM keys) d
     ),
     prep AS (
       SELECT {bucket} AS bucket, {rho} AS rho, in_a, in_b
@@ -549,7 +551,9 @@ def _q_hll_intersection(spark, sf_dir):
     inclusion-exclusion on the three estimates — the
     cross-dataset-overlap estimator (contamination screening between
     corpus shards, audience overlap) that runs on sketch states alone,
-    never rescanning either side.
+    never rescanning either side.  Sets A and B are md5-span-defined
+    slices of the key space (~62.5% each, ~39% overlap) so the
+    estimator is exercised on a real partial overlap.
 
     Same exactness split as op_hll_distinct: the three register-sum
     states are pure integers (partition-order independent, graded
@@ -562,20 +566,26 @@ def _q_hll_intersection(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from dblab_ece_trino_spark.entrypoints import engine_for
-    from dblab_ece_trino_spark.operators.sampling import md5_bucket
     from dblab_ece_trino_spark.session import materialize
 
     li = engine_for(spark, sf_dir).catalogs.table("psql.tpch.lineitem")
     keys = li.select(F.col("l_orderkey").alias("k")).distinct()
+    # ONE md5 per distinct key; set membership reads DISJOINT digest
+    # spans (hex digits 13-14 / 15-16 — bucket+rho use 1-2 and 3-12),
+    # the CMS discipline.  The three-seed form (separate md5 per set
+    # tag) measured 12.4 s at the x10 replica, md5-bound.
     tagged = materialize(
         keys.select(
-            "k",
             F.md5(F.concat(F.lit("hll:"), F.col("k").cast("string"))).alias(
                 "h"
-            ),
-            (md5_bucket(F.col("k"), "hllA") < 160).alias("in_a"),
-            (md5_bucket(F.col("k"), "hllB") < 160).alias("in_b"),
-        ).filter(F.col("in_a") | F.col("in_b"))
+            )
+        )
+        .select(
+            "h",
+            (F.expr(hexint_digits_sql("h", 2, 13)) < 160).alias("in_a"),
+            (F.expr(hexint_digits_sql("h", 2, 15)) < 160).alias("in_b"),
+        )
+        .filter(F.col("in_a") | F.col("in_b"))
     )
     prep = tagged.select(
         F.expr(hexint_digits_sql("h", 2, 1)).alias("bucket"),

@@ -697,10 +697,9 @@ def test_hll_intersection_matches_pure_python():
         ).fetchall()
     ]
 
-    def bucket(k, seed):
-        return int(
-            hashlib.md5(f"{seed}{k}".encode()).hexdigest()[:2], 16
-        )
+    def spans(k):
+        h = hashlib.md5(f"hll:{k}".encode()).hexdigest()
+        return int(h[12:14], 16), int(h[14:16], 16)
 
     def regs_of(members):
         regs = {}
@@ -718,8 +717,8 @@ def test_hll_intersection_matches_pure_python():
             regs[b] = max(regs.get(b, 0), rho)
         return regs
 
-    A = [k for k in keys if bucket(k, "hllA") < 160]
-    B = [k for k in keys if bucket(k, "hllB") < 160]
+    A = [k for k in keys if spans(k)[0] < 160]
+    B = [k for k in keys if spans(k)[1] < 160]
     U = sorted(set(A) | set(B))
     ra, rb, ru = regs_of(A), regs_of(B), regs_of(U)
     # the merge theorem, explicitly
