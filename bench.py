@@ -283,6 +283,15 @@ HEADLINE = [
     # ... HLL set algebra (registerwise-max union + inclusion-exclusion
     # intersection on integer register states)
     "op_hll_intersection",
+    # ... Katz centrality (attenuated path counts, integer per-edge
+    # floor alpha=1/8, L1-normalized BIGINT output)
+    "graph_katz_centrality",
+    # ... time-based train/test split + user-leakage audit (calendar
+    # cutoff from one min/max aggregate, no global rank)
+    "sample_time_split",
+    # ... the Sun Raster codec (fourteenth native format: big-endian
+    # header, BGR order, 16-bit row pad, RT_BYTE_ENCODED RLE)
+    "multimodal_sunras_decode",
 ]
 
 

@@ -1398,3 +1398,123 @@ register(
     LIMIT 15
     """,
 )
+
+
+# --------------------------------------------------- Katz centrality
+KATZ_ITERS = 4
+KATZ_BETA = 10**9
+KATZ_OUT_SCALE = 10**12
+
+
+def katz_centrality(
+    pairs: DataFrame,
+    iters: int = KATZ_ITERS,
+    beta: int = KATZ_BETA,
+    top_n: int = 25,
+) -> DataFrame:
+    """Fixed-iteration integer Katz centrality (Katz 1953) over the
+    symmetrized pair list: x_{k+1}(v) = beta + sum_{u~v} x_k(u) div 8
+    — attenuated path counting (alpha = 1/8 as a per-edge floor
+    division, so every term is an exact integer and the fixed point
+    replays bit-identically), the centrality that counts ALL walks
+    with geometric damping where PageRank normalizes by degree and
+    harmonic centrality counts only shortest paths.  The emitted score
+    is L1-NORMALIZED to 1e12 units ((x * 1e12) div total) so the
+    output stays BIGINT-render-stable at any graph size while the
+    internal accumulation rides DECIMAL(38,0) (Spark) / HUGEINT
+    (oracle) — per-node mass reaches beta * (deg/8)^iters, past BIGINT
+    on dense graphs.
+
+    Shape: the pagerank discipline — edges materialized once, the
+    fixed-iteration loop stays lazy (one DAG, one shuffle per
+    iteration: join + keyed agg), final top-n via one rank window on
+    the |nodes|-row frame.
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    p = materialize(pairs.select("u", "v"))
+    edges = materialize(
+        p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    nodes = edges.select(F.col("u").alias("node")).distinct()
+    kz = nodes.select(
+        "node", F.lit(beta).cast("decimal(38,0)").alias("kz")
+    )
+    for _ in range(iters):
+        kz = (
+            kz.join(edges, kz.node == edges.u)
+            .groupBy(F.col("v").alias("node"))
+            .agg(
+                (
+                    F.lit(beta).cast("decimal(38,0)")
+                    + F.expr("CAST(sum(kz div 8) AS DECIMAL(38,0))")
+                ).alias("kz")
+            )
+        )
+    # the normalization consumes kz twice (total + per-node scale);
+    # without this checkpoint the whole fixed-iteration lineage would
+    # re-run for each consumer
+    kz = materialize(kz)
+    tot = kz.agg(
+        F.expr("CAST(sum(kz) AS DECIMAL(38,0))").alias("t")
+    ).withColumn("__j", F.lit(1))
+    scored = (
+        kz.withColumn("__j", F.lit(1))
+        .join(F.broadcast(tot), "__j")
+        .selectExpr(
+            "node",
+            f"CAST((kz * {KATZ_OUT_SCALE}) div t AS BIGINT) AS katz_scaled",
+        )
+    )
+    w = Window.orderBy(F.desc("katz_scaled"), F.asc("node"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_n)
+        .select("rank", "node", "katz_scaled")
+        .orderBy("rank")
+    )
+
+
+def _q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return katz_centrality(coorder_pairs(_li(spark, sf_dir)))
+
+
+def _katz_oracle(iters: int = KATZ_ITERS, beta: int = KATZ_BETA) -> str:
+    ctes = [
+        _PAIRS_CTE,
+        "edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs)",
+        "nodes AS (SELECT DISTINCT u AS node FROM edges)",
+        f"kz0 AS (SELECT node, CAST({beta} AS HUGEINT) AS kz FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""kz{k} AS (
+      SELECT e.v AS node,
+             CAST({beta} AS HUGEINT) + CAST(sum(p.kz // 8) AS HUGEINT)
+               AS kz
+      FROM kz{k - 1} p JOIN edges e ON e.u = p.node
+      GROUP BY e.v
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    tot AS (SELECT CAST(sum(kz) AS HUGEINT) AS t FROM kz{iters}),
+    scored AS (
+      SELECT node,
+             CAST((kz * {KATZ_OUT_SCALE}) // (SELECT t FROM tot)
+                  AS BIGINT) AS katz_scaled
+      FROM kz{iters}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY katz_scaled DESC, node)
+                AS INT) AS rank,
+           node, katz_scaled
+    FROM scored
+    ORDER BY katz_scaled DESC, node
+    LIMIT 25
+    """
+    )
+
+
+register("graph_katz_centrality", _q_katz, oracle=_katz_oracle())

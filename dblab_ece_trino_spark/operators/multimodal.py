@@ -93,6 +93,10 @@ def decode_image(payload: bytes) -> "object":
         # seam contract is (w, h, rgb); alpha-aware callers use
         # decode_qoi directly
         return w, h, arr[:, :, :3]
+    if payload[:4] == b"\x59\xa6\x6a\x95":
+        # Sun Rasterfile big-endian magic
+        w, h, _channels, arr = decode_sunras(payload)
+        return w, h, arr[:, :, :3]
     if len(payload) >= 128 and payload[0] == 0x0A and payload[2] == 1:
         # ZSoft PCX: manufacturer byte + RLE encoding flag
         w, h, _channels, arr = decode_pcx(payload)
@@ -5737,3 +5741,263 @@ def _audio_normalize_oracle() -> str:
 
 register("multimodal_audio_normalize", _q_audio_normalize,
          oracle=_audio_normalize_oracle())
+
+
+# ----------------------------------------------------- Sun Raster codec
+# Sun Rasterfile (public spec: Sun OS rasterfile(5) man page; the
+# fourteenth native codec): eight BIG-ENDIAN int32 header words (magic
+# 0x59a66a95, width, height, depth, length, type, maptype, maplength),
+# 24-bit pixels in BGR order, every row padded to a 16-bit boundary,
+# and the RT_BYTE_ENCODED (type 2) RLE: 0x80 n v emits n+1 copies of v,
+# 0x80 0x00 emits a literal 0x80 byte, anything else is a literal.
+
+_RAS_MAGIC = 0x59A66A95
+
+
+def encode_sunras(img, rle: bool = False) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit Sun Raster
+    (RT_STANDARD, or RT_BYTE_ENCODED when ``rle``)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.uint8)
+    h, w, ch = arr.shape
+    if ch != 3:
+        raise ValueError("encode_sunras writes 24-bit RGB only")
+    row_len = 3 * w + (3 * w) % 2
+    body = bytearray()
+    for y in range(h):
+        row = arr[y, :, ::-1].reshape(-1).tolist()  # BGR
+        if (3 * w) % 2:
+            row.append(0)
+        body.extend(row)
+    if rle:
+        out = bytearray()
+        i, n = 0, len(body)
+        while i < n:
+            v = body[i]
+            run = 1
+            while i + run < n and body[i + run] == v and run < 256:
+                run += 1
+            if run >= 3 or (v == 0x80 and run >= 2):
+                out += bytes([0x80, run - 1, v])
+                i += run
+            elif v == 0x80:
+                out += bytes([0x80, 0x00])
+                i += 1
+            else:
+                out.append(v)
+                i += 1
+        data, rtype = bytes(out), 2
+    else:
+        data, rtype = bytes(body), 1
+    hdr = struct.pack(
+        ">8i", _RAS_MAGIC, w, h, 24, len(data), rtype, 0, 0
+    )
+    assert row_len * h == len(body)
+    return hdr + data
+
+
+def decode_sunras(payload: bytes) -> "tuple":
+    """Decode a 24-bit RT_STANDARD / RT_BYTE_ENCODED Sun Raster;
+    returns (w, h, 3, ndarray in RGB).  Loud spec checks: magic,
+    depth, colormap, truncation, trailing bytes."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 32:
+        raise ValueError("truncated Sun Raster header")
+    magic, w, h, depth, length, rtype, maptype, maplen = struct.unpack(
+        ">8i", payload[:32]
+    )
+    if magic != _RAS_MAGIC:
+        raise ValueError(f"bad Sun Raster magic 0x{magic & 0xffffffff:08x}")
+    if depth != 24:
+        raise ValueError(f"unsupported Sun Raster depth {depth} (only 24)")
+    if maptype != 0 or maplen != 0:
+        raise ValueError("colormapped Sun Raster is not supported")
+    if rtype not in (1, 2):
+        raise ValueError(f"unsupported Sun Raster type {rtype}")
+    if w <= 0 or h <= 0 or w * h > 50_000_000:
+        raise ValueError(f"implausible Sun Raster dimensions {w}x{h}")
+    row_len = 3 * w + (3 * w) % 2
+    need = row_len * h
+    data = payload[32:]
+    if len(data) != length:
+        raise ValueError(
+            f"Sun Raster length field {length} != {len(data)} data bytes"
+        )
+    if rtype == 1:
+        if len(data) != need:
+            raise ValueError(
+                f"truncated Sun Raster pixels: need {need}, have {len(data)}"
+            )
+        dec = np.frombuffer(data, dtype=np.uint8)
+    else:
+        out = np.empty(need, dtype=np.uint8)
+        i, k, n = 0, 0, len(data)
+        while k < need:
+            if i >= n:
+                raise ValueError(
+                    f"truncated Sun Raster RLE: decoded {k} of {need}"
+                )
+            b = data[i]
+            i += 1
+            if b == 0x80:
+                if i >= n:
+                    raise ValueError("Sun Raster RLE flag without count")
+                cnt = data[i]
+                i += 1
+                if cnt == 0:
+                    out[k] = 0x80
+                    k += 1
+                else:
+                    if i >= n:
+                        raise ValueError("Sun Raster RLE run without value")
+                    v = data[i]
+                    i += 1
+                    end = min(k + cnt + 1, need)
+                    out[k:end] = v
+                    k = end
+            else:
+                out[k] = b
+                k += 1
+        if i != n:
+            raise ValueError(
+                f"{n - i} trailing bytes after Sun Raster pixel data"
+            )
+        dec = out
+    rows = dec.reshape(h, row_len)[:, : 3 * w].reshape(h, w, 3)
+    return w, h, 3, np.ascontiguousarray(rows[:, :, ::-1])
+
+
+_RAS_PARAMS = [
+    # (width, height, rle): odd widths exercise the 16-bit row pad
+    (33, 21, True),
+    (48, 14, False),
+    (27, 25, True),
+    (40, 18, True),
+    (19, 29, False),
+    (56, 11, True),
+]
+_N_RAS = len(_RAS_PARAMS)
+
+
+def _ras_pixel(i: int, x, y, c, w: int, h: int):
+    """Fixture formula (vectorizable AND SQL-replayable): vertical
+    quarters — constant band (long runs incl. 0x80-valued pixels),
+    2-px stripes (short runs), diagonal gradient, fine checker."""
+    import numpy as np
+
+    band0 = (0x80 if i % 2 == 0 else (37 * i + 11 * c) % 256)
+    band1 = ((y // 2) * 23 + 7 * c + 3 * i) % 256
+    band2 = (4 * x + 5 * y + 13 * c + 9 * i) % 256
+    band3 = ((x + y) % 2) * 191 + 6 * c + i
+    b = (4 * x) // w
+    return np.where(
+        b == 0, band0,
+        np.where(b == 1, band1, np.where(b == 2, band2, band3 % 256)),
+    )
+
+
+def _ras_payloads(spark: SparkSession, n: int = _N_RAS) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h, rle = _RAS_PARAMS[i]
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.empty((h, w, 3), dtype=np.uint8)
+                for c in range(3):
+                    img[:, :, c] = _ras_pixel(i, xx, yy, c, w, h).astype(
+                        np.uint8
+                    )
+                rows.append((i, encode_sunras(img, rle=rle)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+
+
+def sunras_pixel_stats(media: DataFrame) -> DataFrame:
+    """Decode Sun Raster payloads; the QOI/TGA/PCX stats shape (exact
+    channel sums + y-weighted green / x-weighted blue — a BGR-order or
+    row-pad bug flips them loudly)."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, arr = decode_sunras(bytes(payload))
+                a = arr.astype(np.int64)
+                yw = np.arange(h, dtype=np.int64)[:, None]
+                xw = np.arange(w, dtype=np.int64)[None, :]
+                out.append(
+                    (
+                        int(mid), w, h, ch,
+                        int(a[:, :, 0].sum()), int(a[:, :, 1].sum()),
+                        int(a[:, :, 2].sum()), 255 * w * h,
+                        int((a[:, :, 1] * yw).sum()),
+                        int((a[:, :, 2] * xw).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "channels",
+                    "sum_r", "sum_g", "sum_b", "sum_a", "ysum_g", "xsum_b",
+                ],
+            )
+
+    return media.mapInPandas(stats, _QOI_STATS_SCHEMA)
+
+
+def _q_sunras_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sunras_pixel_stats(_ras_payloads(spark)).orderBy("media_id")
+
+
+def _sunras_oracle() -> str:
+    rows = ", ".join(
+        f"({i}, {w}, {h})" for i, (w, h, _rle) in enumerate(_RAS_PARAMS)
+    )
+    return f"""
+    WITH params(media_id, w, h) AS (VALUES {rows}),
+    px AS (
+      SELECT media_id, w, h, x, y, c,
+             CASE (4 * x) // w
+               WHEN 0 THEN CASE WHEN media_id % 2 = 0 THEN 128
+                                ELSE (37 * media_id + 11 * c) % 256 END
+               WHEN 1 THEN ((y // 2) * 23 + 7 * c + 3 * media_id) % 256
+               WHEN 2 THEN (4 * x + 5 * y + 13 * c + 9 * media_id) % 256
+               ELSE (((x + y) % 2) * 191 + 6 * c + media_id) % 256
+             END AS v
+      FROM params,
+           unnest(generate_series(0, w - 1)) AS gx(x),
+           unnest(generate_series(0, h - 1)) AS gy(y),
+           unnest(generate_series(0, 2)) AS gc(c)
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(any_value(w) AS INT) AS width,
+           CAST(any_value(h) AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+           CAST(255 * any_value(w) * any_value(h) AS BIGINT) AS sum_a,
+           CAST(sum(CASE WHEN c = 1 THEN y * v ELSE 0 END) AS BIGINT)
+             AS ysum_g,
+           CAST(sum(CASE WHEN c = 2 THEN x * v ELSE 0 END) AS BIGINT)
+             AS xsum_b
+    FROM px
+    GROUP BY media_id
+    ORDER BY media_id
+    """
+
+
+register("multimodal_sunras_decode", _q_sunras_decode,
+         oracle=_sunras_oracle())

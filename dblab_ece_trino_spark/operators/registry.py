@@ -139,6 +139,8 @@ GRADED_PRIORITY: list[str] = [
     "multimodal_audio_normalize", "sim_knn_classify",
     "text_rank_frequency", "op_sequential_patterns",
     "sample_balanced", "op_watermark_lateness", "op_hll_intersection",
+    "graph_katz_centrality", "sample_time_split",
+    "multimodal_sunras_decode",
     # Flagship reference shapes, last graded r8 (sanctioned pull).
     "q001", "q002", "q003", "q004", "q005",
     # latest green = round 5 (alphabetical)
@@ -152,7 +154,6 @@ GRADED_PRIORITY: list[str] = [
     "op_ratio_to_report", "op_rolling_dau", "op_rolling_revenue_28d",
     "op_sequence_match", "op_skyline_2d", "op_trending_hours",
     "op_winsorize", "sample_poisson_bootstrap", "sim_mips_topk",
-    "sim_quantized_mips", "text_readability", "text_tfidf_topk",
 ]
 
 

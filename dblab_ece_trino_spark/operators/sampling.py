@@ -936,3 +936,81 @@ def _balanced_oracle() -> str:
 
 
 register("sample_balanced", _q_sample_balanced, oracle=_balanced_oracle())
+
+
+# ---------------------------------------------- temporal split + leakage
+def _register_time_split() -> None:
+    """Time-based train/test split with a leakage audit — the
+    evaluation-hygiene primitive for anything trained on user events
+    (forecasting, next-event prediction, churn): split the log at the
+    80% point of the CALENDAR span (cutoff_day = min_day + floor(0.8 *
+    span) — exact integers from one min/max aggregate, no global rank
+    anywhere), then report, alongside the per-side event/user counts,
+    the USER LEAKAGE: users active on both sides of the cutoff.  A
+    random per-event split leaks every multi-event user's behavior
+    into test; the time split is the fix, and users_both quantifies
+    what a per-user holdout would additionally need to remove.
+
+    One fact scan for the span scalars (2-row aggregate), one
+    DISTINCT (user, side) reduction, one rollup — all map-side
+    combinable, no windows, no joins of the event stream against
+    itself.  Identical SQL both engines (date arithmetic in whole
+    days via epoch-day integers).
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    tpl = """
+    WITH span AS (
+      SELECT min({epoch_day}) AS d0, max({epoch_day}) AS d1
+      FROM {events}
+    ),
+    cut AS (
+      SELECT d0, d1, d0 + (8 * (d1 - d0)) {idiv} 10 AS cutoff FROM span
+    ),
+    tagged AS (
+      SELECT e.user_id,
+             CASE WHEN {epoch_day_e} <= c.cutoff THEN 0 ELSE 1 END AS side
+      FROM {events} e CROSS JOIN cut c
+    ),
+    ev AS (
+      SELECT side, CAST(count(*) AS BIGINT) AS n_events
+      FROM tagged GROUP BY side
+    ),
+    us AS (
+      SELECT user_id,
+             max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS in_train,
+             max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS in_test
+      FROM tagged GROUP BY user_id
+    ),
+    uroll AS (
+      SELECT CAST(sum(in_train) AS BIGINT) AS users_train,
+             CAST(sum(in_test) AS BIGINT) AS users_test,
+             CAST(sum(in_train * in_test) AS BIGINT) AS users_both,
+             CAST(count(*) AS BIGINT) AS users_total
+      FROM us
+    )
+    SELECT c.cutoff AS cutoff_epoch_day,
+           (SELECT n_events FROM ev WHERE side = 0) AS n_train,
+           (SELECT n_events FROM ev WHERE side = 1) AS n_test,
+           u.users_train, u.users_test, u.users_both, u.users_total,
+           CAST(u.users_both * 1000000 {idiv} u.users_total AS BIGINT)
+             AS leak_ppm
+    FROM cut c CROSS JOIN uroll u
+    """
+    spark_day = "datediff(CAST({col} AS DATE), DATE '1970-01-01')"
+    duck_day = "datediff('day', DATE '1970-01-01', CAST({col} AS DATE))"
+    spark_sql = (
+        tpl.replace("{epoch_day_e}", spark_day.format(col="e.ts"))
+        .replace("{epoch_day}", spark_day.format(col="ts"))
+        .replace("{idiv}", "div")
+    ).format(**_SPARK_TABLES)
+    oracle_sql = (
+        tpl.replace("{epoch_day_e}", duck_day.format(col="e.ts"))
+        .replace("{epoch_day}", duck_day.format(col="ts"))
+        .replace("{idiv}", "//")
+    ).format(**_ORACLE_TABLES)
+    register_sql("sample_time_split", spark_sql, oracle_sql)
+
+
+_register_time_split()

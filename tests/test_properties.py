@@ -441,3 +441,28 @@ def test_pcx_roundtrip_property(w, h, seed):
     rw, rh, rch, arr = decode_pcx(encode_pcx(img))
     assert (rw, rh, rch) == (w, h, 3)
     assert np.array_equal(arr, img)
+
+
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 14),
+    rle=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_sunras_roundtrip_property(w, h, rle, seed):
+    """encode_sunras -> decode_sunras is the identity for every shape,
+    both record types, and random content (random 0x80 bytes stress
+    the literal-escape rule; odd widths stress the 16-bit row pad)."""
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_sunras,
+        encode_sunras,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    rw, rh, rch, arr = decode_sunras(encode_sunras(img, rle=rle))
+    assert (rw, rh, rch) == (w, h, 3)
+    assert np.array_equal(arr, img)

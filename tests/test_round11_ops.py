@@ -737,3 +737,163 @@ def test_hll_intersection_matches_pure_python():
     assert got[11] == len(A) + len(B) - len(U)
     # estimate sanity: within 25% of exact (m=256 -> ~6.5% typical)
     assert abs(got[4] - len(A)) / len(A) < 0.25
+
+
+def test_katz_hand_graph(spark):
+    """Katz on a hand graph equals an explicit integer recursion
+    (per-edge floor division, L1-normalized finish)."""
+    from dblab_ece_trino_spark.operators.graph import (
+        KATZ_BETA,
+        KATZ_ITERS,
+        KATZ_OUT_SCALE,
+        katz_centrality,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (2, 4)]
+    pairs = spark.createDataFrame(edges, "u long, v long")
+    got = {r.node: r.katz_scaled
+           for r in katz_centrality(pairs, top_n=10).collect()}
+
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    kz = {n: KATZ_BETA for n in adj}
+    for _ in range(KATZ_ITERS):
+        kz = {
+            n: KATZ_BETA + sum(kz[m] // 8 for m in adj[n]) for n in adj
+        }
+    tot = sum(kz.values())
+    want = {n: kz[n] * KATZ_OUT_SCALE // tot for n in adj}
+    assert got == want
+    # node 2 (degree 3, central) outranks the leaf nodes 1
+    assert got[2] > got[1] and got[3] > got[1]
+
+
+def test_time_split_matches_pure_python():
+    """The sample_time_split oracle must equal an independent
+    pure-Python evaluator at sf0.001, and the split invariants must
+    hold (counts partition, leakage bounded by min side)."""
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    got = con.execute(oracle_queries()["sample_time_split"]).fetchall()[0]
+    rows = con.execute(
+        "SELECT user_id, datediff('day', DATE '1970-01-01',"
+        " CAST(ts AS DATE)) FROM events"
+    ).fetchall()
+    d0, d1 = min(d for _u, d in rows), max(d for _u, d in rows)
+    cutoff = d0 + (8 * (d1 - d0)) // 10
+    train = [(u, d) for u, d in rows if d <= cutoff]
+    test = [(u, d) for u, d in rows if d > cutoff]
+    ut = {u for u, _d in train}
+    ue = {u for u, _d in test}
+    want = (
+        cutoff, len(train), len(test), len(ut), len(ue),
+        len(ut & ue), len(ut | ue),
+        len(ut & ue) * 1_000_000 // len(ut | ue),
+    )
+    assert got == want
+    assert got[1] + got[2] == len(rows)
+    assert got[5] <= min(got[3], got[4])
+
+
+def test_sunras_hand_built_stream_decodes():
+    """Decode a hand-WRITTEN RT_BYTE_ENCODED stream (runs, literal
+    0x80 escape, row pad) — pins the decoder independently of the
+    encoder."""
+    import struct
+
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import decode_sunras
+
+    # 3x2, 24-bit, row_len = 10 (9 + 1 pad)
+    body = bytes([
+        # row 0: BGR triplets (5,4,3) (8,7,6) (0x80,9,1) + pad 0 ->
+        # bytes: 5 4 3 8 7 6 80 9 1 0
+        5, 4, 3, 8, 7, 6, 0x80, 0x00, 9, 1, 0,
+        # row 1: all-2 run of 9 + pad 0 -> 0x80 8 2, then literal 0
+        0x80, 8, 2, 0,
+    ])
+    hdr = struct.pack(">8i", 0x59A66A95, 3, 2, 24, len(body), 2, 0, 0)
+    w, h, ch, arr = decode_sunras(hdr + body)
+    assert (w, h, ch) == (3, 2, 3)
+    want = np.array(
+        [[[3, 4, 5], [6, 7, 8], [1, 9, 0x80]],
+         [[2, 2, 2], [2, 2, 2], [2, 2, 2]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(arr, want)
+
+
+def test_sunras_error_contracts_and_fixtures(spark):
+    """Loud errors on bad magic / depth / truncation / length-field
+    mismatch; fixture payloads decode identically through an
+    independent pure-Python RLE walker."""
+    import struct
+
+    import numpy as np
+    import pytest as _pt
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _RAS_PARAMS,
+        _ras_payloads,
+        decode_sunras,
+        encode_sunras,
+    )
+
+    img = np.arange(4 * 6 * 3, dtype=np.int64).astype(np.uint8).reshape(
+        4, 6, 3
+    )
+    payload = encode_sunras(img, rle=True)
+    with _pt.raises(ValueError, match="magic"):
+        decode_sunras(b"\x00" * 4 + payload[4:])
+    with _pt.raises(ValueError, match="depth"):
+        bad = bytearray(payload)
+        bad[12:16] = struct.pack(">i", 8)
+        decode_sunras(bytes(bad))
+    with _pt.raises(ValueError, match="length field"):
+        decode_sunras(payload[:-2])
+    with _pt.raises(ValueError, match="header"):
+        decode_sunras(payload[:20])
+
+    def pure_decode(p):
+        magic, w, h, depth, length, rtype, mt, ml = struct.unpack(
+            ">8i", p[:32]
+        )
+        data = p[32:]
+        row_len = 3 * w + (3 * w) % 2
+        if rtype == 1:
+            out = list(data)
+        else:
+            out, i = [], 0
+            while i < len(data):
+                b = data[i]; i += 1
+                if b == 0x80:
+                    cnt = data[i]; i += 1
+                    if cnt == 0:
+                        out.append(0x80)
+                    else:
+                        v = data[i]; i += 1
+                        out.extend([v] * (cnt + 1))
+                else:
+                    out.append(b)
+        img = [[[out[y * row_len + 3 * x + (2 - c)] for c in range(3)]
+                for x in range(w)] for y in range(h)]
+        return w, h, img
+
+    rows = _ras_payloads(spark).collect()
+    assert len(rows) == len(_RAS_PARAMS)
+    for r in rows:
+        w, h, img = pure_decode(bytes(r.payload))
+        w2, h2, _ch, arr = decode_sunras(bytes(r.payload))
+        assert (w, h) == (w2, h2)
+        assert np.array_equal(arr, np.array(img, dtype=np.uint8))
