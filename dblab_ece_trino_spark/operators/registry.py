@@ -123,12 +123,13 @@ ROTATION_RETIRED: frozenset = frozenset({
     "dedup_ngram_jaccard",
 })
 
-# ROUND-11 WINDOW: q001-q005 first (flagship-shape freshness pull,
-# r8-latest — the one-line exception the round-10 verdict sanctions
-# ahead of the alphabetical tie-break), then the r5-latest cohort
-# (43 entries) and the head of the r6 cohort to fill 50.  NEW round-11
-# ops are inserted at the head as they land, each displacing one entry
-# from the tail (displaced entries head the round-12 queue).
+# ROUND-11 WINDOW (final form): the 16 never-graded round-11 ops,
+# then q001-q005 (flagship-shape freshness pull, r8-latest — the
+# one-line exception the round-10 verdict sanctions ahead of the
+# alphabetical tie-break), then the alphabetical head of the r5-latest
+# cohort (29 of 44 seats; each new op displaced one r5 tail entry as
+# it landed).  ROUND-12 QUEUE, pre-derived: the 15 displaced r5
+# entries alphabetically, then the r6 cohort; window_check prints it.
 # Verify any window rewrite mechanically:
 #   PYTHONPATH=. python3 scripts/window_check.py
 GRADED_PRIORITY: list[str] = [
