@@ -292,6 +292,12 @@ HEADLINE = [
     # ... the Sun Raster codec (fourteenth native format: big-endian
     # header, BGR order, 16-bit row pad, RT_BYTE_ENCODED RLE)
     "multimodal_sunras_decode",
+    # ... chi-square vocabulary drift monitor (cross-multiplied
+    # HUGEINT/DECIMAL(38,0) contingency statistic, distributed top-k)
+    "text_vocab_drift",
+    # ... degree-distribution audit (power-of-two buckets, exact
+    # endpoint shares, the sum-deg^2 wedge-cost scalar)
+    "graph_degree_distribution",
 ]
 
 

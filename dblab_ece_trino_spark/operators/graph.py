@@ -1518,3 +1518,105 @@ def _katz_oracle(iters: int = KATZ_ITERS, beta: int = KATZ_BETA) -> str:
 
 
 register("graph_katz_centrality", _q_katz, oracle=_katz_oracle())
+
+
+# ------------------------------------------- degree distribution audit
+def degree_distribution(pairs: DataFrame) -> DataFrame:
+    """Graph-health audit: the degree histogram in power-of-two
+    buckets plus each bucket's exact share of total edge endpoints —
+    the one-page diagnostic that decides whether a graph needs
+    skew-mitigation (super-node capping, salting) BEFORE any wedge- or
+    path-shaped operator runs on it (the wedge cost is sum deg^2, and
+    this table is where that sum lives).
+
+    One keyed degree count, one CASE-ladder bucket assignment, one
+    bounded aggregate (<= ~12 bucket rows at any graph size); shares
+    in exact ppm by integer floor division.
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    p = materialize(pairs.select("u", "v"))
+    adj = p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # materialized: the totals branch and the bucket rollup both read
+    # the |nodes|-row degree frame — unmaterialized, each would re-run
+    # the edge scan + degree shuffle
+    deg = materialize(
+        adj.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
+    )
+    bucket = F.expr(
+        "CASE WHEN deg = 1 THEN 0 WHEN deg = 2 THEN 1"
+        " WHEN deg <= 4 THEN 2 WHEN deg <= 8 THEN 3"
+        " WHEN deg <= 16 THEN 4 WHEN deg <= 32 THEN 5"
+        " WHEN deg <= 64 THEN 6 WHEN deg <= 128 THEN 7"
+        " WHEN deg <= 256 THEN 8 WHEN deg <= 512 THEN 9"
+        " WHEN deg <= 1024 THEN 10 ELSE 11 END"
+    )
+    tot = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes_t"),
+        F.sum("deg").cast("long").alias("endpoints_t"),
+        F.sum(F.expr("deg * deg")).cast("long").alias("sum_deg2_t"),
+    ).withColumn("__j", F.lit(1))
+    return (
+        deg.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("deg").cast("long").alias("min_deg"),
+            F.max("deg").cast("long").alias("max_deg"),
+            F.sum("deg").cast("long").alias("endpoints"),
+        )
+        .withColumn("__j", F.lit(1))
+        .join(F.broadcast(tot), "__j")
+        .selectExpr(
+            "bucket", "n_nodes", "min_deg", "max_deg", "endpoints",
+            "CAST(endpoints * 1000000 div endpoints_t AS BIGINT)"
+            " AS endpoint_ppm",
+            "sum_deg2_t",
+        )
+        .orderBy("bucket")
+    )
+
+
+def _q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return degree_distribution(coorder_pairs(_li(spark, sf_dir)))
+
+
+register(
+    "graph_degree_distribution",
+    _q_degree_distribution,
+    oracle=f"""
+    WITH {_PAIRS_CTE},
+    adj AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM adj GROUP BY u),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes_t,
+             CAST(sum(deg) AS BIGINT) AS endpoints_t,
+             CAST(sum(deg * deg) AS BIGINT) AS sum_deg2_t
+      FROM deg
+    ),
+    b AS (
+      SELECT CASE WHEN deg = 1 THEN 0 WHEN deg = 2 THEN 1
+                  WHEN deg <= 4 THEN 2 WHEN deg <= 8 THEN 3
+                  WHEN deg <= 16 THEN 4 WHEN deg <= 32 THEN 5
+                  WHEN deg <= 64 THEN 6 WHEN deg <= 128 THEN 7
+                  WHEN deg <= 256 THEN 8 WHEN deg <= 512 THEN 9
+                  WHEN deg <= 1024 THEN 10 ELSE 11 END AS bucket,
+             deg
+      FROM deg
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(deg) AS BIGINT) AS min_deg,
+           CAST(max(deg) AS BIGINT) AS max_deg,
+           CAST(sum(deg) AS BIGINT) AS endpoints,
+           CAST(sum(deg) * 1000000 // (SELECT endpoints_t FROM tot)
+                AS BIGINT) AS endpoint_ppm,
+           (SELECT sum_deg2_t FROM tot) AS sum_deg2_t
+    FROM b
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)

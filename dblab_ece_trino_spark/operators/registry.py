@@ -141,7 +141,8 @@ GRADED_PRIORITY: list[str] = [
     "text_rank_frequency", "op_sequential_patterns",
     "sample_balanced", "op_watermark_lateness", "op_hll_intersection",
     "graph_katz_centrality", "sample_time_split",
-    "multimodal_sunras_decode",
+    "multimodal_sunras_decode", "text_vocab_drift",
+    "graph_degree_distribution",
     # Flagship reference shapes, last graded r8 (sanctioned pull).
     "q001", "q002", "q003", "q004", "q005",
     # latest green = round 5 (alphabetical)
@@ -154,7 +155,7 @@ GRADED_PRIORITY: list[str] = [
     "op_event_trigrams", "op_hll_rollup", "op_rate_limit",
     "op_ratio_to_report", "op_rolling_dau", "op_rolling_revenue_28d",
     "op_sequence_match", "op_skyline_2d", "op_trending_hours",
-    "op_winsorize", "sample_poisson_bootstrap", "sim_mips_topk",
+    "op_winsorize",
 ]
 
 

@@ -1561,3 +1561,145 @@ register(
     ORDER BY c.source, rank
     """,
 )
+
+
+# ------------------------------------------------ vocabulary drift (chi2)
+def vocab_drift(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus drift monitor: split the corpus into two halves at the
+    midpoint of the doc_id range (one min/max aggregate — the
+    time_split trick; in production the split key is the ingest date)
+    and rank words by the two-proportion chi-square statistic of their
+    usage between halves — the standard drift detector a training-data
+    pipeline runs between crawls before deciding to re-mix.
+
+    Exactness: the full 2x2-contingency chi-square rides a single
+    cross-multiplied integer expression — chi2_e3 = floor(1e3 * N *
+    (O1*N2 - O2*N1)^2 / ((O1+O2) * (N-O1-O2) * N1 * N2)) — in
+    DECIMAL(38,0) (Spark) / HUGEINT (oracle), no IEEE anywhere, so the
+    ranking and the top-n cut replay bit-identically (bounds: the
+    numerator peaks ~1e33 at the 100x Zipf corpus, inside both
+    types).  Words below ``min_count`` total occurrences are pruned
+    first (chi-square validity floor).
+
+    Shape: ONE scan into a (word, half) count (map-side combinable),
+    totals broadcast, per-word arithmetic, then a DISTRIBUTED top-n
+    (orderBy + limit compiles to TakeOrderedAndProject — no
+    single-partition window over the vocabulary) with the rank column
+    added over the n-row survivor frame.
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    span = docs.agg(
+        F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1")
+    ).withColumn("__j", F.lit(1))
+    words = (
+        docs.withColumn("__j", F.lit(1))
+        .join(F.broadcast(span), "__j")
+        .select(
+            F.expr("CASE WHEN doc_id <= (d0 + d1) div 2 THEN 0 ELSE 1 END")
+            .alias("half"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.length("w") >= 1)
+    )
+    wc = materialize(
+        words.groupBy("w").agg(
+            F.sum(F.expr("CASE WHEN half = 0 THEN 1 ELSE 0 END"))
+            .cast("long").alias("o1"),
+            F.sum(F.expr("CASE WHEN half = 1 THEN 1 ELSE 0 END"))
+            .cast("long").alias("o2"),
+        )
+    )
+    tot = wc.agg(
+        F.sum("o1").cast("long").alias("n1"),
+        F.sum("o2").cast("long").alias("n2"),
+    ).withColumn("__j", F.lit(1))
+    scored = (
+        wc.filter(F.col("o1") + F.col("o2") >= min_count)
+        .withColumn("__j", F.lit(1))
+        .join(F.broadcast(tot), "__j")
+        .selectExpr(
+            "w AS word", "o1", "o2",
+            """CAST((1000 * CAST(n1 + n2 AS DECIMAL(38,0))
+                     * (CAST(o1 AS DECIMAL(38,0)) * n2
+                        - CAST(o2 AS DECIMAL(38,0)) * n1)
+                     * (CAST(o1 AS DECIMAL(38,0)) * n2
+                        - CAST(o2 AS DECIMAL(38,0)) * n1))
+                div (CAST(o1 + o2 AS DECIMAL(38,0))
+                     * (CAST(n1 + n2 AS DECIMAL(38,0)) - o1 - o2)
+                     * CAST(n1 AS DECIMAL(38,0)) * n2)
+               AS BIGINT) AS chi2_e3""",
+        )
+    )
+    top = scored.orderBy(
+        F.desc("chi2_e3"), F.asc("word")
+    ).limit(top_n)
+    w = Window.orderBy(F.desc("chi2_e3"), F.asc("word"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "word", "o1", "o2", "chi2_e3")
+        .orderBy("rank")
+    )
+
+
+def _q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.operators.llmprep import _docs as _ldocs
+
+    return vocab_drift(_ldocs(spark, sf_dir))
+
+
+register(
+    "text_vocab_drift",
+    _q_vocab_drift,
+    oracle="""
+    WITH span AS (SELECT min(doc_id) AS d0, max(doc_id) AS d1
+                  FROM documents),
+    words AS (
+      SELECT CASE WHEN doc_id <= (s.d0 + s.d1) // 2 THEN 0 ELSE 1 END
+               AS half,
+             w
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                     AS w
+            FROM documents) t CROSS JOIN span s
+      WHERE len(w) >= 1
+    ),
+    wc AS (
+      SELECT w,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS o1,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS o2
+      FROM words GROUP BY w
+    ),
+    tot AS (
+      SELECT CAST(sum(o1) AS BIGINT) AS n1, CAST(sum(o2) AS BIGINT) AS n2
+      FROM wc
+    ),
+    scored AS (
+      SELECT w AS word, o1, o2,
+             CAST((1000 * CAST(n1 + n2 AS HUGEINT)
+                    * (CAST(o1 AS HUGEINT) * n2 - CAST(o2 AS HUGEINT) * n1)
+                    * (CAST(o1 AS HUGEINT) * n2 - CAST(o2 AS HUGEINT) * n1))
+                  // (CAST(o1 + o2 AS HUGEINT)
+                      * (CAST(n1 + n2 AS HUGEINT) - o1 - o2)
+                      * CAST(n1 AS HUGEINT) * n2)
+               AS BIGINT) AS chi2_e3
+      FROM wc CROSS JOIN tot
+      WHERE o1 + o2 >= 5
+    )
+    SELECT CAST(row_number() OVER (ORDER BY chi2_e3 DESC, word) AS INT)
+             AS rank,
+           word, o1, o2, chi2_e3
+    FROM scored
+    ORDER BY chi2_e3 DESC, word
+    LIMIT 20
+    """,
+)

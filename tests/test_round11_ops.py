@@ -897,3 +897,106 @@ def test_sunras_error_contracts_and_fixtures(spark):
         w2, h2, _ch, arr = decode_sunras(bytes(r.payload))
         assert (w, h) == (w2, h2)
         assert np.array_equal(arr, np.array(img, dtype=np.uint8))
+
+
+def test_vocab_drift_matches_pure_python():
+    """The text_vocab_drift oracle must equal an independent
+    pure-Python evaluator (Counter halves, exact Fraction-free
+    chi-square, explicit tie ordering) at sf0.001."""
+    import re
+
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    got = [
+        tuple(r)
+        for r in con.execute(oracle_queries()["text_vocab_drift"]).fetchall()
+    ]
+    docs = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    d0 = min(d for d, _t in docs)
+    d1 = max(d for d, _t in docs)
+    cut = (d0 + d1) // 2
+    from collections import Counter
+
+    c1: Counter = Counter()
+    c2: Counter = Counter()
+    for d, t in docs:
+        (c1 if d <= cut else c2).update(
+            w for w in re.split(r"\s+", t.strip().lower()) if w
+        )
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    scored = []
+    for w in set(c1) | set(c2):
+        o1, o2 = c1.get(w, 0), c2.get(w, 0)
+        if o1 + o2 < 5:
+            continue
+        num = 1000 * (n1 + n2) * (o1 * n2 - o2 * n1) ** 2
+        den = (o1 + o2) * (n1 + n2 - o1 - o2) * n1 * n2
+        scored.append((w, o1, o2, num // den))
+    scored.sort(key=lambda t: (-t[3], t[0]))
+    want = [
+        (r, w, o1, o2, chi) for r, (w, o1, o2, chi)
+        in enumerate(scored[:20], start=1)
+    ]
+    assert got == want
+    assert got[0][4] >= got[-1][4] > 0
+
+
+def test_degree_distribution_matches_pure_python():
+    """The graph_degree_distribution oracle must equal an independent
+    pure-Python evaluator, and the shares/totals must reconcile."""
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf}/lineitem.parquet')"
+    )
+    got = [
+        tuple(r)
+        for r in con.execute(
+            oracle_queries()["graph_degree_distribution"]
+        ).fetchall()
+    ]
+    pairs = con.execute("""
+        SELECT a.l_partkey, b.l_partkey
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    """).fetchall()
+    deg: dict = {}
+    for u, v in pairs:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    import math
+
+    def bucket(d):
+        return 0 if d == 1 else min(int(math.ceil(math.log2(d))), 11)
+
+    rolls: dict = {}
+    for d in deg.values():
+        b = bucket(d)
+        lo, hi, n, ep = rolls.get(b, (None, None, 0, 0))
+        rolls[b] = (
+            d if lo is None else min(lo, d),
+            d if hi is None else max(hi, d),
+            n + 1, ep + d,
+        )
+    tot_ep = sum(deg.values())
+    sum_d2 = sum(d * d for d in deg.values())
+    want = [
+        (b, n, lo, hi, ep, ep * 1_000_000 // tot_ep, sum_d2)
+        for b, (lo, hi, n, ep) in sorted(rolls.items())
+    ]
+    assert got == want
+    assert sum(r[4] for r in got) == tot_ep
