@@ -97,8 +97,19 @@ def decode_image(payload: bytes) -> "object":
         # Sun Rasterfile big-endian magic
         w, h, _channels, arr = decode_sunras(payload)
         return w, h, arr[:, :, :3]
-    if len(payload) >= 128 and payload[0] == 0x0A and payload[2] == 1:
-        # ZSoft PCX: manufacturer byte + RLE encoding flag
+    if (
+        len(payload) >= 128
+        and payload[0] == 0x0A
+        and payload[1] in (0, 2, 3, 4, 5)
+        and payload[2] == 1
+        and payload[3] == 8
+    ):
+        # ZSoft PCX: manufacturer byte + known version + RLE encoding
+        # flag + 8 bits/plane (the only depth decode_pcx accepts).
+        # The version/depth checks keep a spec-valid color-mapped TGA
+        # (type 1, 10-byte ID field — byte pattern 0x0A ?? 0x01) from
+        # being misrouted here; such a TGA falls through to the footer
+        # check below.
         w, h, _channels, arr = decode_pcx(payload)
         return w, h, arr[:, :, :3]
     if len(payload) >= 26 and payload[-18:] == b"TRUEVISION-XFILE.\x00":

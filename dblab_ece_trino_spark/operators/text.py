@@ -1581,10 +1581,19 @@ def vocab_drift(
     cross-multiplied integer expression — chi2_e3 = floor(1e3 * N *
     (O1*N2 - O2*N1)^2 / ((O1+O2) * (N-O1-O2) * N1 * N2)) — in
     DECIMAL(38,0) (Spark) / HUGEINT (oracle), no IEEE anywhere, so the
-    ranking and the top-n cut replay bit-identically (bounds: the
-    numerator peaks ~1e33 at the 100x Zipf corpus, inside both
-    types).  Words below ``min_count`` total occurrences are pruned
-    first (chi-square validity floor).
+    ranking and the top-n cut replay bit-identically inside an
+    EXPLICIT magnitude ceiling: the numerator is bounded by
+    1e3 * N * (s * N^2 / 4)^2 for a head word holding share s of its
+    half, so with s ~ 0.05 it crosses DECIMAL(38,0) (1e38) around
+    N ~ 2e8 tokens per corpus and HUGEINT (1.7e38) just after.  At the
+    100x Zipf corpus it peaks ~1e33 — comfortable; past the ceiling
+    BOTH engines fail loud rather than diverge (this session runs
+    Spark ANSI mode, so decimal overflow raises, as does DuckDB's
+    HUGEINT overflow).  A >2e8-token deployment would shard the drift
+    monitor by ingest window (the production split key) before the
+    per-word frame ever sees a corpus that big.  Words below
+    ``min_count`` total occurrences are pruned first (chi-square
+    validity floor).
 
     Shape: ONE scan into a (word, half) count (map-side combinable),
     totals broadcast, per-word arithmetic, then a DISTRIBUTED top-n

@@ -1,0 +1,145 @@
+"""Round-12 operator tests: ADVICE regressions + new graded ops.
+
+Every new graded operator gets (a) a hand-input equivalence test
+against an independent pure-Python re-derivation and (b) where the op
+fixed a numeric seam, an expression-level regression pinning the seam.
+"""
+import pytest
+
+
+# ------------------------------------------------------- katz overflow
+def test_katz_floor_div_exact_past_long(spark):
+    """ADVICE r11 (medium): `kz div 8` routed through IntegralDivide,
+    which casts to LONG and silently wraps past ~9.2e18.  The fixed
+    per-edge term FLOOR(kz/8) must stay exact in decimal space."""
+    df = spark.sql(
+        "SELECT CAST('100000000000000000000000000000000' AS "
+        "DECIMAL(38,0)) AS kz"
+    )
+    got = df.selectExpr(
+        "CAST(sum(FLOOR(kz / 8)) AS DECIMAL(38,0)) AS term"
+    ).collect()[0].term
+    assert int(got) == 10**32 // 8
+
+
+def test_katz_dense_graph_past_bigint(spark):
+    """Katz on K_17 with beta=1e18 drives per-node mass to ~3.1e19 —
+    past the LONG wrap threshold where the pre-fix `div` form silently
+    diverged from the HUGEINT oracle.  Must equal the exact integer
+    recursion."""
+    from dblab_ece_trino_spark.operators.graph import (
+        KATZ_ITERS,
+        KATZ_OUT_SCALE,
+        katz_centrality,
+    )
+
+    n = 17
+    beta = 10**18
+    edges = [(u, v) for u in range(n) for v in range(u + 1, n)]
+    pairs = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        r.node: r.katz_scaled
+        for r in katz_centrality(pairs, beta=beta, top_n=n).collect()
+    }
+
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    kz = {m: beta for m in adj}
+    for _ in range(KATZ_ITERS):
+        kz = {m: beta + sum(kz[w] // 8 for w in adj[m]) for m in adj}
+    # the recursion must actually be in the past-BIGINT regime,
+    # else this test stops guarding the wrap
+    assert max(kz.values()) > 2**63 - 1
+    tot = sum(kz.values())
+    want = {m: kz[m] * KATZ_OUT_SCALE // tot for m in adj}
+    assert got == want
+
+
+# ------------------------------------------- capped-witness RA index
+def test_link_prediction_witness_cap(spark):
+    """The round-12 capped form: witnesses with deg(z) > cap generate
+    no wedges, but the 1/deg(z) term of surviving witnesses keeps the
+    TRUE degree.  Re-derived in pure Python on a hand graph where the
+    cap actually bites (hub 5 has degree 3 > cap 2)."""
+    import itertools
+
+    from dblab_ece_trino_spark.operators.graph import link_prediction_ra
+
+    edges = [(1, 2), (2, 3), (3, 4), (5, 1), (5, 3), (5, 4)]
+    pairs = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        (r.a, r.b): (r.n_common, r.ra_e6)
+        for r in link_prediction_ra(
+            pairs, top_n=100, max_witness_deg=2
+        ).collect()
+    }
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    deg = {n: len(s) for n, s in adj.items()}
+    want = {}
+    for a, b in itertools.combinations(sorted(deg), 2):
+        if b in adj[a]:
+            continue
+        witnesses = {z for z in adj[a] & adj[b] if deg[z] <= 2}
+        if not witnesses:
+            continue
+        want[(a, b)] = (
+            len(witnesses),
+            sum(1_000_000 // deg[z] for z in witnesses),
+        )
+    assert got == want
+    # the cap must actually have bitten on this graph, else the test
+    # stops guarding the capped path
+    full = {
+        (r.a, r.b)
+        for r in link_prediction_ra(
+            pairs, top_n=100, max_witness_deg=None
+        ).collect()
+    }
+    assert set(got) != full
+
+
+# ------------------------------------------------- PCX/TGA dispatch
+def test_colormapped_tga_not_misrouted_to_pcx():
+    """ADVICE r11 (low): a spec-valid color-mapped TGA (image type 1)
+    with a 10-byte ID field starts 0x0A ?? 0x01 — the old PCX
+    heuristic (payload[0]==0x0A and payload[2]==1) misrouted it to
+    decode_pcx, which failed with a misleading PCX error.  It must
+    now reach the TGA path and raise the TGA-specific message."""
+    import struct
+
+    from dblab_ece_trino_spark.operators.multimodal import decode_image
+
+    # 18-byte TGA header: idlen=10, cmap_type=1, img_type=1
+    # (color-mapped), 64-entry 24-bit colormap (so the payload passes
+    # the PCX >=128-byte gate the old heuristic sat behind), 2x2, 8 bpp.
+    header = struct.pack(
+        "<BBBHHBHHHHBB", 10, 1, 1, 0, 64, 24, 0, 0, 2, 2, 8, 0
+    )
+    body = b"ID-FIELD!!" + bytes(64 * 3) + bytes(4)
+    footer = bytes(8) + b"TRUEVISION-XFILE.\x00"
+    payload = header + body + footer
+    assert len(payload) >= 128 and payload[0] == 0x0A and payload[2] == 1
+    with pytest.raises(ValueError, match="color-mapped TGA"):
+        decode_image(payload)
+
+
+def test_pcx_still_dispatches_after_tighten():
+    """The tightened PCX heuristic (version + bits/plane checks) must
+    still route a real PCX payload to decode_pcx."""
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_image,
+        encode_pcx,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    w, h, arr = decode_image(encode_pcx(img))
+    assert (w, h) == (4, 5)
+    assert (arr == img).all()
