@@ -121,41 +121,94 @@ ROTATION_RETIRED: frozenset = frozenset({
     # explode -> pair-join -> exact-Jaccard pipeline (dedup.py), four
     # historical greens (r1/r3/r4/r9); the word form stays rotating.
     "dedup_ngram_jaccard",
+    # ---- ROUND-12 GROWTH (closing the r11 verdict's item 3: at 302
+    # oracle entries / 50 slots the re-grade period had hit ~6 rounds).
+    # Every entry below has >=2 historical greens with the latest
+    # green, and a named still-rotating sibling on the same machinery.
+    #
+    # TPC-H shape family (16 of 23 retired; canaries stay rotating:
+    # q1 groupby-agg, q3 join+topn, q5 6-way join, q7 cross-nation,
+    # q8 market-share CASE-agg, q9 profit, q21 anti/semi-join — plus
+    # the flagship q001-q005 and the op_join_*/op_agg_* rows exercise
+    # the identical relational stack every round):
+    "tpch_q2", "tpch_q4", "tpch_q6", "tpch_q10", "tpch_q11",
+    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
+    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21_agg",
+    "tpch_q22",
+    # Codec twins on the shared Arrow mapInPandas seam: PPM (sibling
+    # canaries: bmp/pcx/sunras/qoi/tga decodes) and plain-PCM WAV
+    # (siblings: g711/adpcm decode + audio_normalize ride the same
+    # RIFF chunk walk):
+    "multimodal_ppm_decode", "multimodal_wav_decode",
+    # Window-function parameter twins (canaries: op_window_rank_lag +
+    # op_window_navigation):
+    "op_window_rownum", "op_window_running_sum",
+    "op_window_distribution",
+    # Set-op ALL variants (canaries: op_except / op_intersect /
+    # op_union on the same SetOperation machinery):
+    "op_except_all", "op_intersect_all",
+    # Grouping-sets twin (canaries: op_agg_rollup +
+    # op_agg_grouping_sets):
+    "op_agg_cube",
+    # Rolling range-frame twin (canary: op_rolling_revenue_28d):
+    "op_rolling_dau",
+    # Histogram twin (canary: op_equidepth_hist):
+    "op_width_bucket_hist",
+    # collect/concat agg twin (canary: op_collect_agg):
+    "op_string_agg",
+    # Date-arithmetic twin (canary: op_date_functions):
+    "op_interval_arith",
+    # JSON twin (canary: op_json_extract):
+    "op_json_schema_read",
+    # Explode twin (canary: op_explode):
+    "op_lateral_explode",
+    # Anomaly-window twin (canaries: ts_expanding_anomaly + the
+    # hampel entry):
+    "ts_zscore_anomaly",
+    # Time-grid fill twin (canary: ts_interp_fill):
+    "ts_gap_fill",
+    # As-of direction twin (canary: join_asof):
+    "join_asof_forward",
+    # Rolling-hash twin (canary: text_rolling_fingerprint):
+    "text_fingerprint",
 })
 
-# ROUND-11 WINDOW (final form): the 16 never-graded round-11 ops,
-# then q001-q005 (flagship-shape freshness pull, r8-latest — the
-# one-line exception the round-10 verdict sanctions ahead of the
-# alphabetical tie-break), then the alphabetical head of the r5-latest
-# cohort (29 of 44 seats; each new op displaced one r5 tail entry as
-# it landed).  ROUND-12 QUEUE, pre-derived: the 15 displaced r5
-# entries alphabetically, then the r6 cohort; window_check prints it.
-# Verify any window rewrite mechanically:
+# ROUND-11 WINDOW (history): the 18 never-graded round-11 ops, then
+# q001-q005 (flagship freshness pull, r8-latest), then 27 seats of the
+# r5-latest cohort (each new op displaced one r5 tail entry as it
+# landed; 17 r5 entries were displaced into the round-12 queue).
+# Graded 50/50 green in CORRECTNESS_r11.json.
+#
+# ROUND-12 WINDOW: new round-12 ops at the head (never-graded
+# outranks stale), then the 17 r5-latest entries the r11 window
+# displaced, then the alphabetical head of the r6 cohort MINUS the
+# round-12 retirements (op_agg_cube / op_window_rownum /
+# op_window_distribution left the rotation — see ROTATION_RETIRED).
+# Each new op displaces the current r6 tail seat as it lands.
+# ROUND-13 QUEUE, pre-derived: the displaced r6 tail, then the r7
+# cohort; window_check prints it.  Verify any window rewrite
+# mechanically:
 #   PYTHONPATH=. python3 scripts/window_check.py
 GRADED_PRIORITY: list[str] = [
-    # NEW round 11 ops (never-graded outranks stale).
-    "llm_dup_span_removal", "wh_deletion_vectors",
-    "graph_link_prediction", "ts_pairwise_correlation",
-    "multimodal_pcx_decode", "multimodal_image_tile",
-    "multimodal_audio_normalize", "sim_knn_classify",
-    "text_rank_frequency", "op_sequential_patterns",
-    "sample_balanced", "op_watermark_lateness", "op_hll_intersection",
-    "graph_katz_centrality", "sample_time_split",
-    "multimodal_sunras_decode", "text_vocab_drift",
-    "graph_degree_distribution",
-    # Flagship reference shapes, last graded r8 (sanctioned pull).
-    "q001", "q002", "q003", "q004", "q005",
-    # latest green = round 5 (alphabetical)
-    "dedup_prefix_filter", "graph_label_prop", "graph_neighbor_jaccard",
-    "graph_pagerank", "graph_shortest_path", "graph_triangles",
-    "llm_bpe_merges", "llm_curriculum_order", "llm_oov_rate",
-    "llm_span_corruption", "llm_temperature_mix", "multimodal_ppm_decode",
-    "multimodal_wav_decode", "op_agg_filter_clause", "op_bloom_membership",
-    "op_conversion_latency", "op_count_min_heavy_hitters",
-    "op_event_trigrams", "op_hll_rollup", "op_rate_limit",
-    "op_ratio_to_report", "op_rolling_dau", "op_rolling_revenue_28d",
-    "op_sequence_match", "op_skyline_2d", "op_trending_hours",
-    "op_winsorize",
+    # latest green = round 5 (alphabetical; the r11-displaced tail)
+    "sample_poisson_bootstrap", "sim_mips_topk", "sim_quantized_mips",
+    "text_readability", "text_tfidf_topk", "ts_autocorrelation",
+    "ts_cusum_changepoint", "ts_mann_kendall", "ts_mom_yoy_change",
+    "ts_seasonal_decompose", "wh_analyze_stats", "wh_cdc_apply",
+    "wh_compaction_plan", "wh_expectations", "wh_time_travel",
+    "wh_zone_map_pruning", "wh_zorder_layout",
+    # latest green = round 6 (alphabetical, retirements excluded)
+    "dedup_containment", "graph_assortativity", "graph_clustering_coeff",
+    "graph_kcore", "llm_fim_transform", "llm_negative_pairs",
+    "llm_quantile_normalize", "multimodal_bmp_decode", "op_ab_test",
+    "op_abc_pareto", "op_agg_rollup", "op_benford_test",
+    "op_boxplot_stats", "op_chi2_independence", "op_concurrency_sweep",
+    "op_distinct", "op_except", "op_filter_conjunction", "op_gini_spend",
+    "op_hopping_window", "op_intersect", "op_join_anti",
+    "op_join_left_composite", "op_join_semi", "op_join_shuffle",
+    "op_ks_test", "op_mad_outliers", "op_mann_whitney", "op_runs_test",
+    "op_topn", "op_union", "op_window_rank_lag",
+    "sample_contamination_rate",
 ]
 
 
