@@ -298,6 +298,12 @@ HEADLINE = [
     # ... degree-distribution audit (power-of-two buckets, exact
     # endpoint shares, the sum-deg^2 wedge-cost scalar)
     "graph_degree_distribution",
+    # round-12 additions: the fuzzy-dedup REMOVAL half (keeper per
+    # LSH cluster, one keyed rank) ...
+    "dedup_cluster_keep",
+    # ... and the train-serve leakage audit (per-(type,user) feature
+    # key cutoff crossing, algebraic anti-join)
+    "sample_leakage_audit",
 ]
 
 

@@ -1069,6 +1069,114 @@ _CLUSTERS_ORACLE = (
 register("dedup_clusters", _q_dedup_clusters, oracle=_CLUSTERS_ORACLE)
 
 
+# ------------------------------------ cluster keeper selection (r12)
+def cluster_keep(
+    labels: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Canonical-representative selection — the REMOVAL half of the
+    fuzzy-dedup path (the transform every Gopher/RefinedWeb-style
+    pipeline runs after LSH clustering; the exact-substring sibling is
+    ``llm_dup_span_removal``).  ``dedup_clusters`` labels each
+    clustered doc with its component; this op picks ONE keeper per
+    duplicate cluster by a deterministic rule — max ``quality_col``
+    (the pre-computed quality proxy; here the corpus's n_chars
+    column), doc_id ascending as the tiebreak — and emits the
+    per-cluster keep/drop ledger: (cluster, n_members, keeper_id,
+    keeper_chars, removed_docs).  The deduped corpus is then
+    "unclustered docs + keeper ids", and kept-cluster count reconciles
+    with the component count by construction (asserted in pytest and
+    by the oracle).
+
+    Shape: ONE keyed rank (row_number partitioned BY CLUSTER — never a
+    global window) over the cluster-label table joined to the doc
+    quality column, then one keyed agg.  The label table has one row
+    per CLUSTERED doc (near-dup members only, a small fraction of the
+    corpus), so at 100 TB this frame is orders smaller than the corpus
+    and both the window and the agg shuffle on the same cluster key —
+    AQE coalesces the two exchanges into one stage pair.
+    """
+    from pyspark.sql import Window
+
+    members = labels.join(
+        docs.select(
+            F.col(id_col).alias("sid"), F.col(quality_col).alias("q")
+        ),
+        "sid",
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("q"), F.asc("sid"))
+    ranked = members.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max(F.when(F.col("rk") == 1, F.col("sid")))
+            .cast("long").alias("keeper_id"),
+            F.max(F.when(F.col("rk") == 1, F.col("q")))
+            .cast("long").alias("keeper_chars"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("removed_docs"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _q_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = dedup_minhash_lsh(docs, threshold=0.7, max_bucket=None)
+    return cluster_keep(dedup_clusters(pairs), docs)
+
+
+# Same recursive-closure CTE chain as _CLUSTERS_ORACLE, then the keep
+# rule replayed relationally: rank inside each component by
+# (n_chars DESC, sid ASC), keeper = rank 1.
+_CLUSTER_KEEP_ORACLE = (
+    """
+    WITH RECURSIVE pairs AS ("""
+    + _MINHASH_ORACLE
+    + """
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (
+      SELECT a AS sid, least(a, min(b)) AS cluster
+      FROM reach GROUP BY a
+    ),
+    members AS (
+      SELECT l.sid, l.cluster, d.n_chars AS q
+      FROM labels l JOIN documents d ON d.doc_id = l.sid
+    ),
+    ranked AS (
+      SELECT sid, cluster, q,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY q DESC, sid) AS rk
+      FROM members
+    )
+    SELECT cluster,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(CASE WHEN rk = 1 THEN sid END) AS BIGINT)
+             AS keeper_id,
+           CAST(max(CASE WHEN rk = 1 THEN q END) AS BIGINT)
+             AS keeper_chars,
+           CAST(count(*) - 1 AS BIGINT) AS removed_docs
+    FROM ranked
+    GROUP BY cluster
+    ORDER BY cluster
+    """
+)
+
+register("dedup_cluster_keep", _q_cluster_keep, oracle=_CLUSTER_KEEP_ORACLE)
+
+
 # -------------------------------------------------- prefix-filter all-pairs
 def prefix_filter_pairs(
     docs: DataFrame,

@@ -1341,8 +1341,13 @@ def link_prediction_ra(
 
     p = materialize(pairs.select("u", "v"))
     adj = p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = adj.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
+    # deg feeds the hot-node filter AND the per-witness contribution;
+    # adjw feeds BOTH sides of the wedge self-join — checkpoint each
+    # once or Catalyst re-derives the whole chain per consumer
+    deg = materialize(
+        adj.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
     )
     adjw = adj
     if max_witness_deg is not None:
@@ -1351,7 +1356,7 @@ def link_prediction_ra(
         )
         # drop rows whose WITNESS-position node (v) is hot; u stays —
         # high-degree nodes may still appear as pair endpoints
-        adjw = adj.join(F.broadcast(hot), "v", "left_anti")
+        adjw = materialize(adj.join(F.broadcast(hot), "v", "left_anti"))
     wedges = (
         adjw.alias("x")
         .join(adjw.alias("y"), F.col("x.v") == F.col("y.v"))
@@ -1667,3 +1672,109 @@ register(
     ORDER BY bucket
     """,
 )
+
+
+# --------------------------------------------- rich-club coefficient (r12)
+RICH_CLUB_KS = (1, 2, 4, 8, 16, 32)
+
+
+def rich_club(pairs: DataFrame, ks: tuple = RICH_CLUB_KS) -> DataFrame:
+    """Rich-club coefficient phi(k) = 2*E_k / (N_k*(N_k-1)) (Colizza/
+    Flammini/Serrano/Vespignani 2006) at power-of-two degree cuts —
+    whether the hubs of the co-order graph preferentially interconnect
+    (phi growing with k) or stay mutually disconnected.  With the
+    degree-distribution audit this decides hub treatment: a dense rich
+    club makes super-node capping cheap (hub-hub edges carry little
+    unique signal); a sparse one means hubs bridge communities and
+    capping loses structure.
+
+    Exactness: phi rides as ppm = 1e6 * 2 * E_k div (N_k * (N_k - 1))
+    — all BIGINT.  Shape: NO per-k join — each edge is bucketed ONCE
+    by min(deg_u, deg_v) (the largest k the edge survives), each node
+    once by its degree, then every k is a conditional aggregate over
+    those two small frames: one degree frame, one edge-degree join,
+    one 6-row finale, linear in edges at any k count.
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    p = materialize(pairs.select("u", "v"))
+    adj = p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = materialize(
+        adj.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
+    )
+    edge_md = (
+        p.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("deg", "deg_u")
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v")),
+            "v",
+        )
+        .select(F.least("deg_u", "deg_v").alias("md"))
+    )
+    rows = []
+    for k in ks:
+        ek = F.sum(F.when(F.col("md") > k, 1).otherwise(0)).cast("long")
+        rows.append(ek.alias(f"e_{k}"))
+    e_counts = edge_md.agg(*rows).withColumn("__j", F.lit(1))
+    nrows = []
+    for k in ks:
+        nk = F.sum(F.when(F.col("deg") > k, 1).otherwise(0)).cast("long")
+        nrows.append(nk.alias(f"n_{k}"))
+    n_counts = deg.agg(*nrows).withColumn("__j", F.lit(1))
+    both = e_counts.join(F.broadcast(n_counts), "__j")
+    selects = []
+    for k in ks:
+        selects.append(
+            f"STRUCT(CAST({k} AS BIGINT) AS k, n_{k} AS n_club,"
+            f" e_{k} AS club_edges,"
+            f" CASE WHEN n_{k} >= 2 THEN"
+            f"   CAST(2000000 * e_{k} div (n_{k} * (n_{k} - 1)) AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END AS phi_ppm)"
+        )
+    return (
+        both.selectExpr(f"explode(array({', '.join(selects)})) AS s")
+        .selectExpr("s.k", "s.n_club", "s.club_edges", "s.phi_ppm")
+        .orderBy("k")
+    )
+
+
+def _q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rich_club(coorder_pairs(_li(spark, sf_dir)))
+
+
+def _rich_club_oracle(ks: tuple = RICH_CLUB_KS) -> str:
+    arms = []
+    for k in ks:
+        arms.append(f"""
+      SELECT CAST({k} AS BIGINT) AS k,
+             (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE deg > {k})
+               AS n_club,
+             (SELECT CAST(count(*) AS BIGINT) FROM edge_md WHERE md > {k})
+               AS club_edges""")
+    return (
+        f"""
+    WITH {_PAIRS_CTE},
+    adj AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM adj GROUP BY u),
+    edge_md AS (
+      SELECT least(du.deg, dv.deg) AS md
+      FROM pairs p
+      JOIN deg du ON du.node = p.u
+      JOIN deg dv ON dv.node = p.v
+    ),
+    arms AS ({" UNION ALL ".join(arms)})
+    SELECT k, n_club, club_edges,
+           CASE WHEN n_club >= 2 THEN
+             CAST(2000000 * club_edges // (n_club * (n_club - 1))
+                  AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS phi_ppm
+    FROM arms
+    ORDER BY k
+    """
+    )
+
+
+register("graph_rich_club", _q_rich_club, oracle=_rich_club_oracle())

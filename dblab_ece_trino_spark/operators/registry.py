@@ -190,6 +190,8 @@ ROTATION_RETIRED: frozenset = frozenset({
 # mechanically:
 #   PYTHONPATH=. python3 scripts/window_check.py
 GRADED_PRIORITY: list[str] = [
+    # NEW round 12 ops (never-graded outranks stale).
+    "dedup_cluster_keep", "sample_leakage_audit",
     # latest green = round 5 (alphabetical; the r11-displaced tail)
     "sample_poisson_bootstrap", "sim_mips_topk", "sim_quantized_mips",
     "text_readability", "text_tfidf_topk", "ts_autocorrelation",
@@ -207,8 +209,7 @@ GRADED_PRIORITY: list[str] = [
     "op_hopping_window", "op_intersect", "op_join_anti",
     "op_join_left_composite", "op_join_semi", "op_join_shuffle",
     "op_ks_test", "op_mad_outliers", "op_mann_whitney", "op_runs_test",
-    "op_topn", "op_union", "op_window_rank_lag",
-    "sample_contamination_rate",
+    "op_topn", "op_union",
 ]
 
 

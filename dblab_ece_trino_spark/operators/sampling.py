@@ -1014,3 +1014,84 @@ def _register_time_split() -> None:
 
 
 _register_time_split()
+
+
+def _register_leakage_audit() -> None:
+    """Train-serve leakage audit — the graded sibling completing the
+    temporal-split family (round-11 verdict item 7): at the SAME 80%
+    calendar cutoff as ``sample_time_split``, audit each (event_type,
+    user) FEATURE KEY for cutoff crossing.  A feature table built
+    "as of" the cutoff is contaminated wherever a key's events
+    continue past the cutoff (its train-time aggregate quietly encodes
+    post-cutoff behavior in any pipeline that recomputes features over
+    the full log); a key appearing ONLY after the cutoff is the
+    serve-time cold start — semantically the ANTI-JOIN of test keys
+    against train keys.  Emits one row per event_type: train/test/
+    crossing/cold-start key counts, events stranded after the cutoff
+    on crossing keys (the volume a strict as-of recompute must
+    exclude), and crossing ppm.
+
+    Shape: the anti-join is ALGEBRAIC — one scan into a (type, user)
+    keyed frame carrying per-side counts (map-side combinable), then a
+    |types|-row rollup; crossing = in_train AND in_test, cold_start =
+    in_test AND NOT in_train.  A literal left-anti join of two
+    distinct-key frames would shuffle the key set twice; the
+    conditional agg shuffles it once and the rollup frame never
+    exceeds |types| rows at any corpus size.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    tpl = """
+    WITH span AS (
+      SELECT min({epoch_day}) AS d0, max({epoch_day}) AS d1
+      FROM {events}
+    ),
+    cut AS (
+      SELECT d0 + (8 * (d1 - d0)) {idiv} 10 AS cutoff FROM span
+    ),
+    keys AS (
+      SELECT e.event_type, e.user_id,
+             CAST(sum(CASE WHEN {epoch_day_e} <= c.cutoff
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+             CAST(sum(CASE WHEN {epoch_day_e} > c.cutoff
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_post
+      FROM {events} e CROSS JOIN cut c
+      GROUP BY e.event_type, e.user_id
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN n_pre > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS keys_train,
+           CAST(sum(CASE WHEN n_post > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS keys_test,
+           CAST(sum(CASE WHEN n_pre > 0 AND n_post > 0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS keys_crossing,
+           CAST(sum(CASE WHEN n_pre = 0 AND n_post > 0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS keys_cold_start,
+           CAST(sum(CASE WHEN n_pre > 0 THEN n_post ELSE 0 END)
+                AS BIGINT) AS leaked_events,
+           CAST(sum(CASE WHEN n_pre > 0 AND n_post > 0
+                         THEN 1 ELSE 0 END) * 1000000
+                {idiv} count(*) AS BIGINT) AS crossing_ppm
+    FROM keys
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+    spark_day = "datediff(CAST({col} AS DATE), DATE '1970-01-01')"
+    duck_day = "datediff('day', DATE '1970-01-01', CAST({col} AS DATE))"
+    spark_sql = (
+        tpl.replace("{epoch_day_e}", spark_day.format(col="e.ts"))
+        .replace("{epoch_day}", spark_day.format(col="ts"))
+        .replace("{idiv}", "div")
+    ).format(**_SPARK_TABLES)
+    oracle_sql = (
+        tpl.replace("{epoch_day_e}", duck_day.format(col="e.ts"))
+        .replace("{epoch_day}", duck_day.format(col="ts"))
+        .replace("{idiv}", "//")
+    ).format(**_ORACLE_TABLES)
+    register_sql("sample_leakage_audit", spark_sql, oracle_sql)
+
+
+_register_leakage_audit()

@@ -639,3 +639,95 @@ register(
     _q_hll_intersection,
     oracle=_hll_algebra_sql().format(**_ORACLE_TABLES),
 )
+
+
+# ----------------------------- DDSketch-style log-bucket quantiles (r12)
+def _dd_quantiles_sql() -> tuple[str, str]:
+    """DDSketch-style mergeable quantile sketch (Masson/Rim/Lee, VLDB
+    2019's relative-error quantile sketch, re-expressed relationally):
+    bucket each order's exact integer cents by OCTAVE (floor(log2),
+    computed as length(bin(cents)) - 1 — a string length, no IEEE log
+    anywhere) plus a 2-bit SUB-OCTAVE (the two bits after the leading
+    1), i.e. 4 linear sub-buckets per octave = guaranteed relative
+    error <= 1/8 on any value, any distribution, any scale.
+
+    The sketch IS a (bucket_id -> count) map — map-side combinable,
+    trivially mergeable by count addition (the property t-digest lacks
+    and the reason DDSketch is the production standard for latency
+    percentiles).  The entry builds PER-MONTH sketches first and
+    merges them by summation before querying — exercising the merge
+    path the 100 TB deployment would run (per-partition sketches ->
+    one tiny reduce) — then answers p50/p90/p95/p99 with exact-integer
+    bucket bounds: lo = (4 + sub) * 2^(octave - 2), hi = the next
+    sub-bucket's lo.  Everything BIGINT; both engines replay the
+    bucket ids and the rank arithmetic bit-identically.
+    """
+    tpl = """
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c,
+             CAST(month(o_orderdate) AS BIGINT) AS m
+      FROM {orders}
+      WHERE o_totalprice > 0
+    ),
+    coded AS (
+      SELECT m,
+             CAST(length(bin(c)) - 1 AS BIGINT) AS oct,
+             ({shr2}) & CAST(3 AS BIGINT) AS sub
+      FROM cents
+    ),
+    -- per-month sketches: the distributed state at 100 TB
+    monthly AS (
+      SELECT m, oct, sub, CAST(count(*) AS BIGINT) AS cnt
+      FROM coded GROUP BY m, oct, sub
+    ),
+    -- merge = count addition over bucket ids (the DDSketch property)
+    merged AS (
+      SELECT oct, sub, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM monthly GROUP BY oct, sub
+    ),
+    cum AS (
+      SELECT oct, sub, cnt,
+             sum(cnt) OVER (ORDER BY oct, sub) AS cum_cnt,
+             sum(cnt) OVER () AS total
+      FROM merged
+    ),
+    qs AS (
+      SELECT CAST(q AS BIGINT) AS q_pct FROM {q_values}
+    )
+    SELECT q.q_pct,
+           min(c.oct * 4 + c.sub) AS bucket_id,
+           min((4 + c.sub) * ({shl_lo})) AS est_cents_lo,
+           min((5 + c.sub) * ({shl_lo})) AS est_cents_hi,
+           min(c.total) AS n_rows
+    FROM qs q JOIN cum c
+      ON c.cum_cnt * 100 >= q.q_pct * c.total
+     AND (c.cum_cnt - c.cnt) * 100 < q.q_pct * c.total
+    GROUP BY q.q_pct
+    ORDER BY q.q_pct
+    """
+    spark = (
+        tpl.replace("{shr2}", "shiftright(c, CAST(length(bin(c)) AS INT) - 3)")
+        .replace("{shl_lo}", "shiftleft(CAST(1 AS BIGINT), CAST(c.oct AS INT) - 2)")
+        .replace(
+            "{q_values}",
+            "(SELECT explode(array(50, 90, 95, 99)) AS q)",
+        )
+        .format(orders=_SPARK_TABLES["orders"])
+    )
+    duck = (
+        tpl.replace("{shr2}", "(c >> (length(bin(c)) - 3))")
+        .replace("{shl_lo}", "(CAST(1 AS BIGINT) << (c.oct - 2))")
+        .replace("{q_values}", "(SELECT unnest([50, 90, 95, 99]) AS q)")
+        .format(orders="orders")
+    )
+    return spark, duck
+
+
+def _register_dd_quantiles() -> None:
+    from dblab_ece_trino_spark.operators.registry import register_sql
+
+    spark_sql, duck_sql = _dd_quantiles_sql()
+    register_sql("op_dd_quantiles", spark_sql, duck_sql)
+
+
+_register_dd_quantiles()

@@ -1712,3 +1712,63 @@ register(
     LIMIT 20
     """,
 )
+
+
+# ------------------------------------------- language confusion grid (r12)
+def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit for the corpus's declared language tags:
+    the (labeled, predicted) confusion grid of the n-gram-marker
+    language identifier against the metadata `lang` column — the check
+    a curation pipeline runs BEFORE trusting crawl-supplied language
+    labels for mixture math (mislabeled shards silently skew the
+    per-language token budget).  Emits per-cell counts plus the
+    cell's share of its labeled row in exact ppm (1e6 * n div
+    label_total).
+
+    Shape: the identifier is a pure projection (the text_language_id
+    machinery), then ONE grid groupBy (|langs|^2 cells max) and a
+    broadcast join of per-label totals — corpus-linear, reduce frame
+    bounded by the language-pair grid.
+    """
+    docs = _docs(spark, sf_dir)
+    tagged = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        language_id(F.col("text")).alias("predicted_lang"),
+    )
+    grid = tagged.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    totals = tagged.groupBy("labeled_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("label_total")
+    )
+    return (
+        grid.join(F.broadcast(totals), "labeled_lang")
+        .selectExpr(
+            "labeled_lang", "predicted_lang", "n_docs", "label_total",
+            "CAST(1000000 * n_docs div label_total AS BIGINT) AS cell_ppm",
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+def _lang_confusion_oracle() -> str:
+    return f"""
+    WITH tagged AS ({_lang_oracle()}),
+    grid AS (
+      SELECT labeled_lang, predicted_lang,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM tagged GROUP BY labeled_lang, predicted_lang
+    ),
+    totals AS (
+      SELECT labeled_lang, CAST(count(*) AS BIGINT) AS label_total
+      FROM tagged GROUP BY labeled_lang
+    )
+    SELECT g.labeled_lang, g.predicted_lang, g.n_docs, t.label_total,
+           CAST(1000000 * g.n_docs // t.label_total AS BIGINT) AS cell_ppm
+    FROM grid g JOIN totals t ON t.labeled_lang = g.labeled_lang
+    ORDER BY g.labeled_lang, g.predicted_lang
+    """
+
+
+register("text_lang_confusion", _q_lang_confusion,
+         oracle=_lang_confusion_oracle())

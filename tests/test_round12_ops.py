@@ -103,6 +103,126 @@ def test_link_prediction_witness_cap(spark):
     assert set(got) != full
 
 
+# ------------------------------------------- cluster keeper selection
+def test_cluster_keep_rule_hand_frames(spark):
+    """The keep rule in isolation: max quality, doc_id tiebreak —
+    pinned on hand frames where both the quality order and the
+    tiebreak bite."""
+    from dblab_ece_trino_spark.operators.dedup import cluster_keep
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)],
+        "sid long, cluster long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (7, 5), (9, 5)],
+        "doc_id long, n_chars long",
+    )
+    got = [tuple(r) for r in cluster_keep(labels, docs).collect()]
+    # cluster 1: 2 and 3 tie at 99 -> lower id 2 wins; cluster 7:
+    # 7 and 9 tie at 5 -> 7 wins
+    assert got == [(1, 3, 2, 99, 2), (7, 2, 7, 5, 1)]
+
+
+def test_cluster_keep_end_to_end_pure_python():
+    """End-to-end re-derivation WITHOUT Spark or the recursive CTE:
+    take the exact-verified Jaccard pairs from the minhash oracle
+    (DuckDB), run union-find + the keep rule in pure Python, and the
+    ledger must equal the dedup_cluster_keep oracle."""
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.dedup import (
+        _CLUSTER_KEEP_ORACLE,
+        _MINHASH_ORACLE,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    pairs = con.execute(_MINHASH_ORACLE).fetchall()
+    chars = dict(
+        con.execute("SELECT doc_id, n_chars FROM documents").fetchall()
+    )
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _j in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict = {}
+    for node in parent:
+        comp.setdefault(find(node), []).append(node)
+    # cluster label is the component min by construction
+    want = sorted(
+        (min(ms), len(ms), min(ms, key=lambda m: (-chars[m], m)),
+         chars[min(ms, key=lambda m: (-chars[m], m))], len(ms) - 1)
+        for ms in (sorted(v) for v in comp.values())
+    )
+    got = sorted(tuple(r) for r in con.execute(_CLUSTER_KEEP_ORACLE).fetchall())
+    assert got == want
+    assert len(got) == len(comp)  # keeper count == component count
+
+
+# ------------------------------------------- train-serve leakage audit
+def test_leakage_audit_matches_pure_python():
+    """The sample_leakage_audit oracle must equal an independent
+    pure-Python evaluator at sf0.001, agree with sample_time_split on
+    the cutoff, and satisfy the family invariants."""
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    got = con.execute(oracle_queries()["sample_leakage_audit"]).fetchall()
+    rows = con.execute(
+        "SELECT event_type, user_id, datediff('day', DATE '1970-01-01',"
+        " CAST(ts AS DATE)) FROM events"
+    ).fetchall()
+    days = [d for _t, _u, d in rows]
+    cutoff = min(days) + (8 * (max(days) - min(days))) // 10
+    # sample_time_split must use the same cutoff
+    ts_cut = con.execute(
+        oracle_queries()["sample_time_split"]
+    ).fetchall()[0][0]
+    assert ts_cut == cutoff
+
+    from collections import defaultdict
+
+    pre: dict = defaultdict(int)
+    post: dict = defaultdict(int)
+    for t, u, d in rows:
+        (pre if d <= cutoff else post)[(t, u)] += 1
+    want = []
+    for et in sorted({t for t, _u, _d in rows}):
+        keys = {k for k in set(pre) | set(post) if k[0] == et}
+        ktr = sum(1 for k in keys if pre[k] > 0)
+        kte = sum(1 for k in keys if post[k] > 0)
+        kx = sum(1 for k in keys if pre[k] > 0 and post[k] > 0)
+        kc = sum(1 for k in keys if pre[k] == 0 and post[k] > 0)
+        leaked = sum(post[k] for k in keys if pre[k] > 0)
+        want.append(
+            (et, ktr, kte, kx, kc, leaked, kx * 1_000_000 // len(keys))
+        )
+    assert got == want
+    for et, ktr, kte, kx, kc, leaked, _ppm in want:
+        assert kte == kx + kc          # test keys partition
+        assert leaked >= kx            # every crossing key leaks >= 1
+
+
 # ------------------------------------------------- PCX/TGA dispatch
 def test_colormapped_tga_not_misrouted_to_pcx():
     """ADVICE r11 (low): a spec-valid color-mapped TGA (image type 1)
