@@ -304,6 +304,26 @@ HEADLINE = [
     # ... and the train-serve leakage audit (per-(type,user) feature
     # key cutoff crossing, algebraic anti-join)
     "sample_leakage_audit",
+    # ... DDSketch-style mergeable log-bucket quantile sketch
+    "op_dd_quantiles",
+    # ... rich-club hub-interconnection audit (per-edge min-degree
+    # bucketing, no per-k join)
+    "graph_rich_club",
+    # ... declared-vs-predicted language confusion grid
+    "text_lang_confusion",
+    # ... ISO-weekday volume/revenue seasonality index
+    "ts_weekday_profile",
+    # ... deterministic 5-fold CV assignment + balance audit
+    "sample_kfold",
+    # ... embedding-space benchmark-contamination audit
+    "sim_eval_contamination",
+    # ... partition-spec migration fan-out/rewrite-volume audit
+    "wh_partition_evolution",
+    # ... ICO container (15th codec: ICONDIR walk, doubled-height
+    # embedded BMP, PNG-in-ICO delegation, largest-entry pick)
+    "multimodal_ico_decode",
+    # ... stereo PCM downmix ((L+R)>>1 floor, sum/diff fixtures)
+    "multimodal_audio_downmix",
 ]
 
 
@@ -341,6 +361,17 @@ def main() -> None:
         c, n = run()
         cold[name] = round(c, 3)
         rows[name] = n
+        # Big-SF warmup hardening (round-11 verdict item 8): at sf > 0.1
+        # the single cold rep does not fully warm the heavy entries
+        # (shuffle files, page cache, JIT tiers — the sf1 record showed
+        # 28/20/7 s rep DECAY on graph_kcore), so the first "warm" rep
+        # was still half-cold and the committed spread overstated
+        # variance.  One extra DISCARDED rep between cold and the
+        # recorded reps keeps the sf1 spread inside the sf0.1
+        # protocol's band without touching the sf0.1 record's
+        # comparability.
+        if sf is not None and sf > 0.1:
+            run()
         # all warm reps go into the record (not just the min): round 8
         # showed 8/61 queries flagged >10% round-over-round purely from
         # run-to-run noise — the rep spread is what separates a plan

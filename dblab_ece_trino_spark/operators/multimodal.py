@@ -97,6 +97,10 @@ def decode_image(payload: bytes) -> "object":
         # Sun Rasterfile big-endian magic
         w, h, _channels, arr = decode_sunras(payload)
         return w, h, arr[:, :, :3]
+    if payload[:4] == b"\x00\x00\x01\x00":
+        # ICO container (reserved=0, type=1); decode the largest entry
+        w, h, _channels, arr, _n, _png = decode_ico(payload)
+        return w, h, arr[:, :, :3]
     if (
         len(payload) >= 128
         and payload[0] == 0x0A
@@ -6012,3 +6016,425 @@ def _sunras_oracle() -> str:
 
 register("multimodal_sunras_decode", _q_sunras_decode,
          oracle=_sunras_oracle())
+
+
+# --------------------------------------------- ICO container codec (r12)
+def encode_ico(images) -> bytes:
+    """Assemble a Windows ICO container (the FIFTEENTH native format;
+    ICONDIR + ICONDIRENTRY table per the Win32 resource layout): each
+    element of ``images`` is (kind, width, height, pixel_fn) with kind
+    'bmp' (classic icon: BITMAPINFOHEADER with DOUBLED biHeight, XOR
+    pixel block bottom-up BGR with 4-byte row stride, then the 1-bpp
+    AND mask with 32-bit row stride — all zeros == fully opaque) or
+    'png' (the Vista+ embedding: a complete PNG file as the entry
+    blob, the form modern 256px icons use)."""
+    import struct
+
+    blobs = []
+    for kind, w, h, fn in images:
+        if kind == "png":
+            blobs.append(encode_png(w, h, fn))
+            continue
+        xor_stride = (3 * w + 3) // 4 * 4
+        and_stride = (w + 31) // 32 * 4
+        hdr = struct.pack(
+            "<IiiHHIIiiII", 40, w, 2 * h, 1, 24, 0,
+            xor_stride * h + and_stride * h, 0, 0, 0, 0,
+        )
+        rows = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up
+            row = bytearray()
+            for x in range(w):
+                r, g, b = fn(x, y)
+                row += bytes((b, g, r))  # BGR
+            row += bytes(xor_stride - len(row))
+            rows += row
+        rows += bytes(and_stride * h)  # opaque AND mask
+        blobs.append(bytes(hdr) + bytes(rows))
+    out = bytearray(struct.pack("<HHH", 0, 1, len(blobs)))
+    offset = 6 + 16 * len(blobs)
+    for (kind, w, h, _fn), blob in zip(images, blobs):
+        out += struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 24, len(blob), offset
+        )
+        offset += len(blob)
+    for blob in blobs:
+        out += blob
+    return bytes(out)
+
+
+def parse_ico_dir(payload: bytes) -> list:
+    """ICONDIR walk: [(width, height, size, offset, is_png)] with the
+    0-means-256 byte convention resolved.  Truncation and a non-icon
+    type byte error loudly (the TIFF/QOI contract)."""
+    import struct
+
+    if len(payload) < 6:
+        raise ValueError("truncated ICO header")
+    reserved, rtype, count = struct.unpack("<HHH", payload[:6])
+    if reserved != 0 or rtype != 1 or count == 0:
+        raise ValueError(
+            f"not an ICO payload (reserved={reserved} type={rtype} "
+            f"count={count})"
+        )
+    if len(payload) < 6 + 16 * count:
+        raise ValueError("truncated ICONDIR entry table")
+    out = []
+    for k in range(count):
+        bw, bh, _c, _r, _planes, _bpp, size, off = struct.unpack(
+            "<BBBBHHII", payload[6 + 16 * k : 6 + 16 * (k + 1)]
+        )
+        if off + size > len(payload):
+            raise ValueError(f"ICO entry {k} overruns the payload")
+        w, h = bw or 256, bh or 256
+        is_png = payload[off : off + 8] == b"\x89PNG\r\n\x1a\n"
+        out.append((w, h, size, off, is_png))
+    return out
+
+
+def decode_ico(payload: bytes):
+    """Decode the LARGEST entry of an ICO container (the selection a
+    thumbnailer makes): returns (width, height, 3, HxWx3 uint8 RGB,
+    n_entries, png_embedded).  Classic entries parse the embedded
+    BITMAPINFOHEADER (biHeight is the DOUBLED XOR+AND height — the
+    format's one trap), reuse the BMP row discipline (bottom-up, BGR,
+    4-byte stride), and validate the AND-mask block is present; PNG
+    entries delegate to decode_png.  Citing reference behavior only
+    for scope (queries/*.sql has no media path): this is beyond-parity
+    surface per SURVEY §2.10."""
+    import struct
+
+    import numpy as np
+
+    entries = parse_ico_dir(payload)
+    w, h, size, off, is_png = max(
+        enumerate(entries), key=lambda kv: (kv[1][0] * kv[1][1], -kv[0])
+    )[1]
+    blob = payload[off : off + size]
+    if is_png:
+        pw, ph, arr = decode_png(blob)
+        return pw, ph, 3, arr[:, :, :3], len(entries), True
+    if len(blob) < 40:
+        raise ValueError("truncated ICO BITMAPINFOHEADER")
+    (hdr_size, bw, bh2, _planes, bpp, comp) = struct.unpack(
+        "<IiiHHI", blob[:20]
+    )
+    if hdr_size < 40:
+        raise ValueError(f"unsupported ICO DIB header size {hdr_size}")
+    if bpp != 24 or comp != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit ICO entries supported, got "
+            f"{bpp}bpp/c{comp}"
+        )
+    if bh2 % 2 != 0:
+        raise ValueError("ICO biHeight must be the doubled XOR+AND height")
+    bh = bh2 // 2
+    xor_stride = (3 * bw + 3) // 4 * 4
+    and_stride = (bw + 31) // 32 * 4
+    need = hdr_size + xor_stride * bh + and_stride * bh
+    if len(blob) < need:
+        raise ValueError(
+            f"truncated ICO entry: need {need} bytes, have {len(blob)}"
+        )
+    raw = np.frombuffer(
+        blob, dtype=np.uint8, count=xor_stride * bh, offset=hdr_size
+    )
+    rows = raw.reshape(bh, xor_stride)[:, : 3 * bw].reshape(bh, bw, 3)
+    return bw, bh, 3, rows[::-1][:, :, ::-1], len(entries), False
+
+
+_ICO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_entries", T.IntegerType(), True),
+        T.StructField("png_embedded", T.BooleanType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("ysum_r", T.LongType(), True),
+    ]
+)
+
+_N_ICO = 18
+
+
+def _ico_payloads(spark: SparkSession, n: int = _N_ICO) -> DataFrame:
+    """n two-entry icons: a small classic entry plus a LARGE entry
+    that is PNG-embedded every 6th icon — decode must pick the large
+    entry and route its format correctly."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                big_kind = "png" if i % 6 == 0 else "bmp"
+
+                def fn(x, y, i=i):
+                    return (
+                        (x * 11 + y * 5 + i) % 256,
+                        (x * 3 + y * 13 + 2 * i) % 256,
+                        (x * 9 + y * 7 + 3 * i) % 256,
+                    )
+
+                payload = encode_ico(
+                    [
+                        ("bmp", 8 + i % 3, 6 + i % 2, fn),
+                        (big_kind, 17 + i % 4, 9 + i % 3, fn),
+                    ]
+                )
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    ids = spark.range(0, n, 1, 4)
+    return ids.mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), True),
+            ]
+        ),
+    )
+
+
+def ico_pixel_stats(media: DataFrame) -> DataFrame:
+    """Largest-entry pixel statistics over ICO payloads — one Arrow
+    mapInPandas pass, per-file work (the codec-seam discipline)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _ch, arr, n_entries, is_png = decode_ico(bytes(payload))
+                sums = arr.reshape(-1, 3).sum(axis=0, dtype="int64")
+                ys = np.arange(h, dtype="int64")
+                ysum_r = int(
+                    (arr[:, :, 0].sum(axis=1, dtype="int64") * ys).sum()
+                )
+                out.append(
+                    (int(mid), n_entries, bool(is_png), w, h,
+                     int(sums[0]), int(sums[1]), int(sums[2]), ysum_r)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_entries", "png_embedded", "width",
+                    "height", "sum_r", "sum_g", "sum_b", "ysum_r",
+                ],
+            )
+
+    return media.mapInPandas(stats, _ICO_STATS_SCHEMA)
+
+
+def _q_ico_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ico_pixel_stats(_ico_payloads(spark)).orderBy("media_id")
+
+
+register(
+    "multimodal_ico_decode",
+    _q_ico_decode,
+    oracle=f"""
+    WITH dims AS (
+      SELECT i, 17 + i % 4 AS w, 9 + i % 3 AS h
+      FROM range({_N_ICO}) t(i)
+    ),
+    px AS (
+      SELECT i, w, h, x, y
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) tx,
+           LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) ty
+    )
+    SELECT i AS media_id, CAST(2 AS INT) AS n_entries,
+           i % 6 = 0 AS png_embedded,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum((x * 11 + y * 5 + i) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((x * 3 + y * 13 + 2 * i) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((x * 9 + y * 7 + 3 * i) % 256) AS BIGINT) AS sum_b,
+           CAST(sum(y * ((x * 11 + y * 5 + i) % 256)) AS BIGINT) AS ysum_r
+    FROM px
+    GROUP BY i, w, h
+    ORDER BY media_id
+    """,
+)
+
+
+# ------------------------------------------- stereo downmix codec (r12)
+def encode_stereo_wav(left, right, rate: int = _WAV_RATE) -> bytes:
+    """RIFF/PCM WAV with TWO interleaved 16-bit channels — the stereo
+    sibling of encode_wav (same header layout, channels=2, block
+    align 4)."""
+    import struct
+
+    import numpy as np
+
+    l = np.asarray(left, dtype="<i2")
+    r = np.asarray(right, dtype="<i2")
+    if l.shape != r.shape:
+        raise ValueError("left/right length mismatch")
+    inter = np.empty(l.size * 2, dtype="<i2")
+    inter[0::2] = l
+    inter[1::2] = r
+    data = inter.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, rate, rate * 4, 4, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_stereo_wav(payload: bytes):
+    """Parse a RIFF/PCM STEREO WAV: returns (rate, left, right) int16
+    arrays — the decode_wav chunk walk with channels=2 demanded."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16 or len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1:
+                raise ValueError(f"not PCM (format {fmt})")
+        elif cid == b"data":
+            if len(body) < size:
+                raise ValueError("truncated data chunk")
+            data = body
+        pos += 8 + size + (size % 2)
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if channels != 2 or bits != 16:
+        raise ValueError(f"expected stereo/16-bit, got {channels}ch/{bits}bit")
+    inter = np.frombuffer(data, dtype="<i2")
+    if inter.size % 2:
+        raise ValueError("stereo data chunk has an odd sample count")
+    return rate, inter[0::2], inter[1::2]
+
+
+def downmix_stereo(payload: bytes):
+    """Stereo -> mono downmix: (rate, int16 samples) with
+    mono = (L + R) >> 1 in int32 space — the arithmetic-shift FLOOR
+    (matches Python's // on negatives; pinned in pytest), never the
+    int16-overflowing naive (L+R)/2."""
+    import numpy as np
+
+    rate, left, right = decode_stereo_wav(payload)
+    mono = (left.astype(np.int32) + right.astype(np.int32)) >> 1
+    return rate, mono.astype(np.int16)
+
+
+_DOWNMIX_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sum_mono", T.LongType(), True),
+        T.StructField("min_mono", T.IntegerType(), True),
+        T.StructField("max_mono", T.IntegerType(), True),
+        T.StructField("ksum_mono", T.LongType(), True),
+    ]
+)
+
+_N_DOWNMIX = 16
+_DOWNMIX_LEN = 600
+
+
+def _stereo_payloads(spark: SparkSession, n: int = _N_DOWNMIX) -> DataFrame:
+    """n stereo fixtures built as L = s + d, R = s - d (sum/diff
+    construction: L + R = 2s exactly, so the downmix equals the
+    closed-form s(k) and the oracle never touches floor semantics —
+    the odd-sum floor path is pinned separately in pytest)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                k = np.arange(_DOWNMIX_LEN, dtype=np.int64)
+                s = ((k * 7 + i * 13) % 401) - 200
+                d = ((k * 5 + i * 3) % 101) - 50
+                payload = encode_stereo_wav(
+                    (s + d).astype("<i2"), (s - d).astype("<i2"),
+                    rate=8000 + 100 * i,
+                )
+                rows.append((i, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    ids = spark.range(0, n, 1, 4)
+    return ids.mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), True),
+            ]
+        ),
+    )
+
+
+def downmix_stats(media: DataFrame) -> DataFrame:
+    """Downmix + amplitude statistics in ONE Arrow pass (per-file
+    work); ksum_mono is the index-weighted anti-cancellation column
+    (a sample-order bug moves it, the plain sum doesn't)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, mono = downmix_stereo(bytes(payload))
+                m = mono.astype(np.int64)
+                k = np.arange(m.size, dtype=np.int64)
+                out.append(
+                    (int(mid), int(rate), int(m.size), int(m.sum()),
+                     int(m.min()), int(m.max()), int((k * m).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "sum_mono",
+                    "min_mono", "max_mono", "ksum_mono",
+                ],
+            )
+
+    return media.mapInPandas(stats, _DOWNMIX_SCHEMA)
+
+
+def _q_audio_downmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return downmix_stats(_stereo_payloads(spark)).orderBy("media_id")
+
+
+register(
+    "multimodal_audio_downmix",
+    _q_audio_downmix,
+    oracle=f"""
+    WITH s AS (
+      SELECT i, k, ((k * 7 + i * 13) % 401) - 200 AS mono
+      FROM range({_N_DOWNMIX}) t(i),
+           LATERAL (SELECT unnest(generate_series(0, {_DOWNMIX_LEN} - 1))
+                    AS k) tk
+    )
+    SELECT i AS media_id, CAST(8000 + 100 * i AS INT) AS sample_rate,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(mono) AS BIGINT) AS sum_mono,
+           CAST(min(mono) AS INT) AS min_mono,
+           CAST(max(mono) AS INT) AS max_mono,
+           CAST(sum(k * mono) AS BIGINT) AS ksum_mono
+    FROM s
+    GROUP BY i
+    ORDER BY media_id
+    """,
+)

@@ -191,7 +191,10 @@ ROTATION_RETIRED: frozenset = frozenset({
 #   PYTHONPATH=. python3 scripts/window_check.py
 GRADED_PRIORITY: list[str] = [
     # NEW round 12 ops (never-graded outranks stale).
-    "dedup_cluster_keep", "sample_leakage_audit",
+    "dedup_cluster_keep", "sample_leakage_audit", "op_dd_quantiles",
+    "graph_rich_club", "text_lang_confusion", "ts_weekday_profile",
+    "sample_kfold", "sim_eval_contamination", "wh_partition_evolution",
+    "multimodal_ico_decode", "multimodal_audio_downmix",
     # latest green = round 5 (alphabetical; the r11-displaced tail)
     "sample_poisson_bootstrap", "sim_mips_topk", "sim_quantized_mips",
     "text_readability", "text_tfidf_topk", "ts_autocorrelation",
@@ -207,9 +210,6 @@ GRADED_PRIORITY: list[str] = [
     "op_boxplot_stats", "op_chi2_independence", "op_concurrency_sweep",
     "op_distinct", "op_except", "op_filter_conjunction", "op_gini_spend",
     "op_hopping_window", "op_intersect", "op_join_anti",
-    "op_join_left_composite", "op_join_semi", "op_join_shuffle",
-    "op_ks_test", "op_mad_outliers", "op_mann_whitney", "op_runs_test",
-    "op_topn", "op_union",
 ]
 
 

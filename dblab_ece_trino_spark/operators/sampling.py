@@ -1095,3 +1095,67 @@ def _register_leakage_audit() -> None:
 
 
 _register_leakage_audit()
+
+
+def _register_kfold() -> None:
+    """Deterministic k-fold cross-validation assignment + balance
+    audit: fold = md5-derived uniform bucket mod k, content-addressed
+    on doc_id (the split_assign discipline — a document's fold never
+    changes across runs, machines, or partitionings, so CV results
+    replay exactly).  The bucket widens split_assign's 1-byte bucket
+    to TWO bytes ([0, 65536)) so the mod-5 assignment bias is 1/65536
+    (a 1-byte bucket mod 5 would skew folds by up to 0.4%).  Emits the
+    per-fold audit a CV harness checks before training: size, share
+    ppm vs the uniform 1/k null, id span, and the train-size
+    complement (leave-this-fold-out).
+
+    Pure projection + one k-row groupBy — no shuffle of the corpus, no
+    window over it.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    k = 5
+    seed = "kfold-v1"
+    hexd = "0123456789abcdef"
+    tpl = """
+    WITH coded AS (
+      SELECT doc_id,
+             ((instr('{hexd}', substr({h}, 1, 1)) - 1) * 4096
+              + (instr('{hexd}', substr({h}, 2, 1)) - 1) * 256
+              + (instr('{hexd}', substr({h}, 3, 1)) - 1) * 16
+              + (instr('{hexd}', substr({h}, 4, 1)) - 1)) % {k} AS fold
+      FROM {documents}
+    ),
+    byfold AS (
+      SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+             min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM coded GROUP BY fold
+    )
+    SELECT CAST(fold AS BIGINT) AS fold, n_docs,
+           CAST({k} * 1000000 * n_docs {idiv} sum(n_docs) OVER ()
+                AS BIGINT) AS share_ppm_vs_uniform,
+           CAST(sum(n_docs) OVER () - n_docs AS BIGINT) AS train_size,
+           min_id, max_id
+    FROM byfold
+    ORDER BY fold
+    """
+    h = "md5(concat('{seed}', CAST(doc_id AS STRING)))"
+    spark_sql = (
+        tpl.replace("{h}", h)
+        .replace("{seed}", seed)
+        .replace("{hexd}", hexd)
+        .replace("{k}", str(k))
+        .replace("{idiv}", "div")
+    ).format(**_SPARK_TABLES)
+    oracle_sql = (
+        tpl.replace("{h}", h)
+        .replace("{seed}", seed)
+        .replace("{hexd}", hexd)
+        .replace("{k}", str(k))
+        .replace("{idiv}", "//")
+    ).format(**_ORACLE_TABLES)
+    register_sql("sample_kfold", spark_sql, oracle_sql)
+
+
+_register_kfold()

@@ -1579,3 +1579,92 @@ register(
     ORDER BY p.nprobe
     """,
 )
+
+
+# -------------------------------------- semantic eval contamination (r12)
+def eval_contamination(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    every: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark-contamination audit — the semantic
+    sibling of the n-gram ``sample_contamination_rate`` (paraphrased or
+    reformatted eval items share no 3-grams with their training-set
+    source; they DO share an embedding neighborhood, which is why
+    modern decontamination runs both passes).  Eval set = every 97th
+    vector (the ``decontaminate`` convention); for each eval item,
+    find its nearest CORPUS vector by rounded cosine and flag
+    contamination at ``threshold``.
+
+    Output is one row per eval item (bounded by the eval set, never
+    the corpus): eval_id, best_corpus_id, best_cos, contaminated.
+
+    Shape: the EVAL side is broadcast (eval sets are tiny next to the
+    corpus), ONE corpus scan computes all eval dots, and the per-eval
+    argmax is a keyed rank (row_number partitioned by eval_id — the
+    mips_topk economics, map-side-prunable).  Determinism: the rank
+    orders on the ROUNDED cosine with corpus-id tiebreak, the
+    dedup_embedding discipline, so a last-bit float difference between
+    engines cannot flip the argmax.
+    """
+    from dblab_ece_trino_spark.operators.dedup import cosine
+    from pyspark.sql import Window
+
+    v = emb.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    ev = v.filter(F.col("vid") % every == 0).select(
+        F.col("vid").alias("eval_id"), F.col("v").alias("ev")
+    )
+    corpus = v.filter(F.col("vid") % every != 0)
+    scored = corpus.join(F.broadcast(ev)).select(
+        "eval_id",
+        F.col("vid").alias("corpus_id"),
+        F.round(cosine(F.col("v"), F.col("ev")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("eval_id").orderBy(
+        F.desc("cos"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "eval_id",
+            F.col("corpus_id").alias("best_corpus_id"),
+            F.col("cos").alias("best_cos"),
+            (F.col("cos") >= threshold).alias("contaminated"),
+        )
+        .orderBy("eval_id")
+    )
+
+
+def _q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return eval_contamination(_emb(spark, sf_dir))
+
+
+register(
+    "sim_eval_contamination",
+    _q_eval_contamination,
+    oracle="""
+    WITH scored AS (
+      SELECT e.vec_id AS eval_id, c.vec_id AS corpus_id,
+             round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]), 6) AS cos
+      FROM embeddings e JOIN embeddings c
+        ON e.vec_id % 97 = 0 AND c.vec_id % 97 <> 0
+    ),
+    ranked AS (
+      SELECT eval_id, corpus_id, cos,
+             row_number() OVER (PARTITION BY eval_id
+                                ORDER BY cos DESC, corpus_id) AS rk
+      FROM scored
+    )
+    SELECT eval_id, corpus_id AS best_corpus_id, cos AS best_cos,
+           cos >= 0.4 AS contaminated
+    FROM ranked WHERE rk = 1
+    ORDER BY eval_id
+    """,
+)

@@ -1636,3 +1636,58 @@ def _register_pairwise_corr() -> None:
 
 
 _register_pairwise_corr()
+
+
+# ----------------------------------------- weekday seasonality index (r12)
+def _register_weekday_profile() -> None:
+    """Calendar-seasonality profile: per ISO weekday (1=Mon..7=Sun),
+    order volume and revenue with each side's index against the
+    uniform-week null (ppm; 1 000 000 = that weekday carries exactly
+    1/7 of the metric) — the one-page readout behind staffing /
+    capacity seasonality decisions and the input to weekday-aware
+    forecasting baselines (the snaive lag-7 choice in the MASE entry
+    presumes exactly this structure exists).
+
+    Exactness: idx_ppm = 7e6 * metric_w div metric_total with the
+    numerator in DECIMAL(38,0) (Spark) / HUGEINT (oracle) — revenue
+    cents * 7e6 passes BIGINT at warehouse scale.  ONE scan, one
+    7-row groupBy, totals via a window over the 7-row frame.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    tpl = """
+    WITH base AS (
+      SELECT {isodow} AS wd,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM {orders}
+    ),
+    byday AS (
+      SELECT wd, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents
+      FROM base GROUP BY wd
+    )
+    SELECT wd AS iso_weekday, n_orders, revenue_cents,
+           CAST((CAST(7000000 AS {big}) * n_orders)
+                {idiv} sum(n_orders) OVER () AS BIGINT)
+             AS volume_idx_ppm,
+           CAST((CAST(7000000 AS {big}) * revenue_cents)
+                {idiv} sum(revenue_cents) OVER () AS BIGINT)
+             AS revenue_idx_ppm
+    FROM byday
+    ORDER BY wd
+    """
+    spark_sql = (
+        tpl.replace("{isodow}", "CAST(weekday(o_orderdate) + 1 AS BIGINT)")
+        .replace("{big}", "DECIMAL(38,0)")
+        .replace("{idiv}", "div")
+    ).format(**_SPARK_TABLES)
+    oracle_sql = (
+        tpl.replace("{isodow}", "CAST(isodow(o_orderdate) AS BIGINT)")
+        .replace("{big}", "HUGEINT")
+        .replace("{idiv}", "//")
+    ).format(**_ORACLE_TABLES)
+    register_sql("ts_weekday_profile", spark_sql, oracle_sql)
+
+
+_register_weekday_profile()

@@ -1321,3 +1321,60 @@ register(
     _q_wh_deletion_vectors,
     oracle=_deletion_vectors_oracle(),
 )
+
+
+# --------------------------------------- partition-spec evolution (r12)
+def _register_partition_evolution() -> None:
+    """Partition-spec migration audit — the decision table behind an
+    Iceberg-style partition evolution (spec change from hash buckets to
+    calendar months here, the wh_zone_map_pruning pair of layouts):
+    Iceberg leaves OLD files in the old spec, so queries pay the old
+    layout's scan amplification until a rewrite; this op quantifies
+    that rewrite.  Per OLD partition: row count, the FAN-OUT (how many
+    new partitions its rows land in — the shuffle width of rewriting
+    that file), the largest single destination's share in ppm (1e6 ==
+    the old file maps 1:1 onto one new partition and can be renamed
+    instead of rewritten), and the rows that must MOVE (everything
+    outside the dominant destination).
+
+    Metadata-scale after ONE fact scan into the (old, new) partition
+    grid (keyed count, map-side combinable); the audit itself runs on
+    the |old|x|new| grid.  Exact integers throughout.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.operators.sampling import _md5_bucket_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    bucket = _md5_bucket_sql("l_orderkey", "zonemap-")
+    tpl = f"""
+    WITH grid AS (
+      SELECT ({bucket}) % 64 AS old_part,
+             (year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1
+               AS new_part,
+             CAST(count(*) AS BIGINT) AS n
+      FROM {{lineitem}}
+      GROUP BY 1, 2
+    ),
+    per_old AS (
+      SELECT old_part,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS fan_out,
+             CAST(max(n) AS BIGINT) AS dominant_rows
+      FROM grid
+      GROUP BY old_part
+    )
+    SELECT CAST(old_part AS BIGINT) AS old_part, n_rows, fan_out,
+           CAST(1000000 * dominant_rows {{idiv}} n_rows AS BIGINT)
+             AS dominant_ppm,
+           CAST(n_rows - dominant_rows AS BIGINT) AS rows_moved
+    FROM per_old
+    ORDER BY old_part
+    """
+    register_sql(
+        "wh_partition_evolution",
+        tpl.replace("{idiv}", "div").format(**_SPARK_TABLES),
+        tpl.replace("{idiv}", "//").format(**_ORACLE_TABLES),
+    )
+
+
+_register_partition_evolution()

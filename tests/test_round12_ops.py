@@ -263,3 +263,347 @@ def test_pcx_still_dispatches_after_tighten():
     w, h, arr = decode_image(encode_pcx(img))
     assert (w, h) == (4, 5)
     assert (arr == img).all()
+
+
+# --------------------------------------------- DDSketch-style quantiles
+def test_dd_quantiles_matches_pure_python():
+    """Bucket ids, merge, and rank selection re-derived with explicit
+    Python loops from the raw cents at sf0.001."""
+    import duckdb
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf}/orders.parquet')"
+    )
+    got = con.execute(oracle_queries()["op_dd_quantiles"]).fetchall()
+    cents = [
+        int(c) for (c,) in con.execute(
+            "SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+            " FROM orders WHERE o_totalprice > 0"
+        ).fetchall()
+    ]
+    from collections import Counter
+
+    sketch: Counter = Counter()
+    for c in cents:
+        octv = c.bit_length() - 1
+        sub = (c >> (octv - 2)) & 3
+        sketch[(octv, sub)] += 1
+    total = sum(sketch.values())
+    buckets = sorted(sketch)
+    want = []
+    for q in (50, 90, 95, 99):
+        cum = 0
+        for octv, sub in buckets:
+            prev = cum
+            cum += sketch[(octv, sub)]
+            if cum * 100 >= q * total and prev * 100 < q * total:
+                want.append(
+                    (q, octv * 4 + sub,
+                     (4 + sub) * (1 << (octv - 2)),
+                     (5 + sub) * (1 << (octv - 2)), total)
+                )
+                break
+    assert got == want
+    # the bracket must contain the exact discrete percentile
+    s = sorted(cents)
+    for q, _b, lo, hi, _n in want:
+        exact = s[min(len(s) - 1, (q * len(s) + 99) // 100 - 1)]
+        assert lo <= exact <= hi
+
+
+# ------------------------------------------------- rich-club coefficient
+def test_rich_club_hand_graph(spark):
+    """phi(k) on a hand graph: hub clique {1,2,3} (mutually connected,
+    degree >= 3) plus leaves — re-derived explicitly."""
+    from dblab_ece_trino_spark.operators.graph import rich_club
+
+    edges = [(1, 2), (1, 3), (2, 3), (1, 4), (2, 5), (3, 6), (1, 7)]
+    pairs = spark.createDataFrame(edges, "u long, v long")
+    got = {r.k: (r.n_club, r.club_edges, r.phi_ppm)
+           for r in rich_club(pairs, ks=(1, 2, 3)).collect()}
+    deg: dict = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    want = {}
+    for k in (1, 2, 3):
+        club = {n for n, d in deg.items() if d > k}
+        ek = sum(1 for u, v in edges if u in club and v in club)
+        nk = len(club)
+        phi = 2_000_000 * ek // (nk * (nk - 1)) if nk >= 2 else 0
+        want[k] = (nk, ek, phi)
+    assert got == want
+    # the hub clique is fully connected: phi(2) == 1e6 exactly
+    assert got[2] == (3, 3, 1_000_000)
+
+
+# ------------------------------------------------ language confusion grid
+def test_lang_confusion_consistent_with_language_id():
+    """The confusion grid must be exactly the GROUP BY of the graded
+    text_language_id entry's per-doc output."""
+    import duckdb
+    from collections import Counter
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    per_doc = con.execute(oracle_queries()["text_language_id"]).fetchall()
+    grid = Counter((lab, pred) for _id, lab, pred in per_doc)
+    label_tot = Counter(lab for _id, lab, _p in per_doc)
+    want = sorted(
+        (lab, pred, n, label_tot[lab], 1_000_000 * n // label_tot[lab])
+        for (lab, pred), n in grid.items()
+    )
+    got = sorted(
+        tuple(r) for r in
+        con.execute(oracle_queries()["text_lang_confusion"]).fetchall()
+    )
+    assert got == want
+    assert sum(n for _l, _p, n, _t, _ppm in got) == len(per_doc)
+
+
+# ---------------------------------------------- weekday seasonality index
+def test_weekday_profile_matches_pure_python():
+    import duckdb
+    from collections import defaultdict
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf}/orders.parquet')"
+    )
+    got = con.execute(oracle_queries()["ts_weekday_profile"]).fetchall()
+    rows = con.execute(
+        "SELECT isodow(o_orderdate),"
+        " CAST(round(o_totalprice * 100, 0) AS BIGINT) FROM orders"
+    ).fetchall()
+    n: dict = defaultdict(int)
+    rev: dict = defaultdict(int)
+    for wd, c in rows:
+        n[wd] += 1
+        rev[wd] += int(c)
+    nt, rt = sum(n.values()), sum(rev.values())
+    want = [
+        (wd, n[wd], rev[wd],
+         7_000_000 * n[wd] // nt, 7_000_000 * rev[wd] // rt)
+        for wd in sorted(n)
+    ]
+    assert got == want
+    assert len(got) == 7
+
+
+# ------------------------------------------------------ k-fold assignment
+def test_kfold_matches_pure_python_md5():
+    import duckdb
+    import hashlib
+    from collections import defaultdict
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    got = con.execute(oracle_queries()["sample_kfold"]).fetchall()
+    ids = [i for (i,) in con.execute("SELECT doc_id FROM documents").fetchall()]
+    folds: dict = defaultdict(list)
+    for i in ids:
+        h = hashlib.md5(f"kfold-v1{i}".encode()).hexdigest()
+        folds[int(h[:4], 16) % 5].append(i)
+    total = len(ids)
+    want = [
+        (f, len(v), 5_000_000 * len(v) // total, total - len(v),
+         min(v), max(v))
+        for f, v in sorted(folds.items())
+    ]
+    assert got == want
+    assert sum(r[1] for r in got) == total  # folds partition the corpus
+
+
+# ------------------------------------------- semantic eval contamination
+def test_eval_contamination_matches_numpy():
+    import duckdb
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    got = con.execute(oracle_queries()["sim_eval_contamination"]).fetchall()
+    rows = con.execute("SELECT vec_id, embedding FROM embeddings").fetchall()
+    vecs = {i: np.asarray(v, dtype=np.float64) for i, v in rows}
+    evals = sorted(i for i in vecs if i % 97 == 0)
+    corpus = sorted(i for i in vecs if i % 97 != 0)
+    want = []
+    for e in evals:
+        best = None
+        for c in corpus:
+            a, b = vecs[e], vecs[c]
+            cos = round(
+                float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+            )
+            if best is None or cos > best[1] or (cos == best[1] and c < best[0]):
+                best = (c, cos)
+        want.append((e, best[0], best[1], best[1] >= 0.4))
+    assert [(a, b, round(c, 6), d) for a, b, c, d in got] == want
+
+
+# ------------------------------------------------ partition-spec evolution
+def test_partition_evolution_matches_pure_python():
+    import duckdb
+    import hashlib
+    from collections import defaultdict
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf}/lineitem.parquet')"
+    )
+    got = con.execute(oracle_queries()["wh_partition_evolution"]).fetchall()
+    rows = con.execute(
+        "SELECT l_orderkey, year(l_shipdate), month(l_shipdate)"
+        " FROM lineitem"
+    ).fetchall()
+    grid: dict = defaultdict(int)
+    for key, y, m in rows:
+        h = hashlib.md5(f"zonemap-{key}".encode()).hexdigest()
+        old = (int(h[:2], 16)) % 64
+        grid[(old, (y - 1995) * 12 + m - 1)] += 1
+    per_old: dict = defaultdict(list)
+    for (old, _new), cnt in grid.items():
+        per_old[old].append(cnt)
+    want = sorted(
+        (old, sum(cs), len(cs), 1_000_000 * max(cs) // sum(cs),
+         sum(cs) - max(cs))
+        for old, cs in per_old.items()
+    )
+    assert got == want
+    assert sum(r[1] for r in got) == len(rows)  # rows conserved
+
+
+# ------------------------------------------------------ ICO container codec
+def test_ico_roundtrip_and_largest_entry():
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_ico,
+        encode_ico,
+        parse_ico_dir,
+    )
+
+    def fn(x, y):
+        return ((x * 2 + y) % 256, (x + 3 * y) % 256, (5 * x) % 256)
+
+    payload = encode_ico([("bmp", 4, 3, fn), ("bmp", 7, 5, fn)])
+    entries = parse_ico_dir(payload)
+    assert [(w, h) for w, h, *_ in entries] == [(4, 3), (7, 5)]
+    w, h, ch, arr, n, png = decode_ico(payload)
+    assert (w, h, ch, n, png) == (7, 5, 3, 2, False)
+    want = np.array(
+        [[fn(x, y) for x in range(7)] for y in range(5)], dtype=np.uint8
+    )
+    assert (arr == want).all()
+
+
+def test_ico_png_entry_delegates():
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_ico,
+        encode_ico,
+    )
+
+    def fn(x, y):
+        return ((x * 7) % 256, (y * 11) % 256, (x + y) % 256)
+
+    payload = encode_ico([("bmp", 3, 3, fn), ("png", 6, 4, fn)])
+    w, h, _ch, arr, n, png = decode_ico(payload)
+    assert (w, h, n, png) == (6, 4, 2, True)
+    want = np.array(
+        [[fn(x, y) for x in range(6)] for y in range(4)], dtype=np.uint8
+    )
+    assert (arr == want).all()
+
+
+def test_ico_error_contracts_and_dispatch():
+    import pytest as _pytest
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_ico,
+        decode_image,
+        encode_ico,
+    )
+
+    def fn(x, y):
+        return (x % 256, y % 256, 0)
+
+    good = encode_ico([("bmp", 4, 4, fn)])
+    # container-level dispatch on the 00 00 01 00 magic
+    w, h, arr = decode_image(good)
+    assert (w, h) == (4, 4)
+    with _pytest.raises(ValueError, match="truncated ICO header"):
+        decode_ico(good[:4])
+    with _pytest.raises(ValueError, match="not an ICO payload"):
+        decode_ico(b"\x00\x00\x02\x00" + good[4:])  # type 2 = cursor
+    with _pytest.raises(ValueError, match="overruns the payload"):
+        decode_ico(good[:-10])
+
+
+# -------------------------------------------------------- stereo downmix
+def test_downmix_floor_semantics_on_odd_sums():
+    """(L + R) >> 1 must FLOOR like Python // — pinned on negative odd
+    sums where truncating division would differ."""
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        downmix_stereo,
+        encode_stereo_wav,
+    )
+
+    left = np.array([-3, -1, 1, 3, 32767, -32768], dtype="<i2")
+    right = np.array([0, 0, 0, 0, 32767, -32768], dtype="<i2")
+    rate, mono = downmix_stereo(encode_stereo_wav(left, right, 8000))
+    want = [(int(l) + int(r)) // 2 for l, r in zip(left, right)]
+    assert rate == 8000 and mono.tolist() == want
+
+
+def test_stereo_wav_error_contracts():
+    import numpy as np
+    import pytest as _pytest
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_stereo_wav,
+        encode_stereo_wav,
+        encode_wav,
+    )
+
+    good = encode_stereo_wav(
+        np.arange(8, dtype="<i2"), np.arange(8, dtype="<i2"), 8000
+    )
+    with _pytest.raises(ValueError, match="truncated data chunk"):
+        decode_stereo_wav(good[:-4])
+    mono = encode_wav(np.arange(8, dtype="<i2"), 8000)
+    with _pytest.raises(ValueError, match="expected stereo"):
+        decode_stereo_wav(mono)
