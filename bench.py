@@ -324,6 +324,27 @@ HEADLINE = [
     "multimodal_ico_decode",
     # ... stereo PCM downmix ((L+R)>>1 floor, sum/diff fixtures)
     "multimodal_audio_downmix",
+    # ... Fano-factor burstiness audit (per-minute dispersion index,
+    # one scan, grid via a |types|-row window)
+    "ts_dispersion_index",
+    # ... SFT chat-template assembly (slice/concat projection, md5
+    # content checksum summed per source)
+    "llm_sft_format",
+    # ... near-duplicate split-leakage audit (LSH clusters x md5
+    # split, cross-split pair volume)
+    "sample_dedup_split_audit",
+    # ... embedding-geometry cosine^2 histogram (integer quantized,
+    # panel x hash-sample pairs — linear in the corpus)
+    "sim_cosine_histogram",
+    # ... correlated scalar + EXISTS subqueries (Catalyst
+    # decorrelation surface, integer cross-multiplied above-mean test)
+    "op_correlated_subquery",
+    # ... Sun AU container (16th codec: big-endian header, honored
+    # data offset, mu-law/pcm8/pcm16be dispatch)
+    "multimodal_au_decode",
+    # ... XBM ASCII C-source bitmap (17th codec: LSB-first bits,
+    # X10 short variant, comment/whitespace-tolerant parser)
+    "multimodal_xbm_decode",
 ]
 
 

@@ -2835,3 +2835,138 @@ register(
     ORDER BY cap_tokens
     """,
 )
+
+
+# --------------------------------------------- SFT chat-template assembly (r12)
+SFT_PROMPT_WORDS = 12
+SFT_RESP_CAP = 120
+
+
+def sft_format(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Instruction-tuning data assembly: render each document into a
+    chat-template (prompt, completion) pair — the deterministic string
+    transform every SFT pipeline runs between curation and
+    tokenization — and audit the result per source.  The first
+    ``SFT_PROMPT_WORDS`` words become the user turn, the remainder the
+    assistant turn capped at ``SFT_RESP_CAP`` words (truncation is the
+    stat SFT QA watches: over-truncated sources mean the cap is eating
+    completions).  The rendered text itself is value-checked across
+    engines via a per-row md5 fold SUMMED per source — a content
+    checksum the oracle replays exactly, so any divergence in
+    whitespace, slicing, or template placement shows up as a checksum
+    mismatch, not a silent formatting drift.
+
+    Scale shape (100 TB): template assembly is a pure projection
+    (split / slice / concat — JVM codegen); the audit is one
+    |sources|-row hash agg.  No shuffle beyond the final tiny groupBy.
+    """
+    from dblab_ece_trino_spark.operators.sketches import hexint_digits_sql
+
+    words = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0)
+    )
+    d = docs.select(
+        "source",
+        words.alias("ws"),
+    ).select(
+        "source",
+        F.size("ws").cast("long").alias("n_words"),
+        F.array_join(F.slice("ws", 1, SFT_PROMPT_WORDS), " ").alias("prompt"),
+        F.array_join(
+            F.slice(
+                "ws",
+                SFT_PROMPT_WORDS + 1,
+                SFT_RESP_CAP,
+            ),
+            " ",
+        ).alias("resp"),
+    )
+    fmt = F.concat(
+        F.lit("<|user|>\n"), F.col("prompt"),
+        F.lit("\n<|assistant|>\n"), F.col("resp"), F.lit("<|end|>"),
+    )
+    per = d.select(
+        "source",
+        F.least(F.col("n_words"), F.lit(SFT_PROMPT_WORDS)).alias("p_tok"),
+        F.least(
+            F.greatest(F.col("n_words") - SFT_PROMPT_WORDS, F.lit(0)),
+            F.lit(SFT_RESP_CAP),
+        ).alias("r_tok"),
+        (F.col("n_words") - SFT_PROMPT_WORDS > SFT_RESP_CAP)
+        .cast("long").alias("trunc"),
+        F.length(fmt).cast("long").alias("fmt_len"),
+        F.expr(hexint_digits_sql("md5(concat('<|user|>\\n', prompt, "
+                                 "'\\n<|assistant|>\\n', resp, '<|end|>'))",
+                                 6)).alias("ck"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("trunc").cast("long").alias("n_truncated"),
+            F.sum("p_tok").cast("long").alias("prompt_tokens"),
+            F.sum("r_tok").cast("long").alias("response_tokens"),
+            F.sum("fmt_len").cast("long").alias("fmt_chars"),
+            F.sum("ck").cast("long").alias("fmt_checksum"),
+        )
+        .withColumn(
+            "trunc_ppm",
+            F.expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_truncated"
+                   " div n_pairs AS BIGINT)"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q_sft_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sft_format(_docs(spark, sf_dir))
+
+
+def _sft_oracle() -> str:
+    from dblab_ece_trino_spark.operators.sketches import hexint_digits_sql
+
+    ck = hexint_digits_sql("md5(fmt)", 6)
+    pw, cap = SFT_PROMPT_WORDS, SFT_RESP_CAP
+    return f"""
+    WITH toks AS (
+      SELECT source,
+             regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents
+    ),
+    pairs AS (
+      SELECT source,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             -- array_to_string([]) is NULL in DuckDB (Spark's
+             -- array_join gives '') — coalesce to keep || non-NULL
+             coalesce(array_to_string(list_slice(ws, 1, {pw}), ' '), '')
+               AS prompt,
+             coalesce(
+               array_to_string(list_slice(ws, {pw + 1}, {pw + cap}), ' '),
+               '') AS resp
+      FROM toks
+    ),
+    fmtd AS (
+      SELECT source, n_words, prompt, resp,
+             '<|user|>' || chr(10) || prompt || chr(10)
+             || '<|assistant|>' || chr(10) || resp || '<|end|>' AS fmt
+      FROM pairs
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN n_words - {pw} > {cap} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_truncated,
+           CAST(sum(least(n_words, {pw})) AS BIGINT) AS prompt_tokens,
+           CAST(sum(least(greatest(n_words - {pw}, 0), {cap})) AS BIGINT)
+             AS response_tokens,
+           CAST(sum(length(fmt)) AS BIGINT) AS fmt_chars,
+           CAST(sum({ck}) AS BIGINT) AS fmt_checksum,
+           CAST(CAST(1000000 AS HUGEINT)
+                * sum(CASE WHEN n_words - {pw} > {cap} THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS trunc_ppm
+    FROM fmtd
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+register("llm_sft_format", _q_sft_format, oracle=_sft_oracle())

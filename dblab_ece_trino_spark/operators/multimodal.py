@@ -116,6 +116,14 @@ def decode_image(payload: bytes) -> "object":
         # check below.
         w, h, _channels, arr = decode_pcx(payload)
         return w, h, arr[:, :, :3]
+    if b"#define" in payload[:256] and b"_bits[]" in payload[:4096]:
+        # XBM C fragment (ASCII source); monochrome — expand the 0/1
+        # raster to 3-channel grayscale for the uniform seam contract
+        import numpy as np
+
+        w, h, bits = decode_xbm(payload)
+        g = (bits * np.uint8(255))[:, :, None]
+        return w, h, np.repeat(g, 3, axis=2)
     if len(payload) >= 26 and payload[-18:] == b"TRUEVISION-XFILE.\x00":
         # TGA has no leading magic; detection rides the v2 footer our
         # encoder always writes (alpha-aware callers use decode_tga)
@@ -139,6 +147,12 @@ def decode_audio(payload: bytes) -> "tuple":
     formats (MP3/AAC/Opus) genuinely require an external library and
     raise behind this clearly-marked stub; in production the fallback
     would be soundfile/ffmpeg — the mapInPandas plumbing is identical."""
+    if len(payload) >= 24 and payload[:4] == b".snd":
+        # Sun AU container (big-endian ".snd" magic); the codec byte
+        # (mu-law / pcm8 / pcm16be) is a detail like the G.711 law —
+        # callers that need it use decode_au directly.
+        rate, _codec, samples = decode_au(payload)
+        return rate, samples
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         import struct
 
@@ -6438,3 +6452,417 @@ register(
     ORDER BY media_id
     """,
 )
+
+
+# ------------------------------------------------- REAL Sun AU codec (r12)
+# Sixteenth native format, second audio CONTAINER: the Sun/NeXT .au
+# (".snd") file — the big-endian counterpart of RIFF.  Where WAV is a
+# little-endian chunk list, AU is a fixed big-endian header whose DATA
+# OFFSET field must be honored (real files carry an annotation block
+# between header and data; a decoder that assumes offset 24 reads
+# garbage).  Encoding dispatch inside one container: 1 = G.711 mu-law
+# (reuses the byte-exact tables above), 2 = 8-bit linear PCM (signed),
+# 3 = 16-bit linear PCM big-endian.  Parity anchor: the reference's
+# data model treats media as opaque typed payloads (SURVEY §2.10); the
+# codec itself is beyond-parity pipeline surface.
+AU_MAGIC = b".snd"
+AU_ULAW, AU_PCM8, AU_PCM16 = 1, 2, 3
+_AU_CODEC_NAMES = {AU_ULAW: "ulaw", AU_PCM8: "pcm8", AU_PCM16: "pcm16be"}
+
+
+def encode_au(
+    samples, rate: int, encoding: int, annotation: bytes = b"spark-au"
+) -> bytes:
+    """Build a real Sun AU payload: 24-byte big-endian header, the
+    annotation block (zero-padded to an 8-byte multiple, as the spec
+    recommends), then sample data in the chosen encoding."""
+    import struct
+
+    import numpy as np
+
+    ann = annotation + b"\x00" * ((8 - len(annotation) % 8) % 8)
+    s = np.asarray(samples, dtype=np.int64)
+    if encoding == AU_ULAW:
+        data = bytes(ulaw_encode_sample(int(v)) for v in s)
+    elif encoding == AU_PCM8:
+        if s.min() < -128 or s.max() > 127:
+            raise ValueError("pcm8 samples out of int8 range")
+        data = s.astype(">i1").tobytes()
+    elif encoding == AU_PCM16:
+        data = s.astype(">i2").tobytes()
+    else:
+        raise ValueError(f"unsupported AU encoding {encoding}")
+    hdr = struct.pack(
+        ">4sIIIII", AU_MAGIC, 24 + len(ann), len(data), encoding, rate, 1
+    )
+    return hdr + ann + data
+
+
+def decode_au(payload: bytes):
+    """Parse a Sun AU payload: returns (rate, codec_name, int64 numpy
+    samples).  Honors the header's data-offset field (annotation block
+    skipped by offset, never by assumption), accepts the 0xFFFFFFFF
+    unknown-size convention, and validates declared size against the
+    actual byte count so truncation raises instead of yielding garbage."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 24 or payload[:4] != AU_MAGIC:
+        raise ValueError("not a Sun AU payload")
+    _m, offset, size, enc, rate, channels = struct.unpack(
+        ">4sIIIII", payload[:24]
+    )
+    if offset < 24 or offset > len(payload):
+        raise ValueError(f"bad AU data offset {offset}")
+    if channels != 1:
+        raise ValueError(f"expected mono AU, got {channels} channels")
+    body = payload[offset:]
+    if size != 0xFFFFFFFF:
+        if len(body) < size:
+            raise ValueError(
+                f"truncated AU data: need {size} bytes, have {len(body)}"
+            )
+        body = body[:size]
+    if enc == AU_ULAW:
+        s = np.array([ulaw_decode_byte(b) for b in body], dtype=np.int64)
+    elif enc == AU_PCM8:
+        s = np.frombuffer(body, dtype=">i1").astype(np.int64)
+    elif enc == AU_PCM16:
+        if len(body) % 2:
+            raise ValueError("odd byte count in 16-bit AU data")
+        s = np.frombuffer(body, dtype=">i2").astype(np.int64)
+    else:
+        raise ValueError(f"unsupported AU encoding {enc}")
+    return rate, _AU_CODEC_NAMES[enc], s
+
+
+_AU_PARAMS = [
+    # (n_samp, rate, encoding): all three encodings, odd lengths,
+    # mixed rates; pcm8 clips use int8-range amplitudes
+    (40, 8000, AU_PCM16), (33, 8000, AU_ULAW), (64, 16000, AU_PCM8),
+    (25, 8000, AU_PCM16), (101, 8000, AU_ULAW), (48, 11025, AU_PCM8),
+    (77, 8000, AU_ULAW), (56, 22050, AU_PCM16), (90, 8000, AU_PCM8),
+    (17, 8000, AU_ULAW), (120, 16000, AU_PCM16), (63, 8000, AU_ULAW),
+]
+_N_AU = len(_AU_PARAMS)
+
+
+def _au_signal(i: int, n: int, encoding: int):
+    """Deterministic sawtooth (the WAV/G.711 fixture family): amplitude
+    shrinks to the int8 grid for pcm8 clips."""
+    import numpy as np
+
+    k = np.arange(n, dtype=np.int64)
+    if encoding == AU_PCM8:
+        amp = 90 + 3 * (i % 7)
+        step = 5 + i
+    else:
+        amp = 9000 + 900 * (i % 7)
+        step = 350 + 71 * i
+    return (k * step) % (2 * amp) - amp
+
+
+def _au_payloads(spark: SparkSession, n: int = _N_AU) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                n_samp, rate, enc = _AU_PARAMS[i]
+                rows.append(
+                    (i, encode_au(_au_signal(i, n_samp, enc), rate, enc))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+
+
+def au_stats(media: DataFrame) -> DataFrame:
+    """Decode Sun AU payloads; the G.711 stats shape (ksum guards
+    sample ORDER — a byte-order bug on the 16-bit clips flips it
+    loudly; sum_abs separates the mu-law grid from the linear ones)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, codec, s = decode_au(bytes(payload))
+                s64 = s.astype(np.int64)
+                k = np.arange(len(s64), dtype=np.int64)
+                out.append(
+                    (
+                        int(mid), int(rate), codec, len(s64), int(s64.sum()),
+                        int(np.abs(s64).sum()), int((k * s64).sum()),
+                        int(s64[-1]) if len(s64) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "codec", "n_samples",
+                    "sum_amp", "sum_abs", "ksum", "last_sample",
+                ],
+            )
+
+    return media.mapInPandas(stats, _G711_STATS_SCHEMA)
+
+
+def _q_au_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return au_stats(_au_payloads(spark)).orderBy("media_id")
+
+
+# Pinned per-clip statistics — generated ONCE by the independent
+# reference decoder in scripts/gen_au_expected.py (table-built mu-law
+# from the G.711 closed forms, its own big-endian header walk) and
+# re-derived there on every pytest run.
+# Regenerate: PYTHONPATH=. python3 scripts/gen_au_expected.py
+_AU_EXPECTED = [
+    (0, 8000, 'pcm16be', 40, -87000, 153500, 169000, 4650),
+    (1, 8000, 'ulaw', 33, -104484, 138412, -415064, 3516),
+    (2, 16000, 'pcm8', 64, -672, 3250, -12576, -39),
+    (3, 8000, 'pcm16be', 25, -123600, 131340, -751300, 1812),
+    (4, 8000, 'ulaw', 101, -137552, 633152, -4368416, 396),
+    (5, 11025, 'pcm8', 48, -690, 2690, -10090, -55),
+    (6, 8000, 'ulaw', 77, -17948, 573100, 5318296, -12924),
+    (7, 22050, 'pcm16be', 56, -45620, 245868, -625940, 1585),
+    (8, 8000, 'pcm8', 90, -387, 4293, -9792, -52),
+    (9, 8000, 'ulaw', 17, -49272, 80176, 12180, 5116),
+    (10, 16000, 'pcm16be', 120, -36600, 714200, -653800, -2560),
+    (11, 8000, 'ulaw', 63, -46732, 383156, 316900, 7164),
+]
+
+_AU_ORACLE_TPL = "SELECT " + ", ".join(
+    [
+        "CAST(col0 AS BIGINT) AS media_id",
+        "CAST(col1 AS INT) AS sample_rate",
+        "col2 AS codec",
+        "CAST(col3 AS BIGINT) AS n_samples",
+        "CAST(col4 AS BIGINT) AS sum_amp",
+        "CAST(col5 AS BIGINT) AS sum_abs",
+        "CAST(col6 AS BIGINT) AS ksum",
+        "CAST(col7 AS INT) AS last_sample",
+    ]
+) + " FROM (VALUES {rows}) ORDER BY media_id"
+
+
+_AU_ORACLE = _AU_ORACLE_TPL.format(
+    rows=", ".join(str(r) for r in _AU_EXPECTED)
+)
+
+register("multimodal_au_decode", _q_au_decode, oracle=_AU_ORACLE)
+
+
+# ------------------------------------------------- REAL XBM codec (r12)
+# Seventeenth native format, the first ASCII-SOURCE image: X BitMap —
+# a C fragment (#define width/height + an unsigned char array) that X11
+# consumes directly.  Exercises the parsing half no binary codec does:
+# tokenizing declarations, hex literals, comments and arbitrary line
+# breaks — plus LSB-FIRST bit order (the opposite of every other 1-bit
+# raster here) and the X10 variant whose array is unsigned SHORT with
+# two little-endian bytes per word.  Monochrome: decode returns a
+# (h, w) 0/1 array.
+def encode_xbm(bits, name: str = "img", x10: bool = False) -> bytes:
+    """Build a real XBM C fragment from a (h, w) 0/1 array: LSB-first
+    packed rows, byte stride (w+7)//8; x10=True writes the unsigned
+    short variant (two bytes per word, low byte first)."""
+    import numpy as np
+
+    a = np.asarray(bits, dtype=np.uint8)
+    h, w = a.shape
+    stride = (w + 7) // 8
+    padded = np.zeros((h, stride * 8), dtype=np.uint8)
+    padded[:, :w] = a
+    # LSB-first: bit k of byte j is pixel x = 8*j + k
+    weights = np.array([1, 2, 4, 8, 16, 32, 64, 128], dtype=np.uint8)
+    by = (padded.reshape(h, stride, 8) * weights).sum(axis=2).astype(np.uint8)
+    flat = by.reshape(-1)
+    lines = [f"/* generated fixture: {name} */",
+             f"#define {name}_width {w}",
+             f"#define {name}_height {h}"]
+    if x10:
+        if len(flat) % 2:
+            flat = np.append(flat, np.uint8(0))
+        words = [int(flat[j]) | (int(flat[j + 1]) << 8)
+                 for j in range(0, len(flat), 2)]
+        body = ", ".join(f"0x{v:04x}" for v in words)
+        lines.append(f"static unsigned short {name}_bits[] = {{")
+    else:
+        body = ", ".join(f"0x{v:02x}" for v in flat)
+        lines.append(f"static unsigned char {name}_bits[] = {{")
+    # wrap the body at 72 columns like real xbm writers
+    out, line = [], "  "
+    for tok in body.split(", "):
+        cand = tok if line == "  " else line + ", " + tok
+        if len(cand) > 72 and line != "  ":
+            out.append(line + ",")
+            line = "  " + tok
+        else:
+            line = cand if line != "  " else "  " + tok
+    out.append(line + "};")
+    lines.extend(out)
+    return ("\n".join(lines) + "\n").encode("ascii")
+
+
+def decode_xbm(payload: bytes):
+    """Parse an XBM C fragment: returns (w, h, (h, w) uint8 0/1 array).
+    Tolerates comments and arbitrary whitespace, accepts hex/decimal
+    literals, handles both the char and the X10 unsigned-short array
+    forms, and validates the element count against the declared
+    geometry (truncation raises, never yields a short raster)."""
+    import re
+
+    import numpy as np
+
+    text = payload.decode("ascii", errors="strict")
+    text = re.sub(r"/\*.*?\*/", " ", text, flags=re.S)
+    mw = re.search(r"#define\s+\w*?_?width\s+(\d+)", text)
+    mh = re.search(r"#define\s+\w*?_?height\s+(\d+)", text)
+    if not mw or not mh:
+        raise ValueError("XBM: missing width/height #define")
+    w, h = int(mw.group(1)), int(mh.group(1))
+    decl = re.search(
+        r"static\s+unsigned\s+(char|short)\s+\w+\s*\[\s*\]\s*=\s*\{(.*?)\}",
+        text, flags=re.S,
+    )
+    if not decl:
+        raise ValueError("XBM: missing bits array")
+    kind, body = decl.group(1), decl.group(2)
+    vals = [int(t, 0) for t in re.findall(r"0[xX][0-9a-fA-F]+|\d+", body)]
+    if kind == "short":
+        by = []
+        for v in vals:
+            by.append(v & 0xFF)
+            by.append((v >> 8) & 0xFF)
+    else:
+        by = vals
+    stride = (w + 7) // 8
+    need = stride * h
+    if len(by) < need:
+        raise ValueError(
+            f"XBM: need {need} bytes for {w}x{h}, have {len(by)}"
+        )
+    arr = np.array(by[:need], dtype=np.uint8).reshape(h, stride)
+    bits = ((arr[:, :, None] >> np.arange(8)[None, None, :]) & 1).reshape(
+        h, stride * 8
+    )
+    return w, h, bits[:, :w].astype(np.uint8)
+
+
+_XBM_PARAMS = [
+    # (width, height, x10): widths cross byte boundaries (w % 8 =
+    # 1, 0, 3, 7, 1, 4); two clips use the X10 short variant
+    (9, 11, False),
+    (16, 6, False),
+    (19, 7, True),
+    (7, 13, False),
+    (25, 5, True),
+    (12, 9, False),
+]
+_N_XBM = len(_XBM_PARAMS)
+
+
+def _xbm_bit(i: int, x, y):
+    """Fixture formula (vectorizable AND SQL-replayable)."""
+    return ((3 * x + 5 * y + 11 * i) % 13) < 6
+
+
+def _xbm_payloads(spark: SparkSession, n: int = _N_XBM) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h, x10 = _XBM_PARAMS[i]
+                yy, xx = np.mgrid[0:h, 0:w]
+                bits = _xbm_bit(i, xx, yy).astype(np.uint8)
+                rows.append((i, encode_xbm(bits, f"img{i}", x10=x10)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+
+
+_XBM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_set", T.LongType()),
+        T.StructField("xsum_set", T.LongType()),
+        T.StructField("ysum_set", T.LongType()),
+        T.StructField("first_row_set", T.LongType()),
+    ]
+)
+
+
+def xbm_bit_stats(media: DataFrame) -> DataFrame:
+    """Decode XBM payloads; exact set-bit statistics.  xsum guards the
+    LSB-first bit order (an MSB-first bug mirrors each byte and shifts
+    the x centroid loudly), ysum the row order, first_row_set the
+    stride arithmetic."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, bits = decode_xbm(bytes(payload))
+                b = bits.astype(np.int64)
+                yw = np.arange(h, dtype=np.int64)[:, None]
+                xw = np.arange(w, dtype=np.int64)[None, :]
+                out.append(
+                    (
+                        int(mid), w, h, int(b.sum()),
+                        int((b * xw).sum()), int((b * yw).sum()),
+                        int(b[0, :].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "n_set",
+                    "xsum_set", "ysum_set", "first_row_set",
+                ],
+            )
+
+    return media.mapInPandas(stats, _XBM_STATS_SCHEMA)
+
+
+def _q_xbm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return xbm_bit_stats(_xbm_payloads(spark)).orderBy("media_id")
+
+
+def _xbm_oracle() -> str:
+    rows = ", ".join(
+        f"({i}, {w}, {h})" for i, (w, h, _x10) in enumerate(_XBM_PARAMS)
+    )
+    return f"""
+    WITH params(media_id, w, h) AS (VALUES {rows}),
+    px AS (
+      SELECT media_id, w, h, x, y,
+             CASE WHEN (3 * x + 5 * y + 11 * media_id) % 13 < 6
+                  THEN 1 ELSE 0 END AS v
+      FROM params,
+           unnest(generate_series(0, w - 1)) AS gx(x),
+           unnest(generate_series(0, h - 1)) AS gy(y)
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(any_value(w) AS INT) AS width,
+           CAST(any_value(h) AS INT) AS height,
+           CAST(sum(v) AS BIGINT) AS n_set,
+           CAST(sum(x * v) AS BIGINT) AS xsum_set,
+           CAST(sum(y * v) AS BIGINT) AS ysum_set,
+           CAST(sum(CASE WHEN y = 0 THEN v ELSE 0 END) AS BIGINT)
+             AS first_row_set
+    FROM px
+    GROUP BY media_id
+    ORDER BY media_id
+    """
+
+
+register("multimodal_xbm_decode", _q_xbm_decode, oracle=_xbm_oracle())

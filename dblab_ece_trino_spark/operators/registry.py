@@ -179,12 +179,14 @@ ROTATION_RETIRED: frozenset = frozenset({
 # landed; 17 r5 entries were displaced into the round-12 queue).
 # Graded 50/50 green in CORRECTNESS_r11.json.
 #
-# ROUND-12 WINDOW: new round-12 ops at the head (never-graded
-# outranks stale), then the 17 r5-latest entries the r11 window
-# displaced, then the alphabetical head of the r6 cohort MINUS the
-# round-12 retirements (op_agg_cube / op_window_rownum /
-# op_window_distribution left the rotation — see ROTATION_RETIRED).
-# Each new op displaces the current r6 tail seat as it lands.
+# ROUND-12 WINDOW (final composition: 18 new + 17 r5 + 15 r6): the 18
+# never-graded round-12 ops at the head (never-graded outranks stale),
+# then the 17 r5-latest entries the r11 window displaced, then the
+# alphabetical head of the r6 cohort MINUS the round-12 retirements
+# (op_agg_cube / op_window_rownum / op_window_distribution left the
+# rotation — see ROTATION_RETIRED).  Each new op displaced the current
+# r6 tail seat as it landed; the 7 displaced r6 entries (op_distinct
+# .. op_join_anti) head the round-13 queue.
 # ROUND-13 QUEUE, pre-derived: the displaced r6 tail, then the r7
 # cohort; window_check prints it.  Verify any window rewrite
 # mechanically:
@@ -195,6 +197,9 @@ GRADED_PRIORITY: list[str] = [
     "graph_rich_club", "text_lang_confusion", "ts_weekday_profile",
     "sample_kfold", "sim_eval_contamination", "wh_partition_evolution",
     "multimodal_ico_decode", "multimodal_audio_downmix",
+    "ts_dispersion_index", "llm_sft_format", "sample_dedup_split_audit",
+    "sim_cosine_histogram", "op_correlated_subquery",
+    "multimodal_au_decode", "multimodal_xbm_decode",
     # latest green = round 5 (alphabetical; the r11-displaced tail)
     "sample_poisson_bootstrap", "sim_mips_topk", "sim_quantized_mips",
     "text_readability", "text_tfidf_topk", "ts_autocorrelation",
@@ -208,8 +213,6 @@ GRADED_PRIORITY: list[str] = [
     "llm_quantile_normalize", "multimodal_bmp_decode", "op_ab_test",
     "op_abc_pareto", "op_agg_rollup", "op_benford_test",
     "op_boxplot_stats", "op_chi2_independence", "op_concurrency_sweep",
-    "op_distinct", "op_except", "op_filter_conjunction", "op_gini_spend",
-    "op_hopping_window", "op_intersect", "op_join_anti",
 ]
 
 

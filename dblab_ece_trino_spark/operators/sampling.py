@@ -1159,3 +1159,116 @@ def _register_kfold() -> None:
 
 
 _register_kfold()
+
+
+# ------------------------------- near-duplicate split-leakage audit (r12)
+DEDUP_SPLIT_EVAL_LO = 230  # md5 bucket >= 230/256 -> eval (~10%)
+
+
+def dedup_split_audit(labels: DataFrame, id_col: str = "sid") -> DataFrame:
+    """Near-duplicate SPLIT-LEAKAGE audit — the third leg of the
+    leakage family: ``sample_leakage_audit`` catches temporal
+    train-serve crossings and ``sample_contamination_rate`` catches
+    verbatim eval n-grams in train; this one catches the subtler
+    failure where a hash split puts two NEAR-DUPLICATES of the same
+    document on opposite sides, silently inflating eval scores.  Input
+    is the fuzzy-dedup cluster-label table (``dedup_clusters``); each
+    member is assigned its split by the standard md5 bucket (same
+    discipline as ``split_assign`` — content-hash, order-free), and a
+    cluster counting members on both sides is a LEAK.  One-row report:
+    cluster totals, spanning-cluster count + ppm, the cross-split pair
+    volume (n_train x n_eval summed — the number of leaky eval-train
+    near-dup relations), and the leaked eval doc count (the docs whose
+    scores are suspect).
+
+    Scale shape (100 TB): rides the label table (clustered docs only —
+    orders smaller than the corpus), one keyed agg on cluster, then a
+    scalar map-side-combinable reduce.  Nothing corpus-scale past the
+    LSH stage it reuses.
+    """
+    b = md5_bucket(F.col(id_col), "split-v1")
+    percl = (
+        labels.select(
+            "cluster",
+            (b < DEDUP_SPLIT_EVAL_LO).cast("long").alias("tr"),
+            (b >= DEDUP_SPLIT_EVAL_LO).cast("long").alias("ev"),
+        )
+        .groupBy("cluster")
+        .agg(F.sum("tr").alias("n_train"), F.sum("ev").alias("n_eval"))
+    )
+    span = (F.col("n_train") > 0) & (F.col("n_eval") > 0)
+    return percl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum(span.cast("long")).cast("long").alias("n_spanning"),
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0))"
+            " * sum(CASE WHEN n_train > 0 AND n_eval > 0 THEN 1 ELSE 0 END)"
+            " div count(*) AS BIGINT)"
+        ).alias("spanning_ppm"),
+        F.sum(F.col("n_train") * F.col("n_eval")).cast("long")
+        .alias("cross_pairs"),
+        F.sum(F.when(span, F.col("n_eval")).otherwise(0)).cast("long")
+        .alias("eval_docs_leaked"),
+    )
+
+
+def _q_dedup_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.operators.dedup import (
+        _docs as _ddocs,
+        dedup_clusters,
+        dedup_minhash_lsh,
+    )
+
+    pairs = dedup_minhash_lsh(_ddocs(spark, sf_dir), threshold=0.7,
+                              max_bucket=None)
+    return dedup_split_audit(dedup_clusters(pairs))
+
+
+def _dedup_split_audit_oracle() -> str:
+    from dblab_ece_trino_spark.operators.dedup import _MINHASH_ORACLE
+
+    bucket = _md5_bucket_sql("sid")
+    lo = DEDUP_SPLIT_EVAL_LO
+    return (
+        """
+    WITH RECURSIVE pairs AS ("""
+        + _MINHASH_ORACLE
+        + f"""
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (
+      SELECT a AS sid, least(a, min(b)) AS cluster
+      FROM reach GROUP BY a
+    ),
+    percl AS (
+      SELECT cluster,
+             sum(CASE WHEN {bucket} < {lo} THEN 1 ELSE 0 END) AS n_train,
+             sum(CASE WHEN {bucket} >= {lo} THEN 1 ELSE 0 END) AS n_eval
+      FROM labels GROUP BY cluster
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN n_train > 0 AND n_eval > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_spanning,
+           CAST(CAST(1000000 AS HUGEINT)
+                * sum(CASE WHEN n_train > 0 AND n_eval > 0
+                      THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+             AS spanning_ppm,
+           CAST(sum(n_train * n_eval) AS BIGINT) AS cross_pairs,
+           CAST(sum(CASE WHEN n_train > 0 AND n_eval > 0 THEN n_eval
+                    ELSE 0 END) AS BIGINT) AS eval_docs_leaked
+    FROM percl
+    """
+    )
+
+
+register("sample_dedup_split_audit", _q_dedup_split_audit,
+         oracle=_dedup_split_audit_oracle())

@@ -1668,3 +1668,196 @@ register(
     ORDER BY eval_id
     """,
 )
+
+
+# ------------------------------------ cosine-geometry histogram (r12)
+COSH_PANEL = 64
+COSH_SAMPLE_HI = 32  # md5 bucket < 32/256 -> ~12.5% corpus sample
+COSH_LEVELS = 255
+COSH_BIN = 100000  # ppm per histogram bin
+
+
+def cosine_histogram(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space GEOMETRY audit: the distribution of pairwise
+    similarity over a deterministic panel x sample of vector pairs —
+    the one-page readout that catches representation collapse (mass
+    piling up near +1), anisotropy (mean similarity far from 0), and
+    dead embedding spaces before any retrieval metric moves.  Run
+    alongside the recall/contamination entries: those grade retrieval
+    OUTCOMES, this grades the space itself.
+
+    Exactness: centered scalar quantization (the epsilon-ball scheme)
+    gives integer codes; the histogram key is SIGNED QUANTIZED COSINE^2
+    in ppm — sign(sab) carried as a flag, magnitude
+    1e6 * sab^2 div (saa*sbb) — so every division is over non-negative
+    integers (Spark ``div`` and DuckDB ``//`` agree there; signed
+    integer division semantics differ between engines and are never
+    invoked).  Bins are COSH_BIN-ppm wide, negatives bucketed to
+    -(m div bin + 1) to keep the zero bin unambiguous.
+
+    Sampling is hash-deterministic and LINEAR in the corpus: a
+    COSH_PANEL-vector panel picked by md5 order (distributed
+    TakeOrderedAndProject — never a global window) crossed with an
+    md5-bucket ~12.5% corpus sample; pair volume is panel * sample,
+    broadcast on the panel side — no N^2 anywhere.  A panel vector
+    can also land in the sample (the (a,b)/(b,a) double-count is
+    deterministic and identical on both engines; the histogram is a
+    diagnostic of the space, not a pair census).  Two bounded driver
+    scalars (global min/max) — the quantizer anchor, same as the
+    other integer-ANN entries.
+    """
+    from dblab_ece_trino_spark.session import ensure_parallelism
+
+    corpus = ensure_parallelism(emb)
+    row = (
+        corpus.select(_as_double(F.col(vec_col)).alias("v"))
+        .agg(F.min(F.array_min("v")).alias("mn"),
+             F.max(F.array_max("v")).alias("mx"))
+        .collect()[0]
+    )
+    mn, mx = float(row["mn"]), float(row["mx"])
+    mid = (mn + mx) / 2.0
+    s_unit = (mx - mn) / float(COSH_LEVELS)
+
+    def codes(col):
+        return F.transform(
+            _as_double(col),
+            lambda x: F.floor(
+                (x - F.lit(mid)) / F.lit(s_unit) + F.lit(0.5)
+            ).cast("long"),
+        )
+
+    def selfdot(c):
+        return F.aggregate(
+            F.zip_with(c, c, lambda a, b: a * b),
+            F.lit(0).cast("long"), lambda a, v: a + v,
+        )
+
+    coded = corpus.select(
+        F.col(id_col).alias("vid"), codes(F.col(vec_col)).alias("qc")
+    ).withColumn("sq", selfdot(F.col("qc")))
+    panel = (
+        coded.withColumn(
+            "hk", F.md5(F.concat(F.lit("cospanel"), F.col("vid").cast("string")))
+        )
+        .orderBy("hk")
+        .limit(COSH_PANEL)
+        .select(F.col("vid").alias("qid"), F.col("qc").alias("pc"),
+                F.col("sq").alias("sqq"))
+    )
+    from dblab_ece_trino_spark.operators.sampling import md5_bucket
+
+    sample = coded.filter(
+        md5_bucket(F.col("vid"), "cossample") < COSH_SAMPLE_HI
+    ).select(F.col("vid").alias("cid"), F.col("qc").alias("cc"),
+             F.col("sq").alias("scc"))
+    sab = F.aggregate(
+        F.zip_with(F.col("pc"), F.col("cc"), lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda a, v: a + v,
+    )
+    pairs = (
+        sample.join(F.broadcast(panel), F.col("qid") != F.col("cid"))
+        .withColumn("sab", sab)
+        .withColumn("neg", F.col("sab") < 0)
+        .withColumn(
+            "m_ppm",
+            F.expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * sab * sab"
+                   " div (CAST(sqq AS DECIMAL(38,0)) * scc) AS BIGINT)"),
+        )
+        .withColumn(
+            "signed_ppm",
+            F.when(F.col("neg"), -F.col("m_ppm")).otherwise(F.col("m_ppm")),
+        )
+        .withColumn(
+            "bin",
+            F.when(
+                F.col("neg"),
+                -(F.expr(f"m_ppm div {COSH_BIN}") + 1),
+            ).otherwise(F.expr(f"m_ppm div {COSH_BIN}")).cast("long"),
+        )
+    )
+    return (
+        pairs.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min("signed_ppm").cast("long").alias("min_ppm"),
+            F.max("signed_ppm").cast("long").alias("max_ppm"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _q_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_histogram(_emb(spark, sf_dir))
+
+
+def _cosine_histogram_oracle() -> str:
+    from dblab_ece_trino_spark.operators.sampling import _md5_bucket_sql
+
+    bucket = _md5_bucket_sql("vec_id", "cossample")
+    return f"""
+    WITH dims AS (
+      SELECT vec_id, t.i AS dim, CAST(embedding[t.i + 1] AS DOUBLE) AS val
+      FROM embeddings, range(64) t(i)
+    ),
+    st AS (
+      SELECT (min(val) + max(val)) / 2 AS mid,
+             (max(val) - min(val)) / {COSH_LEVELS} AS s
+      FROM dims
+    ),
+    codes AS (
+      SELECT d.vec_id, d.dim,
+             CAST(floor((d.val - st.mid) / st.s + 0.5) AS BIGINT) AS q
+      FROM dims d CROSS JOIN st
+    ),
+    selfdot AS (
+      SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS sq
+      FROM codes GROUP BY vec_id
+    ),
+    panel AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (
+          ORDER BY md5('cospanel' || CAST(vec_id AS STRING))) AS rk
+        FROM selfdot
+      ) r WHERE rk <= {COSH_PANEL}
+    ),
+    pairs AS (
+      SELECT p.vec_id AS qid, smp.vec_id AS cid,
+             CAST(sum(a.q * b.q) AS BIGINT) AS sab
+      FROM panel p
+      JOIN selfdot smp ON {bucket.replace('vec_id', 'smp.vec_id')} < {COSH_SAMPLE_HI}
+       AND smp.vec_id <> p.vec_id
+      JOIN codes a ON a.vec_id = p.vec_id
+      JOIN codes b ON b.vec_id = smp.vec_id AND b.dim = a.dim
+      GROUP BY p.vec_id, smp.vec_id
+    ),
+    scored AS (
+      SELECT q.qid, q.cid, q.sab, sab < 0 AS neg,
+             CAST(CAST(1000000 AS HUGEINT) * sab * sab
+                  // (CAST(sa.sq AS HUGEINT) * sb.sq) AS BIGINT) AS m_ppm
+      FROM pairs q
+      JOIN selfdot sa ON sa.vec_id = q.qid
+      JOIN selfdot sb ON sb.vec_id = q.cid
+    ),
+    binned AS (
+      SELECT CASE WHEN neg THEN -(m_ppm // {COSH_BIN} + 1)
+                  ELSE m_ppm // {COSH_BIN} END AS bin,
+             CASE WHEN neg THEN -m_ppm ELSE m_ppm END AS signed_ppm
+      FROM scored
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(signed_ppm) AS BIGINT) AS min_ppm,
+           CAST(max(signed_ppm) AS BIGINT) AS max_ppm
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """
+
+
+register("sim_cosine_histogram", _q_cosine_histogram,
+         oracle=_cosine_histogram_oracle())

@@ -687,8 +687,8 @@ def _dd_quantiles_sql() -> tuple[str, str]:
     ),
     cum AS (
       SELECT oct, sub, cnt,
-             sum(cnt) OVER (ORDER BY oct, sub) AS cum_cnt,
-             sum(cnt) OVER () AS total
+             CAST(sum(cnt) OVER (ORDER BY oct, sub) AS BIGINT) AS cum_cnt,
+             CAST(sum(cnt) OVER () AS BIGINT) AS total
       FROM merged
     ),
     qs AS (

@@ -334,3 +334,46 @@ _both(
     ORDER BY c_nationkey
     """,
 )
+
+
+# --------------------------------- correlated subqueries / EXISTS (r12)
+# Catalyst's RewriteCorrelatedScalarSubquery + RewritePredicateSubquery
+# surface: a correlated scalar aggregate (per-nation spend comparison)
+# AND a correlated EXISTS, in ONE query — both decorrelate into joins
+# (the scalar into an aggregate+join, the EXISTS into a left-semi), so
+# the physical plan is shuffle-bounded like any other join at 100 TB.
+# The above-mean test is integer cross-multiplied (cents * n > sum) —
+# no AVG double whose summation order could flip a boundary row; the
+# multiplication rides DECIMAL(38,0)/HUGEINT so member-count x cents
+# stays exact at warehouse scale.
+def _register_correlated_subquery() -> None:
+    tpl = """
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             CAST(round(sum(o.o_totalprice) * 100, 0) AS BIGINT) AS cents
+      FROM {customer} c JOIN {orders} o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_nationkey
+    )
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_above_mean,
+           CAST(sum(s.cents) AS BIGINT) AS above_mean_cents
+    FROM spend s JOIN {nation} n ON n.n_nationkey = s.c_nationkey
+    WHERE CAST(s.cents AS {big})
+            * (SELECT count(*) FROM spend s2
+               WHERE s2.c_nationkey = s.c_nationkey)
+          > (SELECT CAST(sum(CAST(s2.cents AS {big})) AS {big})
+             FROM spend s2 WHERE s2.c_nationkey = s.c_nationkey)
+      AND EXISTS (SELECT 1 FROM {orders} o2
+                  WHERE o2.o_custkey = s.c_custkey
+                    AND o2.o_orderstatus = 'F')
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """
+    _both(
+        "op_correlated_subquery",
+        tpl.replace("{big}", "DECIMAL(38,0)"),
+        tpl.replace("{big}", "HUGEINT"),
+    )
+
+
+_register_correlated_subquery()

@@ -1691,3 +1691,89 @@ def _register_weekday_profile() -> None:
 
 
 _register_weekday_profile()
+
+
+# ------------------------------------- burstiness / dispersion index (r12)
+def _register_dispersion_index() -> None:
+    """Burstiness audit: the index of dispersion (Fano factor) of
+    per-minute arrival counts for each event type — var(counts)/mean
+    over a SHARED minute grid spanning the whole stream, so types are
+    directly comparable.  Poisson arrivals give exactly 1.0 (1e6 ppm);
+    bursty streams exceed it, metronomic ones fall below.  This is the
+    standard first-look diagnostic before capacity planning / anomaly
+    thresholds, and the natural companion to the SPC and CUSUM entries
+    (their control limits presume a dispersion regime).
+
+    Exactness: with N grid minutes, per-type token sum s and sum of
+    squared counts q (zeros contribute nothing to either), the Fano
+    factor is (N*q - s^2) / (N*s); scaled to ppm with the numerator in
+    DECIMAL(38,0) (Spark) / HUGEINT (oracle) and integer division, the
+    result replays bit-identically across engines.  Magnitude bound:
+    1e6 * N * q stays under 1e38 up to ~1e12 events/minute-grid-year —
+    far past any real stream (documented, not guarded).
+
+    Scale shape (100 TB): ONE scan -> (type, minute) count — a
+    map-side-combinable hash aggregation whose frame is |types| x
+    |minutes|, then a |types|-row moments agg carrying per-type
+    min/max minutes; the SHARED grid size is a window over that
+    |types|-row frame (bounded — never a data-scale window), so the
+    whole op is ONE events scan.  No per-event shuffle beyond the
+    bucket groupBy, nothing data-scale in the final frame.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    tpl = """
+    WITH b AS (
+      SELECT event_type, {epmin} AS m, CAST(count(*) AS BIGINT) AS c
+      FROM {events}
+      GROUP BY event_type, {epmin}
+    ),
+    mo AS (
+      SELECT event_type,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS nonempty_buckets,
+             CAST(sum(c * c) AS BIGINT) AS sumsq,
+             min(m) AS mn, max(m) AS mx
+      FROM b GROUP BY event_type
+    ),
+    -- the SHARED grid comes from a window over the |types|-row frame
+    -- (per-type min/max compose to the global bounds) — ONE events
+    -- scan total, no second aggregate branch
+    gridded AS (
+      SELECT event_type, n_events, nonempty_buckets, sumsq,
+             CAST(max(mx) OVER () - min(mn) OVER () + 1 AS BIGINT) AS nb
+      FROM mo
+    )
+    SELECT event_type, n_events, nonempty_buckets,
+           nb AS grid_buckets,
+           CAST(CAST(1000 AS {big}) * n_events {idiv} nb AS BIGINT)
+             AS mean_per_bucket_milli,
+           CAST(CAST(1000000 AS {big}) * nonempty_buckets {idiv} nb
+                AS BIGINT) AS occupancy_ppm,
+           CAST(CAST(1000000 AS {big})
+                * (CAST(nb AS {big}) * sumsq
+                   - CAST(n_events AS {big}) * n_events)
+                {idiv} (CAST(nb AS {big}) * n_events) AS BIGINT)
+             AS fano_ppm
+    FROM gridded
+    ORDER BY event_type
+    """
+    spark_sql = (
+        tpl.replace(
+            "{epmin}", "(unix_timestamp(date_trunc('minute', ts)) div 60)"
+        )
+        .replace("{big}", "DECIMAL(38,0)")
+        .replace("{idiv}", "div")
+    ).format(**_SPARK_TABLES)
+    oracle_sql = (
+        tpl.replace(
+            "{epmin}", "(epoch(date_trunc('minute', ts)) // 60)"
+        )
+        .replace("{big}", "HUGEINT")
+        .replace("{idiv}", "//")
+    ).format(**_ORACLE_TABLES)
+    register_sql("ts_dispersion_index", spark_sql, oracle_sql)
+
+
+_register_dispersion_index()

@@ -58,8 +58,20 @@ def main() -> None:
                 range(len(want_cols)), key=lambda j: want_cols[j]
             )
             schema_ok = sorted(cols) == sorted(want_cols)
-            got = sorted(tuple(r[j] for j in order) for r in rows)
-            want = sorted(tuple(r[j] for j in worder) for r in want_rows)
+            # Compare STRINGIFIED cells, like tests/conftest.py and the
+            # driver's value-hash: this catches int-vs-float type drift
+            # (15000 vs 15000.0) that a numeric == would mask, and it
+            # makes the sort NULL-safe as a side effect.  Caveat: the
+            # driver renders through pandas (conftest does too), while
+            # this script str()s raw collect() values — Decimal
+            # rendering can differ in trailing zeros; conftest remains
+            # the authoritative local gate.
+            got = sorted(
+                tuple(str(r[j]) for j in order) for r in rows
+            )
+            want = sorted(
+                tuple(str(r[j]) for j in worder) for r in want_rows
+            )
             ok = schema_ok and got == want
             status = "OK" if ok else "MISMATCH"
             if not ok:

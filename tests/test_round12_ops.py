@@ -607,3 +607,473 @@ def test_stereo_wav_error_contracts():
     mono = encode_wav(np.arange(8, dtype="<i2"), 8000)
     with _pytest.raises(ValueError, match="expected stereo"):
         decode_stereo_wav(mono)
+
+
+# ------------------------------------------------- dispersion index
+def test_dispersion_index_matches_pure_python():
+    import duckdb
+    from collections import defaultdict
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    got = con.execute(oracle_queries()["ts_dispersion_index"]).fetchall()
+    rows = con.execute(
+        "SELECT event_type, epoch(date_trunc('minute', ts)) // 60"
+        " FROM events"
+    ).fetchall()
+    counts: dict = defaultdict(lambda: defaultdict(int))
+    mns, mxs = [], []
+    for et, m in rows:
+        counts[et][m] += 1
+        mns.append(m)
+        mxs.append(m)
+    nb = max(mxs) - min(mns) + 1
+    want = []
+    for et in sorted(counts):
+        cs = counts[et].values()
+        s, q, ne = sum(cs), sum(c * c for c in cs), len(cs)
+        want.append(
+            (
+                et, s, ne, nb,
+                1000 * s // nb,
+                1_000_000 * ne // nb,
+                1_000_000 * (nb * q - s * s) // (nb * s),
+            )
+        )
+    assert got == want
+    # a (near-)Poisson synthetic stream must sit near fano = 1e6; a
+    # wildly different value means the grid or the moments are wrong
+    for r in got:
+        assert 10_000 < r[6] < 10_000_000
+
+
+# ------------------------------------------------- SFT chat template
+def test_sft_format_matches_pure_python():
+    import duckdb
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from dblab_ece_trino_spark.operators.llmprep import (
+        SFT_PROMPT_WORDS,
+        SFT_RESP_CAP,
+    )
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    got = con.execute(oracle_queries()["llm_sft_format"]).fetchall()
+    rows = con.execute("SELECT source, text FROM documents").fetchall()
+    agg: dict = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    hexd = "0123456789abcdef"
+    for src, text in rows:
+        ws = re.findall(r"[a-z]+", text.lower())
+        prompt = " ".join(ws[:SFT_PROMPT_WORDS])
+        resp = " ".join(
+            ws[SFT_PROMPT_WORDS : SFT_PROMPT_WORDS + SFT_RESP_CAP]
+        )
+        fmt = f"<|user|>\n{prompt}\n<|assistant|>\n{resp}<|end|>"
+        h = hashlib.md5(fmt.encode()).hexdigest()
+        ck = 0
+        for ch in h[:6]:
+            ck = ck * 16 + hexd.index(ch)
+        a = agg[src]
+        a[0] += 1
+        a[1] += 1 if len(ws) - SFT_PROMPT_WORDS > SFT_RESP_CAP else 0
+        a[2] += min(len(ws), SFT_PROMPT_WORDS)
+        a[3] += min(max(len(ws) - SFT_PROMPT_WORDS, 0), SFT_RESP_CAP)
+        a[4] += len(fmt)
+        a[5] += ck
+    want = [
+        (s, a[0], a[1], a[2], a[3], a[4], a[5],
+         1_000_000 * a[1] // a[0])
+        for s, a in sorted(agg.items())
+    ]
+    assert got == want
+
+
+# ------------------------------------- near-dup split-leakage audit
+def test_dedup_split_audit_matches_union_find():
+    import duckdb
+    import hashlib
+    from collections import defaultdict
+
+    from dblab_ece_trino_spark.operators.dedup import _MINHASH_ORACLE
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+    from dblab_ece_trino_spark.operators.sampling import (
+        DEDUP_SPLIT_EVAL_LO,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    got = con.execute(
+        oracle_queries()["sample_dedup_split_audit"]
+    ).fetchone()
+    pairs = con.execute(_MINHASH_ORACLE).fetchall()
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, *_ in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters: dict = defaultdict(list)
+    for x in parent:
+        clusters[find(x)].append(x)
+
+    def bucket(i):
+        h = hashlib.md5(f"split-v1{i}".encode()).hexdigest()
+        return int(h[:2], 16)
+
+    n_span = cross = leaked = 0
+    for members in clusters.values():
+        tr = sum(1 for m in members if bucket(m) < DEDUP_SPLIT_EVAL_LO)
+        ev = len(members) - tr
+        if tr > 0 and ev > 0:
+            n_span += 1
+            leaked += ev
+        cross += tr * ev
+    want = (
+        len(clusters), n_span,
+        1_000_000 * n_span // len(clusters) if clusters else 0,
+        cross, leaked,
+    )
+    assert got == want
+
+
+# ------------------------------------------------- cosine histogram
+def test_cosine_histogram_matches_numpy():
+    import duckdb
+    import hashlib
+    from collections import defaultdict
+
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+    from dblab_ece_trino_spark.operators.similarity import (
+        COSH_BIN,
+        COSH_LEVELS,
+        COSH_PANEL,
+        COSH_SAMPLE_HI,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    got = con.execute(oracle_queries()["sim_cosine_histogram"]).fetchall()
+    rows = con.execute(
+        "SELECT vec_id, embedding::DOUBLE[] FROM embeddings"
+    ).fetchall()
+    ids = [i for i, _ in rows]
+    vecs = {i: np.array(v, dtype=np.float64) for i, v in rows}
+    mn = min(v.min() for v in vecs.values())
+    mx = max(v.max() for v in vecs.values())
+    mid, s = (mn + mx) / 2, (mx - mn) / COSH_LEVELS
+    codes = {
+        i: np.floor((v - mid) / s + 0.5).astype(np.int64)
+        for i, v in vecs.items()
+    }
+    panel = sorted(
+        ids, key=lambda i: hashlib.md5(f"cospanel{i}".encode()).hexdigest()
+    )[:COSH_PANEL]
+    sample = [
+        i for i in ids
+        if int(hashlib.md5(f"cossample{i}".encode()).hexdigest()[:2], 16)
+        < COSH_SAMPLE_HI
+    ]
+    hist: dict = defaultdict(lambda: [0, None, None])
+    for q in panel:
+        for c in sample:
+            if q == c:
+                continue
+            sab = int(codes[q] @ codes[c])
+            sqq = int(codes[q] @ codes[q])
+            scc = int(codes[c] @ codes[c])
+            m = 10**6 * sab * sab // (sqq * scc)
+            signed = -m if sab < 0 else m
+            b = -(m // COSH_BIN + 1) if sab < 0 else m // COSH_BIN
+            h = hist[b]
+            h[0] += 1
+            h[1] = signed if h[1] is None else min(h[1], signed)
+            h[2] = signed if h[2] is None else max(h[2], signed)
+    want = [(b, *hist[b]) for b in sorted(hist)]
+    assert got == want
+
+
+# --------------------------------------------- correlated subqueries
+def test_correlated_subquery_matches_pure_python():
+    import duckdb
+    from collections import defaultdict
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("customer", "orders", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    got = con.execute(oracle_queries()["op_correlated_subquery"]).fetchall()
+    cust = dict(
+        con.execute("SELECT c_custkey, c_nationkey FROM customer").fetchall()
+    )
+    nations = dict(
+        con.execute("SELECT n_nationkey, n_name FROM nation").fetchall()
+    )
+    spend: dict = defaultdict(int)
+    has_f: set = set()
+    for ck, price, status in con.execute(
+        "SELECT o_custkey, CAST(round(o_totalprice * 100, 0) AS BIGINT),"
+        " o_orderstatus FROM orders"
+    ).fetchall():
+        spend[ck] += int(price)
+        if status == "F":
+            has_f.add(ck)
+    per_nation: dict = defaultdict(list)
+    for ck, cents in spend.items():
+        per_nation[cust[ck]].append((ck, cents))
+    agg: dict = {}
+    for nk, members in per_nation.items():
+        tot = sum(c for _, c in members)
+        n = len(members)
+        above = [
+            (ck, c) for ck, c in members
+            if c * n > tot and ck in has_f
+        ]
+        if above:
+            agg[nations[nk]] = (
+                len(above), sum(c for _, c in above)
+            )
+    want = sorted(
+        (name, n, cents) for name, (n, cents) in agg.items()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+# --------------------------------------------------- Sun AU codec
+def test_au_roundtrip_all_encodings():
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        AU_PCM8,
+        AU_PCM16,
+        AU_ULAW,
+        decode_au,
+        encode_au,
+        ulaw_decode_byte,
+        ulaw_encode_sample,
+    )
+
+    s16 = np.array([0, 1, -1, 32124, -32124, 255, -256], dtype=np.int64)
+    rate, codec, out = decode_au(encode_au(s16, 8000, AU_PCM16))
+    assert (rate, codec) == (8000, "pcm16be") and (out == s16).all()
+
+    s8 = np.array([0, 1, -1, 127, -128, 55], dtype=np.int64)
+    rate, codec, out = decode_au(encode_au(s8, 11025, AU_PCM8))
+    assert (rate, codec) == (11025, "pcm8") and (out == s8).all()
+
+    # mu-law is lossy: decode must equal the table image of encode
+    rate, codec, out = decode_au(encode_au(s16, 8000, AU_ULAW))
+    want = [ulaw_decode_byte(ulaw_encode_sample(int(v))) for v in s16]
+    assert (rate, codec) == (8000, "ulaw") and list(out) == want
+
+
+def test_au_header_offset_honored():
+    """A decoder that assumes data at byte 24 reads the annotation as
+    samples; the offset field must be honored."""
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        AU_PCM16,
+        decode_au,
+        encode_au,
+    )
+
+    s = np.array([100, -200, 300], dtype=np.int64)
+    long_ann = encode_au(s, 8000, AU_PCM16, annotation=b"x" * 23)
+    short_ann = encode_au(s, 8000, AU_PCM16, annotation=b"")
+    assert len(long_ann) != len(short_ann)
+    for payload in (long_ann, short_ann):
+        _, _, out = decode_au(payload)
+        assert list(out) == [100, -200, 300]
+
+
+def test_au_hand_built_byte_vector():
+    """Hand-assembled AU payload straight from the spec: magic,
+    offset 24, size 4, encoding 3 (16-bit BE), rate 8000, mono, then
+    0x0102 0xFFFE -> samples [258, -2]."""
+    import struct
+
+    from dblab_ece_trino_spark.operators.multimodal import decode_au
+
+    payload = struct.pack(
+        ">4sIIIII", b".snd", 24, 4, 3, 8000, 1
+    ) + bytes([0x01, 0x02, 0xFF, 0xFE])
+    rate, codec, s = decode_au(payload)
+    assert (rate, codec, list(s)) == (8000, "pcm16be", [258, -2])
+
+
+def test_au_error_contracts():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        AU_PCM16,
+        decode_au,
+        encode_au,
+    )
+
+    s = np.array([1, 2, 3], dtype=np.int64)
+    good = encode_au(s, 8000, AU_PCM16)
+    with _pytest.raises(ValueError, match="not a Sun AU"):
+        decode_au(b"RIFF" + good[4:])
+    with _pytest.raises(ValueError, match="truncated AU data"):
+        decode_au(good[:-2])
+    stereo = struct.pack(">4sIIIII", b".snd", 24, 4, 3, 8000, 2) + b"\0" * 4
+    with _pytest.raises(ValueError, match="mono"):
+        decode_au(stereo)
+    bad_off = struct.pack(">4sIIIII", b".snd", 12, 4, 3, 8000, 1) + b"\0" * 4
+    with _pytest.raises(ValueError, match="bad AU data offset"):
+        decode_au(bad_off)
+
+
+def test_au_engine_agrees_with_independent_reference():
+    """Engine decoder vs scripts/gen_au_expected.py's table-arithmetic
+    reference — sample-exact on every graded fixture (and the pinned
+    _AU_EXPECTED literal is exactly what both produce)."""
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _AU_EXPECTED,
+        _AU_PARAMS,
+        _au_signal,
+        decode_au,
+        encode_au,
+    )
+    from scripts.gen_au_expected import expected_rows, ref_decode
+
+    assert expected_rows() == _AU_EXPECTED
+    for i, (n_samp, rate, enc) in enumerate(_AU_PARAMS):
+        payload = encode_au(_au_signal(i, n_samp, enc), rate, enc)
+        r_e, c_e, s_e = decode_au(payload)
+        r_r, c_r, s_r = ref_decode(payload)
+        assert (r_e, c_e, list(s_e)) == (r_r, c_r, list(s_r))
+
+
+def test_au_seam_dispatch():
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        AU_PCM16,
+        decode_audio,
+        encode_au,
+    )
+
+    s = np.array([5, -6, 7], dtype=np.int64)
+    rate, out = decode_audio(encode_au(s, 16000, AU_PCM16))
+    assert rate == 16000 and list(out) == [5, -6, 7]
+
+
+# ------------------------------------------------------- XBM codec
+def test_xbm_roundtrip_char_and_short():
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_xbm,
+        encode_xbm,
+    )
+
+    rng_bits = (np.arange(7 * 19).reshape(7, 19) * 3 % 5 < 2).astype(
+        np.uint8
+    )
+    for x10 in (False, True):
+        w, h, out = decode_xbm(encode_xbm(rng_bits, "t", x10=x10))
+        assert (w, h) == (19, 7)
+        assert (out == rng_bits).all()
+
+
+def test_xbm_lsb_first_and_stride():
+    """Byte 0x01 lights pixel x=0 (LSB-first); a 9-px-wide row consumes
+    exactly 2 bytes of stride."""
+    from dblab_ece_trino_spark.operators.multimodal import decode_xbm
+
+    src = (
+        b"#define t_width 9\n#define t_height 2\n"
+        b"static unsigned char t_bits[] = { 0x01, 0x01, 0x80, 0x00 };\n"
+    )
+    w, h, bits = decode_xbm(src)
+    assert (w, h) == (9, 2)
+    assert bits[0, 0] == 1 and bits[0, 8] == 1 and bits[0, 1:8].sum() == 0
+    assert bits[1, 7] == 1 and bits[1].sum() == 1
+
+
+def test_xbm_tolerates_comments_decimal_and_whitespace():
+    from dblab_ece_trino_spark.operators.multimodal import decode_xbm
+
+    src = (
+        b"/* a real-world header comment\n   spanning lines */\n"
+        b"#define weird_name_width 4\n"
+        b"#define weird_name_height 1\n"
+        b"static unsigned char weird_name_bits[] = {\n"
+        b"   15 };\n"
+    )
+    w, h, bits = decode_xbm(src)
+    assert (w, h) == (4, 1) and bits.sum() == 4
+
+
+def test_xbm_error_contracts():
+    import pytest as _pytest
+
+    from dblab_ece_trino_spark.operators.multimodal import decode_xbm
+
+    with _pytest.raises(ValueError, match="missing width/height"):
+        decode_xbm(b"static unsigned char t_bits[] = {0x00};")
+    with _pytest.raises(ValueError, match="missing bits array"):
+        decode_xbm(b"#define t_width 8\n#define t_height 1\n")
+    with _pytest.raises(ValueError, match="need 2 bytes"):
+        decode_xbm(
+            b"#define t_width 8\n#define t_height 2\n"
+            b"static unsigned char t_bits[] = {0x00};"
+        )
+
+
+def test_xbm_seam_dispatch_grayscale():
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_image,
+        encode_xbm,
+    )
+
+    bits = np.array([[1, 0], [0, 1]], dtype=np.uint8)
+    w, h, arr = decode_image(encode_xbm(bits, "s"))
+    assert (w, h) == (2, 2)
+    assert arr.shape == (2, 2, 3)
+    assert arr[0, 0].tolist() == [255, 255, 255]
+    assert arr[0, 1].tolist() == [0, 0, 0]

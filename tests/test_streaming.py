@@ -29,6 +29,15 @@ def events_dir(tmp_path):
     half = len(df) // 2
     pq.write_table(pa.Table.from_pandas(df.iloc[:half]), str(d / "part-0.parquet"))
     pq.write_table(pa.Table.from_pandas(df.iloc[half:]), str(d / "part-1.parquet"))
+    # FileStreamSource orders candidate files by MODIFICATION TIME; two
+    # back-to-back writes can land in the same mtime tick, and the
+    # tie order is listing-dependent — under a loaded box part-1 then
+    # sometimes fed the stream FIRST, folding the later half into the
+    # expanding state before the earlier half scored (flaky
+    # n_prior mismatch in the full-suite run).  Pin distinct mtimes so
+    # the micro-batch order equals the intended chronological order.
+    now = os.stat(str(d / "part-1.parquet")).st_mtime
+    os.utime(str(d / "part-0.parquet"), (now - 10, now - 10))
     yield str(d)
     shutil.rmtree(str(d), ignore_errors=True)
 
