@@ -345,6 +345,12 @@ HEADLINE = [
     # ... XBM ASCII C-source bitmap (17th codec: LSB-first bits,
     # X10 short variant, comment/whitespace-tolerant parser)
     "multimodal_xbm_decode",
+    # ... AIFF container (18th codec: FORM/AIFF big-endian chunks,
+    # 80-bit extended-float sample rate, SSND offset prelude)
+    "multimodal_aiff_decode",
+    # ... cross-source vocabulary Jaccard matrix (word-keyed pair
+    # join over the materialized distinct vocab — never raw tokens)
+    "text_source_jaccard",
 ]
 
 

@@ -153,6 +153,12 @@ def decode_audio(payload: bytes) -> "tuple":
         # callers that need it use decode_au directly.
         rate, _codec, samples = decode_au(payload)
         return rate, samples
+    if (
+        len(payload) >= 12
+        and payload[:4] == b"FORM"
+        and payload[8:12] == b"AIFF"
+    ):
+        return decode_aiff(payload)
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         import struct
 
@@ -6866,3 +6872,221 @@ def _xbm_oracle() -> str:
 
 
 register("multimodal_xbm_decode", _q_xbm_decode, oracle=_xbm_oracle())
+
+
+# ------------------------------------------------ REAL AIFF codec (r12)
+# Eighteenth native format, third audio container: Apple/EA IFF AIFF —
+# the big-endian chunked sibling of RIFF (FORM/AIFF instead of
+# RIFF/WAVE) whose COMM chunk stores the sample rate as an 80-bit IEEE
+# 754 EXTENDED float (sign + 15-bit exponent + explicit-leading-bit
+# 64-bit mantissa) — the one numeric format no other codec here
+# parses.  SSND carries its own offset/blockSize prelude that must be
+# honored like the AU data offset.  Chunk order is NOT fixed by the
+# spec; the decoder collects chunks first (one fixture puts SSND
+# before COMM to pin that).
+def _encode_extended80(value: int) -> bytes:
+    """Integer -> 80-bit IEEE extended (the only case AIFF needs:
+    sample rates are positive integers)."""
+    import struct
+
+    if value <= 0:
+        raise ValueError("extended80 encoder handles positive ints only")
+    b = value.bit_length()
+    exponent = 16383 + b - 1
+    mantissa = value << (64 - b)  # explicit leading 1 at bit 63
+    return struct.pack(">HQ", exponent, mantissa)
+
+
+def _decode_extended80(raw: bytes) -> int:
+    """80-bit IEEE extended -> integer sample rate (rounds the
+    fractional part; AIFF writers emit exact integers here)."""
+    import struct
+
+    se, mantissa = struct.unpack(">HQ", raw)
+    sign, exponent = se >> 15, se & 0x7FFF
+    if sign or mantissa == 0:
+        raise ValueError("invalid AIFF sample rate")
+    if exponent == 0x7FFF:
+        raise ValueError("non-finite AIFF sample rate")
+    # value = mantissa * 2^(exponent - 16383 - 63)
+    shift = exponent - 16383 - 63
+    if shift >= 0:
+        return mantissa << shift
+    half = 1 << (-shift - 1)
+    return (mantissa + half) >> (-shift)
+
+
+def encode_aiff(samples, rate: int, ssnd_offset: int = 0,
+                comm_first: bool = True) -> bytes:
+    """Build a real mono 16-bit AIFF payload; ssnd_offset > 0 plants
+    pad bytes the SSND offset field must skip, comm_first=False swaps
+    chunk order (spec-legal)."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype=">i2").tobytes()
+    n = len(data) // 2
+    comm = b"COMM" + struct.pack(">I", 18) + struct.pack(
+        ">hIh", 1, n, 16
+    ) + _encode_extended80(rate)
+    body = struct.pack(">II", ssnd_offset, 0) + b"\x00" * ssnd_offset + data
+    if len(body) % 2:
+        body += b"\x00"  # IFF chunks are word-aligned
+    ssnd = b"SSND" + struct.pack(">I", len(body)) + body
+    chunks = comm + ssnd if comm_first else ssnd + comm
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFF" + chunks
+
+
+def decode_aiff(payload: bytes):
+    """Parse an AIFF payload: returns (rate, int64 numpy samples).
+    Collects chunks before interpreting (COMM/SSND order is free),
+    honors the SSND offset prelude, validates numSampleFrames and
+    mono/16-bit, and raises on truncation."""
+    import struct
+
+    import numpy as np
+
+    if (
+        len(payload) < 12
+        or payload[:4] != b"FORM"
+        or payload[8:12] != b"AIFF"
+    ):
+        raise ValueError("not a FORM/AIFF payload")
+    pos, comm, ssnd = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack(">I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(
+                f"truncated AIFF chunk {cid!r}: need {size} bytes, "
+                f"have {len(body)}"
+            )
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        pos += 8 + size + (size % 2)
+    if comm is None or ssnd is None:
+        raise ValueError("missing COMM or SSND chunk")
+    if len(comm) < 18:
+        raise ValueError("COMM chunk too short")
+    channels, n_frames, bits = struct.unpack(">hIh", comm[:8])
+    rate = _decode_extended80(comm[8:18])
+    if channels != 1 or bits != 16:
+        raise ValueError(f"expected mono/16-bit, got {channels}ch/{bits}bit")
+    offset, _block = struct.unpack(">II", ssnd[:8])
+    data = ssnd[8 + offset :]
+    if len(data) < 2 * n_frames:
+        raise ValueError(
+            f"truncated SSND data: need {2 * n_frames} bytes, "
+            f"have {len(data)}"
+        )
+    s = np.frombuffer(data[: 2 * n_frames], dtype=">i2").astype(np.int64)
+    return rate, s
+
+
+_AIFF_PARAMS = [
+    # (n_samp, rate, ssnd_offset, comm_first): non-power-of-two rates
+    # exercise the extended-float mantissa, one nonzero SSND offset,
+    # one SSND-before-COMM chunk order, odd lengths for the pad byte
+    (40, 8000, 0, True),
+    (33, 11025, 0, True),
+    (64, 44100, 4, True),
+    (25, 22050, 0, False),
+    (101, 48000, 0, True),
+    (17, 11025, 8, False),
+]
+_N_AIFF = len(_AIFF_PARAMS)
+
+
+def _aiff_payloads(spark: SparkSession, n: int = _N_AIFF) -> DataFrame:
+    """Sawtooth clips (the WAV fixture family: s_k = (k*step) % (2A)
+    - A, closed form shared with the oracle)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                n_samp, rate, off, cf = _AIFF_PARAMS[i]
+                step = 60 + 13 * i
+                amp = 1100 + 150 * (i % 5)
+                k = np.arange(n_samp, dtype="int64")
+                s = (k * step) % (2 * amp) - amp
+                rows.append(
+                    (i, encode_aiff(s, rate, ssnd_offset=off,
+                                    comm_first=cf))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+
+
+def aiff_stats(media: DataFrame) -> DataFrame:
+    """Decode AIFF payloads; the WAV stats shape (exact integer
+    amplitude statistics + rising zero crossings)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, s = decode_aiff(bytes(payload))
+                s64 = s.astype("int64")
+                rising = int(
+                    np.count_nonzero((s64[:-1] < 0) & (s64[1:] >= 0))
+                )
+                out.append(
+                    (
+                        int(mid), int(rate), len(s64), int(s64.sum()),
+                        int((s64 * s64).sum()), rising,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "n_samples",
+                    "sum_amp", "sum_sq", "rising_crossings",
+                ],
+            )
+
+    return media.mapInPandas(stats, _WAV_STATS_SCHEMA)
+
+
+def _q_aiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return aiff_stats(_aiff_payloads(spark)).orderBy("media_id")
+
+
+def _aiff_oracle() -> str:
+    rows = ", ".join(
+        f"({i}, {n}, {r}, {60 + 13 * i}, {1100 + 150 * (i % 5)})"
+        for i, (n, r, _o, _cf) in enumerate(_AIFF_PARAMS)
+    )
+    return f"""
+    WITH params(media_id, n_samp, rate, step, amp) AS (VALUES {rows}),
+    samp AS (
+      SELECT media_id, rate, n_samp, k,
+             (k * step) % (2 * amp) - amp AS s,
+             ((k + 1) * step) % (2 * amp) - amp AS s_next
+      FROM params,
+           LATERAL (SELECT unnest(generate_series(0, n_samp - 1)) AS k) tk
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(any_value(rate) AS INT) AS sample_rate,
+           CAST(any_value(n_samp) AS BIGINT) AS n_samples,
+           CAST(sum(s) AS BIGINT) AS sum_amp,
+           CAST(sum(s * s) AS BIGINT) AS sum_sq,
+           CAST(sum(CASE WHEN k < n_samp - 1 AND s < 0 AND s_next >= 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS rising_crossings
+    FROM samp
+    GROUP BY media_id
+    ORDER BY media_id
+    """
+
+
+register("multimodal_aiff_decode", _q_aiff_decode, oracle=_aiff_oracle())

@@ -200,6 +200,7 @@ GRADED_PRIORITY: list[str] = [
     "ts_dispersion_index", "llm_sft_format", "sample_dedup_split_audit",
     "sim_cosine_histogram", "op_correlated_subquery",
     "multimodal_au_decode", "multimodal_xbm_decode",
+    "multimodal_aiff_decode", "text_source_jaccard",
     # latest green = round 5 (alphabetical; the r11-displaced tail)
     "sample_poisson_bootstrap", "sim_mips_topk", "sim_quantized_mips",
     "text_readability", "text_tfidf_topk", "ts_autocorrelation",
@@ -212,7 +213,7 @@ GRADED_PRIORITY: list[str] = [
     "graph_kcore", "llm_fim_transform", "llm_negative_pairs",
     "llm_quantile_normalize", "multimodal_bmp_decode", "op_ab_test",
     "op_abc_pareto", "op_agg_rollup", "op_benford_test",
-    "op_boxplot_stats", "op_chi2_independence", "op_concurrency_sweep",
+    "op_boxplot_stats",
 ]
 
 

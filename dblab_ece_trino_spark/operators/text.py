@@ -1772,3 +1772,100 @@ def _lang_confusion_oracle() -> str:
 
 register("text_lang_confusion", _q_lang_confusion,
          oracle=_lang_confusion_oracle())
+
+
+# ------------------------------------- cross-source vocabulary overlap (r12)
+def source_jaccard(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-COMPOSITION diagnostic: pairwise vocabulary Jaccard
+    between sources — the redundancy readout a mixture designer reads
+    before setting source weights (two sources with near-identical
+    vocabularies contribute diversity once, not twice; the temporal
+    sibling is text_vocab_drift, the per-source sibling
+    text_hapax_ratio).  For each unordered source pair: shared
+    vocabulary size, union size, and exact Jaccard ppm.
+
+    Shape at 100 TB: the shuffle carries the (source, word) DISTINCT
+    VOCABULARY — never raw tokens (the hapax discipline); the pair
+    join is word-keyed (each word contributes its source list, pairs
+    expand per word over |sources| at most), and per-source totals
+    broadcast onto the |sources|^2/2-row result.  No N^2 in documents
+    anywhere.  The vocab frame has THREE consumers (both join sides +
+    sizes) — materialized once so Catalyst's CTE inlining cannot
+    re-derive the corpus tokenization per consumer (the winnowing/RAKE
+    precedent; plan census 4 scans -> 1 before/after).
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    vocab = materialize(
+        docs.select(
+            F.col("source"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0)
+                )
+            ).alias("w"),
+        ).distinct()
+    )
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    a = vocab.select(F.col("source").alias("src_a"), "w")
+    b = vocab.select(F.col("source").alias("src_b"), "w")
+    common = (
+        a.join(b, "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_a")
+                        .withColumnRenamed("v", "va")), "src_a")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_b")
+                        .withColumnRenamed("v", "vb")), "src_b")
+        .select(
+            "src_a", "src_b", "n_common",
+            (F.col("va") + F.col("vb") - F.col("n_common"))
+            .cast("long").alias("n_union"),
+            F.expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_common"
+                   " div (va + vb - n_common) AS BIGINT)")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def _q_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_jaccard(_docs(spark, sf_dir))
+
+
+register(
+    "text_source_jaccard",
+    _q_source_jaccard,
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT d.source, t.w
+      FROM documents d,
+           unnest(regexp_extract_all(lower(d.text), '[a-z]+')) AS t(w)
+    ),
+    sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS v
+      FROM vocab GROUP BY source
+    ),
+    common AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT c.src_a, c.src_b, c.n_common,
+           CAST(sa.v + sb.v - c.n_common AS BIGINT) AS n_union,
+           CAST(CAST(1000000 AS HUGEINT) * c.n_common
+                // (sa.v + sb.v - c.n_common) AS BIGINT) AS jaccard_ppm
+    FROM common c
+    JOIN sizes sa ON sa.source = c.src_a
+    JOIN sizes sb ON sb.source = c.src_b
+    ORDER BY c.src_a, c.src_b
+    """,
+)

@@ -1077,3 +1077,109 @@ def test_xbm_seam_dispatch_grayscale():
     assert arr.shape == (2, 2, 3)
     assert arr[0, 0].tolist() == [255, 255, 255]
     assert arr[0, 1].tolist() == [0, 0, 0]
+
+
+# ------------------------------------------------------ AIFF codec
+def test_extended80_roundtrip_rates():
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _decode_extended80,
+        _encode_extended80,
+    )
+
+    for rate in (1, 8000, 11025, 22050, 44100, 48000, 96000, 192000, 3):
+        assert _decode_extended80(_encode_extended80(rate)) == rate
+
+
+def test_extended80_hand_vector():
+    """44100 = 0x  400E  AC44000000000000 — the canonical CD-rate
+    vector every AIFF reference prints."""
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _decode_extended80,
+        _encode_extended80,
+    )
+
+    enc = _encode_extended80(44100)
+    assert enc.hex() == "400eac44000000000000"
+    assert _decode_extended80(bytes.fromhex("400eac44000000000000")) == 44100
+
+
+def test_aiff_roundtrip_offset_and_chunk_order():
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_aiff,
+        encode_aiff,
+    )
+
+    s = np.array([0, 500, -500, 32767, -32768, 7], dtype=np.int64)
+    for off in (0, 4):
+        for cf in (True, False):
+            rate, out = decode_aiff(
+                encode_aiff(s, 22050, ssnd_offset=off, comm_first=cf)
+            )
+            assert rate == 22050 and (out == s).all()
+
+
+def test_aiff_error_contracts():
+    import numpy as np
+    import pytest as _pytest
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_aiff,
+        encode_aiff,
+    )
+
+    s = np.array([1, 2, 3], dtype=np.int64)
+    good = encode_aiff(s, 8000)
+    with _pytest.raises(ValueError, match="not a FORM/AIFF"):
+        decode_aiff(b"RIFF" + good[4:])
+    with _pytest.raises(ValueError, match="truncated AIFF chunk"):
+        decode_aiff(good[:-2])
+    with _pytest.raises(ValueError, match="missing COMM or SSND"):
+        decode_aiff(good[:12])
+
+
+def test_aiff_seam_dispatch():
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.multimodal import (
+        decode_audio,
+        encode_aiff,
+    )
+
+    s = np.array([9, -8, 7], dtype=np.int64)
+    rate, out = decode_audio(encode_aiff(s, 11025))
+    assert rate == 11025 and list(out) == [9, -8, 7]
+
+
+# ------------------------------------------- source vocabulary overlap
+def test_source_jaccard_matches_pure_python():
+    import duckdb
+    import re
+    from collections import defaultdict
+    from itertools import combinations
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    got = con.execute(oracle_queries()["text_source_jaccard"]).fetchall()
+    vocab: dict = defaultdict(set)
+    for src, text in con.execute(
+        "SELECT source, text FROM documents"
+    ).fetchall():
+        vocab[src].update(re.findall(r"[a-z]+", text.lower()))
+    want = []
+    for a, b in combinations(sorted(vocab), 2):
+        inter = len(vocab[a] & vocab[b])
+        union = len(vocab[a] | vocab[b])
+        want.append((a, b, inter, union, 1_000_000 * inter // union))
+    want.sort()
+    assert got == want
+    # the synthetic corpus shares one global vocabulary — overlap must
+    # be high; a tokenization bug collapses it loudly
+    assert all(r[4] > 100_000 for r in got)
