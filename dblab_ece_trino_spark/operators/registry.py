@@ -179,14 +179,15 @@ ROTATION_RETIRED: frozenset = frozenset({
 # landed; 17 r5 entries were displaced into the round-12 queue).
 # Graded 50/50 green in CORRECTNESS_r11.json.
 #
-# ROUND-12 WINDOW (final composition: 18 new + 17 r5 + 15 r6): the 18
+# ROUND-12 WINDOW (final composition: 20 new + 17 r5 + 13 r6): the 20
 # never-graded round-12 ops at the head (never-graded outranks stale),
 # then the 17 r5-latest entries the r11 window displaced, then the
 # alphabetical head of the r6 cohort MINUS the round-12 retirements
 # (op_agg_cube / op_window_rownum / op_window_distribution left the
 # rotation — see ROTATION_RETIRED).  Each new op displaced the current
-# r6 tail seat as it landed; the 7 displaced r6 entries (op_distinct
-# .. op_join_anti) head the round-13 queue.
+# r6 tail seat as it landed; the 9 displaced r6 entries (op_distinct
+# .. op_join_anti, op_chi2_independence, op_concurrency_sweep) head
+# the round-13 queue (window_check.py prints it).
 # ROUND-13 QUEUE, pre-derived: the displaced r6 tail, then the r7
 # cohort; window_check prints it.  Verify any window rewrite
 # mechanically:
