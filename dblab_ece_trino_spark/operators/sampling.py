@@ -1213,15 +1213,9 @@ def dedup_split_audit(labels: DataFrame, id_col: str = "sid") -> DataFrame:
 
 
 def _q_dedup_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dblab_ece_trino_spark.operators.dedup import (
-        _docs as _ddocs,
-        dedup_clusters,
-        dedup_minhash_lsh,
-    )
+    from dblab_ece_trino_spark.operators.dedup import shared_minhash_clusters
 
-    pairs = dedup_minhash_lsh(_ddocs(spark, sf_dir), threshold=0.7,
-                              max_bucket=None)
-    return dedup_split_audit(dedup_clusters(pairs))
+    return dedup_split_audit(shared_minhash_clusters(spark, sf_dir)[1])
 
 
 def _dedup_split_audit_oracle() -> str:
