@@ -351,6 +351,9 @@ HEADLINE = [
     # ... cross-source vocabulary Jaccard matrix (word-keyed pair
     # join over the materialized distinct vocab — never raw tokens)
     "text_source_jaccard",
+    # ... Matryoshka truncated-dimension recall audit (per-prefix
+    # integer top-k vs the full-dim reference, one corpus pass)
+    "sim_matryoshka_recall",
 ]
 
 

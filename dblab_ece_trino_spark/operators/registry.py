@@ -179,15 +179,16 @@ ROTATION_RETIRED: frozenset = frozenset({
 # landed; 17 r5 entries were displaced into the round-12 queue).
 # Graded 50/50 green in CORRECTNESS_r11.json.
 #
-# ROUND-12 WINDOW (final composition: 20 new + 17 r5 + 13 r6): the 20
+# ROUND-12 WINDOW (final composition: 21 new + 17 r5 + 12 r6): the 21
 # never-graded round-12 ops at the head (never-graded outranks stale),
 # then the 17 r5-latest entries the r11 window displaced, then the
 # alphabetical head of the r6 cohort MINUS the round-12 retirements
 # (op_agg_cube / op_window_rownum / op_window_distribution left the
 # rotation — see ROTATION_RETIRED).  Each new op displaced the current
-# r6 tail seat as it landed; the 9 displaced r6 entries (op_distinct
-# .. op_join_anti, op_chi2_independence, op_concurrency_sweep) head
-# the round-13 queue (window_check.py prints it).
+# r6 tail seat as it landed; the 10 displaced r6 entries (op_distinct
+# .. op_join_anti, op_chi2_independence, op_concurrency_sweep,
+# op_boxplot_stats) head the round-13 queue (window_check.py prints
+# it).
 # ROUND-13 QUEUE, pre-derived: the displaced r6 tail, then the r7
 # cohort; window_check prints it.  Verify any window rewrite
 # mechanically:
@@ -202,6 +203,7 @@ GRADED_PRIORITY: list[str] = [
     "sim_cosine_histogram", "op_correlated_subquery",
     "multimodal_au_decode", "multimodal_xbm_decode",
     "multimodal_aiff_decode", "text_source_jaccard",
+    "sim_matryoshka_recall",
     # latest green = round 5 (alphabetical; the r11-displaced tail)
     "sample_poisson_bootstrap", "sim_mips_topk", "sim_quantized_mips",
     "text_readability", "text_tfidf_topk", "ts_autocorrelation",
@@ -214,7 +216,6 @@ GRADED_PRIORITY: list[str] = [
     "graph_kcore", "llm_fim_transform", "llm_negative_pairs",
     "llm_quantile_normalize", "multimodal_bmp_decode", "op_ab_test",
     "op_abc_pareto", "op_agg_rollup", "op_benford_test",
-    "op_boxplot_stats",
 ]
 
 

@@ -1861,3 +1861,186 @@ def _cosine_histogram_oracle() -> str:
 
 register("sim_cosine_histogram", _q_cosine_histogram,
          oracle=_cosine_histogram_oracle())
+
+
+# ------------------------------- truncated-dimension (MRL) recall (r12)
+MRL_PREFIXES = (8, 16, 32, 64)
+MRL_K = 5
+MRL_QUERIES = 8
+
+
+def matryoshka_recall(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style TRUNCATED-DIMENSION retrieval audit: for each
+    embedding-prefix length P (8/16/32/64 of the 64-dim column), the
+    exact top-k by quantized inner product over the FIRST P dimensions,
+    scored against the full-dimension top-k — the measurement behind
+    the standard ANN cost lever of serving a dimension-truncated index
+    (Kusupati et al. 2022's Matryoshka representations; every major
+    embedding API now exposes a `dimensions` knob).  recall@P tells a
+    pipeline how many dimensions it can drop before retrieval quality
+    moves, BEFORE committing to the cheaper index.
+
+    Exactness: the epsilon-ball centered scalar quantization gives
+    integer codes; prefix scores are integer dot products over the
+    first P codes (scores <= 64 * 127^2 — BIGINT-trivial); ties break
+    (score DESC, cid ASC), so every per-(P, query) top-k set replays
+    bit-identically on both engines and recall is an exact ppm.
+
+    Scale shape (100 TB): the MRL_QUERIES-query panel broadcasts; ONE
+    corpus pass computes all four prefix scores per (query, corpus)
+    pair in a single projection (running zip_with sums), the per-
+    (P, query) top-k is a keyed rank window (WindowGroupLimit — frame
+    per key is k, never data-scale), and the recall join compares two
+    k-row sets per (P, query).  Pair volume is panel x corpus — linear
+    in the corpus, the knn_bruteforce economics.
+    """
+    from dblab_ece_trino_spark.session import ensure_parallelism
+    from pyspark.sql import Window
+
+    corpus = ensure_parallelism(emb)
+    row = (
+        corpus.select(_as_double(F.col(vec_col)).alias("v"))
+        .agg(F.min(F.array_min("v")).alias("mn"),
+             F.max(F.array_max("v")).alias("mx"))
+        .collect()[0]
+    )
+    mn, mx = float(row["mn"]), float(row["mx"])
+    mid, s_unit = (mn + mx) / 2.0, (mx - mn) / 255.0
+
+    def codes(col):
+        return F.transform(
+            _as_double(col),
+            lambda x: F.floor(
+                (x - F.lit(mid)) / F.lit(s_unit) + F.lit(0.5)
+            ).cast("long"),
+        )
+
+    c = corpus.select(F.col(id_col).alias("cid"),
+                      codes(F.col(vec_col)).alias("cc"))
+    q = corpus.filter(F.col(id_col) < MRL_QUERIES).select(
+        F.col(id_col).alias("qid"), codes(F.col(vec_col)).alias("qc")
+    )
+    pairs = c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+    # all four prefix dots in ONE projection over the pair frame
+    for p in MRL_PREFIXES:
+        dot = F.aggregate(
+            F.zip_with(
+                F.slice("qc", 1, p), F.slice("cc", 1, p),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"), lambda a, v: a + v,
+        )
+        pairs = pairs.withColumn(f"s{p}", dot)
+    scored = pairs.select(
+        "qid", "cid",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(p).cast("long").alias("prefix_dim"),
+                    F.col(f"s{p}").alias("score"),
+                )
+                for p in MRL_PREFIXES
+            ])
+        ).alias("e"),
+    ).select("qid", "cid", "e.prefix_dim", "e.score")
+    w = Window.partitionBy("prefix_dim", "qid").orderBy(
+        F.col("score").desc(), F.col("cid")
+    )
+    from dblab_ece_trino_spark.session import materialize
+
+    # two consumers (the per-prefix sets and the full-dim reference
+    # subset) — materialized once so the pair pipeline isn't re-derived
+    # per consumer; the frame is |prefixes| * MRL_QUERIES * k rows
+    topk = materialize(
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MRL_K)
+        .select("prefix_dim", "qid", "cid")
+    )
+    full = topk.filter(F.col("prefix_dim") == 64).select(
+        F.col("qid").alias("fqid"), F.col("cid").alias("fcid")
+    )
+    hits = topk.join(
+        full,
+        (F.col("qid") == F.col("fqid")) & (F.col("cid") == F.col("fcid")),
+        "left",
+    )
+    return (
+        hits.groupBy("prefix_dim")
+        .agg(
+            F.countDistinct("qid").cast("long").alias("n_queries"),
+            F.count(F.lit(1)).cast("long").alias("retrieved"),
+            F.sum(F.when(F.col("fcid").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("hits"),
+        )
+        .withColumn(
+            "recall_ppm",
+            F.expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * hits"
+                   " div retrieved AS BIGINT)"),
+        )
+        .orderBy("prefix_dim")
+    )
+
+
+def _q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return matryoshka_recall(_emb(spark, sf_dir))
+
+
+def _matryoshka_oracle() -> str:
+    prefixes = ", ".join(str(p) for p in MRL_PREFIXES)
+    return f"""
+    WITH dims AS (
+      SELECT vec_id, t.i AS dim, CAST(embedding[t.i + 1] AS DOUBLE) AS val
+      FROM embeddings, range(64) t(i)
+    ),
+    st AS (
+      SELECT (min(val) + max(val)) / 2 AS mid,
+             (max(val) - min(val)) / 255 AS s
+      FROM dims
+    ),
+    codes AS (
+      SELECT d.vec_id, d.dim,
+             CAST(floor((d.val - st.mid) / st.s + 0.5) AS BIGINT) AS q
+      FROM dims d CROSS JOIN st
+    ),
+    prefixes AS (SELECT unnest([{prefixes}]) AS p),
+    scored AS (
+      SELECT pr.p AS prefix_dim, a.vec_id AS qid, b.vec_id AS cid,
+             CAST(sum(a.q * b.q) AS BIGINT) AS score
+      FROM prefixes pr, codes a
+      JOIN codes b ON b.dim = a.dim
+      WHERE a.vec_id < {MRL_QUERIES} AND b.vec_id <> a.vec_id
+        AND a.dim < pr.p
+      GROUP BY pr.p, a.vec_id, b.vec_id
+    ),
+    topk AS (
+      SELECT prefix_dim, qid, cid FROM (
+        SELECT prefix_dim, qid, cid,
+               row_number() OVER (PARTITION BY prefix_dim, qid
+                                  ORDER BY score DESC, cid) AS rk
+        FROM scored
+      ) r WHERE rk <= {MRL_K}
+    ),
+    fullk AS (
+      SELECT qid AS fqid, cid AS fcid FROM topk WHERE prefix_dim = 64
+    )
+    SELECT CAST(t.prefix_dim AS BIGINT) AS prefix_dim,
+           CAST(count(DISTINCT t.qid) AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS retrieved,
+           CAST(sum(CASE WHEN f.fcid IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits,
+           CAST(CAST(1000000 AS HUGEINT)
+                * sum(CASE WHEN f.fcid IS NOT NULL THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS recall_ppm
+    FROM topk t
+    LEFT JOIN fullk f ON f.fqid = t.qid AND f.fcid = t.cid
+    GROUP BY t.prefix_dim
+    ORDER BY t.prefix_dim
+    """
+
+
+register("sim_matryoshka_recall", _q_matryoshka,
+         oracle=_matryoshka_oracle())

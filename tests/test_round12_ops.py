@@ -1183,3 +1183,57 @@ def test_source_jaccard_matches_pure_python():
     # the synthetic corpus shares one global vocabulary — overlap must
     # be high; a tokenization bug collapses it loudly
     assert all(r[4] > 100_000 for r in got)
+
+
+# --------------------------------------------- matryoshka truncation
+def test_matryoshka_recall_matches_numpy():
+    import duckdb
+
+    import numpy as np
+
+    from dblab_ece_trino_spark.operators.registry import oracle_queries
+    from dblab_ece_trino_spark.operators.similarity import (
+        MRL_K,
+        MRL_PREFIXES,
+        MRL_QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    got = con.execute(oracle_queries()["sim_matryoshka_recall"]).fetchall()
+    rows = con.execute(
+        "SELECT vec_id, embedding::DOUBLE[] FROM embeddings"
+    ).fetchall()
+    vecs = {i: np.array(v) for i, v in rows}
+    mn = min(v.min() for v in vecs.values())
+    mx = max(v.max() for v in vecs.values())
+    mid, s = (mn + mx) / 2, (mx - mn) / 255
+    codes = {i: np.floor((v - mid) / s + 0.5).astype(np.int64)
+             for i, v in vecs.items()}
+    topk = {}
+    for p in MRL_PREFIXES:
+        for q in range(MRL_QUERIES):
+            scored = sorted(
+                ((int(codes[q][:p] @ codes[c][:p]), c)
+                 for c in codes if c != q),
+                key=lambda t: (-t[0], t[1]),
+            )[:MRL_K]
+            topk[(p, q)] = {c for _, c in scored}
+    want = []
+    for p in MRL_PREFIXES:
+        hits = sum(
+            len(topk[(p, q)] & topk[(64, q)]) for q in range(MRL_QUERIES)
+        )
+        retrieved = MRL_K * MRL_QUERIES
+        want.append((p, MRL_QUERIES, retrieved, hits,
+                     1_000_000 * hits // retrieved))
+    assert got == want
+    # recall at the full prefix is exactly 1.0 by construction, and
+    # recall must not decrease from 32 to 64 dims
+    by_p = {r[0]: r[4] for r in got}
+    assert by_p[64] == 1_000_000
+    assert by_p[32] <= by_p[64]
