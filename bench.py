@@ -354,6 +354,33 @@ HEADLINE = [
     # ... Matryoshka truncated-dimension recall audit (per-prefix
     # integer top-k vs the full-dim reference, one corpus pass)
     "sim_matryoshka_recall",
+    # ... FLAC lossless audio (19th codec: LPC/fixed prediction,
+    # Rice/Rice2/escape residual partitions, CRC-8/16, stereo modes)
+    "multimodal_flac_decode",
+    # ... fused fuzzy-dedup pipeline (shared LSH build + cluster_keep
+    # joined back to the corpus; per-source removal ledger)
+    "pipeline_dedup_corpus",
+    # ... per-prefix quantization-error calibration (integer fine-vs-
+    # coarse code error sums over Matryoshka prefixes, one pass)
+    "sim_matryoshka_quant",
+    # ... turning-point census over the per-type daily series (the
+    # integer trend-vs-noise diagnostic; ordinal patterns already ride
+    # the r12 HEADLINE row)
+    "ts_turning_points",
+    # ... degree-tail doubling census + weighted transition reciprocity
+    "graph_degree_tail",
+    "graph_reciprocity",
+    # ... Heaps-law vocabulary growth (window-free checkpoint sums)
+    "text_heaps_law",
+    # ... gaps-and-islands streaks + LATERAL correlated subquery
+    "op_gaps_islands",
+    "op_lateral_subquery",
+    # ... recency-decayed deterministic sampling audit
+    "sample_time_decay",
+    # ... SFT loss-mask training-economy ledger (masked/trained/pad)
+    "llm_loss_mask_stats",
+    # ... tiered snapshot-retention planning (expire-snapshots replay)
+    "wh_retention_policy",
 ]
 
 

@@ -1597,3 +1597,119 @@ register(
     ORDER BY id_a, id_b
     """,
 )
+
+
+# ------------------------------------- end-to-end fuzzy-dedup pipeline
+def dedup_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-in / deduped-corpus-out: the fused fuzzy-dedup pipeline
+    (the removal decision every Gopher/RefinedWeb-style curation run
+    executes), composed from the graded stages WITHOUT rebuilding any
+    of them: ``shared_minhash_clusters`` supplies the one cached
+    LSH+components build, ``cluster_keep`` picks the per-cluster
+    keeper, and this op joins the two small decision frames back to
+    the corpus to emit the per-source removal ledger:
+
+      kept doc  :=  unclustered  OR  cluster keeper
+
+    so n_kept + n_removed == n_docs and n_removed ==
+    Σ cluster_keep.removed_docs by construction (both reconciliations
+    asserted in pytest).
+
+    Shape (100 TB): the corpus is scanned ONCE; the label and keeper
+    frames have one row per CLUSTERED doc / per CLUSTER — orders
+    smaller than the corpus — so both joins broadcast, and the only
+    shuffle is the |sources|-row final aggregate.  The expensive LSH
+    build is the SHARED one (built at most once per session/sf_dir),
+    which is the property that makes the fused pipeline the same cost
+    as its most expensive stage instead of the sum of all four.
+    """
+    docs = _docs(spark, sf_dir)
+    _pairs, labels = shared_minhash_clusters(spark, sf_dir)
+    keep = cluster_keep(labels, docs)
+    lab = labels.select(F.col("sid").alias("doc_id"),
+                        F.lit(1).alias("clustered"))
+    keepers = keep.select(F.col("keeper_id").alias("doc_id"),
+                          F.lit(1).alias("is_keeper"))
+    ann = (
+        docs.select("doc_id", "source", "n_chars")
+        .join(F.broadcast(lab), "doc_id", "left")
+        .join(F.broadcast(keepers), "doc_id", "left")
+        .withColumn(
+            "kept",
+            F.when(
+                F.col("clustered").isNull() | F.col("is_keeper").isNotNull(),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return (
+        ann.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("clustered"), F.lit(0)))
+            .cast("long").alias("n_clustered"),
+            F.sum(1 - F.col("kept")).cast("long").alias("n_removed"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.sum(F.col("n_chars") * F.col("kept"))
+            .cast("long").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_corpus_summary(spark, sf_dir)
+
+
+# The cluster_keep closure chain, then the keep rule joined back to
+# the corpus and rolled up per source.
+_DEDUP_CORPUS_ORACLE = (
+    """
+    WITH RECURSIVE pairs AS ("""
+    + _MINHASH_ORACLE
+    + """
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (
+      SELECT a AS sid, least(a, min(b)) AS cluster
+      FROM reach GROUP BY a
+    ),
+    ranked AS (
+      SELECT l.sid, l.cluster,
+             row_number() OVER (PARTITION BY l.cluster
+                                ORDER BY d.n_chars DESC, l.sid) AS rk
+      FROM labels l JOIN documents d ON d.doc_id = l.sid
+    ),
+    keepers AS (SELECT sid AS keeper FROM ranked WHERE rk = 1),
+    ann AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             CASE WHEN l.sid IS NOT NULL THEN 1 ELSE 0 END AS clustered,
+             CASE WHEN l.sid IS NULL OR k.keeper IS NOT NULL
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents d
+      LEFT JOIN labels l ON l.sid = d.doc_id
+      LEFT JOIN keepers k ON k.keeper = d.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(clustered) AS BIGINT) AS n_clustered,
+           CAST(sum(1 - kept) AS BIGINT) AS n_removed,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars * kept) AS BIGINT) AS kept_chars
+    FROM ann
+    GROUP BY source
+    ORDER BY source
+    """
+)
+
+register("pipeline_dedup_corpus", _q_dedup_corpus,
+         oracle=_DEDUP_CORPUS_ORACLE)

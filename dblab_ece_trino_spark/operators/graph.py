@@ -1778,3 +1778,179 @@ def _rich_club_oracle(ks: tuple = RICH_CLUB_KS) -> str:
 
 
 register("graph_rich_club", _q_rich_club, oracle=_rich_club_oracle())
+
+
+# ----------------------------------- degree-tail doubling census (r13)
+DEG_TAIL_MAX_J = 20
+
+
+def degree_tail(edges: DataFrame) -> DataFrame:
+    """Doubling-threshold degree-tail census — the INTEGER core of the
+    power-law/log-log diagnostic (Clauset-Shalizi-Newman 2009 read off
+    exact survival counts): for each threshold 2^j, how many nodes
+    have degree >= 2^j and how much degree mass they carry.  The
+    log-log slope is read directly off consecutive rows (halving
+    counts per doubling ~ exponent 1) with NO floating log anywhere —
+    survival counts hash bit-identically, a fitted float slope never
+    would (libm ulp drift across engines).
+
+    Shape (100 TB): degree agg (one shuffle of the edge list), then a
+    broadcast non-equi join against the 21-row threshold frame —
+    |deg| x 21 worst case, but the frame after the degree agg is
+    node-scale, not edge-scale.  Output <= 21 rows.
+    """
+    sym = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    spark = edges.sparkSession
+    js = spark.range(DEG_TAIL_MAX_J + 1).select(
+        F.col("id").cast("int").alias("j"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))")
+        .alias("threshold"),
+    )
+    return (
+        deg.join(F.broadcast(js), F.col("k") >= F.col("threshold"))
+        .groupBy("j", "threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("k").cast("long").alias("sum_deg"),
+            F.max("k").cast("long").alias("max_deg"),
+        )
+        .orderBy("j")
+    )
+
+
+def _q_degree_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.session import materialize
+
+    return degree_tail(materialize(coorder_pairs(_li(spark, sf_dir))))
+
+
+register(
+    "graph_degree_tail",
+    _q_degree_tail,
+    oracle=f"""
+    WITH {_PAIRS_CTE},
+    sym AS (
+      SELECT u, v FROM pairs
+      UNION ALL
+      SELECT v AS u, u AS v FROM pairs
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS k FROM sym GROUP BY u),
+    js AS (
+      SELECT CAST(j AS INT) AS j,
+             CAST(1 AS BIGINT) << j AS threshold
+      FROM (SELECT unnest(generate_series(0, {DEG_TAIL_MAX_J})) AS j)
+    )
+    SELECT js.j, js.threshold,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(k) AS BIGINT) AS sum_deg,
+           CAST(max(k) AS BIGINT) AS max_deg
+    FROM deg JOIN js ON deg.k >= js.threshold
+    GROUP BY js.j, js.threshold
+    ORDER BY js.j
+    """,
+)
+
+
+def reciprocity(events: DataFrame) -> DataFrame:
+    """Weighted reciprocity of the event-type TRANSITION graph (the
+    directed-graph mixing diagnostic of Squartini et al. 2013): build
+    directed edges a -> b from each user's consecutive event pairs
+    (ordered by ts, event_id — deterministic under timestamp ties),
+    then per source type report how much of its outgoing transition
+    mass is reciprocated: w_recip = sum_b min(w_ab, w_ba).  A page
+    flow with recip_ppm ~ 1e6 is navigational back-and-forth; ~0 is a
+    funnel — the directedness answer the undirected co-order entries
+    cannot give.
+
+    Exactness: weights are exact counts, min/sums exact integers, ONE
+    floored double ratio.  Shape (100 TB): ONE fact scan, one keyed
+    lag window (hash shuffle on user), one |types|^2-bounded agg —
+    then the tiny weight frame is MATERIALIZED before its reversed
+    self-join (left lazy, Catalyst inlines the CTE and re-runs the
+    fact scan + window once per side — the census caught exactly
+    that), so both join sides are plain reads of <= |types|^2 rows.
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    w_ = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id", "event_type",
+        F.lag("event_type").over(w_).alias("prev_type"),
+    )
+    wts = materialize(
+        seq.filter(
+            F.col("prev_type").isNotNull()
+            & (F.col("prev_type") != F.col("event_type"))
+        )
+        .groupBy(F.col("prev_type").alias("a"),
+                 F.col("event_type").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    rev = wts.select(F.col("a").alias("b"), F.col("b").alias("a"),
+                     F.col("w").alias("w_rev"))
+    m = wts.join(rev, ["a", "b"], "left").withColumn(
+        "w_rev", F.coalesce(F.col("w_rev"), F.lit(0))
+    )
+    return (
+        m.groupBy(F.col("a").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_partners"),
+            F.sum("w").cast("long").alias("w_out"),
+            F.sum(F.least("w", "w_rev")).cast("long").alias("w_recip"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.sum(F.least("w", "w_rev"))
+                / F.sum("w")
+            ).cast("long").alias("recip_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    return reciprocity(
+        engine_for(spark, sf_dir).catalogs.table("elastic.default.events")
+    )
+
+
+register(
+    "graph_reciprocity",
+    _q_reciprocity,
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    w AS (
+      SELECT prev_type AS a, event_type AS b,
+             CAST(count(*) AS BIGINT) AS w
+      FROM seq
+      WHERE prev_type IS NOT NULL AND prev_type <> event_type
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT f.a, f.b, f.w, coalesce(r.w, 0) AS w_rev
+      FROM w f LEFT JOIN w r ON r.a = f.b AND r.b = f.a
+    )
+    SELECT a AS event_type,
+           CAST(count(*) AS BIGINT) AS n_partners,
+           CAST(sum(w) AS BIGINT) AS w_out,
+           CAST(sum(CASE WHEN w < w_rev THEN w ELSE w_rev END)
+                AS BIGINT) AS w_recip,
+           CAST(floor(1000000.0
+                      * CAST(sum(CASE WHEN w < w_rev THEN w
+                                      ELSE w_rev END) AS DOUBLE)
+                      / CAST(sum(w) AS DOUBLE)) AS BIGINT) AS recip_ppm
+    FROM m
+    GROUP BY a
+    ORDER BY a
+    """,
+)
+

@@ -2970,3 +2970,91 @@ def _sft_oracle() -> str:
 
 
 register("llm_sft_format", _q_sft_format, oracle=_sft_oracle())
+
+
+# ------------------------------------- SFT loss-mask accounting (r13)
+SFT_CTRL_TOKENS = 3    # <|user|> / <|assistant|> / <|end|> markers
+SFT_CTX = 160          # packing context (> 12 + 120 + 3, so pad >= 0)
+
+
+def loss_mask_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Loss-mask TRAINING-ECONOMY audit of the rendered SFT examples —
+    the compute-utilization companion to ``sft_format`` (which audits
+    truncation + content checksums): under the standard
+    completion-only loss mask, prompt words and the template control
+    tokens are MASKED, the capped completion is TRAINED, and the
+    context remainder is PAD.  Per source: the exact token ledger and
+    the floored ppm of context that actually trains — the number that
+    decides whether example packing is worth it (a source with 30%
+    trained-context wastes 70% of its FLOPs).
+
+    Same word split as sft_format (shared fixture contract), all
+    integers, one |sources|-row agg; pure projection otherwise.
+    """
+    words = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0)
+    )
+    d = docs.select("source", F.size(words).cast("long").alias("n_words"))
+    p_tok = F.least(F.col("n_words"), F.lit(SFT_PROMPT_WORDS))
+    c_tok = F.least(
+        F.greatest(F.col("n_words") - SFT_PROMPT_WORDS, F.lit(0)),
+        F.lit(SFT_RESP_CAP),
+    )
+    per = d.select(
+        "source",
+        (p_tok + SFT_CTRL_TOKENS).cast("long").alias("masked"),
+        c_tok.cast("long").alias("trained"),
+        (F.lit(SFT_CTX) - p_tok - c_tok - SFT_CTRL_TOKENS)
+        .cast("long").alias("pad"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_examples"),
+            F.sum("masked").cast("long").alias("masked_tok"),
+            F.sum("trained").cast("long").alias("trained_tok"),
+            F.sum("pad").cast("long").alias("pad_tok"),
+            F.floor(
+                F.lit(1000000.0) * F.sum("trained")
+                / (F.lit(float(SFT_CTX)) * F.count(F.lit(1)))
+            ).cast("long").alias("trained_ctx_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return loss_mask_stats(_docs(spark, sf_dir))
+
+
+register(
+    "llm_loss_mask_stats",
+    _q_loss_mask,
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                  AS BIGINT) AS n_words
+      FROM documents
+    ),
+    per AS (
+      SELECT source,
+             least(n_words, {SFT_PROMPT_WORDS}) + {SFT_CTRL_TOKENS}
+               AS masked,
+             least(greatest(n_words - {SFT_PROMPT_WORDS}, 0),
+                   {SFT_RESP_CAP}) AS trained
+      FROM d
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_examples,
+           CAST(sum(masked) AS BIGINT) AS masked_tok,
+           CAST(sum(trained) AS BIGINT) AS trained_tok,
+           CAST(sum({SFT_CTX} - masked - trained) AS BIGINT) AS pad_tok,
+           CAST(floor(1000000.0 * sum(trained)
+                      / ({SFT_CTX}.0 * count(*))) AS BIGINT)
+             AS trained_ctx_ppm
+    FROM per
+    GROUP BY source
+    ORDER BY source
+    """,
+)

@@ -116,7 +116,11 @@ def decode_image(payload: bytes) -> "object":
         # check below.
         w, h, _channels, arr = decode_pcx(payload)
         return w, h, arr[:, :, :3]
-    if b"#define" in payload[:256] and b"_bits[]" in payload[:4096]:
+    if b"#define" in payload[:4096] and b"_bits[]" in payload[:4096]:
+        # Sniff window matches the _bits[] window: decode_xbm tolerates
+        # arbitrarily long leading /*...*/ comments, so a narrow
+        # #define window would misroute a valid XBM with a long header
+        # comment to the NotImplementedError fallthrough.
         # XBM C fragment (ASCII source); monochrome — expand the 0/1
         # raster to 3-channel grayscale for the uniform seam contract
         import numpy as np
@@ -147,6 +151,10 @@ def decode_audio(payload: bytes) -> "tuple":
     formats (MP3/AAC/Opus) genuinely require an external library and
     raise behind this clearly-marked stub; in production the fallback
     would be soundfile/ffmpeg — the mapInPandas plumbing is identical."""
+    if len(payload) >= 4 and payload[:4] == b"fLaC":
+        # Native FLAC stream (mono path; stereo callers use
+        # decode_flac_full directly, mirroring the G.711 law contract)
+        return decode_flac(payload)
     if len(payload) >= 24 and payload[:4] == b".snd":
         # Sun AU container (big-endian ".snd" magic); the codec byte
         # (mu-law / pcm8 / pcm16be) is a detail like the G.711 law —
@@ -6495,6 +6503,8 @@ def encode_au(
             raise ValueError("pcm8 samples out of int8 range")
         data = s.astype(">i1").tobytes()
     elif encoding == AU_PCM16:
+        if s.min() < -32768 or s.max() > 32767:
+            raise ValueError("pcm16 samples out of int16 range")
         data = s.astype(">i2").tobytes()
     else:
         raise ValueError(f"unsupported AU encoding {encoding}")
@@ -7090,3 +7100,825 @@ def _aiff_oracle() -> str:
 
 
 register("multimodal_aiff_decode", _q_aiff_decode, oracle=_aiff_oracle())
+
+
+# ------------------------------------------------ REAL FLAC codec (r13)
+# Nineteenth native format, fourth audio container and the first
+# *compressed lossless* audio path: native FLAC (RFC 9639 layout, the
+# format the reference's media tables would carry for archival audio).
+# This brings the entropy-coding depth of the GIF/JPEG decoders to the
+# audio column: fixed/LPC linear prediction, Rice/Rice2-coded residual
+# partitions (with the escape-to-verbatim case), wasted-bits shifting,
+# UTF-8-style coded frame numbers, CRC-8 header and CRC-16 frame
+# integrity checks, and the three stereo decorrelation modes
+# (left/side, right/side, mid/side) with their bps+1 side channel.
+# Bit-exact output means the closed-form sawtooth oracle discipline
+# used by every other audio codec here still applies unchanged.
+class _FlacBitWriter:
+    """MSB-first bit accumulator (FLAC has no byte-stuffing)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._n += nbits
+        while self._n >= 8:
+            self._n -= 8
+            self.buf.append((self._acc >> self._n) & 0xFF)
+        self._acc &= (1 << self._n) - 1
+
+    def write_unary(self, q: int) -> None:
+        """q zero bits then a terminating one bit (FLAC unary)."""
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def write_signed(self, value: int, nbits: int) -> None:
+        self.write(value & ((1 << nbits) - 1), nbits)
+
+    def align(self) -> None:
+        if self._n:
+            self.write(0, 8 - self._n)
+
+    def bytes(self) -> bytes:
+        if self._n:
+            raise ValueError("bit writer not byte-aligned")
+        return bytes(self.buf)
+
+
+class _FlacBitReader:
+    """MSB-first bit reader over a byte payload with byte-position
+    tracking (frame headers and footers are byte-aligned)."""
+
+    def __init__(self, payload: bytes, pos: int = 0) -> None:
+        self.payload = payload
+        self.pos = pos  # byte position of the NEXT unread byte
+        self._acc = 0
+        self._n = 0
+
+    def read(self, nbits: int) -> int:
+        while self._n < nbits:
+            if self.pos >= len(self.payload):
+                raise ValueError("truncated FLAC bitstream")
+            self._acc = (self._acc << 8) | self.payload[self.pos]
+            self.pos += 1
+            self._n += 8
+        self._n -= nbits
+        out = (self._acc >> self._n) & ((1 << nbits) - 1)
+        self._acc &= (1 << self._n) - 1
+        return out
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        if nbits and v >= (1 << (nbits - 1)):
+            v -= 1 << nbits
+        return v
+
+    def align(self) -> None:
+        self._n = 0
+        self._acc = 0
+
+    def byte_pos(self) -> int:
+        if self._n % 8:
+            raise ValueError("bit reader not byte-aligned")
+        return self.pos - self._n // 8
+
+
+def _crc8_flac(data: bytes) -> int:
+    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0, MSB-first — the FLAC
+    frame-header CRC.  Catalog check value: crc8(b"123456789") = 0xF4."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16_flac(data: bytes) -> int:
+    """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0, MSB-first — the
+    FLAC whole-frame CRC.  Catalog check (CRC-16/UMTS): 0xFEE8."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+def _flac_coded_number_encode(v: int) -> bytes:
+    """FLAC's extended-UTF-8 coded number (frame/sample index): the
+    UTF-8 byte pattern stretched to 7 bytes / 36 bits."""
+    if v < 0:
+        raise ValueError("coded number must be non-negative")
+    if v < 0x80:
+        return bytes([v])
+    for n_cont in range(1, 7):
+        head_bits = 8 - (n_cont + 2) if n_cont < 6 else 0
+        if v.bit_length() <= head_bits + 6 * n_cont:
+            break
+    else:
+        raise ValueError("coded number exceeds 36 bits")
+    out = bytearray()
+    head_prefix = (0xFF << (8 - (n_cont + 1))) & 0xFF
+    head_data = (v >> (6 * n_cont)) & ((1 << head_bits) - 1) if head_bits else 0
+    out.append(head_prefix | head_data)
+    for i in range(n_cont - 1, -1, -1):
+        out.append(0x80 | ((v >> (6 * i)) & 0x3F))
+    return bytes(out)
+
+
+def _flac_coded_number_read(br: "_FlacBitReader") -> int:
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    ones = 0
+    while ones < 8 and (b0 << ones) & 0x80:
+        ones += 1
+    if ones < 2 or ones > 7:
+        raise ValueError("invalid FLAC coded-number head byte")
+    n_cont = ones - 1
+    head_bits = 8 - (ones + 1) if ones < 7 else 0
+    v = b0 & ((1 << head_bits) - 1) if head_bits else 0
+    for _ in range(n_cont):
+        cb = br.read(8)
+        if cb & 0xC0 != 0x80:
+            raise ValueError("invalid FLAC coded-number continuation byte")
+        v = (v << 6) | (cb & 0x3F)
+    return v
+
+
+def _flac_zigzag(r: int) -> int:
+    return (r << 1) if r >= 0 else (-(r << 1) - 1)
+
+
+def _flac_unzigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+# Fixed-predictor coefficients, order 0..4 (RFC 9639 §9.2.5): the
+# polynomial predictors every FLAC implementation shares.
+_FLAC_FIXED_COEFFS = (
+    (),
+    (1,),
+    (2, -1),
+    (3, -3, 1),
+    (4, -6, 4, -1),
+)
+
+# Common sample-rate table (frame-header code -> Hz); 0 = streaminfo,
+# 12/13/14 = explicit field at header end, 15 = invalid.
+_FLAC_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+# Common block-size table (frame-header code -> samples); 6/7 =
+# explicit 8-/16-bit field at header end, 0 = reserved.
+_FLAC_BLOCKSIZES = {1: 192}
+_FLAC_BLOCKSIZES.update({c: 576 << (c - 2) for c in range(2, 6)})
+_FLAC_BLOCKSIZES.update({c: 256 << (c - 8) for c in range(8, 16)})
+_FLAC_SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+# One LPC parameterization is enough for the encoder (the decoder
+# handles any order/precision/shift): order 2, qlp precision 5 bits,
+# shift 1 — pred = (3*s[i-1] - s[i-2]) >> 1, a damped slope follower.
+_FLAC_LPC2 = (5, 1, (3, -1))
+
+
+def _flac_rice_param(vals, rice2: bool) -> int:
+    cap = 30 if rice2 else 14
+    if not vals:
+        return 0
+    mean = sum(_flac_zigzag(v) for v in vals) // len(vals)
+    return min(max(mean.bit_length() - 1, 0), cap)
+
+
+def _flac_write_residuals(
+    bw: "_FlacBitWriter", residuals, blocksize: int, order: int,
+    partition_order: int, rice2: bool, escape: bool,
+) -> None:
+    if blocksize % (1 << partition_order):
+        raise ValueError("block size not divisible by partition count")
+    bw.write(1 if rice2 else 0, 2)
+    bw.write(partition_order, 4)
+    pbits = 5 if rice2 else 4
+    esc_code = (1 << pbits) - 1
+    part_len = blocksize >> partition_order
+    if part_len <= order and partition_order:
+        raise ValueError("first partition would be empty")
+    for p in range(1 << partition_order):
+        lo = (p * part_len - order) if p else 0
+        hi = (p + 1) * part_len - order
+        vals = residuals[lo:hi]
+        if escape:
+            bw.write(esc_code, pbits)
+            width = max(
+                (
+                    (v.bit_length() if v >= 0 else (-v - 1).bit_length()) + 1
+                    for v in vals
+                ),
+                default=0,
+            )
+            bw.write(width, 5)
+            for v in vals:
+                bw.write_signed(v, width)
+        else:
+            k = _flac_rice_param(vals, rice2)
+            bw.write(k, pbits)
+            for v in vals:
+                u = _flac_zigzag(v)
+                bw.write_unary(u >> k)
+                bw.write(u & ((1 << k) - 1), k)
+
+
+def _flac_read_residuals(
+    br: "_FlacBitReader", blocksize: int, order: int,
+):
+    method = br.read(2)
+    if method > 1:
+        raise ValueError(f"reserved FLAC residual coding method {method}")
+    partition_order = br.read(4)
+    if blocksize % (1 << partition_order):
+        raise ValueError("block size not divisible by partition count")
+    pbits = 5 if method else 4
+    esc_code = (1 << pbits) - 1
+    part_len = blocksize >> partition_order
+    out = []
+    for p in range(1 << partition_order):
+        n = part_len - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("FLAC partition shorter than predictor order")
+        k = br.read(pbits)
+        if k == esc_code:
+            width = br.read(5)
+            out.extend(
+                br.read_signed(width) if width else 0 for _ in range(n)
+            )
+        else:
+            for _ in range(n):
+                q = br.read_unary()
+                u = (q << k) | (br.read(k) if k else 0)
+                out.append(_flac_unzigzag(u))
+    return out
+
+
+def _flac_write_subframe(
+    bw: "_FlacBitWriter", block, bps: int, mode: str,
+    partition_order: int, rice2: bool, escape: bool, wasted: int,
+) -> None:
+    vals = [int(v) for v in block]
+    if wasted:
+        if any(v % (1 << wasted) for v in vals):
+            raise ValueError("wasted-bits fixture needs divisible samples")
+        vals = [v >> wasted for v in vals]
+    eff = bps - wasted
+    if mode == "constant":
+        if any(v != vals[0] for v in vals):
+            raise ValueError("constant subframe over non-constant block")
+        type_code, order = 0, 0
+    elif mode == "verbatim":
+        type_code, order = 1, 0
+    elif mode.startswith("fixed"):
+        order = int(mode[5:])
+        if not 0 <= order <= 4 or order >= len(vals):
+            raise ValueError(f"bad fixed order for block: {mode}")
+        type_code = 8 + order
+    elif mode == "lpc2":
+        order = 2
+        type_code = 32 + (order - 1)
+    else:
+        raise ValueError(f"unknown subframe mode {mode}")
+    bw.write(0, 1)
+    bw.write(type_code, 6)
+    if wasted:
+        bw.write(1, 1)
+        bw.write_unary(wasted - 1)
+    else:
+        bw.write(0, 1)
+    if mode == "constant":
+        bw.write_signed(vals[0], eff)
+    elif mode == "verbatim":
+        for v in vals:
+            bw.write_signed(v, eff)
+    elif mode.startswith("fixed"):
+        for v in vals[:order]:
+            bw.write_signed(v, eff)
+        coeffs = _FLAC_FIXED_COEFFS[order]
+        residuals = [
+            vals[i] - sum(c * vals[i - 1 - j] for j, c in enumerate(coeffs))
+            for i in range(order, len(vals))
+        ]
+        _flac_write_residuals(
+            bw, residuals, len(vals), order, partition_order, rice2, escape
+        )
+    else:  # lpc2
+        precision, shift, coeffs = _FLAC_LPC2
+        for v in vals[:order]:
+            bw.write_signed(v, eff)
+        bw.write(precision - 1, 4)
+        bw.write(shift, 5)
+        for c in coeffs:
+            bw.write_signed(c, precision)
+        residuals = [
+            vals[i]
+            - (sum(c * vals[i - 1 - j] for j, c in enumerate(coeffs)) >> shift)
+            for i in range(order, len(vals))
+        ]
+        _flac_write_residuals(
+            bw, residuals, len(vals), order, partition_order, rice2, escape
+        )
+
+
+def _flac_read_subframe(br: "_FlacBitReader", blocksize: int, bps: int):
+    if br.read(1):
+        raise ValueError("nonzero FLAC subframe padding bit")
+    type_code = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.read_unary() + 1
+    eff = bps - wasted
+    if eff <= 0:
+        raise ValueError("wasted bits exceed sample size")
+    if type_code == 0:
+        v = br.read_signed(eff)
+        vals = [v] * blocksize
+    elif type_code == 1:
+        vals = [br.read_signed(eff) for _ in range(blocksize)]
+    elif 8 <= type_code <= 12:
+        order = type_code - 8
+        warm = [br.read_signed(eff) for _ in range(order)]
+        residuals = _flac_read_residuals(br, blocksize, order)
+        coeffs = _FLAC_FIXED_COEFFS[order]
+        vals = list(warm)
+        for r in residuals:
+            pred = sum(c * vals[-1 - j] for j, c in enumerate(coeffs))
+            vals.append(pred + r)
+    elif type_code >= 32:
+        order = (type_code & 0x1F) + 1
+        if order > blocksize:
+            raise ValueError("LPC order exceeds block size")
+        warm = [br.read_signed(eff) for _ in range(order)]
+        precision = br.read(4) + 1
+        if precision == 16:
+            raise ValueError("invalid FLAC qlp precision code")
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative FLAC qlp shift")
+        coeffs = [br.read_signed(precision) for _ in range(order)]
+        residuals = _flac_read_residuals(br, blocksize, order)
+        vals = list(warm)
+        for r in residuals:
+            pred = sum(c * vals[-1 - j] for j, c in enumerate(coeffs)) >> shift
+            vals.append(pred + r)
+    else:
+        raise ValueError(f"reserved FLAC subframe type {type_code}")
+    if wasted:
+        vals = [v << wasted for v in vals]
+    return vals
+
+
+def _flac_streaminfo(
+    block_size: int, rate: int, channels: int, bps: int, total: int
+) -> bytes:
+    bw = _FlacBitWriter()
+    bw.write(block_size, 16)
+    bw.write(block_size, 16)
+    bw.write(0, 24)
+    bw.write(0, 24)
+    bw.write(rate, 20)
+    bw.write(channels - 1, 3)
+    bw.write(bps - 1, 5)
+    bw.write(total, 36)
+    body = bw.bytes() + b"\x00" * 16  # MD5 unset (spec: unknown)
+    return body
+
+
+def _flac_frame_header(
+    frame_index: int, bs: int, rate: int, ch_assign: int,
+    bs8: bool, rate_in_frame,
+) -> bytes:
+    bw = _FlacBitWriter()
+    bw.write(0b11111111111110, 14)
+    bw.write(0, 1)  # reserved
+    bw.write(0, 1)  # fixed-blocksize strategy
+    if bs8:
+        if bs > 256:
+            raise ValueError("8-bit block size field needs bs <= 256")
+        bw.write(0b0110, 4)
+    else:
+        bw.write(0b0111, 4)
+    if rate_in_frame == "khz8":
+        if rate % 1000 or rate // 1000 > 255:
+            raise ValueError("khz8 rate field needs a kHz-multiple rate")
+        bw.write(0b1100, 4)
+    elif rate_in_frame == "hz16":
+        if rate > 65535:
+            raise ValueError("hz16 rate field needs rate < 65536")
+        bw.write(0b1101, 4)
+    elif rate_in_frame == "dahz16":
+        if rate % 10 or rate // 10 > 65535:
+            raise ValueError("dahz16 rate field needs a 10-Hz-multiple rate")
+        bw.write(0b1110, 4)
+    else:
+        bw.write(0b0000, 4)  # rate from STREAMINFO
+    bw.write(ch_assign, 4)
+    bw.write(0b100, 3)  # 16-bit samples
+    bw.write(0, 1)  # reserved
+    hdr = bytearray(bw.bytes())
+    hdr += _flac_coded_number_encode(frame_index)
+    if bs8:
+        hdr.append(bs - 1)
+    else:
+        hdr += bytes([(bs - 1) >> 8, (bs - 1) & 0xFF])
+    if rate_in_frame == "khz8":
+        hdr.append(rate // 1000)
+    elif rate_in_frame == "hz16":
+        hdr += bytes([rate >> 8, rate & 0xFF])
+    elif rate_in_frame == "dahz16":
+        hdr += bytes([(rate // 10) >> 8, (rate // 10) & 0xFF])
+    hdr.append(_crc8_flac(bytes(hdr)))
+    return bytes(hdr)
+
+
+def encode_flac(
+    samples, rate: int, block_size: int = 32, mode: str = "fixed2",
+    partition_order: int = 0, rice2: bool = False, escape: bool = False,
+    pad_block: bool = False, bs8: bool = False, rate_in_frame=None,
+    wasted: int = 0,
+) -> bytes:
+    """Build a real mono 16-bit FLAC payload (fixed-blocksize strategy).
+
+    ``mode`` picks the subframe type per frame (constant / verbatim /
+    fixed0..fixed4 / lpc2); ``partition_order``/``rice2``/``escape``
+    steer the residual coding; ``pad_block`` inserts PADDING+APPLICATION
+    metadata blocks the decoder must skip; ``bs8``/``rate_in_frame``
+    exercise the explicit block-size/sample-rate header fields;
+    ``wasted`` shifts out k guaranteed-zero low bits.  The final frame
+    may be shorter than ``block_size`` (spec-legal for the last frame);
+    partitioned residual modes require every frame to divide evenly, so
+    fixtures pair ``partition_order > 0`` with divisible lengths."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    if len(s) == 0:
+        raise ValueError("empty FLAC sample stream")
+    if s.min() < -32768 or s.max() > 32767:
+        raise ValueError("samples out of int16 range")
+    out = bytearray(b"fLaC")
+    last_flag = 0x00 if pad_block else 0x80
+    info = _flac_streaminfo(block_size, rate, 1, 16, len(s))
+    out += bytes([last_flag | 0]) + len(info).to_bytes(3, "big") + info
+    if pad_block:
+        out += bytes([0x01]) + (8).to_bytes(3, "big") + b"\x00" * 8
+        app = b"sprk" + b"\x01\x02"
+        out += bytes([0x80 | 2]) + len(app).to_bytes(3, "big") + app
+    for fi, start in enumerate(range(0, len(s), block_size)):
+        blk = s[start : start + block_size]
+        bs = len(blk)
+        frame = bytearray(
+            _flac_frame_header(fi, bs, rate, 0, bs8, rate_in_frame)
+        )
+        bw = _FlacBitWriter()
+        fmode = mode
+        order = (
+            int(mode[5:]) if mode.startswith("fixed")
+            else 2 if mode == "lpc2" else 0
+        )
+        if mode != "constant" and bs <= order:
+            fmode, order = "verbatim", 0  # tail too short to warm predictor
+        po = partition_order
+        while po and (bs % (1 << po) or (bs >> po) <= order):
+            po -= 1  # spec: first partition must keep > 0 residuals
+        _flac_write_subframe(bw, blk, 16, fmode, po, rice2, escape, wasted)
+        bw.align()
+        frame += bw.bytes()
+        frame += _crc16_flac(bytes(frame)).to_bytes(2, "big")
+        out += frame
+    return bytes(out)
+
+
+def encode_flac_stereo(left, right, rate: int, assign: str) -> bytes:
+    """Stereo FLAC with one verbatim frame; ``assign`` picks the
+    decorrelation (independent / left_side / right_side / mid_side) —
+    the encoder-side inverse of the decoder's reconstruction, used to
+    pin the bps+1 side-channel path."""
+    import numpy as np
+
+    l = np.asarray(left, dtype=np.int64)
+    r = np.asarray(right, dtype=np.int64)
+    if len(l) != len(r) or len(l) == 0:
+        raise ValueError("stereo FLAC needs equal nonempty channels")
+    side = l - r
+    if assign == "independent":
+        ch_assign, chans, widths = 1, (l, r), (16, 16)
+    elif assign == "left_side":
+        ch_assign, chans, widths = 8, (l, side), (16, 17)
+    elif assign == "right_side":
+        ch_assign, chans, widths = 9, (side, r), (17, 16)
+    elif assign == "mid_side":
+        mid = (l + r) >> 1
+        ch_assign, chans, widths = 10, (mid, side), (16, 17)
+    else:
+        raise ValueError(f"unknown stereo assignment {assign}")
+    out = bytearray(b"fLaC")
+    info = _flac_streaminfo(len(l), rate, 2, 16, len(l))
+    out += bytes([0x80]) + len(info).to_bytes(3, "big") + info
+    frame = bytearray(
+        _flac_frame_header(0, len(l), rate, ch_assign, False, None)
+    )
+    bw = _FlacBitWriter()
+    for ch, width in zip(chans, widths):
+        bw.write(0, 1)
+        bw.write(1, 6)  # verbatim
+        bw.write(0, 1)
+        for v in ch:
+            bw.write_signed(int(v), width)
+    bw.align()
+    frame += bw.bytes()
+    frame += _crc16_flac(bytes(frame)).to_bytes(2, "big")
+    out += frame
+    return bytes(out)
+
+
+def decode_flac_full(payload: bytes):
+    """Parse a FLAC payload: returns (rate, n_channels, int64 samples
+    of shape (n, channels)).  Verifies the sync code, reserved bits,
+    header CRC-8 and frame CRC-16, resolves block-size / sample-rate /
+    sample-size codes (common tables, STREAMINFO fallback, and the
+    explicit end-of-header fields), decodes constant / verbatim /
+    fixed / LPC subframes with Rice, Rice2 and escaped residual
+    partitions plus wasted bits, undoes stereo decorrelation, and
+    cross-checks the STREAMINFO total-sample count when set."""
+    import numpy as np
+
+    if len(payload) < 42 or payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos, info, last = 4, None, False
+    while not last:
+        if pos + 4 > len(payload):
+            raise ValueError("truncated FLAC metadata block header")
+        b0 = payload[pos]
+        last, btype = bool(b0 & 0x80), b0 & 0x7F
+        length = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + length]
+        if len(body) < length:
+            raise ValueError("truncated FLAC metadata block body")
+        if info is None and btype != 0:
+            raise ValueError("first FLAC metadata block must be STREAMINFO")
+        if btype == 0:
+            if length != 34:
+                raise ValueError("STREAMINFO must be 34 bytes")
+            info = body
+        elif btype == 127:
+            raise ValueError("invalid FLAC metadata block type 127")
+        pos += 4 + length
+    br0 = _FlacBitReader(info)
+    br0.read(16)  # min block size
+    br0.read(16)  # max block size
+    br0.read(24)  # min frame size (0 = unknown)
+    br0.read(24)  # max frame size
+    si_rate = br0.read(20)
+    channels = br0.read(3) + 1
+    bps = br0.read(5) + 1
+    total = br0.read(36)
+    out_rate = None
+    per_ch: list = [[] for _ in range(channels)]
+    while pos < len(payload):
+        frame_start = pos
+        br = _FlacBitReader(payload, pos)
+        if br.read(14) != 0b11111111111110:
+            raise ValueError("bad FLAC frame sync code")
+        if br.read(1):
+            raise ValueError("nonzero FLAC frame reserved bit")
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        if br.read(1):
+            raise ValueError("nonzero FLAC frame reserved bit")
+        _flac_coded_number_read(br)
+        if bs_code == 0:
+            raise ValueError("reserved FLAC block size code 0")
+        elif bs_code == 6:
+            bs = br.read(8) + 1
+        elif bs_code == 7:
+            bs = br.read(16) + 1
+        else:
+            bs = _FLAC_BLOCKSIZES[bs_code]
+        if sr_code == 0:
+            rate = si_rate
+        elif sr_code == 12:
+            rate = br.read(8) * 1000
+        elif sr_code == 13:
+            rate = br.read(16)
+        elif sr_code == 14:
+            rate = br.read(16) * 10
+        elif sr_code == 15:
+            raise ValueError("invalid FLAC sample rate code 15")
+        else:
+            rate = _FLAC_RATES[sr_code]
+        if ss_code == 0:
+            frame_bps = bps
+        elif ss_code == 3:
+            raise ValueError("reserved FLAC sample size code 3")
+        else:
+            frame_bps = _FLAC_SAMPLE_SIZES[ss_code]
+        if ch_code <= 7:
+            nch, side_mode = ch_code + 1, None
+        elif ch_code in (8, 9, 10):
+            nch, side_mode = 2, ch_code
+        else:
+            raise ValueError(f"reserved FLAC channel assignment {ch_code}")
+        if nch != channels:
+            raise ValueError("frame channel count differs from STREAMINFO")
+        hdr_end = br.byte_pos()
+        crc8 = br.read(8)
+        if crc8 != _crc8_flac(payload[frame_start:hdr_end]):
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        subs = []
+        for ch in range(nch):
+            ch_bps = frame_bps
+            if (side_mode == 8 and ch == 1) or (side_mode == 9 and ch == 0) \
+                    or (side_mode == 10 and ch == 1):
+                ch_bps += 1  # the side channel carries one extra bit
+            subs.append(_flac_read_subframe(br, bs, ch_bps))
+        br.align()
+        body_end = br.byte_pos()
+        crc16 = br.read(16)
+        if crc16 != _crc16_flac(payload[frame_start:body_end]):
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = body_end + 2
+        if side_mode == 8:  # left/side: right = left - side
+            left, side = subs
+            subs = [left, [a - b for a, b in zip(left, side)]]
+        elif side_mode == 9:  # right/side: left = side + right
+            side, right = subs
+            subs = [[a + b for a, b in zip(side, right)], right]
+        elif side_mode == 10:  # mid/side
+            mid, side = subs
+            subs_l = [(((m << 1) | (sd & 1)) + sd) >> 1 for m, sd in zip(mid, side)]
+            subs_r = [(((m << 1) | (sd & 1)) - sd) >> 1 for m, sd in zip(mid, side)]
+            subs = [subs_l, subs_r]
+        for ch in range(channels):
+            per_ch[ch].extend(subs[ch])
+        if out_rate is None:
+            out_rate = rate
+        elif out_rate != rate:
+            raise ValueError("FLAC frames disagree on sample rate")
+    if out_rate is None:
+        raise ValueError("FLAC payload contains no frames")
+    n = len(per_ch[0])
+    if total and total != n:
+        raise ValueError(
+            f"STREAMINFO declares {total} samples, frames carry {n}"
+        )
+    arr = np.stack(
+        [np.asarray(c, dtype=np.int64) for c in per_ch], axis=1
+    )
+    return out_rate, channels, arr
+
+
+def decode_flac(payload: bytes):
+    """Mono convenience wrapper: (rate, int64 samples); raises on
+    multichannel payloads (callers needing stereo use
+    decode_flac_full)."""
+    rate, channels, arr = decode_flac_full(payload)
+    if channels != 1:
+        raise ValueError(f"expected mono FLAC, got {channels} channels")
+    return rate, arr[:, 0]
+
+
+_FLAC_PARAMS = [
+    # (n_samp, rate, block_size, mode, partition_order, step, amp,
+    #  extra-kwargs) — sawtooth clips s_k = (k*step) % (2*amp) - amp,
+    # the closed form every audio oracle here shares.  The fixtures
+    # jointly cover: multi-frame streams with a short tail frame,
+    # every subframe family (constant / verbatim / fixed / LPC),
+    # Rice + Rice2 + escaped residual partitions at orders 0-2, the
+    # explicit 8-bit block-size and kHz/Hz/daHz sample-rate header
+    # fields, PADDING/APPLICATION metadata skipping, and wasted bits
+    # (step/amp divisible by 4 so every sample has 2 zero low bits).
+    (96, 8000, 32, "fixed2", 1, 60, 1100, {}),
+    (70, 44100, 32, "verbatim", 0, 73, 1250, {}),
+    (128, 22050, 32, "fixed3", 2, 86, 1400, {"rice2": True}),
+    (60, 16000, 16, "fixed1", 0, 99, 1550,
+     {"escape": True, "rate_in_frame": "khz8"}),
+    (100, 48000, 32, "lpc2", 1, 112, 1700, {"rate_in_frame": "dahz16"}),
+    (48, 11025, 16, "fixed4", 0, 125, 1100,
+     {"pad_block": True, "bs8": True}),
+    (80, 32000, 32, "fixed2", 1, 64, 1200, {"wasted": 2}),
+    (64, 22050, 64, "constant", 0, 2000, 1000, {"rate_in_frame": "hz16"}),
+]
+_N_FLAC = len(_FLAC_PARAMS)
+
+
+def _flac_payloads(spark: SparkSession, n: int = _N_FLAC) -> DataFrame:
+    """Sawtooth clips FLAC-encoded with per-fixture subframe modes."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                n_samp, rate, bs, mode, po, step, amp, kw = _FLAC_PARAMS[i]
+                k = np.arange(n_samp, dtype="int64")
+                s = (k * step) % (2 * amp) - amp
+                rows.append(
+                    (
+                        i,
+                        encode_flac(
+                            s, rate, block_size=bs, mode=mode,
+                            partition_order=po, **kw
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(n).mapInPandas(gen, "media_id long, payload binary")
+
+
+def flac_stats(media: DataFrame) -> DataFrame:
+    """Decode FLAC payloads through the generic audio seam; the WAV
+    stats shape (exact integer amplitude statistics + rising zero
+    crossings) — bit-exact lossless decode makes the closed-form
+    sawtooth oracle apply unchanged."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, s = decode_flac(bytes(payload))
+                s64 = s.astype("int64")
+                rising = int(
+                    np.count_nonzero((s64[:-1] < 0) & (s64[1:] >= 0))
+                )
+                out.append(
+                    (
+                        int(mid), int(rate), len(s64), int(s64.sum()),
+                        int((s64 * s64).sum()), rising,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "n_samples",
+                    "sum_amp", "sum_sq", "rising_crossings",
+                ],
+            )
+
+    return media.mapInPandas(stats, _WAV_STATS_SCHEMA)
+
+
+def _q_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flac_stats(_flac_payloads(spark)).orderBy("media_id")
+
+
+def _flac_oracle() -> str:
+    rows = ", ".join(
+        f"({i}, {n}, {r}, {step}, {amp})"
+        for i, (n, r, _bs, _m, _po, step, amp, _kw) in enumerate(_FLAC_PARAMS)
+    )
+    return f"""
+    WITH params(media_id, n_samp, rate, step, amp) AS (VALUES {rows}),
+    samp AS (
+      SELECT media_id, rate, n_samp, k,
+             (k * step) % (2 * amp) - amp AS s,
+             ((k + 1) * step) % (2 * amp) - amp AS s_next
+      FROM params,
+           LATERAL (SELECT unnest(generate_series(0, n_samp - 1)) AS k) tk
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(any_value(rate) AS INT) AS sample_rate,
+           CAST(any_value(n_samp) AS BIGINT) AS n_samples,
+           CAST(sum(s) AS BIGINT) AS sum_amp,
+           CAST(sum(s * s) AS BIGINT) AS sum_sq,
+           CAST(sum(CASE WHEN k < n_samp - 1 AND s < 0 AND s_next >= 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS rising_crossings
+    FROM samp
+    GROUP BY media_id
+    ORDER BY media_id
+    """
+
+
+register("multimodal_flac_decode", _q_flac_decode, oracle=_flac_oracle())

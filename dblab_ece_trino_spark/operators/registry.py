@@ -171,6 +171,69 @@ ROTATION_RETIRED: frozenset = frozenset({
     "join_asof_forward",
     # Rolling-hash twin (canary: text_rolling_fingerprint):
     "text_fingerprint",
+    # ---- ROUND-13 GROWTH (closing the r12 verdict's item 3: 35 retired
+    # vs +21 ops/round left a ~6-round re-grade period).  Same two-part
+    # eligibility as above, enforced by scripts/window_check.py; the
+    # named canary is the still-rotating sibling on the same machinery.
+    #
+    # Arrow-seam image/video transform twins (canaries:
+    # multimodal_resize for the per-pixel transform seam,
+    # multimodal_y4m_frames for frame extraction):
+    "multimodal_features", "multimodal_frame_sample",
+    # Shared fuzzy-dedup build consumers (canaries: dedup_cluster_keep +
+    # dedup_minhash_lsh ride the identical shared_minhash_clusters
+    # build every round):
+    "dedup_clusters",
+    # Embedding-cosine near-dup twin (canary: dedup_embedding):
+    "dedup_semantic",
+    # Exact-hash dedup twins (canaries: dedup_exact for the
+    # hash-groupBy, llm_dedup_resolution for the keyed resolution):
+    "llm_chunk_dedup", "llm_incremental_dedup",
+    # Quantile-sketch twin (canaries: op_percentile exact path,
+    # op_dd_quantiles mergeable-sketch path):
+    "op_approx_percentile_tol",
+    # HLL family twins (canaries: op_hll_distinct + op_hll_intersection
+    # on the same register machinery; op_kmv_distinct for the
+    # native approx_count_distinct surface):
+    "op_hll_rollup", "op_approx_distinct",
+    # Sessionized-sequence twins (canaries: op_conversion_latency for
+    # sessionize+window, op_event_transitions for n-gram transitions):
+    "op_click_attribution", "op_event_trigrams",
+    # Width-bucket histogram twin (canary: op_equidepth_hist — the
+    # op_width_bucket_hist precedent above):
+    "text_length_histogram",
+    # Lag-comparison twin (canary: ts_rolling_corr on the same
+    # lag-join machinery):
+    "ts_mom_yoy_change",
+    # Time-bucket resample twin (canary: op_events_time_rollup):
+    "ts_ohlc_bars",
+    # Changelog-replay twins (canary: wh_cdc_apply applies the same
+    # ordered-changelog machinery every round):
+    "wh_time_travel", "op_snapshot_diff",
+    # Min/max zone-stat twin (canary: wh_clustering_depth reads the
+    # same per-file stats frame):
+    "wh_zone_map_pruning",
+    # Generator-invariant twin (canary: gen_store_sales_invariants):
+    "gen_fact_dim_join_invariants",
+    # Vocabulary-build twin (canary: llm_oov_rate shares the corpus
+    # vocab build):
+    "llm_vocab_topk",
+    # Gopher-gate twin (canary: llm_quality_floor):
+    "llm_quality_rules",
+    # Mixture-weight twin (canary: llm_temperature_mix):
+    "llm_domain_mix",
+    # Ordering/selection twins (canary: llm_curriculum_order):
+    "llm_budget_select", "llm_train_order",
+    # Hash-split twin (canary: sample_kfold — same md5-bucket split):
+    "sample_split",
+    # N-gram contamination twin (canary: sample_contamination_rate):
+    "decontaminate",
+    # Iterative-expansion twin (canary: op_recursive_cte):
+    "op_hierarchy_walk",
+    # Latest-version-per-key twin (canary: op_scd2_intervals):
+    "op_upsert_latest",
+    # First-seen cohort twin (canary: op_cohort_retention):
+    "op_new_vs_returning",
 })
 
 # ROUND-11 WINDOW (history): the 18 never-graded round-11 ops, then
@@ -189,33 +252,39 @@ ROTATION_RETIRED: frozenset = frozenset({
 # .. op_join_anti, op_chi2_independence, op_concurrency_sweep,
 # op_boxplot_stats) head the round-13 queue (window_check.py prints
 # it).
-# ROUND-13 QUEUE, pre-derived: the displaced r6 tail, then the r7
-# cohort; window_check prints it.  Verify any window rewrite
+# ROUND-13 WINDOW: new round-13 ops at the head as they land (each
+# displaces the current tail seat), then graph_link_prediction pulled
+# forward explicitly (r12 verdict item 1: its degree-capped form —
+# graph.py:1306, oracle graph.py:1415 — changed behavior after its last
+# r11 grade and has never been driver-graded), then the full r6-latest
+# cohort (30 entries after the round-13 retirements), then the
+# alphabetical head of the r7 cohort.  Verify any window rewrite
 # mechanically:
 #   PYTHONPATH=. python3 scripts/window_check.py
 GRADED_PRIORITY: list[str] = [
-    # NEW round 12 ops (never-graded outranks stale).
-    "dedup_cluster_keep", "sample_leakage_audit", "op_dd_quantiles",
-    "graph_rich_club", "text_lang_confusion", "ts_weekday_profile",
-    "sample_kfold", "sim_eval_contamination", "wh_partition_evolution",
-    "multimodal_ico_decode", "multimodal_audio_downmix",
-    "ts_dispersion_index", "llm_sft_format", "sample_dedup_split_audit",
-    "sim_cosine_histogram", "op_correlated_subquery",
-    "multimodal_au_decode", "multimodal_xbm_decode",
-    "multimodal_aiff_decode", "text_source_jaccard",
-    "sim_matryoshka_recall",
-    # latest green = round 5 (alphabetical; the r11-displaced tail)
-    "sample_poisson_bootstrap", "sim_mips_topk", "sim_quantized_mips",
-    "text_readability", "text_tfidf_topk", "ts_autocorrelation",
-    "ts_cusum_changepoint", "ts_mann_kendall", "ts_mom_yoy_change",
-    "ts_seasonal_decompose", "wh_analyze_stats", "wh_cdc_apply",
-    "wh_compaction_plan", "wh_expectations", "wh_time_travel",
-    "wh_zone_map_pruning", "wh_zorder_layout",
+    # NEW round-13 ops (never-graded outranks stale).
+    "multimodal_flac_decode", "pipeline_dedup_corpus",
+    "sim_matryoshka_quant", "ts_turning_points",
+    "graph_degree_tail", "graph_reciprocity", "text_heaps_law",
+    "op_gaps_islands", "op_lateral_subquery", "sample_time_decay",
+    "llm_loss_mask_stats", "wh_retention_policy",
+    # Explicit re-grade: capped RA link prediction (see above).
+    "graph_link_prediction",
     # latest green = round 6 (alphabetical, retirements excluded)
-    "dedup_containment", "graph_assortativity", "graph_clustering_coeff",
-    "graph_kcore", "llm_fim_transform", "llm_negative_pairs",
-    "llm_quantile_normalize", "multimodal_bmp_decode", "op_ab_test",
-    "op_abc_pareto", "op_agg_rollup", "op_benford_test",
+    "op_boxplot_stats", "op_chi2_independence", "op_concurrency_sweep",
+    "op_distinct", "op_except", "op_filter_conjunction", "op_gini_spend",
+    "op_hopping_window", "op_intersect", "op_join_anti",
+    "op_join_left_composite", "op_join_semi", "op_join_shuffle",
+    "op_ks_test", "op_mad_outliers", "op_mann_whitney", "op_runs_test",
+    "op_topn", "op_union", "op_window_rank_lag",
+    "sample_contamination_rate", "sample_group_holdout",
+    "sim_epsilon_ball", "text_char_diversity", "ts_kendall_tau",
+    "ts_rolling_corr", "ts_theil_sen", "wh_clustering_depth",
+    "wh_gdpr_erasure", "wh_incremental_agg",
+    # latest green = round 7 (alphabetical head, retirements excluded)
+    "dedup_embedding", "dedup_exact", "join_asof", "join_range",
+    "multimodal_gif_decode", "multimodal_png_decode",
+    "multimodal_y4m_frames",
 ]
 
 

@@ -1266,3 +1266,97 @@ def _dedup_split_audit_oracle() -> str:
 
 register("sample_dedup_split_audit", _q_dedup_split_audit,
          oracle=_dedup_split_audit_oracle())
+
+
+# -------------------------------------- recency-decayed sampling (r13)
+# (days_back_upper_bound, keep_bucket_limit of 256): newest tier keeps
+# everything, each older tier halves the deterministic md5 keep rate —
+# the freshness-weighted downsampling shape behind replay buffers and
+# continual-pretraining data refreshes.
+DECAY_TIERS = ((7, 256), (14, 128), (21, 64), (100000, 32))
+
+
+def time_decay_sample(events: DataFrame) -> DataFrame:
+    """Recency-decayed deterministic sampling: events are tiered by
+    age relative to the corpus max timestamp and kept when their
+    md5 bucket (the split_assign machinery — stable under reruns and
+    partitioning) falls under the tier's halving keep limit.  Reports
+    per tier: population, kept count, the TARGET rate implied by the
+    bucket limit and the ACHIEVED exact rate — the audit row a
+    decayed-replay pipeline alerts on.
+
+    Exactness: integer buckets, integer counts, floored ppm ratios.
+    Shape (100 TB): the max-ts scalar is one bounded reduce; then ONE
+    fact scan with a per-row tier CASE + bucket compare and a
+    4-row aggregate.  No shuffle beyond the final tiny agg.
+    """
+    from pyspark.sql import functions as F
+
+    mx = events.agg(F.max("ts").alias("mx")).collect()[0]["mx"]
+    age_days = F.datediff(F.lit(mx).cast("timestamp"), F.col("ts"))
+    tier = F.lit(len(DECAY_TIERS) - 1)
+    limit = F.lit(DECAY_TIERS[-1][1])
+    for i in range(len(DECAY_TIERS) - 2, -1, -1):
+        ub, lim = DECAY_TIERS[i]
+        tier = F.when(age_days < ub, F.lit(i)).otherwise(tier)
+        limit = F.when(age_days < ub, F.lit(lim)).otherwise(limit)
+    kept = (md5_bucket(F.col("event_id"), "decay-v1") < limit).cast("int")
+    return (
+        events.select(tier.alias("tier"), limit.alias("keep_limit"),
+                      kept.alias("kept"))
+        .groupBy("tier", "keep_limit")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
+        .select(
+            F.col("tier").cast("int").alias("tier"),
+            (F.col("keep_limit").cast("long") * 1000000 / 256)
+            .cast("long").alias("target_ppm"),
+            "n_events", "n_kept",
+            F.floor(
+                F.lit(1000000.0) * F.col("n_kept") / F.col("n_events")
+            ).cast("long").alias("kept_ppm"),
+        )
+        .orderBy("tier")
+    )
+
+
+def _q_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    ev = engine_for(spark, sf_dir).catalogs.table("elastic.default.events")
+    return time_decay_sample(ev)
+
+
+def _time_decay_oracle() -> str:
+    bucket = _md5_bucket_sql("event_id", "decay-v1")
+    tier_case = "CASE " + " ".join(
+        f"WHEN date_diff('day', CAST(ts AS DATE), mx) < {ub} THEN {i}"
+        for i, (ub, _l) in enumerate(DECAY_TIERS)
+    ) + " END"
+    lim_case = "CASE " + " ".join(
+        f"WHEN date_diff('day', CAST(ts AS DATE), mx) < {ub} THEN {lim}"
+        for ub, lim in DECAY_TIERS
+    ) + " END"
+    return f"""
+    WITH mxx AS (SELECT CAST(max(ts) AS DATE) AS mx FROM events),
+    tiered AS (
+      SELECT {tier_case} AS tier,
+             {lim_case} AS keep_limit,
+             CASE WHEN {bucket} < {lim_case} THEN 1 ELSE 0 END AS kept
+      FROM events CROSS JOIN mxx
+    )
+    SELECT CAST(tier AS INT) AS tier,
+           CAST(keep_limit * 1000000 // 256 AS BIGINT) AS target_ppm,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(floor(1000000.0 * sum(kept) / count(*)) AS BIGINT)
+             AS kept_ppm
+    FROM tiered
+    GROUP BY tier, keep_limit
+    ORDER BY tier
+    """
+
+
+register("sample_time_decay", _q_time_decay, oracle=_time_decay_oracle())

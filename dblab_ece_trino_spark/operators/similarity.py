@@ -1737,9 +1737,17 @@ def cosine_histogram(
             F.lit(0).cast("long"), lambda a, v: a + v,
         )
 
-    coded = corpus.select(
-        F.col(id_col).alias("vid"), codes(F.col(vec_col)).alias("qc")
-    ).withColumn("sq", selfdot(F.col("qc")))
+    coded = (
+        corpus.select(
+            F.col(id_col).alias("vid"), codes(F.col(vec_col)).alias("qc")
+        )
+        .withColumn("sq", selfdot(F.col("qc")))
+        # A vector whose 64 codes all quantize to 0 has sq = 0; it would
+        # put a NULL m_ppm bin in the histogram (integer div by zero is
+        # NULL on both engines).  Exclude degenerate vectors from panel
+        # AND sample — the oracle's selfdot CTE carries the same guard.
+        .filter(F.col("sq") > 0)
+    )
     panel = (
         coded.withColumn(
             "hk", F.md5(F.concat(F.lit("cospanel"), F.col("vid").cast("string")))
@@ -1815,8 +1823,11 @@ def _cosine_histogram_oracle() -> str:
       FROM dims d CROSS JOIN st
     ),
     selfdot AS (
+      -- sq = 0 (all codes quantize to 0) would divide by zero into a
+      -- NULL bin; the Spark side carries the identical guard.
       SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS sq
       FROM codes GROUP BY vec_id
+      HAVING CAST(sum(q * q) AS BIGINT) > 0
     ),
     panel AS (
       SELECT vec_id FROM (
@@ -2044,3 +2055,137 @@ def _matryoshka_oracle() -> str:
 
 register("sim_matryoshka_recall", _q_matryoshka,
          oracle=_matryoshka_oracle())
+
+
+# -------------------------- per-prefix quantization calibration (r13)
+MRLQ_LEVELS = 255   # fine scalar-quant grid (the int8 SQ store)
+MRLQ_RATIO = 16     # coarse grid is RATIO x wider (int4-class codes)
+
+
+def matryoshka_quant_profile(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-prefix QUANTIZATION-ERROR calibration — the serving sibling
+    of ``matryoshka_recall``: that entry measures how many dimensions
+    a truncated index can drop; this one measures how much PRECISION
+    each prefix can drop.  Using the min-anchored scalar quantizer of
+    ``sim_quantized_mips`` (code = floor((x-mn)/s + 0.5), 255 levels)
+    as the fine reference and a RATIO x coarser grid (255/16 ~ int4)
+    as the candidate, the per-dimension error in fine-code units
+
+        e_d = q_d - RATIO * q'_d            (exact integer)
+
+    is aggregated over the corpus for each prefix P in {8,16,32,64}:
+    sum |e|, sum e^2 and max |e| over the first P dims.  Every number
+    is an exact integer (the fixed-point discipline), so the profile
+    is bit-identical on any engine or partitioning; the serving
+    decision reads directly off it (e.g. "int4 codes add <= X L2^2
+    error at P=16 — pair the truncated index with coarse codes").
+
+    Shape (100 TB): ONE corpus scan; per-row partial sums via array
+    HOFs (slice + aggregate, JVM codegen — no explode row blowup, no
+    Python); a single global aggregate whose partials are map-side
+    combinable; the 4-row output is unpivoted from the 1-row frame
+    with stack().  Two bounded driver scalars (global min/max), same
+    as pagerank's node count.
+    """
+    from dblab_ece_trino_spark.session import ensure_parallelism
+
+    emb = ensure_parallelism(emb)
+    row = (
+        emb.select(_as_double(F.col(vec_col)).alias("v"))
+        .agg(
+            F.min(F.array_min("v")).alias("mn"),
+            F.max(F.array_max("v")).alias("mx"),
+        )
+        .collect()[0]
+    )
+    mn, mx = float(row["mn"]), float(row["mx"])
+    s_unit = (mx - mn) / float(MRLQ_LEVELS)
+
+    err = F.transform(
+        _as_double(F.col(vec_col)),
+        lambda x: (
+            F.floor((x - F.lit(mn)) / F.lit(s_unit) + F.lit(0.5))
+            - F.lit(MRLQ_RATIO)
+            * F.floor(
+                (x - F.lit(mn)) / F.lit(s_unit * MRLQ_RATIO) + F.lit(0.5)
+            )
+        ).cast("long"),
+    )
+    with_err = emb.select(err.alias("e"))
+    aggs = []
+    for p in MRL_PREFIXES:
+        pre = F.slice(F.col("e"), 1, p)
+        aggs += [
+            F.sum(
+                F.aggregate(pre, F.lit(0).cast("long"),
+                            lambda a, v: a + F.abs(v))
+            ).cast("long").alias(f"sa_{p}"),
+            F.sum(
+                F.aggregate(pre, F.lit(0).cast("long"),
+                            lambda a, v: a + v * v)
+            ).cast("long").alias(f"sq_{p}"),
+            F.max(
+                F.aggregate(pre, F.lit(0).cast("long"),
+                            lambda a, v: F.greatest(a, F.abs(v)))
+            ).cast("long").alias(f"mx_{p}"),
+        ]
+    one = with_err.agg(*aggs)
+    stack_expr = "stack({}, {}) as (prefix_dim, sum_abs_err, sum_sq_err, max_abs_err)".format(
+        len(MRL_PREFIXES),
+        ", ".join(
+            f"{p}, sa_{p}, sq_{p}, mx_{p}" for p in MRL_PREFIXES
+        ),
+    )
+    return (
+        one.selectExpr(stack_expr)
+        .select(
+            F.col("prefix_dim").cast("int").alias("prefix_dim"),
+            F.col("sum_abs_err").cast("long").alias("sum_abs_err"),
+            F.col("sum_sq_err").cast("long").alias("sum_sq_err"),
+            F.col("max_abs_err").cast("long").alias("max_abs_err"),
+        )
+        .orderBy("prefix_dim")
+    )
+
+
+def _q_matryoshka_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return matryoshka_quant_profile(_emb(spark, sf_dir))
+
+
+def _matryoshka_quant_oracle() -> str:
+    prefixes = ", ".join(f"({p})" for p in MRL_PREFIXES)
+    return f"""
+    WITH dims AS (
+      SELECT vec_id, t.i AS dim, CAST(embedding[t.i + 1] AS DOUBLE) AS val
+      FROM embeddings, range(64) t(i)
+    ),
+    st AS (
+      SELECT min(val) AS mn,
+             (max(val) - min(val)) / {MRLQ_LEVELS} AS s
+      FROM dims
+    ),
+    errs AS (
+      SELECT d.vec_id, d.dim,
+             CAST(floor((d.val - st.mn) / st.s + 0.5)
+                  - {MRLQ_RATIO} * floor((d.val - st.mn)
+                                         / (st.s * {MRLQ_RATIO}) + 0.5)
+                  AS BIGINT) AS e
+      FROM dims d CROSS JOIN st
+    ),
+    prefixes(p) AS (VALUES {prefixes})
+    SELECT CAST(p AS INT) AS prefix_dim,
+           CAST(sum(abs(e)) AS BIGINT) AS sum_abs_err,
+           CAST(sum(e * e) AS BIGINT) AS sum_sq_err,
+           CAST(max(abs(e)) AS BIGINT) AS max_abs_err
+    FROM errs JOIN prefixes ON errs.dim < prefixes.p
+    GROUP BY p
+    ORDER BY prefix_dim
+    """
+
+
+register("sim_matryoshka_quant", _q_matryoshka_quant,
+         oracle=_matryoshka_quant_oracle())

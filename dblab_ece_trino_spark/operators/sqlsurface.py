@@ -377,3 +377,79 @@ def _register_correlated_subquery() -> None:
 
 
 _register_correlated_subquery()
+
+
+def _register_gaps_islands() -> None:
+    """Gaps-and-islands — the canonical SQL interview pattern as a
+    production streak detector: per customer, maximal runs of
+    CONSECUTIVE calendar order-days (the island key is the classic
+    date - row_number * INTERVAL 1 DAY anchor, constant exactly while
+    days are consecutive), rolled into a global streak-length
+    histogram plus the count of distinct streak anchors.  Differs from
+    op_session_window (arbitrary time-gap sessionization) in being
+    calendar-aligned — the shape retention/engagement pipelines use
+    for daily-activity streaks.
+
+    The per-customer window partitions by o_custkey (fine-grained hash
+    shuffle, no data-scale single partition); distinct days first so
+    multi-order days cannot split a streak.  Exact integer output.
+    """
+    tpl = """
+    WITH days AS (
+      SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+      FROM {orders}
+    ),
+    anch AS (
+      SELECT o_custkey, d,
+             d - CAST(row_number() OVER (PARTITION BY o_custkey
+                                         ORDER BY d) AS INT) AS anchor
+      FROM days
+    ),
+    islands AS (
+      SELECT o_custkey, anchor, CAST(count(*) AS BIGINT) AS len
+      FROM anch
+      GROUP BY o_custkey, anchor
+    )
+    SELECT CAST(len AS BIGINT) AS streak_len,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM islands
+    GROUP BY len
+    ORDER BY len
+    """
+    _both("op_gaps_islands", tpl)
+
+
+_register_gaps_islands()
+
+
+def _register_lateral_subquery() -> None:
+    """LATERAL correlated subquery (SQL:1999 lateral derived table;
+    Spark 4 and DuckDB both execute the identical text): top-2 orders
+    per high-value customer, the per-row dependent subplan Catalyst
+    decorrelates into a ranked join (DecorrelateInnerQuery) rather
+    than executing N subqueries.  The companion surface to
+    op_correlated_subquery (scalar/EXISTS) — this one RETURNS rows
+    from the dependent subquery.
+
+    Cents are exact bigints; the inner ORDER BY breaks price ties by
+    key so the row set is deterministic on both engines.
+    """
+    tpl = """
+    SELECT c.c_custkey, t.o_orderkey, t.cents
+    FROM {customer} c,
+         LATERAL (
+           SELECT o.o_orderkey,
+                  CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+           FROM {orders} o
+           WHERE o.o_custkey = c.c_custkey
+           ORDER BY o.o_totalprice DESC, o.o_orderkey
+           LIMIT 2
+         ) t
+    WHERE c.c_custkey < 100
+    ORDER BY c.c_custkey, t.cents DESC, t.o_orderkey
+    """
+    _both("op_lateral_subquery", tpl)
+
+
+_register_lateral_subquery()

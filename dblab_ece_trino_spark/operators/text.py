@@ -1869,3 +1869,160 @@ register(
     ORDER BY c.src_a, c.src_b
     """,
 )
+
+
+# ------------------------------------- Heaps-law vocabulary growth (r13)
+HEAPS_CKPTS = 8
+
+
+def heaps_growth(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heaps/Herdan vocabulary-growth curve per source — distinct
+    vocabulary vs tokens seen at 8 doc-id checkpoints spanning each
+    source's id range.  The growth exponent beta (V ~ K * N^beta,
+    Heaps 1978) is read off consecutive rows; a source whose curve
+    flattens early is template/boilerplate-heavy (the dedup families
+    will find it), one that keeps climbing is genuinely diverse — the
+    corpus-composition companion to text_hapax_ratio (point-in-time)
+    and text_vocab_drift (temporal chi^2).
+
+    Exactness: checkpoints are exact integer thresholds
+    T_k = min_id + (max_id - min_id) * k div 8 (non-negative div —
+    the Spark div / DuckDB // agreement domain); every reported value
+    is an exact count/sum.  Shape (100 TB): NO window and NO rank —
+    per-source (min, max) broadcasts onto one conditional-aggregate
+    pass of the corpus (8 CASE sums) and one of the word-scale
+    first-occurrence frame, each stacked to rows; the shuffle carries
+    (source, word, min_doc_id) — the hapax discipline, never raw
+    tokens.
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    toks = docs.select(
+        "source", "doc_id",
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0)
+        ).alias("ws"),
+    )
+    # Two NARROW frames materialized once (the source_jaccard vocab
+    # discipline): per-doc token counts (doc-scale, 3 columns) feed
+    # both the stats and checkpoint aggs, the first-occurrence frame
+    # is word-scale — left lazy, Catalyst re-tokenizes the corpus once
+    # per consumer (census: 4 scans -> 2).
+    per_doc = materialize(
+        toks.select("source", "doc_id", F.size("ws").alias("ntok"))
+    )
+    stats = per_doc.groupBy("source").agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    firsts = materialize(
+        toks.select(
+            "source", "doc_id", F.explode(F.array_distinct("ws")).alias("w")
+        )
+        .groupBy("source", "w")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+
+    def thr(k: int):
+        return F.expr(f"mn + (mx - mn) * {k} div {HEAPS_CKPTS}")
+
+    tok_aggs, voc_aggs = [], []
+    for k in range(1, HEAPS_CKPTS + 1):
+        tok_aggs += [
+            F.sum(F.when(F.col("doc_id") <= thr(k), 1).otherwise(0))
+            .cast("long").alias(f"d_{k}"),
+            F.sum(
+                F.when(F.col("doc_id") <= thr(k), F.col("ntok")).otherwise(0)
+            ).cast("long").alias(f"t_{k}"),
+        ]
+        voc_aggs.append(
+            F.sum(F.when(F.col("fd") <= thr(k), 1).otherwise(0))
+            .cast("long").alias(f"v_{k}")
+        )
+    tk = (
+        per_doc.join(F.broadcast(stats), "source")
+        .groupBy("source").agg(*tok_aggs)
+        .selectExpr(
+            "source",
+            "stack({}, {}) as (ckpt, n_docs_seen, n_tokens_seen)".format(
+                HEAPS_CKPTS,
+                ", ".join(f"{k}, d_{k}, t_{k}"
+                          for k in range(1, HEAPS_CKPTS + 1)),
+            ),
+        )
+    )
+    vc = (
+        firsts.join(F.broadcast(stats), "source")
+        .groupBy("source").agg(*voc_aggs)
+        .selectExpr(
+            "source",
+            "stack({}, {}) as (ckpt, vocab_size)".format(
+                HEAPS_CKPTS,
+                ", ".join(f"{k}, v_{k}"
+                          for k in range(1, HEAPS_CKPTS + 1)),
+            ),
+        )
+    )
+    return (
+        tk.join(vc, ["source", "ckpt"])
+        .select(
+            "source", F.col("ckpt").cast("int").alias("ckpt"),
+            "n_docs_seen", "n_tokens_seen",
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+        )
+        .orderBy("source", "ckpt")
+    )
+
+
+def _q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heaps_growth(_docs(spark, sf_dir))
+
+
+register(
+    "text_heaps_law",
+    _q_heaps,
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents
+    ),
+    stats AS (
+      SELECT source, min(doc_id) AS mn, max(doc_id) AS mx
+      FROM toks GROUP BY source
+    ),
+    cks AS (
+      SELECT unnest(generate_series(1, {HEAPS_CKPTS})) AS ckpt
+    ),
+    grid AS (
+      SELECT source, ckpt,
+             mn + (mx - mn) * ckpt // {HEAPS_CKPTS} AS thr
+      FROM stats CROSS JOIN cks
+    ),
+    firsts AS (
+      SELECT t.source, w, min(doc_id) AS fd
+      FROM toks t, LATERAL (SELECT unnest(list_distinct(ws)) AS w) u
+      GROUP BY t.source, w
+    ),
+    tk AS (
+      SELECT g.source, g.ckpt,
+             CAST(count(*) FILTER (WHERE t.doc_id <= g.thr) AS BIGINT)
+               AS n_docs_seen,
+             CAST(coalesce(sum(len(t.ws))
+                           FILTER (WHERE t.doc_id <= g.thr), 0) AS BIGINT)
+               AS n_tokens_seen
+      FROM grid g JOIN toks t ON t.source = g.source
+      GROUP BY g.source, g.ckpt
+    ),
+    vc AS (
+      SELECT g.source, g.ckpt,
+             CAST(count(*) FILTER (WHERE f.fd <= g.thr) AS BIGINT)
+               AS vocab_size
+      FROM grid g JOIN firsts f ON f.source = g.source
+      GROUP BY g.source, g.ckpt
+    )
+    SELECT tk.source, CAST(tk.ckpt AS INT) AS ckpt,
+           tk.n_docs_seen, tk.n_tokens_seen, vc.vocab_size
+    FROM tk JOIN vc ON vc.source = tk.source AND vc.ckpt = tk.ckpt
+    ORDER BY tk.source, tk.ckpt
+    """,
+)

@@ -1777,3 +1777,66 @@ def _register_dispersion_index() -> None:
 
 
 _register_dispersion_index()
+
+
+def _register_turning_points() -> None:
+    """Turning-point profile of the per-type daily revenue series —
+    the direction-change census behind trend-vs-noise triage (a pure
+    random walk turns at ~2/3 of interior points; a trending series
+    turns far less; Kendall 1973's turning-point test statistic).
+
+    Exactness: daily cents are exact BIGINT sums; peaks/troughs are
+    strict integer comparisons against both neighbors (plateau points
+    count as neither — documented tie rule); the rate is ONE floor of
+    an IEEE double ratio of exact integers (identical on both
+    engines).  Shape (100 TB): one fact scan -> (type, day) partial
+    agg, two bounded lag/lead windows over the tiny daily frame
+    partitioned per type, |types|-row output.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    tpl = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS cents
+      FROM {events}
+      GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, cents,
+             lag(cents) OVER (PARTITION BY event_type ORDER BY day) AS p,
+             lead(cents) OVER (PARTITION BY event_type ORDER BY day) AS n
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN p IS NOT NULL AND n IS NOT NULL
+                         AND cents > p AND cents > n
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks,
+           CAST(sum(CASE WHEN p IS NOT NULL AND n IS NOT NULL
+                         AND cents < p AND cents < n
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_troughs,
+           CAST(CASE WHEN sum(CASE WHEN p IS NOT NULL AND n IS NOT NULL
+                                   THEN 1 ELSE 0 END) > 0 THEN
+             floor(1000000.0
+                   * sum(CASE WHEN p IS NOT NULL AND n IS NOT NULL
+                              AND ((cents > p AND cents > n)
+                                   OR (cents < p AND cents < n))
+                              THEN 1 ELSE 0 END)
+                   / sum(CASE WHEN p IS NOT NULL AND n IS NOT NULL
+                              THEN 1 ELSE 0 END))
+           END AS BIGINT) AS turning_ppm
+    FROM lagged
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+    register_sql(
+        "ts_turning_points",
+        tpl.format(**_SPARK_TABLES),
+        tpl.format(**_ORACLE_TABLES),
+    )
+
+
+_register_turning_points()

@@ -1378,3 +1378,80 @@ def _register_partition_evolution() -> None:
 
 
 _register_partition_evolution()
+
+
+def _register_retention_policy() -> None:
+    """Snapshot-retention planning — the Iceberg/Delta
+    expire-snapshots decision replayed relationally: the table's
+    commit history (one snapshot per distinct order date, the
+    snapshot_diff fixture convention) is classified under the standard
+    tiered policy — keep the LAST 7 snapshots, the newest snapshot of
+    each 7-day bucket inside a 28-day weekly horizon, and the newest
+    snapshot of each month forever — and rolled up per month into
+    kept/expired counts with per-reason attribution (a snapshot may
+    qualify under several reasons; kept = any).
+
+    Week buckets are exact integer day-offsets from a fixed anchor
+    (div 7 over non-negative days — NOT calendar ISO weeks, whose
+    year-boundary numbering differs between engines).  Everything is
+    counts over the TINY snapshot frame: metadata-scale after one
+    DISTINCT over the fact table's date column — exactly the
+    expire-snapshots economics at 100 TB.
+    """
+    from dblab_ece_trino_spark.operators.registry import register_sql
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES, _SPARK_TABLES
+
+    spark_tpl = """
+    WITH snaps AS (
+      SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM {orders}
+    ),
+    mx AS (SELECT max(d) AS mxd FROM snaps),
+    feat AS (
+      SELECT d,
+             row_number() OVER (ORDER BY d DESC) AS rdesc,
+             datediff(DATE '2098-01-01', d) div 7 AS wk,
+             year(d) * 100 + month(d) AS mo,
+             datediff((SELECT mxd FROM mx), d) AS age_days
+      FROM snaps
+    ),
+    ranked AS (
+      SELECT d, rdesc, mo, age_days,
+             row_number() OVER (PARTITION BY wk ORDER BY d DESC) AS wkr,
+             row_number() OVER (PARTITION BY mo ORDER BY d DESC) AS mor
+      FROM feat
+    ),
+    cls AS (
+      SELECT mo,
+             CASE WHEN rdesc <= 7 THEN 1 ELSE 0 END AS k_last,
+             CASE WHEN wkr = 1 AND age_days < 28 THEN 1 ELSE 0 END AS k_week,
+             CASE WHEN mor = 1 THEN 1 ELSE 0 END AS k_month
+      FROM ranked
+    )
+    SELECT CAST(mo AS INT) AS yr_month,
+           CAST(count(*) AS BIGINT) AS n_snapshots,
+           CAST(sum(CASE WHEN k_last + k_week + k_month > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           CAST(sum(CASE WHEN k_last + k_week + k_month = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS expired,
+           CAST(sum(k_last) AS BIGINT) AS kept_last7,
+           CAST(sum(k_week) AS BIGINT) AS kept_weekly,
+           CAST(sum(k_month) AS BIGINT) AS kept_monthly
+    FROM cls
+    GROUP BY mo
+    ORDER BY yr_month
+    """
+    oracle_tpl = (
+        spark_tpl
+        .replace("datediff(DATE '2098-01-01', d) div 7",
+                 "date_diff('day', d, DATE '2098-01-01') // 7")
+        .replace("datediff((SELECT mxd FROM mx), d)",
+                 "date_diff('day', d, (SELECT mxd FROM mx))")
+    )
+    register_sql(
+        "wh_retention_policy",
+        spark_tpl.format(**_SPARK_TABLES),
+        oracle_tpl.format(**_ORACLE_TABLES),
+    )
+
+
+_register_retention_policy()

@@ -399,6 +399,31 @@ PLAN_BUDGETS = {
     'multimodal_au_decode': (0, 1, 0, 1),
     'multimodal_xbm_decode': (0, 1, 0, 1),
     'multimodal_aiff_decode': (0, 1, 0, 1),
+    'multimodal_flac_decode': (0, 1, 0, 1),
+    # 2 docs scans (ledger-quality join + corpus annotate) + the
+    # ExistingRDD reads of the shared materialized labels/keepers
+    'pipeline_dedup_corpus': (4, 3, 1, 2),
+    # 1 embeddings scan + HOF partial sums + 1 global agg + stack
+    'sim_matryoshka_quant': (1, 2, 0, 1),
+    # one events scan -> (type, day) agg, lag+lead share one Window
+    'ts_turning_points': (1, 3, 1, 2),
+    # degree agg + broadcast 21-row threshold non-equi join (edge
+    # frame is the materialized coorder build, read as ExistingRDD)
+    'graph_degree_tail': (2, 3, 0, 1),
+    # weight frame materialized before its reversed self-join (the
+    # lag window runs at materialize time — census caught the inlined
+    # form re-running the fact scan + window per join side)
+    'graph_reciprocity': (2, 2, 0, 1),
+    # per-doc counts + word-scale firsts materialized once each; the
+    # 4 "scans" are ExistingRDD re-reads, zero repeated tokenization
+    'text_heaps_law': (4, 5, 0, 1),
+    'op_gaps_islands': (1, 4, 1, 2),
+    'op_lateral_subquery': (2, 3, 1, 3),
+    'sample_time_decay': (1, 2, 0, 1),
+    'llm_loss_mask_stats': (1, 2, 0, 1),
+    # 3 windows over the snapshot (distinct-date) frame: rdesc +
+    # 7-day-bucket rank + month rank — all metadata-scale
+    'wh_retention_policy': (2, 3, 3, 4),
     # 1 parquet scan + 3 ExistingRDD reads of the materialized vocab
     # (the modularity counting convention)
     'text_source_jaccard': (4, 4, 0, 1),
