@@ -381,6 +381,8 @@ HEADLINE = [
     "llm_loss_mask_stats",
     # ... tiered snapshot-retention planning (expire-snapshots replay)
     "wh_retention_policy",
+    # ... theta-sketch audience-overlap estimation with exact audit
+    "op_theta_sketch",
 ]
 
 

@@ -267,7 +267,7 @@ GRADED_PRIORITY: list[str] = [
     "sim_matryoshka_quant", "ts_turning_points",
     "graph_degree_tail", "graph_reciprocity", "text_heaps_law",
     "op_gaps_islands", "op_lateral_subquery", "sample_time_decay",
-    "llm_loss_mask_stats", "wh_retention_policy",
+    "llm_loss_mask_stats", "wh_retention_policy", "op_theta_sketch",
     # Explicit re-grade: capped RA link prediction (see above).
     "graph_link_prediction",
     # latest green = round 6 (alphabetical, retirements excluded)
@@ -284,7 +284,6 @@ GRADED_PRIORITY: list[str] = [
     # latest green = round 7 (alphabetical head, retirements excluded)
     "dedup_embedding", "dedup_exact", "join_asof", "join_range",
     "multimodal_gif_decode", "multimodal_png_decode",
-    "multimodal_y4m_frames",
 ]
 
 

@@ -731,3 +731,180 @@ def _register_dd_quantiles() -> None:
 
 
 _register_dd_quantiles()
+
+
+# ----------------------------- theta-sketch set intersection (r13)
+THETA_K = 64
+THETA_DIGITS = 12                      # 48-bit hash space
+THETA_SPACE = 16 ** THETA_DIGITS       # 2^48
+
+
+def theta_intersection(events: DataFrame) -> DataFrame:
+    """Theta/KMV-sample SET INTERSECTION estimation (the Apache
+    DataSketches theta-sketch algebra): per event type, the K smallest
+    48-bit hashes of its distinct users form the sketch; for a type
+    pair, theta = min of the two kth-minimums and the estimate is
+    |{users in BOTH samples with h < theta}| x space div theta.
+    Completes the sketch-algebra family: HLL intersection works by
+    inclusion-exclusion on registers (error compounds with union
+    size); theta sketches intersect the SAMPLES directly, which is why
+    production set-operation pipelines (audience overlap, cohort
+    intersection) prefer them.
+
+    The exact distinct-user intersection is reported alongside as the
+    accuracy audit (the sim_recall_at_k scoreboard pattern) — at scale
+    that column is the expensive path the sketch replaces.
+
+    Exactness discipline: hashes are md5 digit-folds (engine-portable
+    integers), samples are deterministic under (h, user_id) tie-break,
+    membership is strict h < theta, and the estimate is one
+    non-negative integer division — every reported value hashes
+    bit-identically.  Shape (100 TB): ONE distinct over (type, user),
+    then a PER-PARTITION top-K prune (bounded state) ahead of the
+    per-type top-K window, so no data-scale partition ever sorts; the
+    K x |types| sample frame is materialized and every downstream join
+    is sample-scale.  The audit column is the one genuinely
+    corpus-scale join — kept because the entry's job is to MEASURE the
+    sketch against truth, as recall@k does for ANN.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dblab_ece_trino_spark.session import materialize
+
+    du = events.select("event_type", "user_id").distinct()
+    hashed = du.withColumn(
+        "h",
+        hexint_col(
+            F.concat(F.lit("theta-v1"), F.col("user_id").cast("string")),
+            digits=THETA_DIGITS,
+        ),
+    )
+    pre_w = Window.partitionBy(
+        "event_type", F.spark_partition_id()
+    ).orderBy("h", "user_id")
+    pruned = (
+        hashed.withColumn("pr", F.row_number().over(pre_w))
+        .filter(F.col("pr") <= THETA_K)
+        .drop("pr")
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "user_id")
+    sample = materialize(
+        pruned.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= THETA_K)
+    )
+    thetas = sample.groupBy("event_type").agg(F.max("h").alias("theta"))
+    grid = (
+        thetas.select(F.col("event_type").alias("type_a"),
+                      F.col("theta").alias("th_a"))
+        .join(
+            thetas.select(F.col("event_type").alias("type_b"),
+                          F.col("theta").alias("th_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+        .withColumn("theta", F.least("th_a", "th_b"))
+    )
+    inter = (
+        sample.select(F.col("event_type").alias("type_a"),
+                      F.col("user_id").alias("u"), F.col("h"))
+        .join(
+            sample.select(F.col("event_type").alias("type_b"),
+                          F.col("user_id").alias("u")),
+            "u",
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .join(grid.select("type_a", "type_b", "theta"),
+              ["type_a", "type_b"])
+        .filter(F.col("h") < F.col("theta"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sample"))
+    )
+    truth = (
+        du.select(F.col("event_type").alias("type_a"),
+                  F.col("user_id").alias("u"))
+        .join(du.select(F.col("event_type").alias("type_b"),
+                        F.col("user_id").alias("u")), "u")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_inter"))
+    )
+    return (
+        grid.select("type_a", "type_b", "theta")
+        .join(inter, ["type_a", "type_b"], "left")
+        .join(truth, ["type_a", "type_b"], "left")
+        .select(
+            "type_a", "type_b",
+            F.col("theta").cast("long").alias("theta"),
+            F.coalesce("n_sample", F.lit(0)).cast("long").alias("n_sample"),
+            F.expr(
+                f"CAST(coalesce(n_sample, 0) * CAST({THETA_SPACE} AS BIGINT)"
+                " div theta AS BIGINT)"
+            ).alias("est_inter"),
+            F.coalesce("true_inter", F.lit(0)).cast("long")
+            .alias("true_inter"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def _q_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.entrypoints import engine_for
+
+    return theta_intersection(
+        engine_for(spark, sf_dir).catalogs.table("elastic.default.events")
+    )
+
+
+def _theta_oracle() -> str:
+    h = hexint_sql("user_id", "theta-v1", digits=THETA_DIGITS)
+    return f"""
+    WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+    hashed AS (SELECT event_type, user_id, {h} AS h FROM du),
+    ranked AS (
+      SELECT event_type, user_id, h,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY h, user_id) AS r
+      FROM hashed
+    ),
+    sample AS (SELECT * FROM ranked WHERE r <= {THETA_K}),
+    thetas AS (
+      SELECT event_type, max(h) AS theta FROM sample GROUP BY event_type
+    ),
+    grid AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             least(a.theta, b.theta) AS theta
+      FROM thetas a JOIN thetas b ON a.event_type < b.event_type
+    ),
+    inter AS (
+      SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_sample
+      FROM sample sa
+      JOIN sample sb ON sb.user_id = sa.user_id
+                    AND sa.event_type < sb.event_type
+      JOIN grid g ON g.type_a = sa.event_type
+                 AND g.type_b = sb.event_type
+      WHERE sa.h < g.theta
+      GROUP BY sa.event_type, sb.event_type
+    ),
+    truth AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS true_inter
+      FROM du a JOIN du b ON b.user_id = a.user_id
+                         AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT g.type_a, g.type_b,
+           CAST(g.theta AS BIGINT) AS theta,
+           CAST(coalesce(i.n_sample, 0) AS BIGINT) AS n_sample,
+           CAST(coalesce(i.n_sample, 0)
+                * CAST({THETA_SPACE} AS BIGINT) // g.theta AS BIGINT)
+             AS est_inter,
+           CAST(coalesce(t.true_inter, 0) AS BIGINT) AS true_inter
+    FROM grid g
+    LEFT JOIN inter i ON i.type_a = g.type_a AND i.type_b = g.type_b
+    LEFT JOIN truth t ON t.type_a = g.type_a AND t.type_b = g.type_b
+    ORDER BY g.type_a, g.type_b
+    """
+
+
+register("op_theta_sketch", _q_theta, oracle=_theta_oracle())

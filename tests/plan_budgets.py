@@ -421,6 +421,11 @@ PLAN_BUDGETS = {
     'op_lateral_subquery': (2, 3, 1, 3),
     'sample_time_decay': (1, 2, 0, 1),
     'llm_loss_mask_stats': (1, 2, 0, 1),
+    # sample frame materialized (the two top-K windows run at
+    # materialize time); 6 of the 8 "scans" are ExistingRDD re-reads
+    # of the K x |types| sample, the other 2 are the documented
+    # exact-audit self-join of the distinct (type, user) frame
+    'op_theta_sketch': (8, 11, 0, 3),
     # 3 windows over the snapshot (distinct-date) frame: rdesc +
     # 7-day-bucket rank + month rank — all metadata-scale
     'wh_retention_policy': (2, 3, 3, 4),

@@ -696,3 +696,49 @@ def test_retention_policy_pure_python():
     # the policy always keeps at least one snapshot per month
     for _mo, n, kept, expired, _kl, _kw, km in got:
         assert kept + expired == n and km >= 1 and kept >= 1
+
+
+def test_theta_sketch_pure_python():
+    """op_theta_sketch oracle vs an independent hashlib evaluator at
+    sf0.001, plus the estimator's structural bounds."""
+    import hashlib
+
+    con = _con("events")
+    from dblab_ece_trino_spark.operators.sketches import (
+        THETA_DIGITS,
+        THETA_K,
+        THETA_SPACE,
+    )
+
+    du = con.execute(
+        "SELECT DISTINCT event_type, user_id FROM events"
+    ).fetchall()
+    by_t: dict = {}
+    for t, u in du:
+        h = int(
+            hashlib.md5(f"theta-v1{u}".encode()).hexdigest()[:THETA_DIGITS],
+            16,
+        )
+        by_t.setdefault(t, []).append((h, u))
+    samples = {
+        t: sorted(v)[:THETA_K] for t, v in by_t.items()
+    }
+    thetas = {t: max(h for h, _u in s) for t, s in samples.items()}
+    want = []
+    types = sorted(samples)
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            theta = min(thetas[a], thetas[b])
+            ua = {u for h, u in samples[a] if h < theta}
+            ub = {u for h, u in samples[b] if h < theta}
+            n = len(ua & ub)
+            true = len({u for _h, u in by_t[a]} & {u for _h, u in by_t[b]})
+            want.append((a, b, theta, n, n * THETA_SPACE // theta, true))
+    got = [tuple(r) for r in con.execute(_oracle("op_theta_sketch")).fetchall()]
+    assert got == want
+    for _a, _b, theta, n, est, true in got:
+        assert 0 < theta < THETA_SPACE and n <= THETA_K
+        # the sketch estimate is within 4 std-errs of truth here
+        # (relative error ~ 1/sqrt(k) for theta sketches)
+        if true > 20:
+            assert abs(est - true) <= true  # coarse sanity at tiny sf
