@@ -383,6 +383,10 @@ HEADLINE = [
     "wh_retention_policy",
     # ... theta-sketch audience-overlap estimation with exact audit
     "op_theta_sketch",
+    # ... Church-Gale word burstiness (integer VMR over doc counts)
+    "text_word_burstiness",
+    # ... k-truss edge peeling (triangle-support refinement of k-core)
+    "graph_ktruss",
 ]
 
 

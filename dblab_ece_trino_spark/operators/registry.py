@@ -268,6 +268,7 @@ GRADED_PRIORITY: list[str] = [
     "graph_degree_tail", "graph_reciprocity", "text_heaps_law",
     "op_gaps_islands", "op_lateral_subquery", "sample_time_decay",
     "llm_loss_mask_stats", "wh_retention_policy", "op_theta_sketch",
+    "text_word_burstiness", "graph_ktruss",
     # Explicit re-grade: capped RA link prediction (see above).
     "graph_link_prediction",
     # latest green = round 6 (alphabetical, retirements excluded)
@@ -283,7 +284,6 @@ GRADED_PRIORITY: list[str] = [
     "wh_gdpr_erasure", "wh_incremental_agg",
     # latest green = round 7 (alphabetical head, retirements excluded)
     "dedup_embedding", "dedup_exact", "join_asof", "join_range",
-    "multimodal_gif_decode", "multimodal_png_decode",
 ]
 
 

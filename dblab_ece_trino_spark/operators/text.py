@@ -2026,3 +2026,104 @@ register(
     ORDER BY tk.source, tk.ckpt
     """,
 )
+
+
+# --------------------------------------- word burstiness (r13)
+BURST_TOPK = 15
+
+
+def word_burstiness(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Word burstiness (Church & Gale 1995): for the corpus's top-K
+    words, the variance-to-mean ratio of the per-document count —
+    WITH absent documents counted as zero, the convention that makes
+    VMR = 1 the Poisson baseline.  Content words are bursty (VMR >> 1:
+    they cluster in the few docs about their topic); function words
+    are Poisson-ish — so a "stopword" whose VMR spikes marks template
+    contamination, and a content word with VMR ~ 1 marks shredded/
+    shuffled text.  The per-word companion to ts_dispersion_index
+    (same Fano statistic, over time there, over documents here).
+
+    Exactness: with N docs, T = Σc and S = Σc² exact integers,
+    VMR = (N·S − T²)/(N·T) — reported as one floored ppm of exact
+    integers (non-negative by Cauchy–Schwarz, so div/// agree).
+    Shape (100 TB): one tokenize pass → (word, doc) counts (map-side
+    combinable), word-keyed rollup, distributed top-K
+    (TakeOrderedAndProject — no global single-partition window), the
+    N scalar broadcast by the literal.
+    """
+    n_docs = docs.count()
+    counts = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0)
+                )
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_word = counts.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_present"),
+        F.sum("c").cast("long").alias("total_count"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq_count"),
+    )
+    return (
+        per_word.orderBy(F.desc("total_count"), F.asc("w"))
+        .limit(BURST_TOPK)
+        .select(
+            F.col("w").alias("word"),
+            "n_docs_present", "total_count", "sum_sq_count",
+            F.expr(
+                f"CAST(CAST(1000000 AS DECIMAL(38,0))"
+                f" * (CAST({n_docs} AS DECIMAL(38,0)) * sum_sq_count"
+                f"    - CAST(total_count AS DECIMAL(38,0)) * total_count)"
+                f" div (CAST({n_docs} AS DECIMAL(38,0)) * total_count)"
+                " AS BIGINT)"
+            ).alias("vmr_ppm"),
+        )
+        .orderBy(F.desc("total_count"), F.asc("word"))
+    )
+
+
+def _q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return word_burstiness(_docs(spark, sf_dir))
+
+
+register(
+    "text_word_burstiness",
+    _q_burstiness,
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS nd FROM documents),
+    counts AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+      FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents
+      )
+      GROUP BY doc_id, w
+    ),
+    per_word AS (
+      SELECT w,
+             CAST(count(*) AS BIGINT) AS n_docs_present,
+             CAST(sum(c) AS BIGINT) AS total_count,
+             CAST(sum(c * c) AS BIGINT) AS sum_sq_count
+      FROM counts GROUP BY w
+    ),
+    topk AS (
+      SELECT * FROM per_word
+      ORDER BY total_count DESC, w
+      LIMIT {BURST_TOPK}
+    )
+    SELECT w AS word, n_docs_present, total_count, sum_sq_count,
+           CAST(CAST(1000000 AS HUGEINT)
+                * (CAST(n.nd AS HUGEINT) * sum_sq_count
+                   - CAST(total_count AS HUGEINT) * total_count)
+                // (CAST(n.nd AS HUGEINT) * total_count) AS BIGINT)
+             AS vmr_ppm
+    FROM topk CROSS JOIN n
+    ORDER BY total_count DESC, word
+    """,
+)

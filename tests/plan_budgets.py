@@ -426,6 +426,11 @@ PLAN_BUDGETS = {
     # of the K x |types| sample, the other 2 are the documented
     # exact-audit self-join of the distinct (type, user) frame
     'op_theta_sketch': (8, 11, 0, 3),
+    # one tokenize pass + (word,doc) agg + word rollup + TakeOrdered
+    'text_word_burstiness': (1, 2, 0, 0),
+    # peeled edge frame materialized per round: the graded plan is the
+    # final checkpoint scan + sym-union degree agg
+    'graph_ktruss': (2, 2, 0, 1),
     # 3 windows over the snapshot (distinct-date) frame: rdesc +
     # 7-day-bucket rank + month rank — all metadata-scale
     'wh_retention_policy': (2, 3, 3, 4),

@@ -742,3 +742,71 @@ def test_theta_sketch_pure_python():
         # (relative error ~ 1/sqrt(k) for theta sketches)
         if true > 20:
             assert abs(est - true) <= true  # coarse sanity at tiny sf
+
+
+def test_word_burstiness_pure_python():
+    import re as _re
+
+    con = _con("documents")
+    from dblab_ece_trino_spark.operators.text import BURST_TOPK
+
+    docs = con.execute("SELECT doc_id, lower(text) FROM documents").fetchall()
+    nd = len(docs)
+    per: dict = {}
+    for _d, t in docs:
+        seen: dict = {}
+        for w in _re.findall("[a-z]+", t):
+            seen[w] = seen.get(w, 0) + 1
+        for w, c in seen.items():
+            n, tot, ss = per.setdefault(w, [0, 0, 0])
+            per[w] = [n + 1, tot + c, ss + c * c]
+    top = sorted(per.items(), key=lambda kv: (-kv[1][1], kv[0]))[:BURST_TOPK]
+    want = [
+        (w, n, tot, ss, 1000000 * (nd * ss - tot * tot) // (nd * tot))
+        for w, (n, tot, ss) in top
+    ]
+    got = [tuple(r) for r in con.execute(_oracle("text_word_burstiness")).fetchall()]
+    assert got == want
+    for _w, n, tot, _ss, vmr in got:
+        assert vmr >= 0 and n <= nd and tot >= n
+
+
+def test_ktruss_pure_python():
+    """graph_ktruss oracle vs a pure-Python edge-peeling replay at
+    sf0.001, plus truss-subset-of-core structure."""
+    con = _con("lineitem")
+    from dblab_ece_trino_spark.operators.graph import (
+        _PAIRS_CTE,
+        KTRUSS_K,
+        KTRUSS_ROUNDS,
+    )
+
+    edges = {
+        (u, v) for u, v in con.execute(
+            f"WITH {_PAIRS_CTE} SELECT u, v FROM pairs"
+        ).fetchall()
+    }
+    e = set(edges)
+    for _ in range(KTRUSS_ROUNDS):
+        sup: dict = {}
+        es = e
+        adj: dict = {}
+        for u, v in es:
+            adj.setdefault(u, set()).add(v)
+        for a, b in es:
+            for c in adj.get(b, set()):
+                if (a, c) in es:
+                    for ed in ((a, b), (b, c), (a, c)):
+                        sup[ed] = sup.get(ed, 0) + 1
+        e = {ed for ed in es if sup.get(ed, 0) >= KTRUSS_K - 2}
+    deg: dict = {}
+    for u, v in e:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    want = sorted(deg.items())
+    got = [tuple(r) for r in con.execute(_oracle("graph_ktruss")).fetchall()]
+    assert got == want
+    # every truss edge endpoint has truss degree >= k-1 after
+    # convergence; at fixed rounds we assert the weaker peel-invariant
+    # that the surviving edge set only shrank
+    assert e <= edges
