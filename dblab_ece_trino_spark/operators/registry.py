@@ -252,14 +252,20 @@ ROTATION_RETIRED: frozenset = frozenset({
 # .. op_join_anti, op_chi2_independence, op_concurrency_sweep,
 # op_boxplot_stats) head the round-13 queue (window_check.py prints
 # it).
-# ROUND-13 WINDOW: new round-13 ops at the head as they land (each
-# displaces the current tail seat), then graph_link_prediction pulled
-# forward explicitly (r12 verdict item 1: its degree-capped form —
-# graph.py:1306, oracle graph.py:1415 — changed behavior after its last
-# r11 grade and has never been driver-graded), then the full r6-latest
-# cohort (30 entries after the round-13 retirements), then the
-# alphabetical head of the r7 cohort.  Verify any window rewrite
-# mechanically:
+# ROUND-13 WINDOW (final composition: 15 new + 1 pulled-forward + 30
+# r6 + 4 r7): the 15 never-graded round-13 ops at the head, then
+# graph_link_prediction pulled forward explicitly (r12 verdict item 1:
+# its degree-capped form — graph.py:1306, oracle graph.py:1415 —
+# changed behavior after its last r11 grade and had never been
+# driver-graded), then the full r6-latest cohort (30 entries after the
+# round-13 retirements), then the alphabetical head of the r7 cohort.
+# Each new op displaced the current r7 tail seat as it landed.
+#
+# ROUND-14 QUEUE, pre-derived: the remaining r7 cohort
+# (multimodal_gif_decode, multimodal_png_decode, multimodal_y4m_frames,
+# op_agg_global, op_agg_groupby, op_agg_grouping_sets, op_array_hof,
+# op_collect_agg, ... alphabetical), then r8.  Verify any window
+# rewrite mechanically:
 #   PYTHONPATH=. python3 scripts/window_check.py
 GRADED_PRIORITY: list[str] = [
     # NEW round-13 ops (never-graded outranks stale).
