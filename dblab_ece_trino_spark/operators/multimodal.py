@@ -7187,6 +7187,11 @@ class _FlacBitReader:
         return v
 
     def align(self) -> None:
+        # FLAC frame padding bits are spec-required to be zero
+        # (RFC 9639 §9.1.5); rejecting nonzero padding keeps the
+        # decoder as strict here as on reserved header bits.
+        if self._acc:
+            raise ValueError("nonzero FLAC frame padding bits")
         self._n = 0
         self._acc = 0
 

@@ -757,8 +757,10 @@ def theta_intersection(events: DataFrame) -> DataFrame:
 
     Exactness discipline: hashes are md5 digit-folds (engine-portable
     integers), samples are deterministic under (h, user_id) tie-break,
-    membership is strict h < theta, and the estimate is one
-    non-negative integer division — every reported value hashes
+    membership is strict h < theta, a sketch with fewer than K rows is
+    in EXACT MODE (theta = the full hash space, the DataSketches
+    convention — estimate equals the exact count and theta can never
+    be 0), and the estimate is one non-negative integer division — every reported value hashes
     bit-identically.  Shape (100 TB): ONE distinct over (type, user),
     then a PER-PARTITION top-K prune (bounded state) ahead of the
     per-type top-K window, so no data-scale partition ever sorts; the
@@ -793,7 +795,17 @@ def theta_intersection(events: DataFrame) -> DataFrame:
         pruned.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= THETA_K)
     )
-    thetas = sample.groupBy("event_type").agg(F.max("h").alias("theta"))
+    thetas = sample.groupBy("event_type").agg(
+        # DataSketches exact-mode convention: a sketch that never
+        # filled its K slots has seen EVERY distinct item, so theta is
+        # the full hash space (estimate == exact count), not the max
+        # sampled hash (which would bias est_inter upward for small
+        # sets and could in principle be 0).
+        F.when(F.count(F.lit(1)) < THETA_K, F.lit(THETA_SPACE))
+        .otherwise(F.max("h"))
+        .cast("long")
+        .alias("theta")
+    )
     grid = (
         thetas.select(F.col("event_type").alias("type_a"),
                       F.col("theta").alias("th_a"))
@@ -868,7 +880,11 @@ def _theta_oracle() -> str:
     ),
     sample AS (SELECT * FROM ranked WHERE r <= {THETA_K}),
     thetas AS (
-      SELECT event_type, max(h) AS theta FROM sample GROUP BY event_type
+      SELECT event_type,
+             CASE WHEN count(*) < {THETA_K}
+                  THEN CAST({THETA_SPACE} AS BIGINT)
+                  ELSE max(h) END AS theta
+      FROM sample GROUP BY event_type
     ),
     grid AS (
       SELECT a.event_type AS type_a, b.event_type AS type_b,

@@ -186,7 +186,7 @@ def test_flac_fuzz_roundtrip():
         encode_flac,
     )
 
-    for t in range(60):
+    for t in range(400):
         n = int(rng.randint(1, 150))
         s = rng.randint(-32768, 32768, n).astype(np.int64)
         mode = ("verbatim", "fixed1", "fixed2", "fixed3", "fixed4",
@@ -237,6 +237,40 @@ def test_flac_error_contracts():
         # 36-bit total-samples field
         tampered[4 + 4 + 17] ^= 0x01
         decode_flac_full(bytes(tampered))
+
+
+def test_flac_nonzero_padding_rejected():
+    """Frame padding bits are spec-required zero (RFC 9639 §9.1.5);
+    a nonzero-padded frame must be rejected even when its CRC-16 is
+    valid (CRC is recomputed after the flip, so only the padding
+    check can catch it)."""
+    from dblab_ece_trino_spark.operators.multimodal import (
+        _crc16_flac,
+        _FlacBitReader,
+        decode_flac,
+        encode_flac,
+    )
+
+    s = (np.arange(40) * 33 % 1000 - 500).astype(np.int64)
+    p = encode_flac(s, 8000, block_size=64, mode="fixed2")
+    # single frame at offset 42 (magic 4 + block header 4 + STREAMINFO
+    # 34); last 2 bytes are the frame CRC-16.  fixed2 Rice residuals
+    # leave this frame bit-unaligned, so the last body byte carries
+    # padding bits — flip the lowest one and RE-SIGN the CRC.
+    body = bytearray(p[42:-2])
+    body[-1] ^= 0x01
+    crc = _crc16_flac(bytes(body))
+    bad = p[:42] + bytes(body) + bytes([crc >> 8, crc & 0xFF])
+    with pytest.raises(ValueError, match="padding"):
+        decode_flac(bad)
+    # unit level: reader.align() is the enforcement point
+    br = _FlacBitReader(bytes([0b10100001]))
+    assert br.read(3) == 0b101
+    with pytest.raises(ValueError, match="padding"):
+        br.align()
+    br2 = _FlacBitReader(bytes([0b10100000]))
+    assert br2.read(3) == 0b101
+    br2.align()  # zero padding accepted
 
 
 def test_flac_seam_dispatch():
@@ -723,7 +757,12 @@ def test_theta_sketch_pure_python():
     samples = {
         t: sorted(v)[:THETA_K] for t, v in by_t.items()
     }
-    thetas = {t: max(h for h, _u in s) for t, s in samples.items()}
+    # exact mode: a sketch that never filled K slots keeps theta at
+    # the full hash space (DataSketches convention)
+    thetas = {
+        t: (max(h for h, _u in s) if len(s) >= THETA_K else THETA_SPACE)
+        for t, s in samples.items()
+    }
     want = []
     types = sorted(samples)
     for i, a in enumerate(types):
@@ -737,7 +776,7 @@ def test_theta_sketch_pure_python():
     got = [tuple(r) for r in con.execute(_oracle("op_theta_sketch")).fetchall()]
     assert got == want
     for _a, _b, theta, n, est, true in got:
-        assert 0 < theta < THETA_SPACE and n <= THETA_K
+        assert 0 < theta <= THETA_SPACE and n <= THETA_K
         # the sketch estimate is within 4 std-errs of truth here
         # (relative error ~ 1/sqrt(k) for theta sketches)
         if true > 20:
