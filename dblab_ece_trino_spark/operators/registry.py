@@ -234,6 +234,78 @@ ROTATION_RETIRED: frozenset = frozenset({
     "op_upsert_latest",
     # First-seen cohort twin (canary: op_cohort_retention):
     "op_new_vs_returning",
+    # ---- ROUND-14 GROWTH (closing the r13 verdict's item 4: at 270
+    # live rotating entries the full re-grade period had drifted to
+    # ~7.7 rounds).  Same two-part eligibility, enforced by
+    # scripts/window_check.py; every entry below has >=2 historical
+    # greens with the latest green.
+    #
+    # TPC-H shape family (5 more retired; canaries stay rotating:
+    # tpch_q1 for the groupby-agg shape, tpch_q8 for the multi-join
+    # CASE-share shape — plus q001-q005 and the op_join_*/op_agg_*
+    # rows exercise the identical relational stack every cycle):
+    "tpch_q3", "tpch_q5", "tpch_q7", "tpch_q9", "tpch_q21",
+    # Degree-frame twin (canaries: graph_degree_tail on the same
+    # per-node degree aggregation, graph_reciprocity on the weighted
+    # edge exchange):
+    "graph_assortativity",
+    # Wedge-join neighbor-overlap twin (canary: graph_link_prediction
+    # — the capped RA scores ride the identical wedge join):
+    "graph_neighbor_jaccard",
+    # Oriented-triangle-enumeration twins (canaries:
+    # graph_clustering_coeff + graph_ktruss both enumerate oriented
+    # triangles on the same co-order edge frame):
+    "graph_triangles",
+    # Fixed-iteration propagation-loop twin (canary: graph_pagerank —
+    # same materialize-per-round, one-shuffle-per-iteration loop):
+    "graph_label_prop",
+    # ANN index twins (canaries: sim_ivf_probe_sweep builds and probes
+    # the same IVF index; sim_recall_at_k runs BOTH the LSH and IVF
+    # paths against brute force every time it is graded):
+    "sim_search_ivf", "sim_search_lsh",
+    # Integer-MIPS ranking twin (canaries: sim_quantized_mips +
+    # sim_knn_classify ride the same quantized dot-product ranking):
+    "sim_mips_topk",
+    # Token-slice chunking twin (canary: llm_sequence_pack — same
+    # slice/offset machinery at sequence grain):
+    "llm_chunk_documents",
+    # TF-weighted cosine twin (canaries: text_tfidf_topk for the tf
+    # weighting, dedup_embedding for the cosine pair join):
+    "llm_tf_cosine_dup",
+    # N-gram repetition twin (canary: llm_gopher_repetition — the
+    # superset 2..6-gram repetition gate):
+    "llm_repetition_profile",
+    # Lag-join twin (canary: ts_rolling_corr — same self-join-on-lag
+    # machinery; the retired ts_mom_yoy_change precedent):
+    "ts_autocorrelation",
+    # Concordant-pair twin (canary: ts_kendall_tau — same
+    # sign-of-product pair machinery):
+    "ts_mann_kendall",
+    # Discrete-selection twin (canaries: op_percentile exact element
+    # selection + op_mad_outliers on the shared histogram form):
+    "op_median_mode",
+    # grouping_id surface twin (canary: op_agg_grouping_sets):
+    "op_grouping_marks",
+    # Literal-frame projection twin (canary: op_scalar_arithmetic):
+    "op_values_inline",
+    # Reshape twin (canary: op_pivot — the inverse of the same
+    # wide/long surface):
+    "op_unpivot",
+    # Share-of-total window twin (canaries: op_window_rank_lag +
+    # op_window_navigation):
+    "op_ratio_to_report",
+    # Interleaved-bit layout twin (canary: wh_clustering_depth reads
+    # the same per-file zone frame the zorder layout writes):
+    "wh_zorder_layout",
+    # Per-column stats-frame twin (canary: wh_expectations):
+    "wh_analyze_stats",
+    # Fused gate-pipeline twins (canaries: pipeline_curate_corpus +
+    # pipeline_dedup_corpus — the round-13 fused flagship):
+    "pipeline_clean_corpus",
+    # Sequence-packing twin (canary: llm_sequence_pack):
+    "pipeline_pack_sequences",
+    # Length/punct/stopword ratio twin (canary: text_quality_score):
+    "text_readability",
 })
 
 # ROUND-11 WINDOW (history): the 18 never-graded round-11 ops, then
