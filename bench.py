@@ -390,6 +390,17 @@ HEADLINE = [
     "text_word_burstiness",
     # ... k-truss edge peeling (triangle-support refinement of k-core)
     "graph_ktruss",
+    # round-14 additions: passage-grain near-dup (chunk LSH riding the
+    # doc pipeline's banding machinery), personalized PageRank
+    # (seed-conditioned restart mass), epoch-shuffle decorrelation
+    # audit (sharded global ranks, exact integer Spearman), Holt
+    # linear-trend smoothing (Spark 4 WITH RECURSIVE), and fractional
+    # linear-interp audio resampling (8000 -> 5000 Hz, exact integer)
+    "dedup_chunk_neardup",
+    "graph_ppr",
+    "sample_epoch_shuffle",
+    "ts_holt_trend",
+    "multimodal_audio_resample",
 ]
 
 

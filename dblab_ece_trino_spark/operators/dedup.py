@@ -1713,3 +1713,183 @@ _DEDUP_CORPUS_ORACLE = (
 
 register("pipeline_dedup_corpus", _q_dedup_corpus,
          oracle=_DEDUP_CORPUS_ORACLE)
+
+
+# ------------------------------------- passage-grain near-dup (round 14)
+CHUNK_ND_TOKENS = 16
+CHUNK_ND_THRESHOLD = 0.8
+CHUNK_ND_KEY_STRIDE = 100_000
+
+
+def chunk_units(
+    docs: DataFrame,
+    chunk_tokens: int = CHUNK_ND_TOKENS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """FULL non-overlapping ``chunk_tokens`` windows as dedup units:
+    (id_col, ckey, chunk_text), ckey = doc_id * stride + chunk index.
+    Shuffle-free explode, materialized (re-used by two LSH stages)."""
+    from dblab_ece_trino_spark.session import materialize
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(chunk_tokens)
+    )
+    return materialize(
+        docs.select(
+            F.col(id_col),
+            toks.alias("__t"),
+            F.posexplode(starts).alias("__idx", "__s"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col(id_col) * CHUNK_ND_KEY_STRIDE + F.col("__idx"))
+            .cast("long")
+            .alias("ckey"),
+            F.slice("__t", F.col("__s"), chunk_tokens).alias("__c"),
+        )
+        .filter(F.size("__c") == chunk_tokens)
+        .select(
+            id_col, "ckey", F.array_join("__c", " ").alias("chunk_text")
+        )
+    )
+
+
+def chunk_neardup(
+    docs: DataFrame,
+    chunk_tokens: int = CHUNK_ND_TOKENS,
+    threshold: float = CHUNK_ND_THRESHOLD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Passage-grain NEAR-duplicate detection — the fuzzy sibling of
+    ``llm_chunk_dedup`` (which removes byte-identical passages; this
+    pass catches lightly-edited boilerplate the exact hash can't see,
+    the RefinedWeb/Gopher passage-dedup gap the round-13 verdict
+    named).  Non-overlapping ``chunk_tokens`` windows become the unit
+    of dedup: each FULL chunk (tail fragments are the exact pass's
+    job, and single-word tails would cluster spuriously on a small
+    vocabulary) gets a synthetic bigint key, rides the SAME
+    shingle -> minhash -> band -> verify machinery as the document
+    pass (``dedup_minhash_lsh``) at word-3-gram grain, and clusters
+    resolve by the same min-label components (``dedup_clusters``).
+    First occurrence (minimum chunk key == cluster label) survives;
+    the output is the per-document retention profile the curation
+    pipeline feeds.
+
+    Exactness: the LSH stage is exact-verified (every emitted pair
+    passes the exact hashed-shingle Jaccard >= threshold), so the
+    all-pairs SQL + recursive-closure oracle replays it, provided
+    banding recalls every true pair at gate SF —
+    tests/test_round14_ops.py pins that precondition the way
+    test_minhash_oracle_no_marginal_pairs does for the doc pass.
+
+    Shape (100 TB): the chunker is a shuffle-free explode (bounded
+    fan-out: tokens/chunk_tokens rows per doc); the LSH build is the
+    proven banded pipeline — pair volume is band-bounded, never
+    all-pairs; components run on the near-dup subgraph only; the
+    profile is one keyed agg back to doc grain.
+    """
+    chunks = chunk_units(docs, chunk_tokens, id_col, text_col)
+    pairs = dedup_minhash_lsh(
+        chunks,
+        id_col="ckey",
+        text_col="chunk_text",
+        threshold=threshold,
+        max_bucket=None,
+    )
+    labels = dedup_clusters(pairs)
+    removed = (
+        F.col("cluster").isNotNull() & (F.col("ckey") != F.col("cluster"))
+    ).cast("long")
+    return (
+        chunks.join(labels, chunks.ckey == labels.sid, "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.count("cluster").cast("long").alias("n_clustered"),
+            F.sum(removed).cast("long").alias("n_removed"),
+        )
+        .withColumn(
+            "n_kept", (F.col("n_chunks") - F.col("n_removed")).cast("long")
+        )
+        .orderBy(id_col)
+    )
+
+
+def _q_chunk_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_neardup(_docs(spark, sf_dir))
+
+
+_CHUNK_ND_ORACLE = rf"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t), 1),
+                                    {CHUNK_ND_TOKENS})) AS start
+      FROM toks
+    ),
+    c AS (
+      SELECT doc_id,
+             doc_id * {CHUNK_ND_KEY_STRIDE}
+               + (start - 1) // {CHUNK_ND_TOKENS} AS ckey,
+             list_slice(t, start, start + {CHUNK_ND_TOKENS - 1}) AS w
+      FROM st
+      WHERE len(list_slice(t, start, start + {CHUNK_ND_TOKENS - 1}))
+            = {CHUNK_ND_TOKENS}
+    ),
+    sh AS (
+      SELECT DISTINCT ckey,
+             array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+      FROM c,
+           LATERAL (SELECT unnest(generate_series(
+                    1, greatest(len(w) - 2, 1))) AS i)
+    ),
+    sizes AS (SELECT ckey, count(*) AS sz FROM sh GROUP BY ckey),
+    nd AS (
+      SELECT a.ckey AS id_a, b.ckey AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.ckey < b.ckey
+      GROUP BY a.ckey, b.ckey
+    ),
+    prs AS (
+      SELECT id_a, id_b
+      FROM nd
+      JOIN sizes sa ON sa.ckey = id_a
+      JOIN sizes sb ON sb.ckey = id_b
+      WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6)
+            >= {CHUNK_ND_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM prs
+      UNION
+      SELECT id_b, id_a FROM prs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (
+      SELECT a AS ckey, least(a, min(b)) AS cluster FROM reach GROUP BY a
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(l.cluster) AS BIGINT) AS n_clustered,
+           CAST(coalesce(sum(CASE WHEN l.cluster IS NOT NULL
+                                   AND c.ckey <> l.cluster
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_removed,
+           CAST(count(*) - coalesce(sum(CASE WHEN l.cluster IS NOT NULL
+                                              AND c.ckey <> l.cluster
+                                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_kept
+    FROM c
+    LEFT JOIN labels l ON l.ckey = c.ckey
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+"""
+
+register("dedup_chunk_neardup", _q_chunk_neardup, oracle=_CHUNK_ND_ORACLE)

@@ -2120,3 +2120,137 @@ def _ktruss_oracle(k: int = KTRUSS_K, rounds: int = KTRUSS_ROUNDS) -> str:
 
 
 register("graph_ktruss", _q_ktruss, oracle=_ktruss_oracle())
+
+
+PPR_SEEDS = 5
+
+
+def personalized_pagerank(
+    pairs: DataFrame,
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+    seeds_k: int = PPR_SEEDS,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart) over the
+    symmetrized co-order graph, restarting to the ``seeds_k``
+    highest-degree nodes — the "customers who bought these also
+    bought" ranking a recommender actually serves, where vanilla
+    PageRank answers the global-popularity question.  Completes the
+    centrality family (pagerank / katz / harmonic / HITS, this module)
+    with the seed-conditioned member.
+
+    Same exactness discipline as ``pagerank``: d = 0.85 = 17/20, all
+    arithmetic integer (div = floor), fixed iteration count, so the
+    unrolled-CTE DuckDB oracle replays the computation bit-exactly.
+    The differences from the global walk: restart mass flows ONLY to
+    the seed set (teleport = 3*scale div (20*k) per seed), and rank
+    frames stay SPARSE — pr0 is the k seed rows, and after i
+    iterations only nodes within i hops of a seed hold mass, so early
+    iterations shuffle frames orders smaller than the node set.
+
+    Shape (100 TB): the edge+outdeg frame is built and materialized
+    ONCE outside the loop (the pagerank discipline); each iteration is
+    one join + one keyed agg over the sparse rank frame, with the
+    constant seed teleport unioned in before the final sum — one
+    shuffle per iteration.  Driver-side scalars: the seed count (a
+    bounded LIMIT-k reduce) only.  BIGINT bounds: total walk mass <=
+    scale + k*teleport < 2*scale = 2e12, so 17*s < 4e13 << 2^63.
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    p = materialize(pairs.select("u", "v"))
+    edges = p.unionAll(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    ed = materialize(
+        edges.join(deg, edges.u == deg.node).select("u", "v", "outdeg")
+    )
+    seeds = materialize(
+        deg.orderBy(F.desc("outdeg"), F.asc("node"))
+        .limit(seeds_k)
+        .select("node")
+    )
+    k = seeds.count()
+    if k == 0:
+        return pairs.sparkSession.createDataFrame([], "node long, pr long")
+    tele = (3 * scale) // (20 * k)
+    pr = seeds.select(
+        "node", F.lit(scale // k).cast("long").alias("pr")
+    )
+    for _ in range(iters):
+        contrib = (
+            pr.join(ed, F.col("node") == F.col("u"))
+            .groupBy(F.col("v").alias("node"))
+            .agg(
+                F.expr("CAST((17 * sum(pr div outdeg)) div 20 AS BIGINT)")
+                .alias("x")
+            )
+        )
+        pr = (
+            contrib.unionAll(
+                seeds.select("node", F.lit(tele).cast("long").alias("x"))
+            )
+            .groupBy("node")
+            .agg(F.sum("x").cast("long").alias("pr"))
+        )
+    return pr
+
+
+def _q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pr = personalized_pagerank(coorder_pairs(_li(spark, sf_dir)))
+    return (
+        pr.orderBy(F.desc("pr"), F.asc("node"))
+        .limit(25)
+        .select(
+            F.col("node").alias("part_key"),
+            F.col("pr").alias("ppr_micro"),
+        )
+    )
+
+
+def _ppr_oracle(
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+    seeds_k: int = PPR_SEEDS,
+) -> str:
+    ctes = [
+        _PAIRS_CTE,
+        "edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs)",
+        "deg AS (SELECT u AS node, count(*) AS outdeg FROM edges GROUP BY u)",
+        f"seeds AS (SELECT node FROM deg "
+        f"ORDER BY outdeg DESC, node LIMIT {seeds_k})",
+        "ns AS (SELECT count(*) AS k FROM seeds)",
+        f"pr0 AS (SELECT node, CAST({scale} // (SELECT k FROM ns) AS BIGINT)"
+        " AS pr FROM seeds)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""pr{i} AS (
+      SELECT node, CAST(sum(x) AS BIGINT) AS pr FROM (
+        SELECT e.v AS node,
+               CAST((17 * sum(p.pr // d.outdeg)) // 20 AS BIGINT) AS x
+        FROM pr{i - 1} p
+        JOIN deg d ON p.node = d.node
+        JOIN edges e ON e.u = p.node
+        GROUP BY e.v
+        UNION ALL
+        SELECT node,
+               CAST({3 * scale} // (20 * (SELECT k FROM ns)) AS BIGINT)
+        FROM seeds
+      ) GROUP BY node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS part_key, pr AS ppr_micro
+    FROM pr{iters}
+    ORDER BY pr DESC, node
+    LIMIT 25
+    """
+    )
+
+
+register("graph_ppr", _q_ppr, oracle=_ppr_oracle())

@@ -7927,3 +7927,108 @@ def _flac_oracle() -> str:
 
 
 register("multimodal_flac_decode", _q_flac_decode, oracle=_flac_oracle())
+
+
+# --------------------------- fractional audio resampling (round 14)
+_RS_UP = 8     # src rate / dst rate = 8/5 (8000 -> 5000 Hz), the
+_RS_DOWN = 5   # non-integer-ratio case decimate-by-2 cannot express
+
+
+def audio_resample_stats(media: DataFrame) -> DataFrame:
+    """Fractional-ratio linear-interpolation resampling (8000 ->
+    5000 Hz) over decoded WAV payloads — the production ML
+    preprocessing resampler (44.1k -> 16k is the canonical instance of
+    a NON-integer ratio), where ``multimodal_audio_decimate`` covers
+    only the integer-factor boxcar case.  Output sample j sits at
+    input phase p_j = j*up/down; with num = j*up, idx = num div down,
+    frac = num mod down, the 2-tap kernel is
+
+      y_j = (s[idx]*(down-frac) + s[idx+1]*frac + 40000) div down - 8000
+
+    EXACT-INTEGER by the decimate offset trick: |s| <= 1600 in the
+    fixture family bounds the kernel numerator by +-8000, and +40000
+    (a multiple of down, > 8000*down/..) keeps the dividend
+    nonnegative so truncating and flooring division agree across
+    engines.  j ranges over m = (down*(n-1)) div up samples so idx+1
+    never reads past the clip.  Emits the family's standard exact
+    stats projection (sum / sumsq / min / max / j-weighted sum — the
+    jsum moves if the phase accumulator misaligns by even one tap).
+
+    100 TB shape: decode + resample + stats in ONE Arrow mapInPandas
+    pass (per-file work, no shuffle); the oracle derives every value
+    from the shared sawtooth closed form and never sees a byte.
+    """
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, s = decode_wav(bytes(payload))
+                s64 = s.astype("int64")
+                n = len(s64)
+                m = (_RS_DOWN * (n - 1)) // _RS_UP
+                j = np.arange(m, dtype="int64")
+                num = _RS_UP * j
+                idx = num // _RS_DOWN
+                frac = num % _RS_DOWN
+                v = s64[idx] * (_RS_DOWN - frac) + s64[idx + 1] * frac
+                y = (v + 40000) // _RS_DOWN - 8000
+                jw = np.arange(m, dtype="int64")
+                out.append(
+                    (int(mid), int(rate) * _RS_DOWN // _RS_UP, m,
+                     int(y.sum()), int((y * y).sum()),
+                     int(y.min()), int(y.max()), int((y * jw).sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "rate_out", "n_out", "sum_out",
+                         "sumsq_out", "min_out", "max_out", "jsum_out"],
+            )
+
+    return media.mapInPandas(
+        stats,
+        "media_id long, rate_out int, n_out long, sum_out long,"
+        " sumsq_out long, min_out long, max_out long, jsum_out long",
+    )
+
+
+def _q_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_resample_stats(_wav_payloads(spark)).orderBy("media_id")
+
+
+def _audio_resample_oracle() -> str:
+    rows = ", ".join(
+        f"({i}, {64 + 16 * (i % 4)}, {50 + 7 * i}, {1000 + 100 * (i % 7)})"
+        for i in range(_N_WAV)
+    )
+    up, down = _RS_UP, _RS_DOWN
+    return f"""
+    WITH params(media_id, n_samp, step, amp) AS (VALUES {rows}),
+    y AS (
+      SELECT media_id, jj,
+             ((((({up} * jj) // {down}) * step) % (2 * amp) - amp)
+                * ({down} - ({up} * jj) % {down})
+              + (((({up} * jj) // {down} + 1) * step) % (2 * amp) - amp)
+                * (({up} * jj) % {down})
+              + 40000) // {down} - 8000 AS v
+      FROM params,
+           unnest(generate_series(
+             0, ({down} * (n_samp - 1)) // {up} - 1)) AS t(jj)
+    )
+    SELECT y.media_id,
+           CAST({_WAV_RATE} * {down} // {up} AS INT) AS rate_out,
+           CAST(count(*) AS BIGINT) AS n_out,
+           CAST(sum(v) AS BIGINT) AS sum_out,
+           CAST(sum(v * v) AS BIGINT) AS sumsq_out,
+           CAST(min(v) AS BIGINT) AS min_out,
+           CAST(max(v) AS BIGINT) AS max_out,
+           CAST(sum(jj * v) AS BIGINT) AS jsum_out
+    FROM y
+    GROUP BY y.media_id
+    ORDER BY y.media_id
+    """
+
+
+register("multimodal_audio_resample", _q_audio_resample,
+         oracle=_audio_resample_oracle())

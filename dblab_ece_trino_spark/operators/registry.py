@@ -333,35 +333,42 @@ ROTATION_RETIRED: frozenset = frozenset({
 # round-13 retirements), then the alphabetical head of the r7 cohort.
 # Each new op displaced the current r7 tail seat as it landed.
 #
-# ROUND-14 QUEUE, pre-derived: the remaining r7 cohort
-# (multimodal_gif_decode, multimodal_png_decode, multimodal_y4m_frames,
-# op_agg_global, op_agg_groupby, op_agg_grouping_sets, op_array_hof,
-# op_collect_agg, ... alphabetical), then r8.  Verify any window
-# rewrite mechanically:
+# ROUND-14 WINDOW (final composition: 5 new + 31 r7 + 10 r8 + 4 r9):
+# the 5 never-graded round-14 ops at the head, then the FULL remaining
+# r7-latest cohort (31 entries after the round-14 retirements), the
+# full r8 cohort (10 after retirements), and the alphabetical head of
+# the r9 cohort.  New-op velocity was throttled to 5 this round (r13
+# verdict item 4) so the backfill window covers three whole cohorts.
+#
+# ROUND-15 QUEUE, pre-derived: the remaining r9 cohort (graph_hits,
+# llm_dataset_profile, llm_dup_span_coverage, llm_ngram_novelty,
+# llm_pad_waste, llm_quality_floor, llm_sequence_pack,
+# multimodal_adpcm_decode, ... alphabetical), then r10.  Verify any
+# window rewrite mechanically:
 #   PYTHONPATH=. python3 scripts/window_check.py
 GRADED_PRIORITY: list[str] = [
-    # NEW round-13 ops (never-graded outranks stale).
-    "multimodal_flac_decode", "pipeline_dedup_corpus",
-    "sim_matryoshka_quant", "ts_turning_points",
-    "graph_degree_tail", "graph_reciprocity", "text_heaps_law",
-    "op_gaps_islands", "op_lateral_subquery", "sample_time_decay",
-    "llm_loss_mask_stats", "wh_retention_policy", "op_theta_sketch",
-    "text_word_burstiness", "graph_ktruss",
-    # Explicit re-grade: capped RA link prediction (see above).
-    "graph_link_prediction",
-    # latest green = round 6 (alphabetical, retirements excluded)
-    "op_boxplot_stats", "op_chi2_independence", "op_concurrency_sweep",
-    "op_distinct", "op_except", "op_filter_conjunction", "op_gini_spend",
-    "op_hopping_window", "op_intersect", "op_join_anti",
-    "op_join_left_composite", "op_join_semi", "op_join_shuffle",
-    "op_ks_test", "op_mad_outliers", "op_mann_whitney", "op_runs_test",
-    "op_topn", "op_union", "op_window_rank_lag",
-    "sample_contamination_rate", "sample_group_holdout",
-    "sim_epsilon_ball", "text_char_diversity", "ts_kendall_tau",
-    "ts_rolling_corr", "ts_theil_sen", "wh_clustering_depth",
-    "wh_gdpr_erasure", "wh_incremental_agg",
-    # latest green = round 7 (alphabetical head, retirements excluded)
-    "dedup_embedding", "dedup_exact", "join_asof", "join_range",
+    # NEW round-14 ops (never-graded outranks stale).
+    "dedup_chunk_neardup", "sample_epoch_shuffle", "graph_ppr",
+    "multimodal_audio_resample", "ts_holt_trend",
+    # latest green = round 7 (full remaining cohort, alphabetical)
+    "multimodal_gif_decode", "multimodal_png_decode",
+    "multimodal_y4m_frames", "op_agg_global", "op_agg_groupby",
+    "op_agg_grouping_sets", "op_array_hof", "op_collect_agg",
+    "op_conditional_functions", "op_date_functions",
+    "op_events_time_rollup", "op_explode", "op_hash_bucketing",
+    "op_join_broadcast", "op_json_extract", "op_kmv_distinct",
+    "op_map_struct", "op_percentile", "op_pivot", "op_project_case",
+    "op_recursive_cte", "op_regexp", "op_salted_agg",
+    "op_scalar_arithmetic", "op_session_window", "op_string_functions",
+    "reference_sql_parity", "sim_search_bruteforce", "text_language_id",
+    "text_quality_score", "text_token_count",
+    # latest green = round 8 (full remaining cohort, alphabetical)
+    "dedup_ngram_jaccard_word", "gen_store_sales_invariants",
+    "llm_bigram_lm_score", "llm_bpe_encode", "llm_dedup_resolution",
+    "llm_pii_redact", "multimodal_jpeg_decode", "multimodal_resize",
+    "op_fuzzy_match", "tpch_q1",
+    # latest green = round 9 (alphabetical head)
+    "audit_orphans", "audit_skew", "dedup_minhash_lsh", "dedup_simhash",
 ]
 
 

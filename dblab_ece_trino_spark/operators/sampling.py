@@ -1360,3 +1360,166 @@ def _time_decay_oracle() -> str:
 
 
 register("sample_time_decay", _q_time_decay, oracle=_time_decay_oracle())
+
+
+# --------------------------- epoch shuffle decorrelation (round 14)
+EPOCH_N = 3
+EPOCH_SHARDS = 32
+
+
+def epoch_shuffle_audit(
+    docs: DataFrame, epochs: int = EPOCH_N, shards: int = EPOCH_SHARDS
+) -> DataFrame:
+    """Epoch-to-epoch shuffle decorrelation audit — the data-loader
+    invariant every training run assumes and almost none verifies:
+    re-shuffling the corpus with a new per-epoch seed must produce
+    orders that are UNCORRELATED (a seed bug that reuses or offsets
+    the permutation shows up as rank correlation ~1, and "shuffled
+    once, then replayed" pipelines silently pin sample adjacency
+    across epochs).  Each epoch's order is the md5('epoch-<e>:<id>')
+    permutation (the hash-order idiom the sampling family shares);
+    the audit reports, per epoch pair, the exact Spearman rank
+    correlation in ppm (rho = 1 - 6*sum(d^2)/(n(n^2-1)), all integer
+    cross-multiplication — no IEEE anywhere), the mean absolute rank
+    displacement as a fraction of n in ppm (a random pair sits near
+    333,333 = n/3 over n), and the max displacement.
+
+    Exactness: d^2 and |d| are summed in DECIMAL(38,0) (Spark) /
+    HUGEINT (oracle) — sum(d^2) ~ n^3/6 overflows BIGINT past n ~ 3e6
+    — and the two ppm figures are nonnegative-dividend floor
+    divisions, so `div` and `//` agree.
+
+    Shape (100 TB): per-epoch global ranks use the two-level sharded
+    form (range-repartition -> per-shard row_number + broadcast shard
+    offsets — the systematic-sample machinery): no single-partition
+    window at any corpus scale.  The pair join is id-keyed (epochs
+    fan the corpus |epochs|x, a constant), and the answer frame is
+    C(epochs, 2) rows.
+    """
+    from dblab_ece_trino_spark.session import materialize
+
+    ep = (
+        docs.select("doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(epochs - 1))).alias("e"),
+        )
+        .withColumn(
+            "h",
+            F.md5(
+                F.concat(
+                    F.lit("epoch-"),
+                    F.col("e").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+        )
+    )
+    sharded = materialize(
+        ep.repartitionByRange(
+            shards * epochs, F.col("e"), F.col("h"), F.col("doc_id")
+        ).withColumn("__shard", F.spark_partition_id())
+    )
+    counts = sharded.groupBy("e", "__shard").agg(F.count("*").alias("__c"))
+    offs = (
+        counts.alias("a")
+        .join(
+            counts.alias("b"),
+            (F.col("b.e") == F.col("a.e"))
+            & (F.col("b.__shard") < F.col("a.__shard")),
+            "left",
+        )
+        .groupBy(F.col("a.e").alias("e"), F.col("a.__shard").alias("__shard"))
+        .agg(F.coalesce(F.sum("b.__c"), F.lit(0)).alias("__off"))
+    )
+    w = Window.partitionBy("e", "__shard").orderBy("h", "doc_id")
+    ranked = materialize(
+        sharded.withColumn("__lr", F.row_number().over(w))
+        .join(offs, ["e", "__shard"])
+        .select(
+            "e",
+            "doc_id",
+            (F.col("__lr") + F.col("__off")).cast("long").alias("r"),
+        )
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    d = (F.col("a.r") - F.col("b.r")).cast("decimal(19,0)")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("a.e") < F.col("b.e"))
+        .select(
+            F.col("a.e").alias("epoch_a"),
+            F.col("b.e").alias("epoch_b"),
+            (d * d).cast("decimal(38,0)").alias("d2"),
+            F.abs(d).cast("decimal(38,0)").alias("ad"),
+        )
+        .groupBy("epoch_a", "epoch_b")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("d2").cast("decimal(38,0)").alias("sd2"),
+            F.sum("ad").cast("decimal(38,0)").alias("sad"),
+            F.max("ad").cast("long").alias("max_abs_d"),
+        )
+    )
+    return pairs.selectExpr(
+        "CAST(epoch_a AS INT) AS epoch_a",
+        "CAST(epoch_b AS INT) AS epoch_b",
+        "CAST(n AS BIGINT) AS n_docs",
+        "CASE WHEN n > 1 THEN"
+        " CAST(1000000 - (6000000 * sd2) div (n * (n * n - 1)) AS BIGINT)"
+        " END AS rho_ppm",
+        "CAST((1000000 * sad) div (n * n) AS BIGINT) AS mean_disp_ppm",
+        "max_abs_d",
+    ).orderBy("epoch_a", "epoch_b")
+
+
+def _q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return epoch_shuffle_audit(_docs(spark, sf_dir))
+
+
+def _epoch_shuffle_oracle(epochs: int = EPOCH_N) -> str:
+    return f"""
+    WITH ep AS (
+      SELECT doc_id, e
+      FROM documents, unnest(generate_series(0, {epochs - 1})) AS t(e)
+    ),
+    h AS (
+      SELECT doc_id, e,
+             md5('epoch-' || e || ':' || doc_id) AS h
+      FROM ep
+    ),
+    r AS (
+      SELECT doc_id, e,
+             CAST(row_number() OVER (PARTITION BY e ORDER BY h, doc_id)
+                  AS BIGINT) AS r
+      FROM h
+    ),
+    p AS (
+      SELECT a.e AS epoch_a, b.e AS epoch_b,
+             CAST(a.r - b.r AS HUGEINT) AS d
+      FROM r a JOIN r b ON a.doc_id = b.doc_id AND a.e < b.e
+    ),
+    agg AS (
+      SELECT epoch_a, epoch_b,
+             CAST(count(*) AS HUGEINT) AS n,
+             sum(d * d) AS sd2,
+             sum(abs(d)) AS sad,
+             max(abs(d)) AS mx
+      FROM p GROUP BY epoch_a, epoch_b
+    )
+    SELECT CAST(epoch_a AS INT) AS epoch_a,
+           CAST(epoch_b AS INT) AS epoch_b,
+           CAST(n AS BIGINT) AS n_docs,
+           CASE WHEN n > 1 THEN
+             CAST(1000000 - (6000000 * sd2) // (n * (n * n - 1)) AS BIGINT)
+           END AS rho_ppm,
+           CAST((1000000 * sad) // (n * n) AS BIGINT) AS mean_disp_ppm,
+           CAST(mx AS BIGINT) AS max_abs_d
+    FROM agg
+    ORDER BY epoch_a, epoch_b
+    """
+
+
+register("sample_epoch_shuffle", _q_epoch_shuffle,
+         oracle=_epoch_shuffle_oracle())

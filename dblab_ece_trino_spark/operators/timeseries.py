@@ -1840,3 +1840,105 @@ def _register_turning_points() -> None:
 
 
 _register_turning_points()
+
+
+def _register_holt_trend() -> None:
+    """Holt's linear-trend double exponential smoothing over the
+    per-type daily mean series — the trend-aware sibling of ``ts_ewma``
+    (level-only, bounded kernel): level and trend states evolve by
+    true recursion, so the entry rides Spark 4's WITH RECURSIVE
+    (same recursion text on DuckDB), the ``op_recursive_cte`` surface
+    applied to a real forecasting primitive.
+
+    Exactness: the daily mean comes from an exact DECIMAL sum divided
+    once (the ts_zscore discipline — float-native avg differs in last
+    ulps between engines), and the smoothing constants alpha = 0.25,
+    beta = 0.5 are BINARY-EXACT doubles, so the sequential recurrence
+    is the same IEEE op sequence on both engines; outputs are BIGINT
+    1e-4 units via floor(x*10000 + 0.5) — library round(double, n)
+    semantics DIVERGE across engines at decimal ties (Spark rounds the
+    shortest decimal repr HALF_UP, DuckDB rounds the binary value), a
+    hazard this entry's own re-derivation test exposed, while
+    multiply+add+floor is the identical IEEE op sequence everywhere.
+
+    Shape (100 TB): the daily rollup is computed ONCE and materialized
+    before the recursion — Spark re-derives a recursive CTE's
+    non-recursive inputs on EVERY iteration, so the all-SQL form
+    re-ran the fact-table agg |days| times (measured ~20 s at sf0.1 vs
+    ~1 s materialized; DuckDB materializes CTEs and never had the
+    hazard).  The recursion then runs on |types| x |days| rows —
+    metadata-scale; depth = |days| (30), far under the ceiling.
+    """
+    from dblab_ece_trino_spark.operators.registry import register
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES
+
+    rec_tpl = """
+    WITH RECURSIVE hw(event_type, rn, bar_day, y, l, b) AS (
+      SELECT event_type, rn, bar_day, y, y, CAST(0.0 AS DOUBLE)
+      FROM {r} WHERE rn = 1
+      UNION ALL
+      SELECT r.event_type, r.rn, r.bar_day, r.y,
+             0.25 * r.y + 0.75 * (hw.l + hw.b),
+             0.5 * ((0.25 * r.y + 0.75 * (hw.l + hw.b)) - hw.l)
+               + 0.5 * hw.b
+      FROM hw
+      JOIN {r} r ON r.event_type = hw.event_type AND r.rn = hw.rn + 1
+    )
+    SELECT event_type, rn, bar_day,
+           CAST(floor(y * 10000 + 0.5) AS BIGINT) AS y_e4,
+           CAST(floor(l * 10000 + 0.5) AS BIGINT) AS level_e4,
+           CAST(floor(b * 10000 + 0.5) AS BIGINT) AS trend_e4,
+           CAST(floor((l + b) * 10000 + 0.5) AS BIGINT) AS forecast_e4
+    FROM hw
+    ORDER BY event_type, rn
+    """
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dblab_ece_trino_spark.entrypoints import engine_for
+        from dblab_ece_trino_spark.session import materialize
+
+        ev = engine_for(spark, sf_dir).catalogs.table(
+            "elastic.default.events"
+        )
+        daily = ev.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("bar_day"),
+        ).agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("y")
+        )
+        # the rank window runs on the materialized |types| x |days|
+        # rollup — metadata-scale partitions, never the fact table
+        w = Window.partitionBy("event_type").orderBy("bar_day")
+        ranked = materialize(
+            daily.withColumn(
+                "rn", F.row_number().over(w).cast("bigint")
+            )
+        )
+        ranked.createOrReplaceTempView("__holt_daily_r14")
+        return spark.sql(rec_tpl.format(r="__holt_daily_r14"))
+
+    oracle = """
+    WITH RECURSIVE d AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS bar_day,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS y
+      FROM {events}
+      GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+    ),
+    rr AS (
+      SELECT event_type, bar_day, y,
+             CAST(row_number() OVER (
+               PARTITION BY event_type ORDER BY bar_day) AS BIGINT) AS rn
+      FROM d
+    ),
+""".format(**_ORACLE_TABLES) + rec_tpl.format(r="rr").replace(
+        "WITH RECURSIVE ", "", 1
+    )
+    register("ts_holt_trend", run, oracle=oracle)
+
+
+_register_holt_trend()

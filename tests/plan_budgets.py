@@ -431,6 +431,23 @@ PLAN_BUDGETS = {
     # peeled edge frame materialized per round: the graded plan is the
     # final checkpoint scan + sym-union degree agg
     'graph_ktruss': (2, 2, 0, 1),
+    # round-14 ops.  graph_ppr: the 5-iteration lazy loop re-reads the
+    # checkpointed edge+outdeg and seed frames per iteration (the
+    # graph_pagerank (6,6) discipline plus one seed-teleport union per
+    # round); no window, no sort.  dedup_chunk_neardup: the pair
+    # volume is LSH-band-bounded (chunk explode -> the shared banding
+    # machinery behind materialize() walls -> one profile agg); the
+    # single sort is the output ORDER BY.  ts_holt_trend: recursive-CTE
+    # smoothing on the daily rollup — one exchange, the rank window +
+    # recursion-internal window, output sort.  audio_resample: one
+    # Arrow mapInPandas pass + output sort.  epoch_shuffle: sharded
+    # global ranks (range partition + per-shard window behind the
+    # checkpoint) + id-keyed pair join + one 3-row agg.
+    'graph_ppr': (11, 10, 0, 0),
+    'dedup_chunk_neardup': (2, 4, 0, 1),
+    'ts_holt_trend': (0, 1, 0, 1),
+    'multimodal_audio_resample': (0, 1, 0, 1),
+    'sample_epoch_shuffle': (2, 4, 0, 3),
     # 3 windows over the snapshot (distinct-date) frame: rdesc +
     # 7-day-bucket rank + month rank — all metadata-scale
     'wh_retention_policy': (2, 3, 3, 4),
