@@ -165,28 +165,82 @@ def pagerank(
     return pr
 
 
-def triangle_participation(pairs: DataFrame, top_n: int = 15) -> DataFrame:
-    """Per-node triangle counts from the oriented edge list.
+def degree_oriented_triangles(e: DataFrame) -> DataFrame:
+    """Enumerate each triangle of the canonical (u < v) edge frame
+    exactly once as (s, t1, t2), with every wedge built at the
+    triangle's LOWEST-(degree, id) vertex (Chiba-Nishizeki; cf.
+    Suri-Vassilvitskii "Counting triangles and the curse of the last
+    reducer", WWW'11).  The naive a<b<c-by-ID wedge join charges a
+    popularity hub of degree d with ~d^2/4 wedge candidates wherever
+    it ranks — 65-75 s on an honest-Zipf co-purchase graph at the
+    sf0.1 volume (scripts/zipf_graph.py); degree orientation bounds
+    total candidates by sum(min-oriented-deg^2) = O(m^1.5) on ANY
+    graph.  The triangle SET is orientation-invariant, so callers'
+    ID-oriented SQL oracles verify outputs unchanged.  ``e`` should be
+    materialized (it is read three times).
+    """
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient each edge from its lower-(degree, id) endpoint; carry the
+    # target's (degree, id) struct so the wedge join can order its two
+    # targets without re-joining degrees
+    ej = (
+        e.join(deg.withColumnRenamed("n", "u")
+                  .withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v")
+                 .withColumnRenamed("d", "dv"), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    from dblab_ece_trino_spark.session import materialize
 
-    Each triangle a < b < c appears once in the wedge join; its three
-    corners are then exploded back out and counted.  Returns the top_n
-    nodes by participation (ties broken by node id — deterministic).
+    oe = materialize(
+        ej.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(u_first, F.struct(F.col("dv").alias("d"),
+                                     F.col("v").alias("n")))
+            .otherwise(F.struct(F.col("du").alias("d"),
+                                F.col("u").alias("n")))
+            .alias("ot"),
+        )
+    )
+    # wedges at the minimum-(degree, id) vertex of each triangle:
+    # s -> t1, s -> t2 with ord(t1) < ord(t2), closed by the oriented
+    # edge t1 -> t2 (unique per triangle)
+    w1 = oe.select("s", F.col("t").alias("t1"), F.col("ot").alias("o1"))
+    w2 = oe.select("s", F.col("t").alias("t2"), F.col("ot").alias("o2"))
+    return (
+        w1.join(w2, "s")
+        .filter(F.col("o1") < F.col("o2"))
+        .join(
+            oe.select(F.col("s").alias("t1"), F.col("t").alias("t2")),
+            ["t1", "t2"],
+            "semi",
+        )
+        .select("s", "t1", "t2")
+    )
+
+
+def triangle_participation(pairs: DataFrame, top_n: int = 15) -> DataFrame:
+    """Per-node triangle counts from the canonical edge list.
+
+    Each triangle appears once in the degree-oriented wedge join
+    (round 14 — the ID-oriented join was hub-quadratic, see
+    ``degree_oriented_triangles``); its three corners are then
+    exploded back out and counted.  Returns the top_n nodes by
+    participation (ties broken by node id — deterministic).
     """
     from dblab_ece_trino_spark.session import materialize
 
     p = materialize(pairs)
-    tri = (
-        p.alias("e1")
-        .join(p.alias("e2"), F.col("e1.v") == F.col("e2.u"))
-        .join(
-            p.alias("e3"),
-            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
-        )
-        .select(
-            F.col("e1.u").alias("a"),
-            F.col("e1.v").alias("b"),
-            F.col("e2.v").alias("c"),
-        )
+    tri = degree_oriented_triangles(p).select(
+        F.col("s").alias("a"), F.col("t1").alias("b"), F.col("t2").alias("c")
     )
     # one explode, not a 3-way unionAll: a union re-derives the triangle
     # join once per branch (9 scans / 13 exchanges in the plan census vs
@@ -904,18 +958,8 @@ def _q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dblab_ece_trino_spark.session import materialize
 
     p = materialize(coorder_pairs(_li(spark, sf_dir)))
-    tri = (
-        p.alias("e1")
-        .join(p.alias("e2"), F.col("e1.v") == F.col("e2.u"))
-        .join(
-            p.alias("e3"),
-            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
-        )
-        .select(
-            F.col("e1.u").alias("a"),
-            F.col("e1.v").alias("b"),
-            F.col("e2.v").alias("c"),
-        )
+    tri = degree_oriented_triangles(p).select(
+        F.col("s").alias("a"), F.col("t1").alias("b"), F.col("t2").alias("c")
     )
     corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     tcnt = corners.groupBy("node").agg(
@@ -1984,72 +2028,22 @@ def ktruss_edges(
     and it runs over the SURVIVING edges only — peeling makes each
     round cheaper than the last.
 
-    Orientation matters at scale: enumerating triangles as a<b<c by
-    NODE ID (the round-13 form) builds every wedge at its middle-ID
-    vertex, so a popularity hub with degree d contributes ~d^2/4 wedge
-    candidates regardless of where it ranks — on an honest-Zipf
-    co-purchase graph (scripts/zipf_graph.py) that measured 65-75 s at
-    the sf0.1 data volume.  Orienting every edge from its lower-
-    (degree, id) endpoint instead (Chiba-Nishizeki / cf. Suri-Vassilvitskii
-    "Counting triangles and the curse of the last reducer", WWW'11)
-    charges every wedge to its LOWEST-degree vertex, bounding total
-    wedge candidates by sum(min-oriented-degree^2) = O(m^1.5) on any
-    graph; same measurement drops to ~3 s.  The triangle SET is
-    orientation-invariant, so the unrolled-CTE DuckDB oracle (ID
-    orientation) verifies the output unchanged.
+    Orientation matters at scale: the per-round enumeration is
+    ``degree_oriented_triangles`` (shared with triangle_participation
+    and the clustering coefficient since round 14) — see its docstring
+    for the hub-quadratic hazard the honest-Zipf probe measured in the
+    ID-oriented form and the O(m^1.5) bound the orientation restores.
+    The triangle SET is orientation-invariant, so the unrolled-CTE
+    DuckDB oracle (ID orientation) verifies the output unchanged.
     """
     from dblab_ece_trino_spark.session import materialize
 
     e = materialize(pairs.select("u", "v"))
     for _ in range(rounds):
-        # per-round degree of the surviving edge frame (it shrinks, so
-        # recomputing keeps the orientation honest and gets cheaper)
-        deg = (
-            e.select(F.col("u").alias("n"))
-            .unionAll(e.select(F.col("v").alias("n")))
-            .groupBy("n")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        # orient each edge from its lower-(degree, id) endpoint; carry
-        # the target's (degree, id) struct so the wedge join can order
-        # its two targets without re-joining degrees
-        ej = (
-            e.join(deg.withColumnRenamed("n", "u")
-                      .withColumnRenamed("d", "du"), "u")
-            .join(deg.withColumnRenamed("n", "v")
-                     .withColumnRenamed("d", "dv"), "v")
-        )
-        u_first = (F.col("du") < F.col("dv")) | (
-            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-        )
-        oe = materialize(
-            ej.select(
-                F.when(u_first, F.col("u")).otherwise(F.col("v"))
-                .alias("s"),
-                F.when(u_first, F.col("v")).otherwise(F.col("u"))
-                .alias("t"),
-                F.when(u_first, F.struct(F.col("dv").alias("d"),
-                                         F.col("v").alias("n")))
-                .otherwise(F.struct(F.col("du").alias("d"),
-                                    F.col("u").alias("n")))
-                .alias("ot"),
-            )
-        )
-        # wedges at the minimum-(degree, id) vertex of each triangle:
-        # s -> t1, s -> t2 with ord(t1) < ord(t2), closed by the
-        # oriented edge t1 -> t2 (unique per triangle)
-        w1 = oe.select("s", F.col("t").alias("t1"), F.col("ot").alias("o1"))
-        w2 = oe.select("s", F.col("t").alias("t2"), F.col("ot").alias("o2"))
-        tri = (
-            w1.join(w2, "s")
-            .filter(F.col("o1") < F.col("o2"))
-            .join(
-                oe.select(F.col("s").alias("t1"), F.col("t").alias("t2")),
-                ["t1", "t2"],
-                "semi",
-            )
-            .select("s", "t1", "t2")
-        )
+        # degree-oriented enumeration over the SURVIVING edge frame —
+        # recomputing the orientation per round keeps it honest as
+        # peeling shrinks the graph (and gets cheaper each round)
+        tri = degree_oriented_triangles(e)
         # charge each triangle to its 3 canonical (u < v) edges
         sup = (
             tri.select(F.least("s", "t1").alias("u"),
