@@ -1718,7 +1718,7 @@ register("pipeline_dedup_corpus", _q_dedup_corpus,
 # ------------------------------------- passage-grain near-dup (round 14)
 CHUNK_ND_TOKENS = 16
 CHUNK_ND_THRESHOLD = 0.8
-CHUNK_ND_KEY_STRIDE = 100_000
+CHUNK_ND_KEY_STRIDE = 1_000_000
 
 
 def chunk_units(
@@ -1744,7 +1744,23 @@ def chunk_units(
         )
         .select(
             F.col(id_col),
-            (F.col(id_col) * CHUNK_ND_KEY_STRIDE + F.col("__idx"))
+            # GUARDED key packing: a document with >= stride full
+            # chunks would alias into the next doc's key space and the
+            # shared-formula oracle would silently verify the corrupted
+            # profiles, so overflow fails the job instead (inline
+            # expression — no extra action; never fires under the
+            # stride's 1e6-chunk = 16M-token per-doc bound)
+            F.when(
+                F.col("__idx") < F.lit(CHUNK_ND_KEY_STRIDE),
+                F.col(id_col) * CHUNK_ND_KEY_STRIDE + F.col("__idx"),
+            )
+            .otherwise(
+                F.expr(
+                    "CAST(raise_error('chunk_neardup: document exceeds"
+                    " the chunk-key stride; widen CHUNK_ND_KEY_STRIDE')"
+                    " AS LONG)"
+                )
+            )
             .cast("long")
             .alias("ckey"),
             F.slice("__t", F.col("__s"), chunk_tokens).alias("__c"),

@@ -5290,6 +5290,10 @@ def audio_decimate_stats(media: DataFrame) -> DataFrame:
                 rate, s = decode_wav(bytes(payload))
                 s64 = s.astype("int64")
                 m = len(s64) // 2
+                if m <= 0:
+                    # single-sample clip: no output pairs — the oracle
+                    # omits the row (empty generate_series), match it
+                    continue
                 y = (s64[: 2 * m : 2] + s64[1 : 2 * m : 2] + 4096) // 2 - 2048
                 jw = np.arange(m, dtype="int64")
                 out.append(
@@ -7968,6 +7972,12 @@ def audio_resample_stats(media: DataFrame) -> DataFrame:
                 s64 = s.astype("int64")
                 n = len(s64)
                 m = (_RS_DOWN * (n - 1)) // _RS_UP
+                if m <= 0:
+                    # a <=2-sample clip yields no output samples; the
+                    # oracle's empty generate_series omits the row, so
+                    # skip it here too instead of crashing on empty
+                    # reductions
+                    continue
                 j = np.arange(m, dtype="int64")
                 num = _RS_UP * j
                 idx = num // _RS_DOWN

@@ -233,5 +233,19 @@ def materialize(df: DataFrame) -> DataFrame:
     prefer ``spark.sparkContext.setCheckpointDir`` + ``df.checkpoint()``
     for fault tolerance; localCheckpoint trades that for speed, which is
     the right call inside a single derivation.
+
+    IDEMPOTENT on already-checkpointed frames: shared cached builds
+    (shared_coorder_pairs, shared_minhash_clusters) hand consumers a
+    checkpoint scan, and functions that defensively materialize their
+    input would otherwise copy the whole frame AGAIN per query — a
+    full scan+store refunding part of what the sharing saved.  When
+    the optimized plan is already a bare LogicalRDD (an identity
+    projection collapses to one), the frame is returned as-is.
     """
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            return df
+    except Exception:  # pragma: no cover - plan introspection best-effort
+        pass
     return df.localCheckpoint(eager=True)

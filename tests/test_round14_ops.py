@@ -88,7 +88,11 @@ def test_ppr_pure_python():
 
 
 # --------------------------------------------- passage-grain near-dup
-def _chunks_py(con, chunk_tokens=16, stride=100_000):
+def _chunks_py(con, chunk_tokens=16, stride=None):
+    if stride is None:
+        from dblab_ece_trino_spark.operators.dedup import (
+            CHUNK_ND_KEY_STRIDE as stride,
+        )
     docs = con.execute(
         "SELECT doc_id, trim(text) FROM documents ORDER BY doc_id"
     ).fetchall()
@@ -267,26 +271,36 @@ def test_audio_resample_pure_python():
     assert got == want
 
 
-def test_audio_resample_linear_ramp_identity():
+def test_audio_resample_linear_ramp_identity(spark):
     """On a pure linear ramp, linear interpolation is EXACT: resampling
-    s_k = 5k must give y_j = round-free (40*j)//5... i.e. the
-    interpolated value at phase 8j/5 equals 8j — pins the kernel
-    against off-by-one phase bugs."""
+    s_k = 5k means the interpolated value at phase 8j/5 equals 8j.
+    Driven END-TO-END through the operator (encode_wav payload ->
+    audio_resample_stats), so a phase-accumulator or offset-trick
+    regression in the shipped code fails here, plus the tiny-clip
+    guard (a 2-sample clip yields no output row, like the oracle's
+    empty generate_series)."""
     from dblab_ece_trino_spark.operators.multimodal import (
         audio_resample_stats,
         encode_wav,
     )
 
-    # evaluated through the same arithmetic as the operator, in numpy
     n = 41
-    s = (np.arange(n, dtype=np.int64) * 5)
+    ramp = np.arange(n, dtype=np.int64) * 5
     m = (5 * (n - 1)) // 8
-    j = np.arange(m, dtype=np.int64)
-    num = 8 * j
-    idx, frac = num // 5, num % 5
-    v = s[idx] * (5 - frac) + s[idx + 1] * frac
-    y = (v + 40000) // 5 - 8000
-    assert (y == 8 * j).all()
+    y = 8 * np.arange(m, dtype=np.int64)  # the exact-ramp identity
+    media = spark.createDataFrame(
+        [(0, bytearray(encode_wav(ramp, 8000))),
+         (1, bytearray(encode_wav(np.array([7, -7]), 8000)))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in audio_resample_stats(media).collect()}
+    assert set(rows) == {0}  # the 2-sample clip is omitted, not a crash
+    r = rows[0]
+    assert (r.n_out, r.sum_out, r.sumsq_out, r.min_out, r.max_out,
+            r.jsum_out) == (
+        m, int(y.sum()), int((y * y).sum()), 0, int(y[-1]),
+        int((y * np.arange(m)).sum()),
+    )
 
 
 # ----------------------------------------------- epoch shuffle audit
