@@ -433,6 +433,37 @@ def main() -> None:
         n = fn(spark, sf_dir).count()  # materialize, no driver transfer
         return time.monotonic() - t0, n
 
+    # Shared one-per-(session, sf_dir) builds are triggered and timed
+    # SEPARATELY before PASS 1 (round-14 advice): otherwise the first
+    # consumer entry in HEADLINE silently absorbs the whole build in
+    # its 'cold' figure while every later consumer excludes it, making
+    # cold numbers run-order dependent and incomparable across
+    # reorderings.  Eager materialization inside each shared_* builder
+    # means the call itself performs the build.
+    shared_builds: dict[str, float] = {}
+
+    def _time_build(label: str, thunk) -> None:
+        t0 = time.monotonic()
+        try:
+            thunk()
+        except Exception as exc:  # build failure must not kill the bench
+            print(f"# shared build {label} failed: {exc}", file=sys.stderr)
+            return
+        shared_builds[label] = round(time.monotonic() - t0, 3)
+
+    from dblab_ece_trino_spark.operators.dedup import shared_minhash_clusters
+    from dblab_ece_trino_spark.operators.graph import shared_coorder_pairs
+    from dblab_ece_trino_spark.operators.similarity import shared_ivf_build
+
+    _time_build(
+        "coorder_pairs", lambda: shared_coorder_pairs(spark, sf_dir)
+    )
+    _time_build(
+        "minhash_clusters", lambda: shared_minhash_clusters(spark, sf_dir)
+    )
+    _time_build("ivf_build", lambda: shared_ivf_build(spark, sf_dir))
+    print(f"# shared builds: {shared_builds}", file=sys.stderr)
+
     # PASS 1 — whole-suite warmup (round-13 verdict item 2): every
     # entry runs once BEFORE any warm rep is timed, so the recorded
     # reps never absorb cross-entry JVM/JIT/codegen warmup (the driver
@@ -511,6 +542,9 @@ def main() -> None:
         "warm_reps": WARM_REPS,
         # entries whose 3-rep spread exceeded 2x and earned extra reps
         "adaptive_reps": sorted(adaptive),
+        # one-per-(session, sf_dir) builds timed outside the per-entry
+        # loop so 'cold' figures stay run-order independent (r14 advice)
+        "shared_builds": shared_builds,
     }
     with open(os.path.join(repo, local_name), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)

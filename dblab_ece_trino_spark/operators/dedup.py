@@ -1745,19 +1745,28 @@ def chunk_units(
         .select(
             F.col(id_col),
             # GUARDED key packing: a document with >= stride full
-            # chunks would alias into the next doc's key space and the
-            # shared-formula oracle would silently verify the corrupted
-            # profiles, so overflow fails the job instead (inline
+            # chunks would alias into the next doc's key space, and a
+            # doc_id >= 2^63/stride would overflow the multiply itself
+            # (BIGINT wraps in non-ANSI mode) — either way the
+            # shared-formula oracle would silently verify corrupted
+            # profiles, so both bounds fail the job instead (inline
             # expression — no extra action; never fires under the
-            # stride's 1e6-chunk = 16M-token per-doc bound)
+            # stride's 1e6-chunk = 16M-token per-doc bound and
+            # ~9.22e12-doc id bound)
             F.when(
-                F.col("__idx") < F.lit(CHUNK_ND_KEY_STRIDE),
+                (F.col("__idx") < F.lit(CHUNK_ND_KEY_STRIDE))
+                & (F.col(id_col) >= 0)
+                & (
+                    F.col(id_col)
+                    < F.lit((2**63 - CHUNK_ND_KEY_STRIDE) // CHUNK_ND_KEY_STRIDE)
+                ),
                 F.col(id_col) * CHUNK_ND_KEY_STRIDE + F.col("__idx"),
             )
             .otherwise(
                 F.expr(
-                    "CAST(raise_error('chunk_neardup: document exceeds"
-                    " the chunk-key stride; widen CHUNK_ND_KEY_STRIDE')"
+                    "CAST(raise_error('chunk_neardup: chunk index or"
+                    " doc_id outside the packable key range; widen"
+                    " CHUNK_ND_KEY_STRIDE or re-key documents')"
                     " AS LONG)"
                 )
             )

@@ -222,6 +222,11 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df.repartition(target)
 
 
+# RDD ids of checkpoints materialize() itself created — the idempotence
+# short-circuit keys on membership here, never on plan shape alone.
+_CHECKPOINTED_RDD_IDS: set = set()
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Eagerly materialize and truncate lineage (localCheckpoint).
 
@@ -238,14 +243,28 @@ def materialize(df: DataFrame) -> DataFrame:
     (shared_coorder_pairs, shared_minhash_clusters) hand consumers a
     checkpoint scan, and functions that defensively materialize their
     input would otherwise copy the whole frame AGAIN per query — a
-    full scan+store refunding part of what the sharing saved.  When
-    the optimized plan is already a bare LogicalRDD (an identity
-    projection collapses to one), the frame is returned as-is.
+    full scan+store refunding part of what the sharing saved.  The
+    short-circuit is MEMBERSHIP-based, not plan-shape-based: a bare
+    LogicalRDD also backs never-checkpointed frames (Arrow-path
+    createDataFrame, df.rdd round-trips), and those callers still
+    want eager computation + lineage truncation.  So materialize()
+    records the RDD id of every checkpoint it creates and only
+    returns a frame as-is when its LogicalRDD's id is one of ours.
     """
     try:
         plan = df._jdf.queryExecution().optimizedPlan()
-        if plan.getClass().getSimpleName() == "LogicalRDD":
+        if (
+            plan.getClass().getSimpleName() == "LogicalRDD"
+            and plan.rdd().id() in _CHECKPOINTED_RDD_IDS
+        ):
             return df
     except Exception:  # pragma: no cover - plan introspection best-effort
         pass
-    return df.localCheckpoint(eager=True)
+    out = df.localCheckpoint(eager=True)
+    try:
+        out_plan = out._jdf.queryExecution().optimizedPlan()
+        if out_plan.getClass().getSimpleName() == "LogicalRDD":
+            _CHECKPOINTED_RDD_IDS.add(out_plan.rdd().id())
+    except Exception:  # pragma: no cover - plan introspection best-effort
+        pass
+    return out

@@ -58,8 +58,13 @@ def build(scale: int) -> str:
     rank = np.searchsorted(cdf, rng.random(rows), side="left")
     perm = rng.permutation(parts).astype(np.int64)
     partkey = perm[rank] + 1
-    # order fan: 1..7 items per order (draw enough orders, trim to rows)
+    # order fan: 1..7 items per order — draw until the cumulative fan
+    # covers rows (E[size]=4 makes rows//2+8 draws overwhelmingly
+    # sufficient, but robust-by-construction beats astronomically
+    # unlikely; r14 advice), then trim to exactly rows
     sizes = rng.integers(1, 8, size=rows // 2 + 8)
+    while int(sizes.sum()) < rows:  # pragma: no cover - probability ~0
+        sizes = np.concatenate([sizes, rng.integers(1, 8, size=rows // 4 + 8)])
     orderkey = np.repeat(
         np.arange(1, sizes.size + 1, dtype=np.int64), sizes
     )[:rows]

@@ -293,3 +293,27 @@ def test_rotation_window_policy():
     finally:
         sys.path.pop(0)
     assert violations() == []
+
+
+def test_materialize_membership_short_circuit(spark):
+    """materialize() is idempotent ONLY on frames it checkpointed itself
+    (membership in _CHECKPOINTED_RDD_IDS), never on plan shape alone:
+    a LogicalRDD backing a never-checkpointed frame (df.rdd round-trip)
+    must still be eagerly checkpointed (round-14 advice)."""
+    from dblab_ece_trino_spark.session import (
+        _CHECKPOINTED_RDD_IDS,
+        materialize,
+    )
+
+    df = spark.range(50).selectExpr("id", "id * 2 AS y")
+    m1 = materialize(df)
+    plan = m1._jdf.queryExecution().optimizedPlan()
+    assert plan.getClass().getSimpleName() == "LogicalRDD"
+    assert plan.rdd().id() in _CHECKPOINTED_RDD_IDS
+    assert materialize(m1) is m1  # ours -> short-circuit
+    # a LogicalRDD frame materialize() did NOT create must not
+    # short-circuit (rdd round-trip yields a fresh LogicalRDD plan)
+    alien = spark.createDataFrame(df.rdd, df.schema)
+    alien_plan = alien._jdf.queryExecution().optimizedPlan()
+    if alien_plan.getClass().getSimpleName() == "LogicalRDD":
+        assert materialize(alien) is not alien
