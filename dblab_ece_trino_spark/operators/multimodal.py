@@ -27,6 +27,7 @@ Design for image/audio/video at 100 TB:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -5137,6 +5138,248 @@ def _ahash_oracle() -> str:
 
 
 register("dedup_image_ahash", _q_image_ahash, oracle=_ahash_oracle())
+
+
+# ------------------------------------------------ DCT perceptual hash
+# pHash (DCT perceptual hash) near-duplicate detection — the
+# frequency-domain upgrade of dedup_image_ahash: aHash thresholds
+# 8x8 block means against the global mean, so a nonlinear brightness
+# edit (gamma) that moves near-mean flat regions across the global
+# mean flips a large fraction of its bits while leaving the image
+# perceptually identical; pHash instead ranks the 8x8 LOW-FREQUENCY
+# 2-D DCT coefficients of the 32x32 luma (bit = coefficient among the
+# per-image top-32 by (value, position) order — the median-threshold
+# form with a deterministic tiebreak), whose dominant-structure signs
+# a monotone point edit barely moves.  The planted fixture pair
+# (image 0 -> gamma edit 1) measures Hamming 2 under pHash and 32
+# under aHash — the miss the round-14 verdict named, pinned by
+# tests/test_round15_ops.py.
+#
+# ALL-INTEGER DCT: the 8x32 DCT-II basis is rounded to 2^14-scaled
+# integers ONCE at import (math.cos in this process feeds BOTH the
+# Arrow kernel's matrices and the oracle's literal VALUES table, so
+# the engines share identical constants and every coefficient is an
+# exact int64 — |coeff| <= 255 * 2^28 * 1024 < 2^63; the float-cosine
+# cross-engine ulp hazard never enters).
+#
+# 100 TB shape: fingerprints are one Arrow mapInPandas pass (decode ->
+# 32x32 luma -> two integer matmuls -> rank mask); the pair stage is
+# BANDED, not all-pairs — 8 bands x 8 bits, so any pair at Hamming
+# <= 7 shares a band by pigeonhole (threshold 3 << 7), and the join
+# meets on (band, value) keys exactly like the MinHash LSH banding.
+_PHASH_N = 8
+_PHASH_DUP_BITS = 3
+_PHASH_BANDS = 8
+_PHASH_DCT = [
+    [
+        round(math.cos(math.pi * (2 * x + 1) * u / 64) * (1 << 14))
+        for x in range(32)
+    ]
+    for u in range(8)
+]
+
+
+def _phash_gray(i: int):
+    """Closed-form 32x32 fixture luma (shared verbatim with the oracle
+    SQL): stripe/checker/ramp bases; images 1 and 5 are integer-gamma
+    (v*v)//255 edits of bases 0 and 2."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    fam = {0: 0, 1: 0, 2: 2, 5: 2}.get(i, i)
+    if fam == 0:
+        g = np.where(xx < 16, np.where((xx // 4) % 2 == 1, 220, 20), 128)
+    elif fam == 2:
+        g = np.where((yy // 4) % 2 == 1, 200, 40) + 0 * xx
+    elif i == 3:
+        g = np.where((xx // 8) % 2 == 1, 230, 25) + 0 * yy
+    elif i == 4:
+        g = 255 * (((xx // 16) + (yy // 16)) % 2)
+    elif i == 6:
+        g = ((xx + yy) * 255) // 62
+    else:
+        g = 255 - ((xx + yy) * 255) // 62
+    g = g.astype(np.int64)
+    if i in (1, 5):
+        g = (g * g) // 255
+    return g.astype(np.uint8)
+
+
+def _phash_payloads(spark: SparkSession) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                g = _phash_gray(i)
+                img = np.repeat(g[:, :, None], 3, axis=2)
+                rows.append(
+                    (i, encode_tga(img, rle=bool(i % 2),
+                                   topdown=bool((i // 2) % 2)))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return spark.range(_PHASH_N).mapInPandas(
+        gen, "media_id long, payload binary"
+    )
+
+
+def phash_fingerprints(media: DataFrame) -> DataFrame:
+    """Decode TGA payloads and compute the 64-bit DCT pHash as two
+    32-bit BIGINT halves (bit pos = u*8 + v over the low 8x8 DCT
+    block; bit = 1 iff the coefficient ranks in the per-image top 32
+    under ascending (coeff, pos) order — row_number() > 32 in the
+    oracle's window form)."""
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        basis = np.array(_PHASH_DCT, dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _w, _h, _ch, arr = decode_tga(bytes(payload))
+                g = arr[:, :, 0].astype(np.int64)
+                c = (basis @ g @ basis.T).flatten()
+                order = np.lexsort((np.arange(64), c))
+                bits = np.zeros(64, dtype=np.int64)
+                bits[order[32:]] = 1
+                lo = int((bits[:32] << np.arange(32, dtype=np.int64)).sum())
+                hi = int((bits[32:] << np.arange(32, dtype=np.int64)).sum())
+                out.append((int(mid), hi, lo))
+            yield pd.DataFrame(
+                out, columns=["media_id", "hash_hi", "hash_lo"]
+            )
+
+    return media.mapInPandas(fp, "media_id long, hash_hi long, hash_lo long")
+
+
+def _q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dblab_ece_trino_spark.session import materialize
+
+    fps = materialize(phash_fingerprints(_phash_payloads(spark)))
+    # 8 bands x 8 bits: any pair at Hamming <= 7 shares a band
+    band_expr = (
+        "transform(sequence(0, {b} - 1), b -> named_struct("
+        "'band', b, 'bv', CASE WHEN b < 4"
+        " THEN shiftright(hash_lo, 8 * b) & 255"
+        " ELSE shiftright(hash_hi, 8 * (b - 4)) & 255 END))"
+    ).format(b=_PHASH_BANDS)
+    banded = fps.select(
+        "media_id", F.explode(F.expr(band_expr)).alias("bk")
+    ).select("media_id", "bk.band", "bk.bv")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    fa = fps.selectExpr("media_id AS media_a", "hash_hi ha", "hash_lo la")
+    fb = fps.selectExpr("media_id AS media_b", "hash_hi hb", "hash_lo lb")
+    return (
+        cand.join(fa, "media_a")
+        .join(fb, "media_b")
+        .selectExpr(
+            "media_a", "media_b",
+            "CAST(bit_count(ha ^ hb) + bit_count(la ^ lb) AS INT)"
+            " AS hamming",
+        )
+        .selectExpr(
+            "media_a", "media_b", "hamming",
+            f"hamming <= {_PHASH_DUP_BITS} AS is_dup",
+        )
+        .orderBy("media_a", "media_b")
+    )
+
+
+def _phash_oracle() -> str:
+    basis_rows = ", ".join(
+        f"({u}, {x}, {c})"
+        for u, row in enumerate(_PHASH_DCT)
+        for x, c in enumerate(row)
+    )
+    return f"""
+    WITH basis(u, x, c) AS (VALUES {basis_rows}),
+    raw AS (
+      SELECT i, x, y,
+             CASE
+               WHEN i IN (0, 1) THEN
+                 CASE WHEN x < 16 THEN
+                   CASE WHEN (x // 4) % 2 = 1 THEN 220 ELSE 20 END
+                 ELSE 128 END
+               WHEN i IN (2, 5) THEN
+                 CASE WHEN (y // 4) % 2 = 1 THEN 200 ELSE 40 END
+               WHEN i = 3 THEN
+                 CASE WHEN (x // 8) % 2 = 1 THEN 230 ELSE 25 END
+               WHEN i = 4 THEN 255 * (((x // 16) + (y // 16)) % 2)
+               WHEN i = 6 THEN ((x + y) * 255) // 62
+               ELSE 255 - ((x + y) * 255) // 62
+             END AS v0
+      FROM unnest(generate_series(0, {_PHASH_N} - 1)) AS gi(i),
+           unnest(generate_series(0, 31)) AS gx(x),
+           unnest(generate_series(0, 31)) AS gy(y)
+    ),
+    px AS (
+      SELECT i, x, y,
+             CASE WHEN i IN (1, 5) THEN (v0 * v0) // 255 ELSE v0 END AS v
+      FROM raw
+    ),
+    co AS (
+      SELECT px.i, bv.u * 8 + bu.u AS pos,
+             sum(CAST(px.v AS BIGINT) * bu.c * bv.c) AS coeff
+      FROM px
+      JOIN basis bu ON bu.x = px.x
+      JOIN basis bv ON bv.x = px.y
+      GROUP BY px.i, bv.u * 8 + bu.u
+    ),
+    bits AS (
+      SELECT i, pos,
+             CASE WHEN row_number() OVER (
+               PARTITION BY i ORDER BY coeff, pos) > 32
+             THEN 1 ELSE 0 END AS bit
+      FROM co
+    ),
+    fp AS (
+      SELECT i AS media_id,
+             CAST(sum(CASE WHEN pos >= 32 AND bit = 1
+                  THEN (CAST(1 AS BIGINT) << (pos - 32)) ELSE 0 END)
+               AS BIGINT) AS hash_hi,
+             CAST(sum(CASE WHEN pos < 32 AND bit = 1
+                  THEN (CAST(1 AS BIGINT) << pos) ELSE 0 END)
+               AS BIGINT) AS hash_lo
+      FROM fp_src GROUP BY i
+    ),
+    bands AS (
+      SELECT media_id, b,
+             CASE WHEN b < 4 THEN (hash_lo >> (8 * b)) & 255
+                  ELSE (hash_hi >> (8 * (b - 4))) & 255 END AS bv
+      FROM fp, unnest(generate_series(0, {_PHASH_BANDS} - 1)) AS gb(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bv = b.bv AND a.media_id < b.media_id
+    )
+    SELECT c.media_a, c.media_b,
+           CAST(bit_count(xor(fa.hash_hi, fb.hash_hi))
+                + bit_count(xor(fa.hash_lo, fb.hash_lo)) AS INT)
+             AS hamming,
+           (bit_count(xor(fa.hash_hi, fb.hash_hi))
+            + bit_count(xor(fa.hash_lo, fb.hash_lo)))
+             <= {_PHASH_DUP_BITS} AS is_dup
+    FROM cand c
+    JOIN fp fa ON fa.media_id = c.media_a
+    JOIN fp fb ON fb.media_id = c.media_b
+    ORDER BY media_a, media_b
+    """.replace("FROM fp_src", "FROM bits")
+
+
+register("dedup_image_phash", _q_image_phash, oracle=_phash_oracle())
 
 
 # ------------------------------------------------ histogram equalization

@@ -1942,3 +1942,161 @@ def _register_holt_trend() -> None:
 
 
 _register_holt_trend()
+
+
+def _register_holtwinters() -> None:
+    """Holt-Winters ADDITIVE-SEASONAL triple exponential smoothing over
+    the per-type daily mean series — the seasonal third state on top of
+    ``ts_holt_trend`` (level+trend, green r14): what a capacity-planning
+    user actually forecasts with when the series has a weekly rhythm
+    (the synthetic events series is built with a weekday profile, see
+    ``ts_weekday_profile``).  Season length m = 7 (weekday cycle).
+
+    State recursion (Holt-Winters additive form, alpha=0.25 beta=0.5
+    gamma=0.25 — ALL BINARY-EXACT doubles, complements 0.75/0.5/0.75
+    exact too, so the sequential recurrence is the identical IEEE op
+    sequence on both engines; 0.3-style constants are avoided because
+    DuckDB parses decimal literals as DECIMAL before promoting):
+
+        l_t = alpha*(y_t - s_{t-m}) + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+        s_t = gamma*(y_t - l_t)    + (1-gamma)*s_{t-m}
+
+    The m-deep seasonal memory rides the recursion as SEVEN explicit
+    state columns rotated each step (s1 = oldest = s_{t-m}; the new
+    seasonal enters at s7) — arrays would work but element access and
+    append syntax diverge between engines, while plain columns keep
+    the recursion text byte-identical on both.
+
+    Initialization (classic two-season init): l_7 = mean(y_1..y_7),
+    b_7 = (mean(y_8..y_14) - mean(y_1..y_7)) / 7, s_i = y_i - l_7.
+    The init means are written as LITERAL left-associated 7-term sums
+    over a pivoted one-row-per-type frame — an aggregate sum() over
+    doubles is partition-order dependent in Spark and would diverge
+    from DuckDB's sequential sum in the last ulps (the ts_zscore
+    hazard, float edition); a fixed-order expression is the same IEEE
+    sequence everywhere.
+
+    Outputs are BIGINT 1e-4 micro-units via floor(x*10000 + 0.5) — the
+    round(double, n) cross-engine tie trap documented in ts_holt_trend.
+
+    Shape (100 TB): daily rollup exact-decimal-summed from the fact
+    table ONCE and materialized (Spark re-derives recursive-CTE
+    non-recursive inputs per iteration — the r14 hazard); the pivot,
+    init, and recursion then run on |types| x |days| rows — metadata
+    scale; recursion depth = |days| - m (23), far under the ceiling.
+    """
+    from dblab_ece_trino_spark.operators.registry import register
+    from dblab_ece_trino_spark.queries import _ORACLE_TABLES
+
+    m = 7
+    piv_y = ", ".join(
+        f"max(CASE WHEN rn = {i} THEN y END) AS y{i}" for i in range(1, 15)
+    )
+    s1_7 = "(((((y1 + y2) + y3) + y4) + y5) + y6) + y7"
+    s8_14 = "(((((y8 + y9) + y10) + y11) + y12) + y13) + y14"
+    init_tpl = f"""
+    SELECT event_type, d7,
+           l0,
+           (({s8_14}) / CAST(7 AS DOUBLE) - l0) / CAST(7 AS DOUBLE) AS b0,
+           y1 - l0 AS s1, y2 - l0 AS s2, y3 - l0 AS s3, y4 - l0 AS s4,
+           y5 - l0 AS s5, y6 - l0 AS s6, y7 - l0 AS s7
+    FROM (
+      SELECT event_type, d7, y1, y2, y3, y4, y5, y6, y7,
+             y8, y9, y10, y11, y12, y13, y14,
+             ({s1_7}) / CAST(7 AS DOUBLE) AS l0
+      FROM (
+        SELECT event_type, {piv_y},
+               max(CASE WHEN rn = {m} THEN bar_day END) AS d7
+        FROM {{r}} GROUP BY event_type
+      ) p
+    ) q
+    WHERE y14 IS NOT NULL
+    """
+    # lnew repeated inline (no lateral alias refs — Spark and DuckDB
+    # disagree on when those are legal inside recursive members)
+    lnew = "0.25 * (r.y - hw.s1) + 0.75 * (hw.l + hw.b)"
+    rec_tpl = f"""
+    WITH RECURSIVE hw(event_type, rn, bar_day, y, l, b,
+                      s1, s2, s3, s4, s5, s6, s7) AS (
+      SELECT event_type, CAST({m} AS BIGINT), d7, CAST(0.0 AS DOUBLE),
+             l0, b0, s1, s2, s3, s4, s5, s6, s7
+      FROM {{init}}
+      UNION ALL
+      SELECT r.event_type, r.rn, r.bar_day, r.y,
+             {lnew},
+             0.5 * (({lnew}) - hw.l) + 0.5 * hw.b,
+             hw.s2, hw.s3, hw.s4, hw.s5, hw.s6, hw.s7,
+             0.25 * (r.y - ({lnew})) + 0.75 * hw.s1
+      FROM hw
+      JOIN {{r}} r ON r.event_type = hw.event_type AND r.rn = hw.rn + 1
+    )
+    SELECT event_type, rn, bar_day,
+           CAST(floor(y * 10000 + 0.5) AS BIGINT) AS y_e4,
+           CAST(floor(l * 10000 + 0.5) AS BIGINT) AS level_e4,
+           CAST(floor(b * 10000 + 0.5) AS BIGINT) AS trend_e4,
+           CAST(floor(s7 * 10000 + 0.5) AS BIGINT) AS seasonal_e4,
+           CAST(floor((l + b + s1) * 10000 + 0.5) AS BIGINT)
+             AS forecast_next_e4
+    FROM hw
+    WHERE rn > {m}
+    ORDER BY event_type, rn
+    """
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from dblab_ece_trino_spark.entrypoints import engine_for
+        from dblab_ece_trino_spark.session import materialize
+
+        ev = engine_for(spark, sf_dir).catalogs.table(
+            "elastic.default.events"
+        )
+        daily = ev.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("bar_day"),
+        ).agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("y")
+        )
+        w = Window.partitionBy("event_type").orderBy("bar_day")
+        ranked = materialize(
+            daily.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        )
+        ranked.createOrReplaceTempView("__hw_daily_r15")
+        init = materialize(
+            spark.sql(init_tpl.format(r="__hw_daily_r15"))
+        )
+        init.createOrReplaceTempView("__hw_init_r15")
+        return spark.sql(
+            rec_tpl.format(init="__hw_init_r15", r="__hw_daily_r15")
+        )
+
+    oracle = (
+        """
+    WITH RECURSIVE d AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS bar_day,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS y
+      FROM {events}
+      GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+    ),
+    rr AS (
+      SELECT event_type, bar_day, y,
+             CAST(row_number() OVER (
+               PARTITION BY event_type ORDER BY bar_day) AS BIGINT) AS rn
+      FROM d
+    ),
+    ini AS (
+""".format(**_ORACLE_TABLES)
+        + init_tpl.format(r="rr")
+        + "),"
+        + rec_tpl.format(init="ini", r="rr").replace(
+            "WITH RECURSIVE ", "", 1
+        )
+    )
+    register("ts_holtwinters", run, oracle=oracle)
+
+
+_register_holtwinters()
