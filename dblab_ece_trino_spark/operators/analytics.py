@@ -1515,3 +1515,72 @@ def _register_moments_profile() -> None:
 
 
 _register_moments_profile()
+
+
+# One-way ANOVA F test across event types on the value measure — "do
+# the k groups share a mean?", the k-group generalization of a t test
+# and the missing member of the op_chi2/op_ks/op_mann_whitney family.
+# EXACTNESS (the quantize-then-sum discipline): per-group n / sum(x) /
+# sum(x^2) are exact DECIMAL aggregates (order-free); each group's
+# S^2/n and within-SS terms are doubles computed in one fixed textual
+# expression and QUANTIZED to 1e-6 integer units BEFORE the cross-
+# group reduction, so the final sums are exact BIGINT adds — no
+# order-dependent float summation anywhere (a float sum over an
+# unordered GROUP BY is partition-order dependent in Spark and would
+# diverge from DuckDB in the last ulps).  The F statistic is then a
+# fixed-order scalar expression over those integers.  One identical
+# SQL text on both engines.
+# 100 TB shape: one fact scan, one map-side-combinable keyed agg to
+# |event_type| rows; everything after is metadata-scale.
+_E6 = "1000000"
+
+
+def _register_anova() -> None:
+    s2n = "CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n"
+    tpl = f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(value AS DECIMAL(18,6))) AS s,
+             sum(CAST(value AS DECIMAL(18,6))
+                 * CAST(value AS DECIMAL(18,6))) AS q
+      FROM {{events}}
+      GROUP BY event_type
+    ),
+    g2 AS (
+      SELECT event_type, n, s,
+             CAST(s AS DOUBLE) / n AS m,
+             CAST(floor(({s2n}) * {_E6} + 0.5) AS BIGINT) AS s2n_e6,
+             CAST(floor((CAST(q AS DOUBLE) - ({s2n})) * {_E6} + 0.5)
+               AS BIGINT) AS within_e6
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(sum(s2n_e6) AS BIGINT) AS s2n_sum_e6,
+             CAST(sum(within_e6) AS BIGINT) AS ssw_e6,
+             CAST(sum(s) AS DOUBLE) AS sd,
+             CAST(sum(n) AS BIGINT) AS nn,
+             CAST(count(*) AS BIGINT) AS k
+      FROM g2
+    ),
+    scal AS (
+      SELECT nn, k, ssw_e6,
+             s2n_sum_e6
+               - CAST(floor((sd * sd / nn) * {_E6} + 0.5) AS BIGINT)
+               AS ssb_e6
+      FROM tot
+    )
+    SELECT g2.event_type, g2.n,
+           CAST(floor(g2.m * 10000 + 0.5) AS BIGINT) AS mean_e4,
+           g2.within_e6,
+           scal.ssb_e6, scal.ssw_e6, scal.nn, scal.k,
+           CAST(floor((CAST(scal.ssb_e6 AS DOUBLE) * (scal.nn - scal.k))
+                / (CAST(scal.ssw_e6 AS DOUBLE) * (scal.k - 1))
+                * {_E6} + 0.5) AS BIGINT) AS f_e6
+    FROM g2, scal
+    ORDER BY g2.event_type
+    """
+    _both("op_anova", tpl)
+
+
+_register_anova()

@@ -1918,3 +1918,201 @@ _CHUNK_ND_ORACLE = rf"""
 """
 
 register("dedup_chunk_neardup", _q_chunk_neardup, oracle=_CHUNK_ND_ORACLE)
+
+
+# ------------------------------------------------ content-defined chunking
+CDC_W = 3      # rolling window (tokens) the boundary hash covers
+CDC_DIV = 8    # boundary divisor -> expected chunk length ~8 tokens
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    w: int = CDC_W,
+    div: int = CDC_DIV,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (the LBFS/Venti/gear-CDC family:
+    Muthitacharoen, Chen & Mazieres SOSP'01 "A low-bandwidth network
+    file system"; word-grain variant): a chunk boundary falls AFTER
+    token i exactly when the rolling hash of the last ``w`` tokens is
+    ``0 mod div`` — so boundaries are a function of LOCAL CONTENT, not
+    position, and an insertion re-syncs at the next boundary instead
+    of shifting every later chunk the way the fixed
+    ``chunk_neardup``/``llm_chunk_dedup`` grids do (the classic
+    storage-dedup argument, pinned by the planted prefix-insertion
+    fixture in tests/test_round15_ops.py).
+
+    Purely positional boundary predicate (hash covers tokens
+    i-w+1..i only) -> every position is decided independently: the
+    whole chunker is JVM-side array HOFs (filter over sequence +
+    indexed transform), shuffle-free until chunk grain.  Returns one
+    row per chunk: (id, chunk_hash, chunk_len).
+
+    100 TB shape: one projection pass per document, no explode until
+    the chunk rows (expected n/div per doc), no window function, no
+    Python; the md5 digit-fold is the corpus-wide hexint discipline.
+    """
+    from dblab_ece_trino_spark.operators.sketches import hexint_col
+
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("arr"),
+    ).select(
+        id_col, "arr", F.size("arr").cast("int").alias("n")
+    )
+
+    def bhash(i):
+        return hexint_col(
+            F.concat(
+                F.lit("cdc:"),
+                F.concat_ws(" ", F.slice(F.col("arr"), i - w + 1, w)),
+            ),
+            10,
+        )
+
+    bpos = F.when(
+        F.col("n") >= w,
+        F.filter(
+            F.sequence(F.lit(w), F.col("n")),
+            lambda i: F.pmod(bhash(i), F.lit(div)) == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    # append the doc end as the final cut unless it already is one
+    cuts = F.when(
+        (F.size(bpos) > 0) & (F.element_at(bpos, -1) == F.col("n")), bpos
+    ).otherwise(F.concat(bpos, F.array(F.col("n"))))
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size(cuts)),
+        lambda j: F.struct(
+            F.when(j == 1, F.lit(1))
+            .otherwise(F.element_at(cuts, j - 1) + 1)
+            .alias("s"),
+            F.element_at(cuts, j).alias("e"),
+        ),
+    )
+    return (
+        toks.select(id_col, "arr", F.explode(spans).alias("sp"))
+        .select(
+            id_col,
+            hexint_col(
+                F.concat(
+                    F.lit("cdcchunk:"),
+                    F.concat_ws(
+                        " ",
+                        F.slice(
+                            F.col("arr"),
+                            F.col("sp.s"),
+                            F.col("sp.e") - F.col("sp.s") + 1,
+                        ),
+                    ),
+                ),
+                12,
+            ).alias("chunk_hash"),
+            (F.col("sp.e") - F.col("sp.s") + 1)
+            .cast("bigint")
+            .alias("chunk_len"),
+        )
+    )
+
+
+def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CDC dedup profile: how much of each document is
+    covered by chunks that also appear in at least one OTHER document
+    (within-doc repeats are deliberately not dup — cross-document
+    dedup is the storage/training question)."""
+    from dblab_ece_trino_spark.session import materialize
+
+    ch = materialize(cdc_chunks(_docs(spark, sf_dir)))
+    shared = (
+        ch.groupBy("chunk_hash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("chunk_hash")
+    )
+    flagged = ch.join(
+        F.broadcast(shared.withColumn("dup", F.lit(1))),
+        "chunk_hash",
+        "left",
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("chunk_len").cast("bigint").alias("total_tokens"),
+            F.sum(F.coalesce(F.col("dup"), F.lit(0)))
+            .cast("bigint")
+            .alias("dup_chunks"),
+            F.sum(
+                F.when(F.col("dup").isNotNull(), F.col("chunk_len"))
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("dup_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _cdc_oracle() -> str:
+    from dblab_ece_trino_spark.operators.sketches import hexint_digits_sql
+
+    bfold = hexint_digits_sql(
+        "md5('cdc:' || array_to_string("
+        f"list_slice(arr, i - {CDC_W - 1}, i), ' '))",
+        10,
+    )
+    cfold = hexint_digits_sql(
+        "md5('cdcchunk:' || array_to_string("
+        "list_slice(arr, s, e), ' '))",
+        12,
+    )
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, arr, n,
+             CASE WHEN n >= {CDC_W} THEN
+               list_filter(generate_series({CDC_W}, n),
+                           i -> ({bfold}) % {CDC_DIV} = 0)
+             ELSE [] END AS bpos
+      FROM toks
+    ),
+    c AS (
+      SELECT doc_id, arr,
+             CASE WHEN len(bpos) > 0 AND bpos[len(bpos)] = n THEN bpos
+                  ELSE list_append(bpos, n) END AS cuts
+      FROM b
+    ),
+    spans AS (
+      SELECT doc_id, arr,
+             CASE WHEN j = 1 THEN 1 ELSE cuts[j - 1] + 1 END AS s,
+             cuts[j] AS e
+      FROM c, unnest(generate_series(1, len(cuts))) AS g(j)
+    ),
+    ch AS MATERIALIZED (
+      SELECT doc_id, ({cfold}) AS chunk_hash,
+             CAST(e - s + 1 AS BIGINT) AS chunk_len
+      FROM spans
+    ),
+    shared AS (
+      SELECT chunk_hash FROM ch
+      GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT ch.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(chunk_len) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN s.chunk_hash IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS dup_chunks,
+           CAST(sum(CASE WHEN s.chunk_hash IS NOT NULL THEN chunk_len
+                    ELSE 0 END) AS BIGINT) AS dup_tokens
+    FROM ch LEFT JOIN shared s USING (chunk_hash)
+    GROUP BY ch.doc_id
+    ORDER BY ch.doc_id
+    """
+
+
+register("dedup_cdc_chunks", _q_cdc_chunks, oracle=_cdc_oracle())

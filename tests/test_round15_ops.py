@@ -167,3 +167,132 @@ def test_phash_oracle_matches_numpy():
     got = [tuple(r) for r in con.execute(_oracle("dedup_image_phash")).fetchall()]
     assert got == expect
     assert sum(1 for r in got if r[3]) == 2  # exactly the two planted pairs
+
+
+# ------------------------------------------------ content-defined chunking
+def _md5fold(s, digits, prefix):
+    import hashlib
+
+    h = hashlib.md5((prefix + s).encode()).hexdigest()
+    return int(h[:digits], 16)
+
+
+def _cdc_py(tokens, w=3, div=8):
+    """Independent pure-Python CDC chunker (same boundary rule)."""
+    n = len(tokens)
+    bpos = [
+        i
+        for i in range(w, n + 1)
+        if _md5fold(" ".join(tokens[i - w:i]), 10, "cdc:") % div == 0
+    ]
+    cuts = bpos if (bpos and bpos[-1] == n) else bpos + [n]
+    chunks, start = [], 1
+    for e in cuts:
+        chunks.append(tuple(tokens[start - 1:e]))
+        start = e + 1
+    return chunks
+
+
+def test_cdc_shift_robustness():
+    """A prefix insertion shifts EVERY fixed-grid chunk but CDC
+    re-syncs at the next content boundary: the edited doc must share
+    most CDC chunks with the original while sharing zero fixed-grid
+    16-token chunks (the chunk_neardup/llm_chunk_dedup grain)."""
+    rng_words = [f"w{(i * 37) % 211}x{i % 13}" for i in range(400)]
+    orig = rng_words
+    edited = ["INSERTED"] + rng_words
+
+    c_orig, c_edit = set(_cdc_py(orig)), set(_cdc_py(edited))
+    shared = len(c_orig & c_edit)
+    assert shared >= 0.8 * len(c_orig), (shared, len(c_orig))
+
+    grid = lambda t: {tuple(t[i:i + 16]) for i in range(0, len(t) - 15, 16)}
+    assert not (grid(orig) & grid(edited))
+
+
+def test_cdc_oracle_matches_python():
+    """dedup_cdc_chunks oracle vs the independent pure-Python chunker
+    at sf0.001."""
+    con = _con("documents")
+    docs = con.execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    expect = {}
+    corpus = {}
+    for did, text in docs:
+        chunks = _cdc_py(text.strip().split())
+        hashes = [
+            _md5fold(" ".join(c), 12, "cdcchunk:") for c in chunks
+        ]
+        corpus[did] = [(h, len(c)) for h, c in zip(hashes, chunks)]
+    from collections import Counter
+
+    docs_per_hash = Counter()
+    for did, hs in corpus.items():
+        for h in {h for h, _ in hs}:
+            docs_per_hash[h] += 1
+    for did, hs in corpus.items():
+        dup = [(h, l) for h, l in hs if docs_per_hash[h] >= 2]
+        expect[did] = (
+            len(hs),
+            sum(l for _, l in hs),
+            len(dup),
+            sum(l for _, l in dup),
+        )
+
+    got = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(_oracle("dedup_cdc_chunks")).fetchall()
+    }
+    assert got == expect
+
+
+# ------------------------------------------------ one-way ANOVA
+def test_anova_pure_python():
+    """op_anova oracle vs an independent re-derivation (exact Decimal
+    group sums, the same 1e-6 quantize-then-sum reduction), and the F
+    value against scipy's f_oneway within float tolerance when scipy
+    is available."""
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    con = _con("events")
+    rows = con.execute("SELECT event_type, value FROM events").fetchall()
+    groups = defaultdict(list)
+    for et, v in rows:
+        groups[et].append(Decimal(str(v)).quantize(Decimal("0.000001")))
+
+    e6 = 1_000_000
+    s2n_e6, within_e6, n_by, mean_by = {}, {}, {}, {}
+    for et, xs in groups.items():
+        n = len(xs)
+        s = sum(xs)
+        q = sum(x * x for x in xs)
+        sd = float(s)
+        s2n = sd * sd / n
+        s2n_e6[et] = math.floor(s2n * e6 + 0.5)
+        within_e6[et] = math.floor((float(q) - s2n) * e6 + 0.5)
+        n_by[et], mean_by[et] = n, math.floor(sd / n * 10000 + 0.5)
+    nn = sum(n_by.values())
+    k = len(groups)
+    sd_tot = float(sum(sum(xs) for xs in groups.values()))
+    ssb_e6 = sum(s2n_e6.values()) - math.floor(sd_tot * sd_tot / nn * e6 + 0.5)
+    ssw_e6 = sum(within_e6.values())
+    f_e6 = math.floor(ssb_e6 * (nn - k) / (ssw_e6 * (k - 1)) * e6 + 0.5)
+
+    got = con.execute(_oracle("op_anova")).fetchall()
+    assert len(got) == k
+    for et, n, mean_e4, w_e6, sb, sw, gn, gk, gf in got:
+        assert (n, mean_e4, w_e6) == (n_by[et], mean_by[et], within_e6[et])
+        assert (sb, sw, gn, gk) == (ssb_e6, ssw_e6, nn, k)
+        assert abs(gf - f_e6) <= 1  # double vs python float assoc slack
+
+    try:
+        from scipy import stats as sstats
+    except ImportError:
+        return
+    f_ref = sstats.f_oneway(*[list(map(float, xs)) for xs in groups.values()])
+    assert abs(got[0][8] / e6 - f_ref.statistic) < 1e-3 * max(
+        1.0, f_ref.statistic
+    )
