@@ -401,6 +401,16 @@ HEADLINE = [
     "sample_epoch_shuffle",
     "ts_holt_trend",
     "multimodal_audio_resample",
+    # round-15 additions: Holt-Winters additive-seasonal forecasting
+    # (m=7 weekday cycle, 7 rotating state columns in the recursion),
+    # DCT perceptual image hash (all-integer 8x32 DCT-II basis, banded
+    # Hamming join), content-defined chunking dedup (gear-CDC word
+    # grain, shuffle-free HOF chunker), and one-way ANOVA F
+    # (quantize-then-sum cross-group reduction)
+    "ts_holtwinters",
+    "dedup_image_phash",
+    "dedup_cdc_chunks",
+    "op_anova",
 ]
 
 
@@ -453,7 +463,10 @@ def main() -> None:
 
     from dblab_ece_trino_spark.operators.dedup import shared_minhash_clusters
     from dblab_ece_trino_spark.operators.graph import shared_coorder_pairs
-    from dblab_ece_trino_spark.operators.similarity import shared_ivf_build
+    from dblab_ece_trino_spark.operators.similarity import (
+        shared_ivf_build,
+        shared_quant_build,
+    )
 
     _time_build(
         "coorder_pairs", lambda: shared_coorder_pairs(spark, sf_dir)
@@ -462,6 +475,7 @@ def main() -> None:
         "minhash_clusters", lambda: shared_minhash_clusters(spark, sf_dir)
     )
     _time_build("ivf_build", lambda: shared_ivf_build(spark, sf_dir))
+    _time_build("quant_codes", lambda: shared_quant_build(spark, sf_dir))
     print(f"# shared builds: {shared_builds}", file=sys.stderr)
 
     # PASS 1 — whole-suite warmup (round-13 verdict item 2): every

@@ -340,35 +340,37 @@ ROTATION_RETIRED: frozenset = frozenset({
 # the r9 cohort.  New-op velocity was throttled to 5 this round (r13
 # verdict item 4) so the backfill window covers three whole cohorts.
 #
-# ROUND-15 QUEUE, pre-derived: the remaining r9 cohort (graph_hits,
-# llm_dataset_profile, llm_dup_span_coverage, llm_ngram_novelty,
-# llm_pad_waste, llm_quality_floor, llm_sequence_pack,
-# multimodal_adpcm_decode, ... alphabetical), then r10.  Verify any
-# window rewrite mechanically:
+# ROUND-15 WINDOW (final composition: 4 new + 32 r9 + 14 r10): the
+# never-graded round-15 ops at the head, then the FULL remaining
+# r9-latest cohort (32 entries after retirements), then the
+# alphabetical head of the r10 cohort.  New-op velocity held at <= 5
+# (r14 verdict item 2).  ROUND-16 QUEUE, pre-derived: the remaining
+# r10 cohort (op_moments_profile, op_sessionize_batch, ...
+# alphabetical), then r11.  Verify any window rewrite mechanically:
 #   PYTHONPATH=. python3 scripts/window_check.py
 GRADED_PRIORITY: list[str] = [
-    # NEW round-14 ops (never-graded outranks stale).
-    "dedup_chunk_neardup", "sample_epoch_shuffle", "graph_ppr",
-    "multimodal_audio_resample", "ts_holt_trend",
-    # latest green = round 7 (full remaining cohort, alphabetical)
-    "multimodal_gif_decode", "multimodal_png_decode",
-    "multimodal_y4m_frames", "op_agg_global", "op_agg_groupby",
-    "op_agg_grouping_sets", "op_array_hof", "op_collect_agg",
-    "op_conditional_functions", "op_date_functions",
-    "op_events_time_rollup", "op_explode", "op_hash_bucketing",
-    "op_join_broadcast", "op_json_extract", "op_kmv_distinct",
-    "op_map_struct", "op_percentile", "op_pivot", "op_project_case",
-    "op_recursive_cte", "op_regexp", "op_salted_agg",
-    "op_scalar_arithmetic", "op_session_window", "op_string_functions",
-    "reference_sql_parity", "sim_search_bruteforce", "text_language_id",
-    "text_quality_score", "text_token_count",
-    # latest green = round 8 (full remaining cohort, alphabetical)
-    "dedup_ngram_jaccard_word", "gen_store_sales_invariants",
-    "llm_bigram_lm_score", "llm_bpe_encode", "llm_dedup_resolution",
-    "llm_pii_redact", "multimodal_jpeg_decode", "multimodal_resize",
-    "op_fuzzy_match", "tpch_q1",
-    # latest green = round 9 (alphabetical head)
-    "audit_orphans", "audit_skew", "dedup_minhash_lsh", "dedup_simhash",
+    # NEW round-15 ops (never-graded outranks stale).
+    "dedup_cdc_chunks", "dedup_image_phash", "op_anova", "ts_holtwinters",
+    # latest green = round 9 (full remaining cohort, alphabetical)
+    "graph_hits", "llm_dataset_profile", "llm_dup_span_coverage",
+    "llm_ngram_novelty", "llm_pad_waste", "llm_quality_floor",
+    "llm_sequence_pack", "multimodal_adpcm_decode",
+    "multimodal_audio_energy", "multimodal_exif_parse",
+    "multimodal_g711_decode", "multimodal_jpeg_ac_decode",
+    "multimodal_scene_cut", "multimodal_tiff_decode", "op_assoc_rules",
+    "op_bit_aggregates", "op_cohort_retention", "op_equidepth_hist",
+    "op_event_transitions", "op_funnel_conversion", "op_hll_distinct",
+    "op_null_safe_join", "op_rfm_segments", "op_scd2_intervals",
+    "sample_neyman_alloc", "sample_stratified", "sim_dbscan",
+    "text_rolling_fingerprint", "text_winnowing", "ts_hampel_filter",
+    "ts_mase_eval", "ts_sax_words",
+    # latest green = round 10 (alphabetical head)
+    "dedup_image_ahash", "dedup_lsh_precision",
+    "graph_harmonic_centrality", "graph_modularity", "join_asof_nearest",
+    "llm_bpe_compression_curve", "llm_gopher_repetition",
+    "llm_tokenizer_fertility", "multimodal_audio_decimate",
+    "multimodal_hist_equalize", "multimodal_qoi_decode",
+    "multimodal_tga_decode", "op_markov_stationary", "op_min_max_by",
 ]
 
 

@@ -66,7 +66,9 @@ PLAN_BUDGETS = {
     'multimodal_pcx_decode': (0, 2, 0, 2),
     'multimodal_image_tile': (0, 2, 0, 2),
     'multimodal_audio_normalize': (0, 2, 0, 2),
-    'sim_knn_classify': (4, 6, 4, 8),
+    # r15: corpus codes + (mn,mx) from shared_quant_build — the
+    # per-entry corpus scan+agg collapsed into the shared checkpoint
+    'sim_knn_classify': (4, 2, 2, 4),
     # 2 'scans' = 1 parquet + checkpoint re-reads of the vocab frame
     'text_rank_frequency': (2, 9, 4, 8),
     'op_sequential_patterns': (1, 6, 4, 4),
@@ -324,8 +326,8 @@ PLAN_BUDGETS = {
     'sample_weighted_topk': (1, 0, 0, 0),
     'sim_mips_topk': (2, 2, 1, 2),
     'sim_dbscan': (5, 4, 0, 1),
-    'sim_epsilon_ball': (2, 2, 0, 1),
-    'sim_quantized_mips': (2, 2, 1, 2),
+    'sim_epsilon_ball': (2, 1, 0, 1),
+    'sim_quantized_mips': (2, 1, 1, 2),
     'sim_recall_at_k': (13, 17, 4, 15),
     'sim_search_bruteforce': (2, 2, 1, 2),
     'sim_search_ivf': (15, 17, 8, 20),
@@ -448,6 +450,20 @@ PLAN_BUDGETS = {
     'ts_holt_trend': (0, 1, 0, 1),
     'multimodal_audio_resample': (0, 1, 0, 1),
     'sample_epoch_shuffle': (2, 4, 0, 3),
+    # round-15 ops.  ts_holtwinters: recursive-CTE triple smoothing on
+    # the materialized daily rollup + pivot init (the ts_holt_trend
+    # discipline; rank window and recursion internals sit behind the
+    # two checkpoint walls).  dedup_image_phash: the materialized
+    # fingerprint frame is read 4x (band explode both join sides + the
+    # two hash lookups); the pair stage is LSH-band-bounded; one
+    # output sort.  dedup_cdc_chunks: shuffle-free HOF chunker -> one
+    # chunk-hash agg + broadcast-flag join + per-doc agg; one output
+    # sort.  op_anova: one fact scan feeding the keyed agg, g2 read
+    # twice (totals + final), metadata-scale after the first agg.
+    'ts_holtwinters': (0, 1, 0, 1),
+    'dedup_image_phash': (4, 2, 0, 1),
+    'dedup_cdc_chunks': (2, 4, 0, 1),
+    'op_anova': (2, 4, 0, 1),
     # 3 windows over the snapshot (distinct-date) frame: rdesc +
     # 7-day-bucket rank + month rank — all metadata-scale
     'wh_retention_policy': (2, 3, 3, 4),
