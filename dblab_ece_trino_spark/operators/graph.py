@@ -573,11 +573,14 @@ register(
 
 
 # --------------------------------------------------- neighbor-set Jaccard
+NJ_WITNESS_DEG_CAP = 64
+
+
 def neighbor_jaccard(
     pairs: DataFrame,
     min_common: int = 2,
     top_n: int = 15,
-    max_witness_deg: int | None = None,
+    max_witness_deg: int | None = NJ_WITNESS_DEG_CAP,
 ) -> DataFrame:
     """Node-pair similarity as Jaccard of neighbor sets — the classic
     link-prediction / you-bought-this-too primitive.
@@ -596,9 +599,20 @@ def neighbor_jaccard(
     ``max_witness_deg``: drop super-nodes (deg > cap) from the graph
     before the wedge join — a ubiquitous item co-ordered with
     everything certifies no similarity, while contributing deg² wedges.
-    Deterministic (the cap is on the exact degree), off by default, and
-    the filtered form recomputes degrees on the capped subgraph so the
-    Jaccard stays internally consistent.
+    Deterministic (the cap is on the exact degree), and the filtered
+    form recomputes degrees on the capped subgraph so the Jaccard stays
+    internally consistent.
+
+    The cap is ON by default since round 15 — the honest-Zipf x10
+    family probe (scripts/zipf_graph_family.py) found the uncapped
+    wedge join at 2.06e10 rows (one 100k-degree hub contributes 1e10
+    alone; 99.3% of all wedges come from deg > 1000 witnesses), i.e.
+    non-terminating at real catalog skew — the wedge-family sibling of
+    the round-14 ID-oriented-triangle finding.  With the cap the join
+    is bounded by Σ_{deg≤cap} deg² ≤ cap · 2|E| — edge-linear.  The
+    graded oracle applies the IDENTICAL cap on the exact degree; at
+    the graded SFs (max co-order degree 52 at sf0.001, 15 at sf0.01,
+    10 at sf0.1) no node reaches it, so graded values are unchanged.
     """
     from dblab_ece_trino_spark.session import materialize
 
@@ -661,7 +675,12 @@ register(
     _q_neighbor_jaccard,
     oracle=f"""
     WITH {_PAIRS_CTE},
-    adj AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    adj0 AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    hot AS (SELECT u AS node FROM adj0
+            GROUP BY u HAVING count(*) > {NJ_WITNESS_DEG_CAP}),
+    adj AS (SELECT u, v FROM adj0
+            WHERE u NOT IN (SELECT node FROM hot)
+              AND v NOT IN (SELECT node FROM hot)),
     deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
             FROM adj GROUP BY u),
     common AS (
@@ -2280,3 +2299,187 @@ def _ppr_oracle(
 
 
 register("graph_ppr", _q_ppr, oracle=_ppr_oracle())
+
+
+# -------------------------------------------- HyperANF neighborhood function
+NF_M = 64          # registers per node (HyperANF's practical band)
+NF_ROUNDS = 3      # t = 0..3 emitted; co-order graphs have tiny diameters
+_NF_SCALE = 2**48  # the r9 HLL integer-state scaling (rho <= 41)
+# alpha_64 * m^2 * 2^48 embedded via repr() so both engines parse the
+# IDENTICAL double literal (alpha_64 = 0.709, the published HLL bias
+# constant for m = 64 — the m < 128 cases are tabulated, not formulaic)
+_NF_A = repr(0.709 * NF_M * NF_M * _NF_SCALE)
+
+
+def neighborhood_function(
+    pairs: DataFrame, rounds: int = NF_ROUNDS, m: int = NF_M
+) -> DataFrame:
+    """HyperANF-style neighborhood function (Boldi, Rosa & Vigna,
+    WWW'11 "HyperANF: approximating the neighbourhood function of very
+    large graphs on a budget"): per node, an HLL sketch of the set of
+    nodes within t hops, advanced one hop per round by REGISTER-WISE
+    MAX over the node's own sketch and its neighbors' sketches (HLL
+    union = elementwise max — the merge theorem op_hll_intersection
+    pins against hand registers).  N(t) = sum of per-node reach
+    estimates is the distance-distribution summary behind effective
+    diameter / average distance on graphs where exact per-node BFS
+    frontiers (graph_shortest_path's single-source shape, run from
+    EVERY node) are quadratically out of reach.
+
+    Exactness discipline (the r9 HLL entry, per node): sketches live
+    as SPARSE (node, bucket, rho) rows — a singleton sketch is ONE row,
+    and state only grows with true neighborhood diversity; rho from 40
+    md5 payload bits capped at 41 keeps every 2^(48-rho) term integral,
+    per-node s_scaled is a multiple of 2^7 below 2^54 so the
+    BIGINT->DOUBLE cast is exact, and the per-node estimate is ONE
+    correctly-rounded IEEE division floored to BIGINT — the graded
+    columns (floored-estimate sums, register-row counts, rho checksum)
+    are partition-order-independent integers.  The linear-counting
+    small-range correction stays pytest-side (ln is libm-dependent),
+    exactly as documented at op_hll_distinct.
+
+    100 TB shape: state is <= nodes x m rows (sparse below that until
+    saturation); each round is ONE edge-keyed shuffle (join edges,
+    re-max per (node, bucket) — both map-side combinable) against the
+    SHARED materialized co-order build, and rounds are a small fixed
+    constant.  This is the whole point of HyperANF: t rounds of
+    m-bounded register traffic instead of |V| BFS runs.
+    """
+    from dblab_ece_trino_spark.operators.sketches import (
+        _hll_rho_sql,
+        hexint_digits_sql,
+    )
+    from dblab_ece_trino_spark.session import materialize
+
+    edges = pairs.select("u", "v").unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nodes = edges.select(F.col("u").alias("node")).distinct()
+    prep = nodes.select(
+        "node",
+        F.md5(F.concat(F.lit("nf:"), F.col("node").cast("string"))).alias(
+            "h"
+        ),
+    ).select(
+        "node",
+        (F.expr(hexint_digits_sql("h", 2, 1)) % m).alias("bucket"),
+        F.expr("substr(h, 3, 10)").alias("rest"),
+        F.expr(
+            "length(regexp_extract(substr(h, 3, 10), '^0*', 0))"
+        ).alias("nz"),
+    )
+    regs = materialize(
+        prep.select(
+            "node",
+            "bucket",
+            F.expr(_hll_rho_sql("rest", "nz")).cast("int").alias("rho"),
+        )
+    )
+    states = [regs]
+    for _ in range(rounds):
+        prop = edges.join(regs, edges["v"] == regs["node"]).select(
+            edges["u"].alias("node"), "bucket", "rho"
+        )
+        regs = materialize(
+            prop.unionByName(regs.select("node", "bucket", "rho"))
+            .groupBy("node", "bucket")
+            .agg(F.max("rho").alias("rho"))
+        )
+        states.append(regs)
+
+    out = None
+    for t, st in enumerate(states):
+        per_node = st.groupBy("node").agg(
+            F.count(F.lit(1)).cast("long").alias("present"),
+            F.expr(
+                "CAST(sum(shiftleft(CAST(1 AS BIGINT), 48 - rho))"
+                " AS BIGINT)"
+            ).alias("s_present"),
+            F.sum("rho").cast("long").alias("rh"),
+        )
+        s_scaled = F.col("s_present") + (
+            (F.lit(m) - F.col("present")) * F.lit(_NF_SCALE)
+        )
+        est = F.floor(
+            F.expr(f"CAST({_NF_A} AS DOUBLE)") / s_scaled
+        ).cast("long")
+        row = per_node.agg(
+            F.sum(est).cast("long").alias("reach_est_sum"),
+            F.sum("present").cast("long").alias("register_rows"),
+            F.sum("rh").cast("long").alias("sum_rho"),
+        ).select(
+            F.lit(t).cast("int").alias("t"),
+            "reach_est_sum",
+            "register_rows",
+            "sum_rho",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("t")
+
+
+def _q_neighborhood_func(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neighborhood_function(shared_coorder_pairs(spark, sf_dir))
+
+
+def _nf_oracle(rounds: int = NF_ROUNDS, m: int = NF_M) -> str:
+    from dblab_ece_trino_spark.operators.sketches import (
+        _hll_rho_sql,
+        hexint_digits_sql,
+    )
+
+    bucket = hexint_digits_sql("h", 2, 1)
+    rho = _hll_rho_sql("rest", "nz")
+    ctes = [
+        _PAIRS_CTE,
+        "edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs)",
+        "nodes AS (SELECT DISTINCT u AS node FROM edges)",
+        f"""r0 AS (
+      SELECT node, ({bucket}) % {m} AS bucket, CAST({rho} AS INT) AS rho
+      FROM (SELECT node, h, substr(h, 3, 10) AS rest,
+                   length(regexp_extract(substr(h, 3, 10), '^0*', 0)) AS nz
+            FROM (SELECT node,
+                         md5(concat('nf:', CAST(node AS STRING))) AS h
+                  FROM nodes) q) p
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""r{i} AS (
+      SELECT node, bucket, CAST(max(rho) AS INT) AS rho FROM (
+        SELECT e.u AS node, r.bucket, r.rho
+        FROM r{i - 1} r JOIN edges e ON e.v = r.node
+        UNION ALL
+        SELECT node, bucket, rho FROM r{i - 1}
+      ) GROUP BY node, bucket
+    )"""
+        )
+    stats = []
+    for t in range(rounds + 1):
+        stats.append(
+            f"""st{t} AS (
+      SELECT CAST({t} AS INT) AS t,
+             CAST(sum(CAST(floor(CAST({_NF_A} AS DOUBLE)
+                    / (s_present + ({m} - present) * {_NF_SCALE}))
+                  AS BIGINT)) AS BIGINT) AS reach_est_sum,
+             CAST(sum(present) AS BIGINT) AS register_rows,
+             CAST(sum(rh) AS BIGINT) AS sum_rho
+      FROM (SELECT node, CAST(count(*) AS BIGINT) AS present,
+                   CAST(sum(CAST(1 AS BIGINT) << (48 - rho)) AS BIGINT)
+                     AS s_present,
+                   CAST(sum(rho) AS BIGINT) AS rh
+            FROM r{t} GROUP BY node) pn
+    )"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM st{t}" for t in range(rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes + stats)
+        + f"""
+    SELECT * FROM ({union}) ORDER BY t
+    """
+    )
+
+
+register("graph_neighborhood_func", _q_neighborhood_func, oracle=_nf_oracle())

@@ -340,7 +340,7 @@ ROTATION_RETIRED: frozenset = frozenset({
 # the r9 cohort.  New-op velocity was throttled to 5 this round (r13
 # verdict item 4) so the backfill window covers three whole cohorts.
 #
-# ROUND-15 WINDOW (final composition: 4 new + 32 r9 + 14 r10): the
+# ROUND-15 WINDOW (final composition: 5 new + 32 r9 + 13 r10): the
 # never-graded round-15 ops at the head, then the FULL remaining
 # r9-latest cohort (32 entries after retirements), then the
 # alphabetical head of the r10 cohort.  New-op velocity held at <= 5
@@ -350,7 +350,8 @@ ROTATION_RETIRED: frozenset = frozenset({
 #   PYTHONPATH=. python3 scripts/window_check.py
 GRADED_PRIORITY: list[str] = [
     # NEW round-15 ops (never-graded outranks stale).
-    "dedup_cdc_chunks", "dedup_image_phash", "op_anova", "ts_holtwinters",
+    "dedup_cdc_chunks", "dedup_image_phash", "graph_neighborhood_func",
+    "op_anova", "ts_holtwinters",
     # latest green = round 9 (full remaining cohort, alphabetical)
     "graph_hits", "llm_dataset_profile", "llm_dup_span_coverage",
     "llm_ngram_novelty", "llm_pad_waste", "llm_quality_floor",
@@ -370,7 +371,7 @@ GRADED_PRIORITY: list[str] = [
     "llm_bpe_compression_curve", "llm_gopher_repetition",
     "llm_tokenizer_fertility", "multimodal_audio_decimate",
     "multimodal_hist_equalize", "multimodal_qoi_decode",
-    "multimodal_tga_decode", "op_markov_stationary", "op_min_max_by",
+    "multimodal_tga_decode", "op_markov_stationary",
 ]
 
 

@@ -37,7 +37,10 @@ PLAN_BUDGETS = {
     'graph_modularity': (7, 5, 1, 1),
     'graph_kcore': (1, 2, 0, 1),
     'graph_label_prop': (3, 3, 1, 2),
-    'graph_neighbor_jaccard': (8, 3, 1, 0),
+    # r15: witness cap ON by default (honest-Zipf hub fix) — the capped
+    # adjacency materialize wall also hides the upstream scans (was
+    # (8, 3, 1, 0) uncapped); window is the top-15-row rank only
+    'graph_neighbor_jaccard': (4, 3, 1, 0),
     'graph_pagerank': (6, 6, 0, 0),
     'graph_shortest_path': (5, 3, 0, 1),
     'graph_triangles': (3, 1, 0, 0),
@@ -464,6 +467,10 @@ PLAN_BUDGETS = {
     'dedup_image_phash': (4, 2, 0, 1),
     'dedup_cdc_chunks': (2, 4, 0, 1),
     'op_anova': (2, 4, 0, 1),
+    # HyperANF: 4 reads of the materialized per-round register states
+    # (round propagation itself sits behind the checkpoint walls), one
+    # per-round per-node agg exchange + its 1-row reduce, output sort
+    'graph_neighborhood_func': (4, 8, 0, 1),
     # 3 windows over the snapshot (distinct-date) frame: rdesc +
     # 7-day-bucket rank + month rank — all metadata-scale
     'wh_retention_policy': (2, 3, 3, 4),

@@ -109,7 +109,10 @@ def test_curriculum_order_empty_docs(spark):
 
 def test_neighbor_jaccard_witness_cap_noop_when_unbound(spark):
     """With a cap above the max degree the filtered form must equal the
-    exact default — the cap only ever REMOVES super-node witnesses."""
+    exact (uncapped) form — the cap only ever REMOVES super-node
+    witnesses, and at the graded SFs (max co-order degree 52 at
+    sf0.001) the round-15 default NJ_WITNESS_DEG_CAP = 64 never bites,
+    so the graded values are the uncapped values."""
     from dblab_ece_trino_spark.operators.graph import (
         coorder_pairs,
         neighbor_jaccard,
@@ -117,14 +120,62 @@ def test_neighbor_jaccard_witness_cap_noop_when_unbound(spark):
     from dblab_ece_trino_spark.entrypoints import engine_for
 
     li = engine_for(spark, SF_MED).catalogs.table("psql.tpch.lineitem")
-    base = {tuple(r) for r in neighbor_jaccard(coorder_pairs(li)).collect()}
-    capped = {
+    exact = {
+        tuple(r)
+        for r in neighbor_jaccard(
+            coorder_pairs(li), max_witness_deg=None
+        ).collect()
+    }
+    default = {
+        tuple(r) for r in neighbor_jaccard(coorder_pairs(li)).collect()
+    }
+    huge_cap = {
         tuple(r)
         for r in neighbor_jaccard(
             coorder_pairs(li), max_witness_deg=10**9
         ).collect()
     }
-    assert base == capped
+    assert exact == default == huge_cap
+
+
+def test_neighbor_jaccard_witness_cap_drops_hub(spark):
+    """When the cap bites it removes the super-node from BOTH roles
+    (witness and endpoint) and recomputes degrees on the capped
+    subgraph — the honest-Zipf x10 probe's 100k-degree-hub fix.  Star
+    hub 0 joins every order; parts 1..4 pair only through it, parts
+    5/6 co-occur twice on their own."""
+    from dblab_ece_trino_spark.operators.graph import neighbor_jaccard
+
+    rows = []
+    for o, parts in enumerate(
+        [[0, 1, 2], [0, 1, 2], [0, 3, 4], [0, 3, 4], [0, 5, 6],
+         [0, 5, 6], [1, 2, 3], [1, 2, 3]]
+    ):
+        rows += [(o, p) for p in parts]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    from dblab_ece_trino_spark.operators.graph import coorder_pairs
+
+    pairs = coorder_pairs(li)
+    uncapped = neighbor_jaccard(
+        pairs, min_common=1, top_n=100, max_witness_deg=None
+    ).collect()
+    capped = neighbor_jaccard(
+        pairs, min_common=1, top_n=100, max_witness_deg=5
+    ).collect()
+    # hub 0 has degree 6 > 5: capped result must not mention it in
+    # either role, and stays non-empty via the non-hub witnesses
+    assert any(r.a == 0 or r.b == 0 for r in uncapped)
+    assert capped and all(r.a != 0 and r.b != 0 for r in capped)
+    # (1,5) share ONLY the hub witness -> survives uncapped, dies capped
+    unc_pairs = {(r.a, r.b) for r in uncapped}
+    cap_pairs = {(r.a, r.b) for r in capped}
+    assert (1, 5) in unc_pairs and (1, 5) not in cap_pairs
+    # (1,2) share witness 3 too -> survives both, with degrees
+    # recomputed on the capped subgraph (deg drops by the hub edge)
+    unc_12 = next(r for r in uncapped if (r.a, r.b) == (1, 2))
+    cap_12 = next(r for r in capped if (r.a, r.b) == (1, 2))
+    assert unc_12.n_common == 2 and cap_12.n_common == 1
+    assert cap_12.deg_a == unc_12.deg_a - 1
 
 
 def test_kcore_is_converged_and_minimum_degree_holds(spark):

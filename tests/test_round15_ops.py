@@ -296,3 +296,109 @@ def test_anova_pure_python():
     assert abs(got[0][8] / e6 - f_ref.statistic) < 1e-3 * max(
         1.0, f_ref.statistic
     )
+
+
+# ------------------------------------- HyperANF neighborhood function
+def _nf_python(con):
+    """Exact t-hop balls + hashlib HLL registers — the independent
+    re-derivation of graph_neighborhood_func's oracle math."""
+    import hashlib
+
+    from dblab_ece_trino_spark.operators.graph import (
+        MIN_SUPPORT,
+        NF_M,
+        NF_ROUNDS,
+        _NF_A,
+        _NF_SCALE,
+    )
+
+    pairs = con.execute(
+        f"""
+        SELECT a.l_partkey, b.l_partkey
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= {MIN_SUPPORT}
+        """
+    ).fetchall()
+    adj: dict = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+
+    def reg(n):
+        h = hashlib.md5(f"nf:{n}".encode()).hexdigest()
+        b = int(h[:2], 16) % NF_M
+        rest = h[2:12]
+        nz = len(rest) - len(rest.lstrip("0"))
+        if nz == 10:
+            rho = 41
+        else:
+            d = int(rest[nz], 16)
+            lead = 0 if d >= 8 else 1 if d >= 4 else 2 if d >= 2 else 3
+            rho = 4 * nz + lead + 1
+        return b, rho
+
+    regs = {n: reg(n) for n in adj}
+    a_lit = float(_NF_A)
+    balls = {n: {n} for n in adj}
+    rows, exact = [], []
+    for t in range(NF_ROUNDS + 1):
+        if t:
+            balls = {
+                n: set().union(prev[n], *(prev[x] for x in adj[n]))
+                for n in adj
+            }
+        prev = balls
+        est_sum = reg_rows = rho_sum = 0
+        per_node = {}
+        for n, ball in balls.items():
+            st: dict = {}
+            for mbr in ball:
+                b, r = regs[mbr]
+                st[b] = max(st.get(b, 0), r)
+            present = len(st)
+            s_scaled = sum(1 << (48 - r) for r in st.values()) + (
+                NF_M - present
+            ) * _NF_SCALE
+            per_node[n] = (
+                math.floor(a_lit / s_scaled), present, len(ball)
+            )
+            est_sum += math.floor(a_lit / s_scaled)
+            reg_rows += present
+            rho_sum += sum(st.values())
+        rows.append((t, est_sum, reg_rows, rho_sum))
+        exact.append(per_node)
+    return rows, exact
+
+
+def test_neighborhood_func_matches_python():
+    con = _con("lineitem")
+    expect, _ = _nf_python(con)
+    got = [tuple(r) for r in con.execute(
+        _oracle("graph_neighborhood_func")
+    ).fetchall()]
+    assert got == expect, (got, expect)
+
+
+def test_neighborhood_func_monotone_and_accuracy():
+    """N(t) nondecreasing (register-max union can only grow), and the
+    Python-side linear-counting-corrected per-node estimates track the
+    exact ball sizes — the r9 HLL discipline (the correction stays out
+    of the graded columns because ln is libm-dependent)."""
+    from dblab_ece_trino_spark.operators.graph import NF_M
+
+    con = _con("lineitem")
+    rows, exact = _nf_python(con)
+    sums = [r[1] for r in rows]
+    assert sums == sorted(sums)
+    # final round: corrected estimate within the published band
+    per_node = exact[-1]
+    rel_errs = []
+    for est, present, true_n in per_node.values():
+        if present < NF_M and est <= 5 * NF_M // 2:
+            est = NF_M * math.log(NF_M / (NF_M - present))
+        rel_errs.append(abs(est - true_n) / max(true_n, 1))
+    rel_errs.sort()
+    # median well inside 2x the 1.04/sqrt(64) = 13% band; max bounded
+    assert rel_errs[len(rel_errs) // 2] <= 0.26, rel_errs[-5:]
+    assert rel_errs[-1] <= 0.80, rel_errs[-5:]
