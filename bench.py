@@ -465,7 +465,10 @@ def main() -> None:
             return
         shared_builds[label] = round(time.monotonic() - t0, 3)
 
-    from dblab_ece_trino_spark.operators.dedup import shared_minhash_clusters
+    from dblab_ece_trino_spark.operators.dedup import (
+        shared_minhash_clusters,
+        shared_shingle_index,
+    )
     from dblab_ece_trino_spark.operators.graph import shared_coorder_pairs
     from dblab_ece_trino_spark.operators.similarity import (
         shared_ivf_build,
@@ -480,6 +483,16 @@ def main() -> None:
     )
     _time_build("ivf_build", lambda: shared_ivf_build(spark, sf_dir))
     _time_build("quant_codes", lambda: shared_quant_build(spark, sf_dir))
+    # round-16: the df-ranked char-9 shingle index shared by the
+    # prefix-filter and containment similarity joins
+    _time_build(
+        "shingle9_index", lambda: shared_shingle_index(spark, sf_dir)
+    )
+    # round-16: the (l_returnflag, cents) histogram + cumulative rank
+    # shared by the winsorize / MAD / boxplot percentile family
+    from dblab_ece_trino_spark.operators.analytics import shared_price_cum
+
+    _time_build("price_cum", lambda: shared_price_cum(spark, sf_dir))
     print(f"# shared builds: {shared_builds}", file=sys.stderr)
 
     # PASS 1 — whole-suite warmup (round-13 verdict item 2): every

@@ -1389,8 +1389,19 @@ def _q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed point to an independent float power iteration within 1e-6).
 
     100 TB shape: ONE event scan builds the transition counts (a keyed
-    lag window); every iteration after that joins |types|^2-row frames
-    — metadata-scale forever, the cheapest fixed point in the repo.
+    lag window); the fixed point then lives on the |types|^2 transition
+    frame — metadata-scale BY CONSTRUCTION (the event-type alphabet is
+    a fixed enum at any corpus size), so the iteration runs as a
+    bounded driver kernel (the _cc_min_label_bounded / numpy-matmul
+    precedent): ONE collect of the |types|^2 frame, ten rounds of exact
+    integer arithmetic in Python (arbitrary-precision ints — the same
+    floor divisions the distributed DECIMAL(38,0) form computed, so the
+    fixed point is bit-identical; equivalence pinned in
+    tests/test_round16_opt.py), one createDataFrame back.  The previous
+    distributed loop spent ~2.5 s at sf0.1 on 10 localCheckpoint
+    rounds + 20 metadata-scale shuffles AFTER the one real shuffle —
+    pure fixed overhead at every scale factor (round-16 optimization,
+    guide §2.4: remove shuffles outright).
     """
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
@@ -1413,51 +1424,29 @@ def _q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_ij"))
     )
     outdeg = trans.groupBy("i").agg(F.sum("n_ij").cast("long").alias("n_i"))
-    tm = materialize(trans.join(outdeg, "i"))
+    # |types|^2-bounded collect: the transition matrix of a fixed event
+    # alphabet (~tens of rows), the documented bounded-block kernel.
+    edges = [
+        (r["i"], r["j"], r["n_ij"], r["n_i"])
+        for r in trans.join(outdeg, "i").collect()
+    ]
     # Uniform init derived from the actual state count (SCALE div
-    # |states| in both engines) — the L1 renormalization makes the
-    # magnitude irrelevant beyond floor rounding, but deriving it keeps
-    # the init synchronized with the corpus schema by construction.
-    nstates = (
-        tm.select("i").distinct()
-        .agg(F.count(F.lit(1)).cast("long").alias("n_states"))
-        .withColumn("__k", F.lit(1))
-    )
-    pi = (
-        tm.select(F.col("i").alias("state")).distinct()
-        .withColumn("__k", F.lit(1))
-        .join(F.broadcast(nstates), "__k")
-        .selectExpr(
-            "state",
-            f"CAST({MARKOV_SCALE} div n_states AS BIGINT) AS pi",
-        )
-    )
+    # |states|) — the L1 renormalization makes the magnitude irrelevant
+    # beyond floor rounding, but deriving it keeps the init synchronized
+    # with the corpus schema by construction.
+    states = sorted({i for i, _, _, _ in edges})
+    n_states = len(states)
+    pi = {s: MARKOV_SCALE // n_states for s in states}
     for _ in range(MARKOV_ITERS):
-        pi = materialize(pi)
-        raw = (
-            tm.join(pi, tm.i == pi.state)
-            .select(
-                "j",
-                F.expr(
-                    "(CAST(pi AS DECIMAL(38,0)) * n_ij) div n_i"
-                ).alias("c"),
-            )
-            .groupBy(F.col("j").alias("state"))
-            .agg(F.sum("c").cast("long").alias("raw"))
-        )
-        tot = raw.agg(F.sum("raw").alias("t")).withColumn("__k", F.lit(1))
-        pi = (
-            raw.withColumn("__k", F.lit(1))
-            .join(F.broadcast(tot), "__k")
-            .selectExpr(
-                "state",
-                "CAST((CAST(raw AS DECIMAL(38,0)) * {s}) div t AS BIGINT)"
-                " AS pi".format(s=MARKOV_SCALE),
-            )
-        )
-    return pi.select(
-        F.col("state").alias("event_type"),
-        F.col("pi").alias("stationary_scaled"),
+        raw: dict = {}
+        for i, j, n_ij, n_i in edges:
+            if i in pi:
+                raw[j] = raw.get(j, 0) + (pi[i] * n_ij) // n_i
+        tot = sum(raw.values())
+        pi = {s: (v * MARKOV_SCALE) // tot for s, v in raw.items()}
+    out = sorted(pi.items())
+    return spark.createDataFrame(
+        out, schema="event_type string, stationary_scaled long"
     ).orderBy("event_type")
 
 

@@ -1115,7 +1115,12 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS, scale: int = HITS_SCALE) -> 
     shuffle join + one keyed agg + one broadcast cross-join of the
     1-row L1 total.  Raw frames are materialized per half-step because
     each is consumed twice (rows + total) — the label-prop/BFS
-    precedent: Spark recomputes lazy branches per consumer.
+    precedent: Spark recomputes lazy branches per consumer.  The
+    NORMALIZED projections (raw x 1-row total) are deliberately NOT
+    materialized (round-16 optimization): each is a cheap
+    scan-agg-project over its already-checkpointed raw frame, and
+    checkpointing them again stored six more node-scale frames per run
+    for no recomputation saved beyond that projection.
     """
     from dblab_ece_trino_spark.session import materialize
 
@@ -1127,19 +1132,15 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS, scale: int = HITS_SCALE) -> 
             h.join(e, "c").groupBy("p").agg(F.sum("h").alias("s"))
         )
         atot = araw.agg(F.sum("s").alias("tot"))
-        a = materialize(
-            araw.crossJoin(atot).select(
-                "p", F.expr(f"(s * {scale}) div tot").cast("long").alias("a")
-            )
+        a = araw.crossJoin(atot).select(
+            "p", F.expr(f"(s * {scale}) div tot").cast("long").alias("a")
         )
         hraw = materialize(
             a.join(e, "p").groupBy("c").agg(F.sum("a").alias("s"))
         )
         htot = hraw.agg(F.sum("s").alias("tot"))
-        h = materialize(
-            hraw.crossJoin(htot).select(
-                "c", F.expr(f"(s * {scale}) div tot").cast("long").alias("h")
-            )
+        h = hraw.crossJoin(htot).select(
+            "c", F.expr(f"(s * {scale}) div tot").cast("long").alias("h")
         )
     return h, a
 

@@ -491,17 +491,39 @@ def _q_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = engine_for(spark, sf_dir).catalogs.table("lake.llm.documents")
     ev = docs.filter(F.col("doc_id") % 97 == 0)
     tr = docs.filter(F.col("doc_id") % 97 != 0)
+
+    # Shingles are HASHED to bigints at generation (round-16, guide
+    # §2.3 "narrower types"/"shuffle keys instead of payloads" + the
+    # prefix_filter_pairs discipline): xxhash64 OF THE TOKEN-ARRAY
+    # SLICE, so no shingle string is ever constructed and every
+    # downstream frame (the broadcast build side, the train-side
+    # explode, the surviving-match distinct) carries 8-byte longs
+    # instead of 3-word strings.  Tokens contain no whitespace (split
+    # on \s+), so the join-with-space string form is injective in the
+    # token slice: DISTINCT counts over hashes equal the counts over
+    # the strings up to xxhash64 collisions (~1e-19 per pair — the
+    # minhash-verify envelope; the unchanged string-keyed oracle would
+    # catch one).
+    def hashed_shingles(text: Column) -> Column:
+        toks = F.split(F.trim(text), r"\s+")
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))
+        )
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.xxhash64(F.slice(toks, i, 3)))
+        )
+
     # Materialized because it is consumed twice (broadcast semi-join
     # build + the n_eval_ngrams count) and Spark inlines shared frames —
     # without this the eval scan+explode+distinct runs once per
     # consumer.  It is the small side by construction (~1/97 of docs).
     ev_sh = materialize(
         ev.select(
-            F.explode(word_shingles(F.col("text"), 3)).alias("shingle")
+            F.explode(hashed_shingles(F.col("text"))).alias("shingle")
         ).distinct()
     )
     stats = (
-        tr.select(F.explode(word_shingles(F.col("text"), 3)).alias("shingle"))
+        tr.select(F.explode(hashed_shingles(F.col("text"))).alias("shingle"))
         .join(F.broadcast(ev_sh), "shingle", "left_semi")
         .distinct()
         .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))

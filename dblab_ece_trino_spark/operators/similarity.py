@@ -302,18 +302,28 @@ def _centroid_update(assigned: DataFrame, vec_col: str = "cv") -> DataFrame:
     )
 
 
-def _assign(vectors: DataFrame, centroids: DataFrame, n_best: int = 1) -> DataFrame:
+def _assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_best: int = 1,
+    keep_rank: str | None = None,
+) -> DataFrame:
     """Nearest-centroid assignment (top-``n_best`` for multi-probe):
-    broadcast the (tiny) centroid table, score, window-rank."""
+    broadcast the (tiny) centroid table, score, window-rank.
+    ``keep_rank`` names an output column carrying the 1-based centroid
+    rank (the probe index a multi-probe consumer filters on)."""
     scored = vectors.join(F.broadcast(centroids)).withColumn(
         "sim", cosine(F.col("cv"), F.col("centroid"))
     )
     w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("cluster").asc())
-    return (
+    out = (
         scored.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= n_best)
-        .drop("__r", "sim", "centroid")
     )
+    if keep_rank is not None:
+        out = out.withColumnRenamed("__r", keep_rank)
+        return out.drop("sim", "centroid")
+    return out.drop("__r", "sim", "centroid")
 
 
 def ivf_index(
@@ -1390,11 +1400,15 @@ def dbscan(
             ),
         )
     )
-    half = _eps_pairs_exact(c, t_num, t_den)
-    nbrs = materialize(
-        half.unionAll(
-            half.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
-        )
+    # Materialize the HALF edge set, not the symmetrized union: the
+    # union's two branches would each evaluate the Arrow matmul kernel
+    # (a lazy mapInPandas runs once per consuming branch), doubling the
+    # all-pairs work before the checkpoint even starts (round-16
+    # optimization).  The symmetrized view is two cheap scans of the
+    # stored half frame.
+    half = materialize(_eps_pairs_exact(c, t_num, t_den))
+    nbrs = half.unionAll(
+        half.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"))
     )
     deg = nbrs.groupBy(F.col("ia").alias("nid")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -1603,19 +1617,35 @@ def ivf_probe_sweep(
                                         id_col=id_col, vec_col=vec_col))
     nq = queries.count()
 
+    # ONE scored frame for every sweep point (round-16 optimization,
+    # guide §2.4): the probe sets are n_best-NESTED, so the candidate
+    # set at nprobe p is exactly the max-probe candidate set filtered
+    # to min-centroid-rank <= p — scoring each sweep point against the
+    # cells separately repeated the identical broadcast join + cosine
+    # + distinct |probes| times (4x at the registered sweep) for
+    # value-identical rows.  cos is cell-independent, so
+    # groupBy(qid, cid, cos) + min(rank) is the old per-probe
+    # .distinct() with the probe index attached.
+    max_probe = max(probes)
+    qc = _assign(
+        q, centroids, n_best=max_probe, keep_rank="nb"
+    ).withColumnRenamed("vid", "qid").withColumnRenamed("cv", "qv")
+    scored_all = materialize(
+        cells.join(F.broadcast(qc), "cluster")
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid", "cid",
+            F.round(cosine(F.col("qv"), F.col("ccv")), 6).alias("cos"),
+            "nb",
+        )
+        .groupBy("qid", "cid", "cos")
+        .agg(F.min("nb").alias("nb"))
+    )
+
     per_probe = []
     for nprobe in probes:
-        qc = _assign(q, centroids, n_best=nprobe).withColumnRenamed(
-            "vid", "qid"
-        ).withColumnRenamed("cv", "qv")
-        scored = (
-            cells.join(F.broadcast(qc), "cluster")
-            .filter(F.col("qid") != F.col("cid"))
-            .select(
-                "qid", "cid",
-                F.round(cosine(F.col("qv"), F.col("ccv")), 6).alias("cos"),
-            )
-            .distinct()
+        scored = scored_all.filter(F.col("nb") <= nprobe).select(
+            "qid", "cid", "cos"
         )
         w = Window.partitionBy("qid").orderBy(
             F.col("cos").desc(), F.col("cid").asc()

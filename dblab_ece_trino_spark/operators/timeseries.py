@@ -1861,13 +1861,21 @@ def _register_holt_trend() -> None:
     hazard this entry's own re-derivation test exposed, while
     multiply+add+floor is the identical IEEE op sequence everywhere.
 
-    Shape (100 TB): the daily rollup is computed ONCE and materialized
-    before the recursion — Spark re-derives a recursive CTE's
-    non-recursive inputs on EVERY iteration, so the all-SQL form
-    re-ran the fact-table agg |days| times (measured ~20 s at sf0.1 vs
-    ~1 s materialized; DuckDB materializes CTEs and never had the
-    hazard).  The recursion then runs on |types| x |days| rows —
-    metadata-scale; depth = |days| (30), far under the ceiling.
+    Shape (100 TB): the daily rollup is computed ONCE (the only
+    fact-table pass) and ranked on metadata-scale partitions.  The
+    recursion lives on |types| x |days| rows — metadata-scale BY
+    CONSTRUCTION (a fixed type alphabet x a reporting window), so it
+    runs as a bounded driver kernel (round-16 optimization; the
+    _cc_min_label_bounded precedent): ONE collect of the ranked rollup,
+    the recurrence replayed in Python — whose floats ARE IEEE-754
+    doubles, and the update expressions are transcribed
+    association-for-association, so every state is bit-identical to the
+    WITH RECURSIVE form (equivalence pinned per-value in
+    tests/test_round16_opt.py) — then one createDataFrame back.  The
+    recursive-CTE form paid |days| (30) sequential join-project jobs of
+    pure fixed overhead per call (~2 s at sf0.1 AFTER its inputs were
+    materialized; Spark executes each recursion level as a separate
+    stage) at every scale factor.
     """
     from dblab_ece_trino_spark.operators.registry import register
     from dblab_ece_trino_spark.queries import _ORACLE_TABLES
@@ -1893,7 +1901,7 @@ def _register_holt_trend() -> None:
     ORDER BY event_type, rn
     """
 
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _ranked_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         from dblab_ece_trino_spark.entrypoints import engine_for
         from dblab_ece_trino_spark.session import materialize
 
@@ -1912,13 +1920,61 @@ def _register_holt_trend() -> None:
         # the rank window runs on the materialized |types| x |days|
         # rollup — metadata-scale partitions, never the fact table
         w = Window.partitionBy("event_type").orderBy("bar_day")
-        ranked = materialize(
+        return materialize(
             daily.withColumn(
                 "rn", F.row_number().over(w).cast("bigint")
             )
         )
+
+    def run_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # The distributed WITH RECURSIVE form — kept as the
+        # cross-checkable twin the kernel is pinned against in pytest.
+        ranked = _ranked_daily(spark, sf_dir)
         ranked.createOrReplaceTempView("__holt_daily_r14")
         return spark.sql(rec_tpl.format(r="__holt_daily_r14"))
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import math
+
+        ranked = _ranked_daily(spark, sf_dir)
+        series: dict = {}
+        for r in ranked.collect():
+            series.setdefault(r["event_type"], []).append(
+                (r["rn"], r["bar_day"], r["y"])
+            )
+        out = []
+        for etype in sorted(series):
+            rows = sorted(series[etype])
+            l = b = 0.0
+            for rn, bar_day, y in rows:
+                if rn == 1:
+                    l, b = y, 0.0
+                else:
+                    # same association order as the SQL text:
+                    # (0.25*y) + (0.75*(l+b)); 0.5*(lnew-l) + 0.5*b
+                    lnew = 0.25 * y + 0.75 * (l + b)
+                    b = 0.5 * (lnew - l) + 0.5 * b
+                    l = lnew
+                out.append(
+                    (
+                        etype,
+                        rn,
+                        bar_day,
+                        int(math.floor(y * 10000 + 0.5)),
+                        int(math.floor(l * 10000 + 0.5)),
+                        int(math.floor(b * 10000 + 0.5)),
+                        int(math.floor((l + b) * 10000 + 0.5)),
+                    )
+                )
+        return spark.createDataFrame(
+            out,
+            schema=(
+                "event_type string, rn bigint, bar_day date, y_e4 bigint,"
+                " level_e4 bigint, trend_e4 bigint, forecast_e4 bigint"
+            ),
+        ).orderBy("event_type", "rn")
+
+    run.recursive_sql_twin = run_recursive_sql
 
     oracle = """
     WITH RECURSIVE d AS (
@@ -1981,10 +2037,17 @@ def _register_holtwinters() -> None:
     round(double, n) cross-engine tie trap documented in ts_holt_trend.
 
     Shape (100 TB): daily rollup exact-decimal-summed from the fact
-    table ONCE and materialized (Spark re-derives recursive-CTE
-    non-recursive inputs per iteration — the r14 hazard); the pivot,
-    init, and recursion then run on |types| x |days| rows — metadata
-    scale; recursion depth = |days| - m (23), far under the ceiling.
+    table ONCE (the only fact pass); the pivot, init, and recursion
+    live on |types| x |days| rows — metadata scale BY CONSTRUCTION, so
+    (round-16 optimization, the ts_holt_trend precedent) the recursion
+    runs as a bounded driver kernel: ONE collect of the ranked rollup,
+    the init sums and the three-state recurrence replayed in Python —
+    IEEE-754 doubles with the SQL text's association order transcribed
+    exactly, so every state is bit-identical to the WITH RECURSIVE
+    form (pinned per-value in tests/test_round16_opt.py) — then one
+    createDataFrame back.  The recursive-CTE form paid |days|-m (23)
+    sequential join-project jobs of fixed overhead per call (~2 s at
+    sf0.1) at every scale factor.
     """
     from dblab_ece_trino_spark.operators.registry import register
     from dblab_ece_trino_spark.queries import _ORACLE_TABLES
@@ -2043,7 +2106,7 @@ def _register_holtwinters() -> None:
     ORDER BY event_type, rn
     """
 
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _ranked_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         from dblab_ece_trino_spark.entrypoints import engine_for
         from dblab_ece_trino_spark.session import materialize
 
@@ -2060,17 +2123,82 @@ def _register_holtwinters() -> None:
             ).alias("y")
         )
         w = Window.partitionBy("event_type").orderBy("bar_day")
-        ranked = materialize(
+        return materialize(
             daily.withColumn("rn", F.row_number().over(w).cast("bigint"))
         )
+
+    def run_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # The distributed WITH RECURSIVE form — kept as the
+        # cross-checkable twin the kernel is pinned against in pytest.
+        ranked = _ranked_daily(spark, sf_dir)
         ranked.createOrReplaceTempView("__hw_daily_r15")
-        init = materialize(
-            spark.sql(init_tpl.format(r="__hw_daily_r15"))
-        )
+        init = spark.sql(init_tpl.format(r="__hw_daily_r15"))
+        from dblab_ece_trino_spark.session import materialize
+
+        init = materialize(init)
         init.createOrReplaceTempView("__hw_init_r15")
         return spark.sql(
             rec_tpl.format(init="__hw_init_r15", r="__hw_daily_r15")
         )
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import math
+
+        ranked = _ranked_daily(spark, sf_dir)
+        series: dict = {}
+        for r in ranked.collect():
+            series.setdefault(r["event_type"], []).append(
+                (r["rn"], r["bar_day"], r["y"])
+            )
+        out = []
+        for etype in sorted(series):
+            rows = sorted(series[etype])
+            if len(rows) < 2 * m:  # init needs y1..y14 (WHERE y14 IS NOT NULL)
+                continue
+            ys = [y for _, _, y in rows]
+            # literal left-associated init sums — the SQL text's exact
+            # IEEE sequence: ((((((y1+y2)+y3)+y4)+y5)+y6)+y7) / 7.0
+            s1_7 = ys[0]
+            for v in ys[1:m]:
+                s1_7 = s1_7 + v
+            s8_14 = ys[m]
+            for v in ys[m + 1:2 * m]:
+                s8_14 = s8_14 + v
+            l = s1_7 / 7.0
+            b = (s8_14 / 7.0 - l) / 7.0
+            s = [ys[i] - l for i in range(m)]  # s1..s7 (oldest first)
+            for rn, bar_day, y in rows[m:]:
+                # association order exactly as the recursive SQL text:
+                # lnew = 0.25*(y - s1) + 0.75*(l + b)
+                # bnew = 0.5*(lnew - l) + 0.5*b
+                # snew = 0.25*(y - lnew) + 0.75*s1
+                lnew = 0.25 * (y - s[0]) + 0.75 * (l + b)
+                bnew = 0.5 * (lnew - l) + 0.5 * b
+                snew = 0.25 * (y - lnew) + 0.75 * s[0]
+                l, b = lnew, bnew
+                s = s[1:] + [snew]
+                out.append(
+                    (
+                        etype,
+                        rn,
+                        bar_day,
+                        int(math.floor(y * 10000 + 0.5)),
+                        int(math.floor(l * 10000 + 0.5)),
+                        int(math.floor(b * 10000 + 0.5)),
+                        int(math.floor(s[-1] * 10000 + 0.5)),
+                        int(math.floor((l + b + s[0]) * 10000 + 0.5)),
+                    )
+                )
+        return spark.createDataFrame(
+            out,
+            schema=(
+                "event_type string, rn bigint, bar_day date, y_e4 bigint,"
+                " level_e4 bigint, trend_e4 bigint, seasonal_e4 bigint,"
+                " forecast_next_e4 bigint"
+            ),
+        ).orderBy("event_type", "rn")
+
+    run.recursive_sql_twin = run_recursive_sql
 
     oracle = (
         """
