@@ -395,8 +395,11 @@ def gopher_repetition(
     stream tagged by n (token-linear, x5), with grams keyed by
     ``xxhash64`` OF THE TOKEN-ARRAY SLICE — no gram string is ever
     constructed and the shuffle carries 8-byte keys (the
-    dup_span_coverage discipline); gram character length travels as a
-    small integer fold over the precomputed token-length array.  Then
+    dup_span_coverage discipline); gram character lengths come from
+    chained O(1)-per-gram span arrays over the precomputed token-length
+    array (r16 re-plan — the old per-gram slice-fold re-summed ~n lens
+    per gram through an interpreted HOF lambda; see the inline
+    comment).  Then
     one map-side-combinable (doc, n, hash) count, a (doc, n) fold, a
     5-way conditional pivot to one row per document.  (Two rejected
     forms, measured at sf0.1: STRING-keyed grams 12.7 s — the shuffle
@@ -409,6 +412,11 @@ def gopher_repetition(
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
 
     def gram_structs(n: int) -> Column:
+        # glen from the chained O(1) arrays (g{n}) for full windows;
+        # a doc shorter than n tokens emits ONE truncated gram covering
+        # the whole doc, whose char span is the precomputed ``tot``
+        # (sum(lens) + sz - 1) — identical to the old slice-fold's
+        # aggregate(slice(lens, 1, n)) + least(n, sz) - 1 there.
         idx = F.sequence(
             F.lit(1), F.greatest(F.size(F.col("arr")) - (n - 1), F.lit(1))
         )
@@ -417,15 +425,12 @@ def gopher_repetition(
             lambda i: F.struct(
                 F.lit(n).cast("int").alias("n"),
                 F.xxhash64(F.slice(F.col("arr"), i, n)).alias("gh"),
-                (
-                    F.aggregate(
-                        F.slice(F.col("lens"), i, n),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    )
-                    + F.least(F.lit(n), F.size(F.col("arr")))
-                    - F.lit(1)
-                ).alias("glen"),
+                F.when(
+                    F.size(F.col("arr")) >= n,
+                    F.element_at(F.col(f"g{n}"), i),
+                )
+                .otherwise(F.col("tot"))
+                .alias("glen"),
             ),
         )
 
@@ -434,6 +439,44 @@ def gopher_repetition(
         F.length(F.col(text_col)).cast("long").alias("doc_chars"),
         toks.alias("arr"),
     ).withColumn("lens", F.transform("arr", lambda t: F.length(t).cast("long")))
+    # r16 re-plan (guide §4.1/§1.2 — per-gram work from O(n) to O(1)):
+    # the old form re-summed a lens slice PER GRAM via an interpreted
+    # aggregate-HOF lambda (~20 inner lambda evaluations per token
+    # across n in {2..6}).  The gram char spans obey the recurrence
+    # glen_n[i] = glen_{n-1}[i] + lens[i+n-1] + 1, so five chained
+    # transforms build all spans with one O(1) body each; ``tot`` (one
+    # O(sz) fold per DOC, not per gram) covers the truncated short-doc
+    # gram.  Measured 7.5 s -> 5.2 s noop at sf0.1, identical output
+    # (pinned incl. 1..8-token short docs in tests/test_round16_opt.py).
+    base = base.withColumn(
+        "tot",
+        F.aggregate(
+            F.col("lens"), F.lit(0).cast("long"), lambda a, x: a + x
+        )
+        + F.size(F.col("arr"))
+        - F.lit(1),
+    )
+    base = base.withColumn(
+        "g2",
+        F.when(
+            F.size(F.col("arr")) >= 2,
+            F.expr(
+                "transform(sequence(1, size(arr) - 1),"
+                " i -> lens[i - 1] + lens[i] + 1)"
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<bigint>)")),
+    )
+    for n in range(3, 7):
+        base = base.withColumn(
+            f"g{n}",
+            F.when(
+                F.size(F.col("arr")) >= n,
+                F.expr(
+                    f"transform(sequence(1, size(arr) - {n - 1}),"
+                    f" i -> g{n - 1}[i - 1] + lens[i + {n - 2}] + 1)"
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<bigint>)")),
+        )
     g = base.select(
         "doc_id",
         "doc_chars",

@@ -39,16 +39,32 @@ FAMILY = IVF_FAMILY + QUANT_FAMILY
 
 
 def ensure_x10(eng) -> None:
-    if os.path.isdir(X10):
+    # scale_check parses sys.argv at IMPORT time (MULT = argv[1]); an
+    # sf_dir argument to THIS script would crash the import (ValueError
+    # on a path) or silently change MULT/DST on a numeric one — swap a
+    # clean argv in around the import (r15 ADVICE item).
+    saved_argv = sys.argv
+    sys.argv = [saved_argv[0]]
+    try:
+        import scale_check
+    finally:
+        sys.argv = saved_argv
+    # A bare existing directory is NOT a complete x10 replica: a partial
+    # prior build (or one made at a different multiplier) would be
+    # silently reused (r15 ADVICE item) — require every multiplied
+    # table's parquet to exist before trusting it.
+    expected = [
+        t for t in scale_check.KEY_COLS
+        if os.path.exists(os.path.join(scale_check.SRC, f"{t}.parquet"))
+    ]
+    if os.path.isdir(X10) and all(
+        os.path.exists(os.path.join(X10, f"{t}.parquet")) for t in expected
+    ):
         return
-    import scale_check
-
     os.makedirs(X10, exist_ok=True)
     t0 = time.monotonic()
-    for t in scale_check.KEY_COLS:
-        src = os.path.join(scale_check.SRC, f"{t}.parquet")
-        if os.path.exists(src):
-            scale_check.multiply(eng, t, os.path.join(X10, f"{t}.parquet"))
+    for t in expected:
+        scale_check.multiply(eng, t, os.path.join(X10, f"{t}.parquet"))
     print(f"# x10 replica synthesized in {time.monotonic() - t0:.1f}s")
 
 
@@ -71,10 +87,34 @@ def main() -> None:
     qs = e.queries()
 
     def drop_caches() -> None:
+        # Unpersist the checkpointed frames BEFORE dropping the dict
+        # references: per.clear() alone leaves each stale build's
+        # localCheckpoint blocks in executor storage until JVM GC, so
+        # the per-entry arm would accumulate ~7 dead builds' blocks of
+        # memory pressure and bias its own numbers upward (r15 ADVICE
+        # item — the bias overstated the shared-build ratio).
+        import gc
+
+        def unpersist_checkpoint(df) -> None:
+            # a materialized frame is a LogicalRDD over the checkpoint
+            # RDD — unpersist THAT rdd (df.rdd would wrap it in a fresh
+            # MapPartitionsRDD whose unpersist is a no-op on the blocks)
+            try:
+                plan = df._jdf.queryExecution().optimizedPlan()
+                if plan.getClass().getSimpleName() == "LogicalRDD":
+                    plan.rdd().unpersist(False)
+            except Exception:
+                pass
+
         for store in (_IVF_SHARED, _QUANT_SHARED):
             per = store.get(spark)
             if per is not None:
+                for built in per.values():
+                    frames = built if isinstance(built, tuple) else (built,)
+                    for df in frames:
+                        unpersist_checkpoint(df)
                 per.clear()
+        gc.collect()
 
     def run_entry(name: str) -> float:
         t0 = time.monotonic()

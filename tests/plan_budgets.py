@@ -15,8 +15,10 @@ PLAN_BUDGETS = {
     'dedup_containment': (4, 2, 0, 1),
     'dedup_embedding': (2, 0, 0, 0),
     'dedup_exact': (2, 1, 0, 0),
-    'dedup_lsh_precision': (7, 3, 0, 0),
-    'dedup_minhash_lsh': (3, 0, 0, 0),
+    # r16: verify reuses the funnel's own sigs/cands/est
+    'dedup_lsh_precision': (5, 3, 0, 0),
+    # shared_minhash_clusters checkpoint scan (tightened r16)
+    'dedup_minhash_lsh': (1, 0, 0, 0),
     'dedup_ngram_jaccard': (8, 7, 0, 0),
     'dedup_prefix_filter': (4, 2, 0, 1),
     'dedup_ngram_jaccard_word': (8, 7, 0, 0),
@@ -31,7 +33,8 @@ PLAN_BUDGETS = {
     'graph_link_prediction': (4, 2, 1, 1),
     'graph_clustering_coeff': (5, 2, 0, 0),
     'graph_harmonic_centrality': (5, 3, 0, 1),
-    'graph_hits': (2, 0, 0, 1),
+    # r16: normalized projections no longer checkpointed — the crossJoin+agg shows in the final plan
+    'graph_hits': (4, 2, 0, 1),
     # materialized edge frame re-read by the m / intra / both degree
     # branches (4 of the 7 scans); part is the broadcast dim twice
     'graph_modularity': (7, 5, 1, 1),
@@ -158,7 +161,8 @@ PLAN_BUDGETS = {
     'op_ks_test': (1, 3, 2, 1),
     'op_mann_whitney': (1, 3, 2, 1),
     'op_bloom_membership': (3, 5, 0, 0),
-    'op_boxplot_stats': (5, 8, 1, 2),
+    # r16: shared_price_cum
+    'op_boxplot_stats': (2, 3, 0, 1),
     'op_concurrency_sweep': (2, 4, 1, 4),
     'op_click_attribution': (2, 0, 0, 0),
     'op_cohort_retention': (3, 7, 0, 1),
@@ -240,7 +244,8 @@ PLAN_BUDGETS = {
     'op_window_rank_lag': (1, 1, 1, 1),
     'op_window_rownum': (1, 1, 1, 2),
     'op_window_running_sum': (1, 1, 1, 1),
-    'op_winsorize': (5, 8, 1, 2),
+    # r16: shared_price_cum
+    'op_winsorize': (2, 3, 0, 1),
     'pipeline_clean_corpus': (2, 2, 0, 0),
     'pipeline_curate_corpus': (5, 7, 1, 3),
     'pipeline_pack_sequences': (1, 1, 1, 1),
@@ -276,7 +281,8 @@ PLAN_BUDGETS = {
     'q004': (3, 1, 0, 0),
     'q005': (7, 7, 0, 0),
     'sample_importance': (1, 1, 0, 0),
-    'sample_contamination_rate': (5, 7, 0, 0),
+    # r16: hashed shingles
+    'sample_contamination_rate': (5, 5, 0, 0),
     'sample_group_holdout': (2, 6, 0, 1),
     'sample_poisson_bootstrap': (1, 2, 0, 1),
     'sample_neyman_alloc': (1, 2, 3, 2),
@@ -296,7 +302,8 @@ PLAN_BUDGETS = {
     'wh_vacuum_planner': (3, 3, 1, 2),
     # 4-point sweep re-reads the materialized index/bf/query frames
     # per point (one build, nested probe sets)
-    'sim_ivf_probe_sweep': (16, 24, 9, 25),
+    # r16: one scored frame for all probe points
+    'sim_ivf_probe_sweep': (8, 16, 5, 17),
     'multimodal_hist_equalize': (0, 1, 0, 1),
     'llm_bpe_compression_curve': (2, 2, 0, 1),
     # du CTE inlined into the dau / mau / max-day branches (3 scans of
@@ -306,7 +313,8 @@ PLAN_BUDGETS = {
     'op_top_paths': (1, 2, 1, 2),
     # per-round materialize keeps the 10-iteration power method's
     # lineage flat (the HITS/label-prop discipline)
-    'op_markov_stationary': (4, 4, 0, 1),
+    # r16: bounded driver kernel
+    'op_markov_stationary': (1, 1, 0, 1),
     'sample_cluster': (1, 2, 0, 1),
     'text_hapax_ratio': (1, 3, 0, 1),
     # orders scanned twice (rank frame + observation horizon); the
@@ -328,7 +336,8 @@ PLAN_BUDGETS = {
     'sample_stratified': (1, 0, 0, 0),
     'sample_weighted_topk': (1, 0, 0, 0),
     'sim_mips_topk': (2, 2, 1, 2),
-    'sim_dbscan': (5, 4, 0, 1),
+    # r16: half-edge checkpoint scanned by both union branches (kernel evaluated once)
+    'sim_dbscan': (7, 4, 0, 1),
     'sim_epsilon_ball': (2, 1, 0, 1),
     'sim_quantized_mips': (2, 1, 1, 2),
     'sim_recall_at_k': (13, 17, 4, 15),
@@ -450,7 +459,8 @@ PLAN_BUDGETS = {
     # checkpoint) + id-keyed pair join + one 3-row agg.
     'graph_ppr': (11, 10, 0, 0),
     'dedup_chunk_neardup': (2, 4, 0, 1),
-    'ts_holt_trend': (0, 1, 0, 1),
+    # r16: bounded driver kernel — one ExistingRDD scan + output sort
+    'ts_holt_trend': (1, 1, 0, 1),
     'multimodal_audio_resample': (0, 1, 0, 1),
     'sample_epoch_shuffle': (2, 4, 0, 3),
     # round-15 ops.  ts_holtwinters: recursive-CTE triple smoothing on
@@ -463,7 +473,8 @@ PLAN_BUDGETS = {
     # chunk-hash agg + broadcast-flag join + per-doc agg; one output
     # sort.  op_anova: one fact scan feeding the keyed agg, g2 read
     # twice (totals + final), metadata-scale after the first agg.
-    'ts_holtwinters': (0, 1, 0, 1),
+    # r16: bounded driver kernel — one ExistingRDD scan + output sort
+    'ts_holtwinters': (1, 1, 0, 1),
     'dedup_image_phash': (4, 2, 0, 1),
     'dedup_cdc_chunks': (2, 4, 0, 1),
     'op_anova': (2, 4, 0, 1),

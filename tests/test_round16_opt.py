@@ -129,6 +129,50 @@ def test_shared_price_cum_thresholds_equal_direct(spark):
     assert got
 
 
+def test_gopher_chained_glen_short_docs(spark):
+    """The r16 chained-glen re-plan of gopher_repetition must replicate
+    the old slice-fold semantics on docs SHORTER than the gram sizes
+    (the truncated single-gram branch): glen == sum(token lens) +
+    n_gram_tokens - 1 for every gram, full or truncated."""
+    from dblab_ece_trino_spark.operators.llmprep import gopher_repetition
+
+    texts = [
+        "a", "ab cd", "x yz w", "aa bb cc dd", "q w e r t",
+        "a b c d e f", "aa b ccc d ee f g", "1 22 333 4444 5 66 77 8",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_repetition(docs).collect()}
+
+    for i, t in enumerate(texts):
+        toks = t.split()
+        sz = len(toks)
+        chars = len(t)
+        for n in (2, 3, 4, 5, 6):
+            grams = (
+                [toks[j:j + n] for j in range(sz - n + 1)]
+                if sz >= n
+                else [toks[:n]]
+            )
+            from collections import Counter
+
+            cnt = Counter(tuple(g) for g in grams)
+            glen = {
+                tuple(g): sum(len(x) for x in g) + len(g) - 1 for g in grams
+            }
+            top = max(
+                (c, c * glen[g]) for g, c in cnt.items()
+            )
+            dup = sum(c * glen[g] for g, c in cnt.items() if c >= 2)
+            col = {2: "top2_ppm", 3: "top3_ppm", 4: "top4_ppm"}.get(n)
+            if col:
+                assert got[i][col] == top[1] * 1_000_000 // chars, (i, n)
+            col = {5: "dup5_ppm", 6: "dup6_ppm"}.get(n)
+            if col:
+                assert got[i][col] == dup * 1_000_000 // chars, (i, n)
+
+
 def test_lsh_funnel_reused_stages_match_oracle(spark, duck):
     from dblab_ece_trino_spark.operators.registry import (
         oracle_queries,
