@@ -493,6 +493,15 @@ def main() -> None:
     from dblab_ece_trino_spark.operators.analytics import shared_price_cum
 
     _time_build("price_cum", lambda: shared_price_cum(spark, sf_dir))
+    # round-17: the duplicated-span island frame shared by the
+    # coverage and removal halves of exact-substring dedup
+    from dblab_ece_trino_spark.operators.llmprep import (
+        shared_dupspan_islands,
+    )
+
+    _time_build(
+        "dupspan_islands", lambda: shared_dupspan_islands(spark, sf_dir)
+    )
     print(f"# shared builds: {shared_builds}", file=sys.stderr)
 
     # PASS 1 — whole-suite warmup (round-13 verdict item 2): every

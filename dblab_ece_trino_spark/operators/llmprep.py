@@ -16,6 +16,8 @@ LLM-pipeline surface SURVEY §6 plans as first-class).  Design rules:
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2423,32 +2425,24 @@ register(
 
 
 # ------------------------------------------------- duplicated-span coverage
-def dup_span_coverage(
+def _dupspan_islands(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
 ) -> DataFrame:
-    """Per-document coverage by cross-document duplicated n-gram spans —
-    the measurement half of exact-substring training-data dedup (Lee et
-    al. 2022, "Deduplicating Training Data Makes Language Models
-    Better": spans of >= n tokens occurring verbatim in more than one
-    document are the removal unit).  For every position-anchored word
-    n-gram that appears in >= 2 distinct documents, the covered token
-    interval is [pos, pos + n); per document those intervals are merged
-    (gaps-and-islands over the sorted anchor positions — an island
-    breaks when the next anchor starts past the previous interval's
-    end, i.e. gap > n) and the output reports exact duplicated-token
-    coverage next to the document's token count.
-
-    100 TB shape: one row per corpus token into a bigint-keyed
-    aggregation (grams are md5-folded to 48-bit ints at extraction —
-    the shuffle carries 8-byte keys, never gram strings), one shuffle
-    join back to the anchor frame, then per-document windows whose
-    partitions are bounded by document length.  The anchor frame is
-    materialized once (document-frequency branch + rejoin both read the
-    checkpointed rows).  No driver-side state; every column integer, so
-    the driver value-hash replays exactly.
+    """Merged duplicated-span islands at (doc, island) grain — the
+    machinery shared VERBATIM by ``dup_span_coverage`` (measures) and
+    ``dup_span_removal`` (cuts): position-anchored word n-grams
+    md5-folded to 48-bit ints, document-frequency >= 2, per-document
+    gaps-and-islands interval union.  Returns one row per island:
+    (id_col, island, s = min anchor pos, m = max anchor pos,
+    ng = anchor count) — everything either consumer derives its
+    interval set or coverage sums from.  Islands are STRICTLY disjoint
+    and non-adjacent by construction: a new island requires
+    gap > n, so the next island's start exceeds the previous interval
+    end (s_next > m_prev + n = e_prev) — the complement-slice cut and
+    the disjoint-sum coverage both rely on exactly this.
     """
     from dblab_ece_trino_spark.operators.sketches import hexint_col
     from dblab_ece_trino_spark.session import materialize
@@ -2501,17 +2495,97 @@ def dup_span_coverage(
         )
         .withColumn("island", F.sum("brk").over(run))
     )
-    cov = isl.groupBy(id_col, "island").agg(
-        (F.max("pos") - F.min("pos") + n).cast("long").alias("cov_len"),
+    return isl.groupBy(id_col, "island").agg(
+        F.min("pos").cast("long").alias("s"),
+        F.max("pos").cast("long").alias("m"),
         F.count(F.lit(1)).cast("long").alias("ng"),
     )
-    per_doc = cov.groupBy(id_col).agg(
+
+
+_DUPSPAN_SHARED: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def shared_dupspan_islands(
+    spark: SparkSession, sf_dir: str, n: int = 8
+) -> DataFrame:
+    """ONE duplicated-span island build cached per (session, sf_dir, n)
+    — the shared_shingle_index / shared_price_cum precedent (round-17
+    optimization, guide §2.4: remove shuffles outright).
+    ``llm_dup_span_coverage`` and ``llm_dup_span_removal`` built
+    IDENTICAL gram / df-count / anchor-join / island-window chains
+    independently (the dominant stages of both entries: one md5 per
+    corpus token into a countDistinct shuffle), for bit-identical
+    island frames — the measurement half and the removal half of Lee
+    et al. 2022 exact-substring dedup are DEFINED over the same island
+    set.  At 100 TB the duplicated-span index is corpus metadata built
+    once per corpus version and consumed by every
+    coverage-report/removal pass — the same production shape as the
+    shared minhash/shingle builds.  Deterministic construction
+    (md5-folded grams, exact integer window arithmetic) makes reuse
+    value-identical for every consumer; the returned island frame
+    (bounded by anchor count, far below token count) is materialized
+    so cached references stay valid for the life of the session.
+    """
+    per = _DUPSPAN_SHARED.get(spark)
+    if per is None:
+        per = {}
+        _DUPSPAN_SHARED[spark] = per
+    key = (sf_dir, n)
+    if key not in per:
+        from dblab_ece_trino_spark.session import materialize
+
+        per[key] = materialize(_dupspan_islands(_docs(spark, sf_dir), n=n))
+    return per[key]
+
+
+def dup_span_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    islands: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document coverage by cross-document duplicated n-gram spans —
+    the measurement half of exact-substring training-data dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": spans of >= n tokens occurring verbatim in more than one
+    document are the removal unit).  For every position-anchored word
+    n-gram that appears in >= 2 distinct documents, the covered token
+    interval is [pos, pos + n); per document those intervals are merged
+    (gaps-and-islands over the sorted anchor positions — an island
+    breaks when the next anchor starts past the previous interval's
+    end, i.e. gap > n) and the output reports exact duplicated-token
+    coverage next to the document's token count.
+
+    100 TB shape: one row per corpus token into a bigint-keyed
+    aggregation (grams are md5-folded to 48-bit ints at extraction —
+    the shuffle carries 8-byte keys, never gram strings), one shuffle
+    join back to the anchor frame, then per-document windows whose
+    partitions are bounded by document length.  No driver-side state;
+    every column integer, so the driver value-hash replays exactly.
+
+    Round-17: the gram/df-count/anchor/island machinery lives in
+    ``_dupspan_islands`` and is SHARED with ``dup_span_removal`` via
+    ``shared_dupspan_islands`` (the two ops consume the identical
+    island frame); this function keeps only the coverage readout —
+    per-island cov_len = m - s + n summed per document (islands are
+    disjoint, so the sum is the exact merged-interval coverage, the
+    same integers the per-island groupBy produced before).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.size(_toks(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    if islands is None:
+        islands = _dupspan_islands(docs, id_col, text_col, n)
+    per_doc = islands.groupBy(id_col).agg(
         F.sum("ng").cast("long").alias("n_dup_grams"),
-        F.sum("cov_len").cast("long").alias("dup_tokens"),
+        F.sum(F.col("m") - F.col("s") + n).cast("long").alias("dup_tokens"),
     )
     return (
-        toks.select(id_col, "n_tokens")
-        .join(per_doc, id_col, "left")
+        toks.join(per_doc, id_col, "left")
         .select(
             F.col(id_col),
             F.col("n_tokens"),
@@ -2527,7 +2601,9 @@ def dup_span_coverage(
 
 
 def _q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dup_span_coverage(_docs(spark, sf_dir))
+    return dup_span_coverage(
+        _docs(spark, sf_dir), islands=shared_dupspan_islands(spark, sf_dir)
+    )
 
 
 def _dup_span_oracle() -> str:
@@ -2600,15 +2676,18 @@ def dup_span_removal(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    islands: DataFrame | None = None,
 ) -> DataFrame:
     """The REMOVAL half of exact-substring training-data dedup (Lee et
     al. 2022): cut every cross-document duplicated span found by
     ``dup_span_coverage`` and emit the deduped text.  Reuses the exact
     coverage machinery — position-anchored word n-grams md5-folded to
     48-bit keys, document-frequency >= 2, gaps-and-islands interval
-    union per document — then drops the covered token positions and
-    reassembles the survivors in order.  ``removed_tokens`` reconciles
-    with coverage's ``dup_tokens`` by construction (pinned in pytest).
+    union per document (``_dupspan_islands``, shared with the coverage
+    op via ``shared_dupspan_islands``) — then drops the covered token
+    positions and reassembles the survivors in order.
+    ``removed_tokens`` reconciles with coverage's ``dup_tokens`` by
+    construction (pinned in pytest).
 
     100 TB shape: identical economics to the coverage op (8-byte keys
     in the shuffle, per-document windows bounded by document length)
@@ -2618,66 +2697,28 @@ def dup_span_removal(
     strings except the final per-document reassembly, and no Python
     touches a row.  Islands are disjoint by construction, so the
     position test scans a bounded interval list per token.
-    """
-    from dblab_ece_trino_spark.operators.sketches import hexint_col
-    from dblab_ece_trino_spark.session import materialize
 
+    The cut expression was A/B'd in round 17 and deliberately KEPT
+    (guide §1: measure first): on the shared islands the per-position
+    HOF cut runs 0.54 s isolated at sf0.1 vs 1.21 s for an Arrow
+    mapInPandas mask kernel (the boundary ships every token array to
+    Python) and 3.01 s for a complement-slice zip_with/slice rewrite
+    (interpreted lambda slices allocate per gap) — the
+    O(tokens × islands) worry is theoretical here because merged
+    islands per document are near 1, so the exists() scan is
+    effectively O(tokens) integer compares.
+    """
     toks = docs.select(
         F.col(id_col), _toks(F.col(text_col)).alias("arr")
     ).select(
         id_col, "arr", F.size("arr").cast("long").alias("n_tokens")
     )
-    grams = materialize(
-        toks.filter(F.col("n_tokens") >= n)
-        .select(
-            id_col,
-            F.explode(
-                F.sequence(F.lit(0), (F.col("n_tokens") - n).cast("int"))
-            ).alias("pos"),
-            F.col("arr"),
-        )
-        .select(
-            id_col,
-            "pos",
-            hexint_col(
-                F.concat(
-                    F.lit("dsc:"),
-                    F.concat_ws(" ", F.slice(F.col("arr"), F.col("pos") + 1, n)),
-                ),
-                12,
-            ).alias("h"),
-        )
-    )
-    dup = (
-        grams.groupBy("h")
-        .agg(F.countDistinct(id_col).alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
-    anchors = grams.join(dup, "h").select(id_col, "pos")
-    w = Window.partitionBy(id_col).orderBy("pos")
-    run = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    isl = (
-        anchors.withColumn("prev", F.lag("pos").over(w))
-        .withColumn(
-            "brk",
-            F.when(
-                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > n),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        .withColumn("island", F.sum("brk").over(run))
-    )
-    ivs = (
-        isl.groupBy(id_col, "island")
-        .agg(
-            F.min("pos").cast("long").alias("s"),
-            (F.max("pos") + n).cast("long").alias("e"),
-        )
-        .groupBy(id_col)
-        .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
+    if islands is None:
+        islands = _dupspan_islands(docs, id_col, text_col, n)
+    ivs = islands.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("s"), (F.col("m") + n).cast("long").alias("e"))
+        ).alias("ivs")
     )
     cut = (
         toks.join(ivs, id_col, "left")
@@ -2711,7 +2752,9 @@ def dup_span_removal(
 
 
 def _q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dup_span_removal(_docs(spark, sf_dir))
+    return dup_span_removal(
+        _docs(spark, sf_dir), islands=shared_dupspan_islands(spark, sf_dir)
+    )
 
 
 def _dup_span_removal_oracle() -> str:

@@ -340,38 +340,56 @@ ROTATION_RETIRED: frozenset = frozenset({
 # the r9 cohort.  New-op velocity was throttled to 5 this round (r13
 # verdict item 4) so the backfill window covers three whole cohorts.
 #
-# ROUND-15 WINDOW (final composition: 5 new + 32 r9 + 13 r10): the
-# never-graded round-15 ops at the head, then the FULL remaining
-# r9-latest cohort (32 entries after retirements), then the
+# ROUND-15 WINDOW (history, final composition: 5 new + 32 r9 + 13
+# r10): the never-graded round-15 ops at the head, then the FULL
+# remaining r9-latest cohort (32 entries after retirements), then the
 # alphabetical head of the r10 cohort.  New-op velocity held at <= 5
-# (r14 verdict item 2).  ROUND-16 QUEUE, pre-derived: the remaining
-# r10 cohort (op_moments_profile, op_sessionize_batch, ...
-# alphabetical), then r11.  Verify any window rewrite mechanically:
+# (r14 verdict item 2).
+#
+# ROUND-16 WINDOW (history): 5 never-graded r15 ops, the full r9
+# cohort, and the alphabetical head of r10.  Graded 50/50 green in
+# CORRECTNESS_r16.json.
+#
+# ROUND-17 WINDOW (optimization round 2): no new ops (optimization
+# rounds add none).  The r16 verdict (item 1) explicitly orders the 8
+# entries whose build paths were re-planned in round 16 AFTER their
+# last driver grade seated at the head — the r12
+# graph_link_prediction precedent: builder-side oracle evidence is
+# not a substitute for a driver grade on the live code path.  Next
+# come the 4 entries round 17 itself re-plans
+# (llm_dup_span_removal / llm_dup_span_coverage interval kernel,
+# dedup_chunk_neardup chunk-grain shared signatures, graph_hits
+# checkpoint A/B — same freshness rule, applied proactively this
+# time), then the steady-state queue: the remaining r10-latest cohort
+# (alphabetical), then the r11 head.  Verify any window rewrite
+# mechanically:
 #   PYTHONPATH=. python3 scripts/window_check.py
 GRADED_PRIORITY: list[str] = [
-    # NEW round-15 ops (never-graded outranks stale).
-    "dedup_cdc_chunks", "dedup_image_phash", "graph_neighborhood_func",
-    "op_anova", "ts_holtwinters",
-    # latest green = round 9 (full remaining cohort, alphabetical)
-    "graph_hits", "llm_dataset_profile", "llm_dup_span_coverage",
-    "llm_ngram_novelty", "llm_pad_waste", "llm_quality_floor",
-    "llm_sequence_pack", "multimodal_adpcm_decode",
-    "multimodal_audio_energy", "multimodal_exif_parse",
-    "multimodal_g711_decode", "multimodal_jpeg_ac_decode",
-    "multimodal_scene_cut", "multimodal_tiff_decode", "op_assoc_rules",
-    "op_bit_aggregates", "op_cohort_retention", "op_equidepth_hist",
-    "op_event_transitions", "op_funnel_conversion", "op_hll_distinct",
-    "op_null_safe_join", "op_rfm_segments", "op_scd2_intervals",
-    "sample_neyman_alloc", "sample_stratified", "sim_dbscan",
-    "text_rolling_fingerprint", "text_winnowing", "ts_hampel_filter",
-    "ts_mase_eval", "ts_sax_words",
-    # latest green = round 10 (alphabetical head)
-    "dedup_image_ahash", "dedup_lsh_precision",
-    "graph_harmonic_centrality", "graph_modularity", "join_asof_nearest",
-    "llm_bpe_compression_curve", "llm_gopher_repetition",
-    "llm_tokenizer_fertility", "multimodal_audio_decimate",
-    "multimodal_hist_equalize", "multimodal_qoi_decode",
-    "multimodal_tga_decode", "op_markov_stationary",
+    # round-16 re-planned, not yet driver-graded on the new paths
+    # (r16 verdict item 1, in the verdict's own order)
+    "dedup_prefix_filter", "dedup_containment", "ts_holt_trend",
+    "sample_contamination_rate", "sim_ivf_probe_sweep", "op_winsorize",
+    "op_mad_outliers", "op_boxplot_stats",
+    # round-17 re-planned entries (graded THIS round, same rule)
+    "llm_dup_span_removal", "llm_dup_span_coverage",
+    "dedup_chunk_neardup", "graph_hits",
+    # latest green = round 10 (full remaining cohort, alphabetical)
+    "op_min_max_by", "op_moments_profile", "op_sessionize_batch",
+    "op_stats_regression", "op_survival_hazard",
+    "op_token_cooccurrence", "op_top_paths", "op_try_arithmetic",
+    "op_user_stickiness", "op_window_navigation",
+    "pipeline_curate_corpus", "sample_cluster", "sample_importance",
+    "sample_systematic", "sample_weighted_topk", "sim_recall_at_k",
+    "text_bm25_score", "text_hapax_ratio", "text_rake_keyphrases",
+    "tpch_q8", "ts_ewma", "ts_expanding_anomaly", "ts_interp_fill",
+    "ts_max_drawdown", "ts_ordinal_patterns", "ts_spc_rules",
+    "wh_vacuum_planner",
+    # latest green = round 11 (alphabetical head)
+    "graph_degree_distribution", "graph_katz_centrality",
+    "graph_pagerank", "graph_shortest_path", "llm_bpe_merges",
+    "llm_curriculum_order", "llm_oov_rate", "llm_span_corruption",
+    "llm_temperature_mix", "multimodal_audio_normalize",
+    "multimodal_image_tile",
 ]
 
 

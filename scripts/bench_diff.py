@@ -93,6 +93,19 @@ def main() -> None:
           f"(sum {osum:.1f} -> {nsum:.1f}; "
           f"{len(common)}-query common subset {csum_o:.1f} -> {csum_n:.1f})")
 
+    # Build-inclusive totals (r16 verdict item 2): `value` excludes the
+    # separately-timed shared builds, so a round that moves per-entry
+    # work into a NEW shared build flatters the headline delta.  Report
+    # value + sum(shared_builds) for both sides so build-pool growth is
+    # always visible in the comparison.
+    ob, nb = old.get("shared_builds", {}), new.get("shared_builds", {})
+    obs, nbs = sum(map(float, ob.values())), sum(map(float, nb.values()))
+    print(f"build-inclusive: {osum + obs:.1f}s -> {nsum + nbs:.1f}s "
+          f"(shared_builds {obs:.1f}s/{len(ob)} -> {nbs:.1f}s/{len(nb)})")
+    for name in sorted(set(nb) - set(ob)):
+        print(f"  NEW shared build: {name} ({float(nb[name]):.3f}s) — "
+              "must show >=2 in-repo consumers")
+
 
 if __name__ == "__main__":
     main()

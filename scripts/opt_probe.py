@@ -69,6 +69,11 @@ def main() -> None:
         from dblab_ece_trino_spark.operators.analytics import shared_price_cum
 
         shared_price_cum(spark, args.sf)
+        from dblab_ece_trino_spark.operators.llmprep import (
+            shared_dupspan_islands,
+        )
+
+        shared_dupspan_islands(spark, args.sf)
         print(f"# shared builds: {time.monotonic() - t0:.2f}s", file=sys.stderr)
 
     for name in args.entries:
