@@ -426,7 +426,12 @@ def dedup_minhash_lsh(
     intermediate stages too (lsh_funnel_metrics counts all three funnel
     levels) doesn't rebuild the identical pipeline a second time
     (round-16 optimization; construction is deterministic, so reuse is
-    value-identical).
+    value-identical).  PROVENANCE CONTRACT (r16 advice): an injected
+    frame MUST have been built by the corresponding stage of THIS
+    function with the same (num_hashes, bands, rows, n, mode,
+    threshold, max_bucket) — nothing validates that here, and a
+    mismatched injection silently yields wrong pairs.  Callers other
+    than lsh_funnel_metrics should pass docs only.
     """
     from dblab_ece_trino_spark.session import ensure_parallelism, materialize
 
@@ -1368,6 +1373,11 @@ def _verify_intersect_sorted(joined: DataFrame) -> DataFrame:
     the kernel rides the SAME pair join (no broadcast of corpus-scale
     state; O(cand) rows through the Python boundary, each doing
     O(sz log sz) work).
+
+    SORTEDNESS CONTRACT (r16 advice): searchsorted silently returns
+    wrong counts on unsorted input — every caller must build arr_a /
+    arr_b with ``sort_array`` (the two in-repo call sites do: the
+    shared signature arrays are sort_array'd at construction).
     """
     import numpy as np
     import pandas as pd
