@@ -1594,6 +1594,10 @@ def ivf_probe_sweep(
     """
     from dblab_ece_trino_spark.session import ensure_parallelism, materialize
 
+    if not probes:
+        # max(probes) below would raise a bare ValueError; fail with
+        # the contract spelled out (r16 advice)
+        raise ValueError("ivf_probe_sweep: probes must be non-empty")
     floors = floors if floors is not None else IVF_SWEEP_FLOORS
     if centroids is None:
         centroids = ivf_index(corpus, n_clusters, iters, id_col, vec_col)
